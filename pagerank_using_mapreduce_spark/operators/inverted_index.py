@@ -1,0 +1,97 @@
+"""Inverted index: the reference's single-job pipeline
+(InvertedIndex.java:45-59) as one DataFrame expression, plus the TF-IDF
+generalization (SURVEY.md §2.9).
+
+Semantics (reference README.md:78-82): alpha-only tokens
+(``[^a-zA-Z]+`` → space), lowercased, duplicates in the posting list
+RETAINED (one entry per token occurrence, InvertedIndex.java:104-106,
+120-131).  The reference's posting order is shuffle-arrival order
+(nondeterministic); we sort doc ids ascending — documented deviation
+for reproducibility (SURVEY.md §7.4.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textops import (
+    extract_doc_id,
+    extract_text_body,
+    strip_non_alpha,
+    tokens,
+)
+
+
+def _postings(word_doc: DataFrame) -> DataFrame:
+    """(word, doc_id) occurrences → (word, doc_ids) with doc_ids a
+    comma-joined ascending list, duplicates retained (A6)."""
+    return word_doc.groupBy("word").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("doc_ids")
+    )
+
+
+def token_stream(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """P6+P7+P8 over the ``documents`` table: one row per token
+    occurrence → (doc_id, word)."""
+    return documents.select(
+        "doc_id",
+        F.explode(tokens(strip_non_alpha(text_col))).alias("word"),
+    )
+
+
+def inverted_index(documents: DataFrame) -> DataFrame:
+    """A6 over the plain ``documents`` table → (word, doc_ids)."""
+    return _postings(token_stream(documents))
+
+
+def inverted_index_wiki(corpus: DataFrame) -> DataFrame:
+    """The reference's exact input shape: raw wiki page lines.
+
+    ParseMapper (InvertedIndex.java:69-110): doc id from the first
+    ``<id>`` tag, body from ``group(2)`` of the text regex (wrapper
+    excluded — unlike the PageRank mapper), then strip/tokenize/lower.
+    Pages without a text tag contribute no tokens.
+    """
+    word_doc = (
+        corpus.where(F.length("raw") > 0)
+        .select(
+            extract_doc_id("raw").cast("long").alias("doc_id"),
+            extract_text_body("raw").alias("body"),
+        )
+        .where(F.col("body") != "")
+        .select("doc_id", F.explode(tokens(strip_non_alpha("body"))).alias("word"))
+    )
+    return _postings(word_doc)
+
+
+def tf_idf(documents: DataFrame, n_docs: int | None = None) -> DataFrame:
+    """Extension (SURVEY.md §2.9): TF-IDF over the token stream.
+
+    TF is A6 with counts; IDF needs N (A1).  Smoothed IDF:
+    ``ln((1+N)/(1+df)) + 1`` — computed with built-in expressions only.
+    Output: (doc_id, word, tf, df, tf_idf).
+    """
+    if n_docs is None:
+        n_docs = documents.count()
+    toks = token_stream(documents)
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    return (
+        tf.join(df, "word")
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * (F.log((F.lit(1.0 + n_docs)) / (F.col("df") + 1.0)) + F.lit(1.0))
+            ).alias("tf_idf"),
+        )
+    )

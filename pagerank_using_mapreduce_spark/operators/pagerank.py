@@ -1,0 +1,180 @@
+"""PageRank: the reference's 13-job MapReduce pipeline as one declarative
+Spark program.
+
+Reference shape (PageRankAlgorithm.java:60-136): ① count N → ② parse
+link graph → ③ 10× rank iterations → ④ global sort, with 13 full HDFS
+materializations and no combiners.  Here: the corpus is parsed once and
+persisted; N is a plain action; each iteration is `join → partial+final
+aggregate → left join`; the static adjacency is persisted and
+hash-partitioned once instead of being re-shipped through every shuffle
+(the reference's "^"+links passthrough, PageRankAlgorithm.java:334,
+381-383, moves the full link structure through the network 10 times).
+
+Semantics preserved exactly (SURVEY.md §7.4):
+- un-normalized Brin-Page recurrence ``new = (1-d) + d·Σ rank/outdeg``
+  (PageRankAlgorithm.java:356-361,395) — teleport NOT divided by N;
+- phantom link targets dropped every iteration (the "!" existence
+  marker, PageRankAlgorithm.java:330,376-379) — expressed as the join
+  direction: new ranks are computed FROM the pages relation;
+- duplicate links each count toward outdegree and contribution
+  (PageRankAlgorithm.java:336-340) — ``collect_list``/``explode``,
+  never ``collect_set``/``array_distinct``;
+- dangling pages keep receiving the (1-d) baseline but contribute
+  nothing (mass leaks, no renormalization);
+- fixed iteration count, no convergence test (PageRankAlgorithm.java:98).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textops import extract_links, extract_text_full, extract_title
+
+DAMPING = 0.85
+ITERATIONS = 10
+
+
+def parse_corpus(corpus: DataFrame) -> DataFrame:
+    """corpus(raw) → pages(title, links array<string>).
+
+    The reference's LinkGraphMapper + LinkGraphReducer (PageRankAlgorithm
+    .java:207-315) minus the rank column (added by :func:`link_graph`).
+    The groupBy mirrors the reducer's concatenation of per-mapper link
+    lists for a repeated title (PageRankAlgorithm.java:298-314);
+    duplicates inside a page are preserved.
+    """
+    parsed = (
+        corpus.where(F.length("raw") > 0)  # F1
+        .select(
+            extract_title("raw").alias("title"),
+            extract_links(extract_text_full("raw")).alias("links"),
+        )
+        .where(F.col("title") != "")  # F2/F4
+    )
+    return parsed.groupBy("title").agg(
+        # F.filter: guard against empty-string targets, the one artifact
+        # of the reference's multi-line-doc path (SURVEY.md §7.4.2).
+        F.filter(F.flatten(F.collect_list("links")), lambda x: x != "").alias("links")
+    )
+
+
+def count_n(pages: DataFrame) -> int:
+    """A1: N = number of distinct page titles.  The reference burns a
+    whole MapReduce job + a counter for this (PageRankAlgorithm.java:
+    146-201); here it is one action over the already-parsed corpus
+    (titles are distinct post-groupBy)."""
+    return pages.count()
+
+
+def link_graph(pages: DataFrame, n: int) -> DataFrame:
+    """A2+A3: attach the initial rank 1/N (PageRankAlgorithm.java:300-304)."""
+    return pages.select("title", F.lit(1.0 / n).alias("rank"), "links")
+
+
+def edges(pages: DataFrame) -> DataFrame:
+    """J2 prep: one row per link *occurrence* (duplicates preserved),
+    with the source outdegree (PageRankAlgorithm.java:336-340).
+
+    outdeg is computed before the explode so each occurrence carries
+    the full duplicate-counting degree.
+    """
+    return (
+        pages.where(F.size("links") > 0)
+        .select(
+            F.col("title").alias("src"),
+            F.size("links").alias("outdeg"),
+            F.explode("links").alias("dst"),
+        )
+    )
+
+
+def pagerank(
+    pages: DataFrame,
+    n: int | None = None,
+    iterations: int = ITERATIONS,
+    damping: float = DAMPING,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """I1 + J1/J2 + A4/A5: the full fixed-point loop → (title, rank).
+
+    Scale notes (target: 1000-executor cluster, edges ≫ memory):
+    - the static relations (titles, edges) are hash-partitioned on the
+      join key once and persisted; Spark preserves the cached output
+      partitioning, so per-iteration joins only shuffle the small
+      (title, rank) relation;
+    - the contribution sum gets automatic map-side partial aggregation
+      (the combiner the reference never wrote);
+    - lineage is truncated every ``checkpoint_every`` iterations via an
+      eager localCheckpoint (swap for ``checkpoint()`` + a reliable
+      checkpoint dir on a real cluster) — otherwise the plan depth grows
+      linearly and analysis/DAG costs dominate by iteration 10.
+    """
+    spark = pages.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    titles = pages.select("title").repartition(shuffle, "title").persist()
+    e = edges(pages).repartition(shuffle, "src").persist()
+    if n is None:
+        n = titles.count()  # A1/S5: action replaces the Hadoop counter
+    e.count()  # materialize the adjacency once (reference job ②)
+
+    ranks = titles.select("title", F.lit(1.0 / n).alias("rank"))
+    prev_persisted = None
+    for i in range(iterations):
+        contribs = (
+            e.alias("e")
+            .join(ranks.alias("r"), F.col("e.src") == F.col("r.title"))
+            .select(
+                F.col("e.dst").alias("dst"),
+                (F.col("r.rank") / F.col("e.outdeg")).alias("contrib"),
+            )
+        )
+        mass = contribs.groupBy("dst").agg(F.sum("contrib").alias("mass"))
+        # Left join FROM pages: valid-page gate (F3) — phantom targets in
+        # `mass` never survive; linkless-but-valid pages get the (1-d)
+        # baseline via coalesce (the reducer's sum=0 path).
+        ranks = (
+            titles.alias("t")
+            .join(mass.alias("m"), F.col("t.title") == F.col("m.dst"), "left")
+            .select(
+                F.col("t.title").alias("title"),
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("m.mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)  # S3: truncate lineage
+            if prev_persisted is not None:
+                prev_persisted.unpersist()
+            prev_persisted = ranks
+    return ranks
+
+
+def ranking(ranks: DataFrame, with_position: bool = False) -> DataFrame:
+    """O1: global descending sort by rank, title as deterministic
+    tiebreak (the reference's tie order is shuffle-arrival order,
+    PageRankAlgorithm.java:432 — documented deviation, SURVEY.md §7.4.6).
+
+    ``orderBy`` range-partitions after sampling → a parallel total sort,
+    replacing the reference's single-reducer bottleneck
+    (PageRankAlgorithm.java:117-129).  ``with_position`` adds a global
+    row_number — that forces a single partition, so it is reserved for
+    small results / oracle checks; at scale the sorted files ARE the
+    positions, as in the reference.
+    """
+    out = ranks.orderBy(F.desc("rank"), F.asc("title"))
+    if with_position:
+        w = Window.orderBy(F.desc("rank"), F.asc("title"))
+        out = ranks.select(
+            "title", "rank", F.row_number().over(w).alias("pos")
+        ).orderBy("pos")
+    return out
+
+
+def top_k(ranks: DataFrame, k: int) -> DataFrame:
+    """Natural extension (no LIMIT exists in the reference): TakeOrdered
+    — per-partition top-k then merge, no global sort."""
+    return ranks.orderBy(F.desc("rank"), F.asc("title")).limit(k)

@@ -1,0 +1,57 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_using_mapreduce_spark.operators.inverted_index import (
+    inverted_index,
+    inverted_index_wiki,
+    tf_idf,
+)
+
+DOCS = [
+    (1, "the Cat sat, the cat!"),
+    (2, "a cat and a dog-house"),
+    (3, "DOG dog dog 42"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_inverted_index_duplicates_retained_sorted(docs):
+    got = {r["word"]: r["doc_ids"] for r in inverted_index(docs).collect()}
+    # "cat" twice in doc 1 → id appears twice (InvertedIndex.java:120-131)
+    assert got["cat"] == "1,1,2"
+    assert got["dog"] == "2,3,3,3"  # "dog-house" splits into dog + house
+    assert got["the"] == "1,1"
+    assert got["house"] == "2"
+    assert "42" not in got  # alpha-only
+
+
+def test_inverted_index_wiki(spark):
+    corpus = spark.createDataFrame(
+        [
+            ('<title>A</title><id>7</id><text x="p">Hello hello world</text>',),
+            ("<title>B</title><id>8</id><revision></revision>",),
+            ('<title>C</title><id>9</id><text x="p">world 99</text>',),
+        ],
+        "raw string",
+    )
+    got = {r["word"]: r["doc_ids"] for r in inverted_index_wiki(corpus).collect()}
+    # body = group(2): the <text …> wrapper is excluded (InvertedIndex.java:96-100)
+    assert got == {"hello": "7,7", "world": "7,9"}
+
+
+def test_tf_idf(docs):
+    rows = {(r["doc_id"], r["word"]): r for r in tf_idf(docs, n_docs=3).collect()}
+    assert rows[(1, "cat")]["tf"] == 2
+    assert rows[(1, "cat")]["df"] == 2
+    assert rows[(3, "dog")]["tf"] == 3
+    # a word in every doc gets the minimal idf (=1 exactly when df = N+... smoothed)
+    import math
+
+    want = 2 * (math.log(4 / 3) + 1)
+    assert rows[(1, "cat")]["tf_idf"] == pytest.approx(want, rel=1e-12)

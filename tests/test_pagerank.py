@@ -1,0 +1,116 @@
+"""Golden micro-corpus PageRank tests (FIXTURES.md §2).
+
+5 pages: A →[[B]],[[B]],[[C]] (duplicate link); B →[[A]],[[Ghost]]
+(phantom); C → self-loop [[C]]; D → no text tag; E → text, no links.
+Hand-computed after 1 iteration (rank₀ = 0.2):
+A = 0.15 + 0.85·(0.2/2) = 0.235
+B = 0.15 + 0.85·(2·0.2/3) = 0.263333…
+C = 0.15 + 0.85·(0.2/3 + 0.2/1) = 0.376666…
+D = E = 0.15; Ghost absent.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_using_mapreduce_spark.operators.pagerank import (
+    count_n,
+    edges,
+    link_graph,
+    pagerank,
+    parse_corpus,
+    ranking,
+    top_k,
+)
+
+CORPUS = [
+    ('<title>A</title><id>1</id><text x="p">[[B]] [[B]] [[C]]</text>',),
+    ('<title>B</title><id>2</id><text x="p">[[A]] [[Ghost]]</text>',),
+    ('<title>C</title><id>3</id><text x="p">[[C]]</text>',),
+    ("<title>D</title><id>4</id><revision></revision>",),
+    ('<title>E</title><id>5</id><text x="p">no links here</text>',),
+]
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return parse_corpus(spark.createDataFrame(CORPUS, "raw string"))
+
+
+def test_parse(pages):
+    got = {r["title"]: r["links"] for r in pages.collect()}
+    assert got == {
+        "A": ["B", "B", "C"],
+        "B": ["A", "Ghost"],
+        "C": ["C"],
+        "D": [],
+        "E": [],
+    }
+
+
+def test_count_n(pages):
+    assert count_n(pages) == 5
+
+
+def test_edges_duplicates_and_outdeg(pages):
+    got = sorted(tuple(r) for r in edges(pages).collect())
+    assert got == [
+        ("A", 3, "B"),
+        ("A", 3, "B"),
+        ("A", 3, "C"),
+        ("B", 2, "A"),
+        ("B", 2, "Ghost"),
+        ("C", 1, "C"),
+    ]
+
+
+def test_link_graph_initial_rank(pages):
+    lg = link_graph(pages, 5)
+    assert {r["rank"] for r in lg.collect()} == {0.2}
+
+
+def test_one_iteration_golden(pages):
+    got = {r["title"]: r["rank"] for r in pagerank(pages, iterations=1).collect()}
+    assert got["A"] == pytest.approx(0.235, abs=1e-12)
+    assert got["B"] == pytest.approx(0.15 + 0.85 * (2 * 0.2 / 3), abs=1e-12)
+    assert got["C"] == pytest.approx(0.15 + 0.85 * (0.2 / 3 + 0.2), abs=1e-12)
+    assert got["D"] == pytest.approx(0.15, abs=1e-12)
+    assert got["E"] == pytest.approx(0.15, abs=1e-12)
+    assert "Ghost" not in got  # phantom dropped (README.md:66)
+
+
+def _py_pagerank(iters):
+    """Driver-side reimplementation for cross-checking >1 iteration."""
+    links = {"A": ["B", "B", "C"], "B": ["A", "Ghost"], "C": ["C"], "D": [], "E": []}
+    ranks = {t: 0.2 for t in links}
+    for _ in range(iters):
+        mass = {t: 0.0 for t in links}
+        for src, outs in links.items():
+            for dst in outs:
+                if dst in mass:
+                    mass[dst] += ranks[src] / len(outs)
+        ranks = {t: 0.15 + 0.85 * mass[t] for t in links}
+    return ranks
+
+
+@pytest.mark.parametrize("iters", [2, 10])
+def test_multi_iteration_matches_reference_recurrence(pages, iters):
+    got = {r["title"]: r["rank"] for r in pagerank(pages, iterations=iters).collect()}
+    want = _py_pagerank(iters)
+    for t, v in want.items():
+        assert got[t] == pytest.approx(v, rel=1e-12), t
+
+
+def test_ranking_order_and_position(pages):
+    ranks = pagerank(pages, iterations=1)
+    rows = ranking(ranks, with_position=True).collect()
+    assert [r["title"] for r in rows] == ["C", "B", "A", "D", "E"]  # D<E tie→title
+    assert [r["pos"] for r in rows] == [1, 2, 3, 4, 5]
+    assert [r["title"] for r in top_k(ranks, 2).collect()] == ["C", "B"]
+
+
+def test_rank_floor_invariant(pages):
+    """Every surviving page has rank ≥ 1-d (SURVEY.md §5.2)."""
+    ranks = pagerank(pages, iterations=10)
+    assert ranks.where(F.col("rank") < 0.15 - 1e-12).count() == 0
