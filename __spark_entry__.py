@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query (full 10-iteration PageRank over the
+  deterministic wiki corpus derived from sf0.001 documents) — smoke.
+- ``queries()``: one entry per implemented operator (SURVEY.md §2 +
+  extensions), each ``(spark, sf_dir) -> DataFrame``.
+- ``oracle_sql()``: the DuckDB ANSI-SQL twin of each query; the driver
+  hash-compares both at sf0.01.
+
+All float outputs are integer micro-units (``*_e6`` / ``*_e9`` bigint
+columns) so value hashes are stable across engines (SURVEY.md §7.4.4).
 """
 
 from __future__ import annotations
@@ -12,27 +16,33 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pagerank_using_mapreduce_spark.operators.pagerank import (
+    pagerank,
+    parse_corpus,
+    ranking,
+)
+from pagerank_using_mapreduce_spark.plans.registry import ORACLE_SQL, QUERIES
+from pagerank_using_mapreduce_spark.sources.tables import load_table
+from pagerank_using_mapreduce_spark.sources.wikicorpus import wiki_corpus
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: parse → 10× PageRank → global descending sort."""
+    docs = load_table(spark, SMOKE_SF_DIR, "documents")
+    pages = parse_corpus(wiki_corpus(docs, docs.count()))
+    ranks = pagerank(pages, iterations=10)
+    return ranking(ranks).select(
+        "title", F.round(F.col("rank"), 6).alias("rank")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLE_SQL)

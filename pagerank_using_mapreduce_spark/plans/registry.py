@@ -1,0 +1,322 @@
+"""Query registry: one entry per implemented operator from SURVEY.md §2,
+each with a DuckDB ANSI-SQL oracle that re-derives the same result
+independently (different regex engine, different execution model).
+
+Cross-engine comparability rules:
+- every float output is emitted as integer micro-units
+  (``CAST(ROUND(x * 1e6) AS BIGINT)``) so value hashes cannot diverge
+  on float formatting / last-bit summation order;
+- every aggregate/computed column is aliased identically in Spark and
+  SQL;
+- nondeterministic orders (posting lists, rank ties) get deterministic
+  tiebreaks on both sides (SURVEY.md §7.4.6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.inverted_index import inverted_index, inverted_index_wiki, tf_idf
+from ..operators.pagerank import pagerank, parse_corpus, ranking
+from ..sources.tables import load_table
+from ..sources.wikicorpus import wiki_corpus, wiki_corpus_sql
+
+# ---------------------------------------------------------------------------
+# Shared Spark-side helpers
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return wiki_corpus(docs, docs.count())
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parse_corpus(_corpus(spark, sf_dir))
+
+
+def _e6(col: F.Column) -> F.Column:
+    """Quantize a positive float to integer micro-units.
+
+    Not plain round(): iterated ranks are rationals that can land
+    EXACTLY on .5 micro-unit boundaries, where ±1-ulp cross-engine
+    summation noise flips the rounded value.  floor(x*1e6 + 0.5 + 1e-6)
+    biases exact boundaries firmly upward; the 1e-6 nudge dwarfs the
+    ~1e-9 accumulated float error but is far below the 0.5 quantum.
+    The DuckDB oracles use the identical formula (:func:`_sql_e6`).
+    """
+    return F.floor(col * 1e6 + F.lit(0.5000001)).cast("long")
+
+
+def _sql_e6(expr: str) -> str:
+    return f"CAST(FLOOR(({expr}) * 1e6 + 0.5000001) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB-side CTE fragments
+# ---------------------------------------------------------------------------
+
+_N = "(SELECT COUNT(*) FROM documents)"
+
+# corpus(doc_id, raw) — byte-identical twin of sources.wikicorpus.wiki_corpus
+_CORPUS_CTE = f"corpus AS ({wiki_corpus_sql(_N)})"
+
+# parsed/pages — twin of operators.pagerank.parse_corpus.  DuckDB's RE2 has
+# no lookbehind, so the link regex is the consuming-capture equivalent of the
+# reference's '(?<=\\[{{2}}).+?(?=\\])' (same matches on this corpus — both
+# take text between '[[' and the first ']').
+_PAGES_CTES = f"""{_CORPUS_CTE},
+parsed AS (
+  SELECT trim(regexp_extract(raw, '<title>(.*?)</title>', 1)) AS title,
+         list_transform(
+           regexp_extract_all(
+             regexp_extract(raw, '<text(.*?)>(.+?)</text>', 0),
+             '\\[\\[(.+?)\\]', 1),
+           x -> string_split(x, '[[')[-1]) AS links
+  FROM corpus
+  WHERE length(raw) > 0
+),
+pages AS (
+  SELECT title,
+         list_filter(flatten(list(links)), x -> x != '') AS links
+  FROM parsed WHERE title != '' GROUP BY title
+),
+np AS (SELECT COUNT(*) AS n FROM pages),
+edges AS (
+  SELECT title AS src, len(links) AS outdeg, unnest(links) AS dst
+  FROM pages WHERE len(links) > 0
+)"""
+
+
+def _rank_ctes(iterations: int) -> str:
+    """r0..r{k}: the unrolled PageRank recurrence (the reference's fixed
+    10-iteration loop, PageRankAlgorithm.java:96-114) as chained CTEs."""
+    ctes = ["r0 AS (SELECT title, 1.0 / (SELECT n FROM np) AS rank FROM pages)"]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""r{k} AS (
+  SELECT p.title, 0.15 + 0.85 * COALESCE(c.mass, 0.0) AS rank
+  FROM pages p
+  LEFT JOIN (
+    SELECT e.dst AS title, SUM(r.rank / e.outdeg) AS mass
+    FROM edges e JOIN r{k - 1} r ON r.title = e.src
+    GROUP BY e.dst
+  ) c USING (title)
+)""")
+    return ",\n".join(ctes)
+
+
+# ---------------------------------------------------------------------------
+# Core parity queries (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+
+def q_s1_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: the corpus scan itself — checks the deterministic derivation."""
+    return _corpus(spark, sf_dir)
+
+
+def q_p1_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textops import extract_title
+
+    return _corpus(spark, sf_dir).select(
+        "doc_id", extract_title("raw").alias("title")
+    )
+
+
+def q_p3_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.textops import extract_doc_id
+
+    return _corpus(spark, sf_dir).select(
+        "doc_id", extract_doc_id("raw").alias("extracted_id")
+    )
+
+
+def q_p45_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+P5 exploded: (title, link) one row per link occurrence."""
+    return _pages(spark, sf_dir).select(
+        "title", F.explode("links").alias("link")
+    )
+
+
+def q_a1_count_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pages(spark, sf_dir).agg(F.count("*").alias("n"))
+
+
+def q_a23_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A3: adjacency + initial rank.  Links joined with the reference's
+    '@#@' separator (PageRankAlgorithm.java:31-32) in extraction order
+    (deterministic: document order within each page)."""
+    pages = _pages(spark, sf_dir)
+    n = pages.count()
+    return pages.select(
+        "title",
+        _e6(F.lit(1.0 / n)).alias("rank_e6"),
+        F.array_join(F.col("links"), "@#@").alias("links_joined"),
+    )
+
+
+def q_j2_contributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: first-iteration contribution fan-out (src, dst, contrib)."""
+    from ..operators.pagerank import edges as mk_edges
+
+    pages = _pages(spark, sf_dir)
+    n = pages.count()
+    e = mk_edges(pages)
+    return e.select(
+        "src",
+        "dst",
+        F.floor(F.lit(1.0 / n) / F.col("outdeg") * 1e9 + F.lit(0.5000001))
+        .cast("long")
+        .alias("contrib_e9"),
+    )
+
+
+def _q_pagerank(iterations: int):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ranks = pagerank(_pages(spark, sf_dir), iterations=iterations)
+        return ranks.select("title", _e6(F.col("rank")).alias("rank_e6"))
+
+    return q
+
+
+def q_o1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 with positions.  Ordering (and the window) runs on the ROUNDED
+    rank so that mathematically-tied pages cannot be ordered differently
+    by last-bit float noise across engines; title breaks ties."""
+    ranks = pagerank(_pages(spark, sf_dir), iterations=10)
+    rounded = ranks.select("title", _e6(F.col("rank")).alias("rank_e6"))
+    w = Window.orderBy(F.desc("rank_e6"), F.asc("title"))
+    return rounded.select(
+        F.row_number().over(w).cast("long").alias("pos"), "title", "rank_e6"
+    ).orderBy("pos")
+
+
+def q_a6_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return inverted_index(_docs(spark, sf_dir))
+
+
+def q_a6_inverted_index_wiki(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return inverted_index_wiki(_corpus(spark, sf_dir))
+
+
+def q_p678_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+P7+P8: global term frequencies over documents."""
+    from ..operators.inverted_index import token_stream
+
+    return token_stream(_docs(spark, sf_dir)).groupBy("word").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    out = tf_idf(docs, n_docs=docs.count())
+    return out.select("doc_id", "word", "tf", "df", _e6(F.col("tf_idf")).alias("tfidf_e6"))
+
+
+_CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "s1_corpus_scan": q_s1_corpus_scan,
+    "p1_titles": q_p1_titles,
+    "p3_doc_ids": q_p3_doc_ids,
+    "p45_links": q_p45_links,
+    "a1_count_n": q_a1_count_n,
+    "a23_linkgraph": q_a23_linkgraph,
+    "j2_contributions": q_j2_contributions,
+    "i1_pagerank2": _q_pagerank(2),
+    "i1_pagerank10": _q_pagerank(10),
+    "o1_ranking": q_o1_ranking,
+    "a6_inverted_index": q_a6_inverted_index,
+    "a6_inverted_index_wiki": q_a6_inverted_index_wiki,
+    "p678_token_counts": q_p678_token_counts,
+    "tfidf": q_tfidf,
+}
+
+
+def _rank_sql(iterations: int) -> str:
+    return f"""WITH {_PAGES_CTES},
+{_rank_ctes(iterations)}
+SELECT title, {_sql_e6('rank')} AS rank_e6 FROM r{iterations}"""
+
+
+_CORE_ORACLE: dict[str, str] = {
+    "s1_corpus_scan": f"WITH {_CORPUS_CTE} SELECT doc_id, raw FROM corpus",
+    "p1_titles": f"""WITH {_CORPUS_CTE}
+SELECT doc_id, trim(regexp_extract(raw, '<title>(.*?)</title>', 1)) AS title FROM corpus""",
+    "p3_doc_ids": f"""WITH {_CORPUS_CTE}
+SELECT doc_id, regexp_extract(raw, '<id>(.*?)</id>', 1) AS extracted_id FROM corpus""",
+    "p45_links": f"""WITH {_PAGES_CTES}
+SELECT title, unnest(links) AS link FROM pages WHERE len(links) > 0""",
+    "a1_count_n": f"WITH {_PAGES_CTES} SELECT COUNT(*) AS n FROM pages",
+    "a23_linkgraph": f"""WITH {_PAGES_CTES}
+SELECT title,
+       {_sql_e6('1.0 / (SELECT n FROM np)')} AS rank_e6,
+       COALESCE(list_aggregate(links, 'string_agg', '@#@'), '') AS links_joined
+FROM pages""",
+    "j2_contributions": f"""WITH {_PAGES_CTES}
+SELECT src, dst,
+       CAST(FLOOR(1.0 / (SELECT n FROM np) / outdeg * 1e9 + 0.5000001) AS BIGINT) AS contrib_e9
+FROM edges""",
+    "i1_pagerank2": _rank_sql(2),
+    "i1_pagerank10": _rank_sql(10),
+    "o1_ranking": f"""WITH {_PAGES_CTES},
+{_rank_ctes(10)},
+rounded AS (SELECT title, {_sql_e6('rank')} AS rank_e6 FROM r10)
+SELECT ROW_NUMBER() OVER (ORDER BY rank_e6 DESC, title ASC) AS pos, title, rank_e6
+FROM rounded""",
+    "a6_inverted_index": """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '')) AS word
+  FROM documents
+)
+SELECT word, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+FROM toks GROUP BY word""",
+    "a6_inverted_index_wiki": f"""WITH {_CORPUS_CTE},
+bodies AS (
+  SELECT CAST(regexp_extract(raw, '<id>(.*?)</id>', 1) AS BIGINT) AS doc_id,
+         regexp_extract(raw, '<text(.*?)>(.+?)</text>', 2) AS body
+  FROM corpus WHERE length(raw) > 0
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(lower(trim(regexp_replace(body, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '')) AS word
+  FROM bodies WHERE body != ''
+)
+SELECT word, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+FROM toks GROUP BY word""",
+    "p678_token_counts": """
+WITH toks AS (
+  SELECT unnest(list_filter(
+           string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '')) AS word
+  FROM documents
+)
+SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word""",
+    "tfidf": f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '')) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY doc_id, word),
+df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word)
+SELECT tf.doc_id, tf.word, tf.tf, df.df,
+       {_sql_e6(f'tf.tf * (ln((1.0 + {_N}) / (df.df + 1.0)) + 1.0)')} AS tfidf_e6
+FROM tf JOIN df USING (word)""",
+}
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(_CORE_QUERIES)
+ORACLE_SQL: dict[str, str] = dict(_CORE_ORACLE)

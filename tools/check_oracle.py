@@ -1,0 +1,82 @@
+"""Local mimic of the driver's t2 correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB,
+compare row-count + schema-ish + order-insensitive values.
+
+Usage: PYTHONPATH=/root/repo python tools/check_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from pagerank_using_mapreduce_spark.session import get_spark  # noqa: E402
+from pagerank_using_mapreduce_spark.sources.tables import TABLES  # noqa: E402
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="check_oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir).toPandas()
+        t1 = time.time()
+        if name not in os_:
+            print(f"{name}: rows-only ({len(sdf)} rows) spark={t1 - t0:.1f}s")
+            continue
+        ddf = con.execute(os_[name]).df()
+        t2 = time.time()
+        status = "OK"
+        if len(sdf) != len(ddf):
+            status = f"ROWCOUNT spark={len(sdf)} duck={len(ddf)}"
+        elif sorted(sdf.columns) != sorted(ddf.columns):
+            status = f"COLS spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}"
+        else:
+            a, b = canon(sdf), canon(ddf)
+            try:
+                pd.testing.assert_frame_equal(a, b, check_dtype=False)
+            except AssertionError as exc:
+                status = "VALUES " + str(exc).split("\n")[0]
+                for col in a.columns:
+                    if not a[col].equals(b[col]):
+                        neq = (a[col] != b[col]).sum()
+                        print(f"   col {col}: {neq} mismatched")
+                        mism = a[col] != b[col]
+                        print("   spark:", a[mism].head(3).to_dict("records"))
+                        print("   duck :", b[mism].head(3).to_dict("records"))
+        print(
+            f"{name}: {status} ({len(sdf)} rows, spark={t1 - t0:.1f}s duck={t2 - t1:.1f}s)"
+        )
+        if status != "OK":
+            failed.append(name)
+    if failed:
+        print("FAILED:", failed)
+        return 1
+    print("all green")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
