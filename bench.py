@@ -1,0 +1,60 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (computes every
+column, writes nothing) so Catalyst cannot prune the work away.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pagerank_using_mapreduce_spark.plans.registry import QUERIES  # noqa: E402
+from pagerank_using_mapreduce_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship iterative query, the reference's second
+# pipeline, and the heaviest extension ops (extended as they land).
+BENCH_QUERIES = [
+    "i1_pagerank10",
+    "o1_ranking",
+    "a6_inverted_index",
+    "a6_inverted_index_wiki",
+    "tfidf",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in QUERIES:
+            continue
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
