@@ -318,5 +318,10 @@ SELECT tf.doc_id, tf.word, tf.tf, df.df,
 FROM tf JOIN df USING (word)""",
 }
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = dict(_CORE_QUERIES)
-ORACLE_SQL: dict[str, str] = dict(_CORE_ORACLE)
+from .relational import RELATIONAL_ORACLE, RELATIONAL_QUERIES  # noqa: E402
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    **_CORE_QUERIES,
+    **RELATIONAL_QUERIES,
+}
+ORACLE_SQL: dict[str, str] = {**_CORE_ORACLE, **RELATIONAL_ORACLE}

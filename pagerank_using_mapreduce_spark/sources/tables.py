@@ -27,7 +27,15 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in parquet, surfaced as long nanos via
+        # spark.sql.legacy.parquet.nanosAsLong; truncate to micros (the
+        # same conversion DuckDB applies reading NANOS into TIMESTAMP).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
