@@ -1,0 +1,213 @@
+"""Text-analysis operators for training-data curation: language ID
+(stopword-hit heuristic), quality scoring, token counting, document
+fingerprinting.  Pure column expressions — the hot path stays inside
+whole-stage codegen; per-row ratios are computed from integer counts so
+both engines produce bit-identical doubles before quantization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.textops import strip_non_alpha, tokens
+
+# Tiny public stopword lists (per-language function words).  The guess
+# is a heuristic score, not a model — deterministic and portable.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "es": ("el", "la", "los", "y", "es", "de", "un"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une"),
+}
+
+STOPWORDS_EN = LANG_STOPWORDS["en"]
+
+
+def _toks(text_col: str = "text") -> Column:
+    return tokens(strip_non_alpha(text_col))
+
+
+def _hit_count(toks: Column, words: tuple[str, ...]) -> Column:
+    """# token occurrences (duplicates counted) found in ``words``."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """(doc_id, lang_guess, best_ratio_e6): argmax stopword-hit ratio,
+    'und' (undetermined) when no list scores > 0; alphabetical-first
+    tiebreak (deterministic in both engines)."""
+    toked = documents.select("doc_id", _toks().alias("toks"))
+    scored = toked.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        *[
+            _hit_count(F.col("toks"), ws).alias(f"hits_{lang}")
+            for lang, ws in sorted(LANG_STOPWORDS.items())
+        ],
+    )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in sorted(LANG_STOPWORDS)])
+    guess = F.lit("und")
+    # iterate reversed so earlier (alphabetical) languages win ties
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        guess = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(guess)
+    ratio = F.when(F.col("n") > 0, best.cast("double") / F.col("n")).otherwise(
+        F.lit(0.0)
+    )
+    return scored.select(
+        "doc_id",
+        guess.alias("lang_guess"),
+        F.floor(ratio * 1e6 + F.lit(0.5000001)).cast("long").alias("best_ratio_e6"),
+    )
+
+
+def _lang_id_sql() -> str:
+    hits = ",\n         ".join(
+        "len(list_filter(toks, t -> t IN ({}))) AS hits_{}".format(
+            ", ".join(f"'{w}'" for w in ws), lang
+        )
+        for lang, ws in sorted(LANG_STOPWORDS.items())
+    )
+    langs = sorted(LANG_STOPWORDS)
+    best = f"GREATEST({', '.join(f'hits_{lang}' for lang in langs)})"
+    guess = "'und'"
+    for lang in reversed(langs):
+        guess = f"CASE WHEN hits_{lang} = {best} AND {best} > 0 THEN '{lang}' ELSE {guess} END"
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+           lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '') AS toks
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, len(toks) AS n,
+         {hits}
+  FROM toked
+)
+SELECT doc_id,
+       {guess} AS lang_guess,
+       CAST(FLOOR(
+         CASE WHEN n > 0 THEN CAST({best} AS DOUBLE) / n ELSE 0.0 END
+         * 1e6 + 0.5000001) AS BIGINT) AS best_ratio_e6
+FROM scored"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, mean_token_len_e6, stopword_ratio_e6,
+    alpha_ratio_e6, quality_e6).
+
+    quality = 0.4·stopword_ratio + 0.3·alpha_ratio
+            + 0.3·min(n_tokens, 200)/200 — a simple, monotone composite
+    of the classic heuristic signals (length, letter density, function-
+    word density)."""
+    toked = documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("n_alpha"),
+        _toks().alias("toks"),
+    )
+    n_tok = F.size("toks")
+    sw = _hit_count(F.col("toks"), STOPWORDS_EN)
+    tok_chars = F.aggregate(
+        F.transform(F.col("toks"), F.length),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    mean_len = F.when(n_tok > 0, tok_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
+    sw_ratio = F.when(n_tok > 0, sw.cast("double") / n_tok).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        F.col("n_chars") > 0, F.col("n_alpha").cast("double") / F.col("n_chars")
+    ).otherwise(F.lit(0.0))
+    len_score = F.least(n_tok, F.lit(200)).cast("double") / 200
+    quality = sw_ratio * 0.4 + alpha_ratio * 0.3 + len_score * 0.3
+
+    def e6(c: Column) -> Column:
+        return F.floor(c * 1e6 + F.lit(0.5000001)).cast("long")
+
+    return toked.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        e6(mean_len).alias("mean_token_len_e6"),
+        e6(sw_ratio).alias("stopword_ratio_e6"),
+        e6(alpha_ratio).alias("alpha_ratio_e6"),
+        e6(quality).alias("quality_e6"),
+    )
+
+
+QUALITY_SQL = f"""
+WITH toked AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         list_filter(string_split_regex(
+           lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars, n_alpha,
+         len(toks) AS n_tok,
+         len(list_filter(toks, t -> t IN ({", ".join(f"'{w}'" for w in STOPWORDS_EN)}))) AS sw,
+         list_sum(list_transform(toks, t -> length(t))) AS tok_chars
+  FROM toked
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(FLOOR((CASE WHEN n_tok > 0 THEN CAST(tok_chars AS DOUBLE) / n_tok ELSE 0.0 END) * 1e6 + 0.5000001) AS BIGINT) AS mean_token_len_e6,
+       CAST(FLOOR((CASE WHEN n_tok > 0 THEN CAST(sw AS DOUBLE) / n_tok ELSE 0.0 END) * 1e6 + 0.5000001) AS BIGINT) AS stopword_ratio_e6,
+       CAST(FLOOR((CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END) * 1e6 + 0.5000001) AS BIGINT) AS alpha_ratio_e6,
+       CAST(FLOOR((
+         (CASE WHEN n_tok > 0 THEN CAST(sw AS DOUBLE) / n_tok ELSE 0.0 END) * 0.4
+         + (CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END) * 0.3
+         + CAST(LEAST(n_tok, 200) AS DOUBLE) / 200 * 0.3
+       ) * 1e6 + 0.5000001) AS BIGINT) AS quality_e6
+FROM m"""
+
+
+# BPE-ish pre-tokenization: letter runs, single digits, single
+# non-alphanumeric marks (whitespace dropped) — the classic GPT-2-style
+# pre-tokenizer shape, counted without any Python in the loop.
+BPE_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_pieces)."""
+    return documents.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_REGEX), 0))
+        .cast("long")
+        .alias("n_bpe_pieces"),
+    )
+
+
+TOKEN_COUNT_SQL = rf"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(trim(text)), ' +'), t -> t != '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_pieces
+FROM documents"""
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """(doc_id, fp): content fingerprint of the normalized token stream
+    — whitespace/punctuation-insensitive exact identity (the md5 of the
+    canonical token join), the cheap first stage before MinHash."""
+    norm = F.array_join(_toks(), " ")
+    return documents.select("doc_id", F.md5(norm).alias("fp"))
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(array_to_string(list_filter(string_split_regex(
+         lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+         t -> t != ''), ' ')) AS fp
+FROM documents"""

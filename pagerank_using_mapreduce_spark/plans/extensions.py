@@ -1,0 +1,148 @@
+"""Registry wiring for the LLM-data-pipeline extension operators:
+dedup, similarity search, text analysis, multimodal plumbing, as-of
+join.  Each Spark query has a DuckDB oracle that re-derives the result
+independently (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators.asof import asof_join
+from ..operators.multimodal import DECODE_META_SQL, binarize_docs, decode_images
+from ..operators.similarity import (
+    COSINE_TOPK_SQL,
+    IVF_TOPK_SQL,
+    cosine_topk,
+    ivf_topk,
+)
+from ..operators.text_analysis import (
+    FINGERPRINT_SQL,
+    LANG_ID_SQL,
+    QUALITY_SQL,
+    TOKEN_COUNT_SQL,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from ..sources.tables import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def q_x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(dd.augment_docs(_docs(spark, sf_dir)))
+
+
+def q_x2_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_signatures(dd.shingles(dd.augment_docs(_docs(spark, sf_dir))))
+
+
+def q_x3_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.lsh_candidates(
+        dd.minhash_signatures(dd.shingles(dd.augment_docs(_docs(spark, sf_dir))))
+    )
+
+
+def q_x4_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.near_dup_pipeline(dd.augment_docs(_docs(spark, sf_dir)))
+
+
+def q_x5_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_x6_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_x7_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_x8_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_x9_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_count(_docs(spark, sf_dir))
+
+
+def q_x10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_x11_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real mapInPandas decode plumbing (fake codec) — the oracle
+    reimplements the deterministic fake header math in SQL."""
+    return decode_images(binarize_docs(_docs(spark, sf_dir)))
+
+
+def q_x12_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    out = asof_join(
+        ev,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=["o_orderkey"],
+        how="inner",
+    )
+    return out.select("event_id", "user_id", "r_o_orderkey")
+
+
+X12_ASOF_SQL = """
+SELECT event_id, user_id, o_orderkey AS r_o_orderkey FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o
+    ON o.o_custkey = e.user_id
+   AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+) WHERE rn = 1"""
+
+
+EXTENSION_QUERIES = {
+    "x1_exact_dedup": q_x1_exact_dedup,
+    "x2_minhash_signatures": q_x2_minhash_signatures,
+    "x3_lsh_candidates": q_x3_lsh_candidates,
+    "x4_near_dups": q_x4_near_dups,
+    "x5_cosine_topk": q_x5_cosine_topk,
+    "x6_ivf_topk": q_x6_ivf_topk,
+    "x7_lang_id": q_x7_lang_id,
+    "x8_quality_score": q_x8_quality_score,
+    "x9_token_count": q_x9_token_count,
+    "x10_fingerprint": q_x10_fingerprint,
+    "x11_multimodal_decode": q_x11_multimodal_decode,
+    "x12_asof_join": q_x12_asof_join,
+}
+
+EXTENSION_ORACLE = {
+    "x1_exact_dedup": dd.exact_dedup_sql(dd.AUGMENT_SQL),
+    "x2_minhash_signatures": dd.minhash_signatures_sql(
+        dd.shingles_sql(dd.AUGMENT_SQL)
+    ),
+    "x3_lsh_candidates": dd.lsh_candidates_sql(
+        dd.minhash_signatures_sql(dd.shingles_sql(dd.AUGMENT_SQL))
+    ),
+    "x4_near_dups": dd.near_dup_sql(dd.AUGMENT_SQL),
+    "x5_cosine_topk": COSINE_TOPK_SQL,
+    "x6_ivf_topk": IVF_TOPK_SQL,
+    "x7_lang_id": LANG_ID_SQL,
+    "x8_quality_score": QUALITY_SQL,
+    "x9_token_count": TOKEN_COUNT_SQL,
+    "x10_fingerprint": FINGERPRINT_SQL,
+    "x11_multimodal_decode": DECODE_META_SQL,
+    "x12_asof_join": X12_ASOF_SQL,
+}

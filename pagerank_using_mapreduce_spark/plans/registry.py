@@ -318,10 +318,16 @@ SELECT tf.doc_id, tf.word, tf.tf, df.df,
 FROM tf JOIN df USING (word)""",
 }
 
+from .extensions import EXTENSION_ORACLE, EXTENSION_QUERIES  # noqa: E402
 from .relational import RELATIONAL_ORACLE, RELATIONAL_QUERIES  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **_CORE_QUERIES,
     **RELATIONAL_QUERIES,
+    **EXTENSION_QUERIES,
 }
-ORACLE_SQL: dict[str, str] = {**_CORE_ORACLE, **RELATIONAL_ORACLE}
+ORACLE_SQL: dict[str, str] = {
+    **_CORE_ORACLE,
+    **RELATIONAL_ORACLE,
+    **EXTENSION_ORACLE,
+}

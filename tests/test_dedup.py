@@ -1,0 +1,73 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_using_mapreduce_spark.operators.dedup import (
+    NEAR_DUP_OFFSET,
+    EXACT_DUP_OFFSET,
+    augment_docs,
+    exact_dedup,
+    lsh_candidates,
+    minhash_signatures,
+    near_dup_pipeline,
+    shingles,
+)
+
+DOCS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 1
+    (3, "alpha beta gamma delta epsilon zeta eta iota"),  # near dup of 1
+    (4, "completely different words entirely unrelated content here"),
+    (5, "xy"),  # < 3 tokens: no shingles
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    got = {r["doc_id"]: r for r in exact_dedup(docs).collect()}
+    assert got[1]["is_canonical"] and not got[2]["is_canonical"]
+    assert got[2]["canonical_id"] == 1
+    assert got[3]["is_canonical"] and got[4]["is_canonical"]
+
+
+def test_shingles(docs):
+    got = shingles(docs)
+    assert got.where(F.col("doc_id") == 5).count() == 0  # too short
+    one = {r["shingle"] for r in got.where(F.col("doc_id") == 1).collect()}
+    assert "alpha beta gamma" in one and len(one) == 6
+
+
+def test_minhash_identical_docs_identical_sigs(docs):
+    sigs = {r["doc_id"]: r for r in minhash_signatures(shingles(docs)).collect()}
+    assert [sigs[1][f"sig_{j}"] for j in range(12)] == [
+        sigs[2][f"sig_{j}"] for j in range(12)
+    ]
+    # near-dup shares most but not necessarily all signature slots
+    shared = sum(sigs[1][f"sig_{j}"] == sigs[3][f"sig_{j}"] for j in range(12))
+    assert shared >= 6
+
+
+def test_near_dup_pipeline_finds_planted_pairs(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard_e6"] for r in near_dup_pipeline(docs).collect()}
+    assert pairs[(1, 2)] == 1_000_000  # exact dup -> jaccard 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 500_000
+    assert all(4 not in p for p in pairs)
+
+
+def test_augment_deterministic_offsets(docs):
+    aug = augment_docs(docs)
+    ids = {r["doc_id"] for r in aug.select("doc_id").collect()}
+    # doc 0 absent -> no near/exact copies from %10/%25 except doc 0 itself
+    assert ids == {1, 2, 3, 4, 5}  # no doc_id % 10 == 0 in fixture
+
+
+def test_lsh_candidates_subset_of_pairs(docs):
+    cands = lsh_candidates(minhash_signatures(shingles(docs)))
+    got = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    assert (1, 2) in got
+    assert all(a < b for a, b in got)

@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_using_mapreduce_spark.operators.multimodal import (
+    binarize_docs,
+    decode_images,
+    frame_sample,
+)
+from pagerank_using_mapreduce_spark.operators.similarity import cosine, cosine_topk
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0], 0),  # identical to 0
+        (2, [0.9, 0.1, 0.0], 0),  # close to 0
+        (3, [0.0, 1.0, 0.0], 1),  # orthogonal to 0
+        (4, [-1.0, 0.0, 0.0], 1),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<float>, b array<float>"
+    )
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).head()["c"]
+    import math
+
+    want = 32 / (math.sqrt(14) * math.sqrt(77))
+    assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_cosine_topk_order(vecs):
+    out = cosine_topk(vecs, queries=vecs.where(F.col("vec_id") == 0), k=4)
+    rows = sorted((r["rank"], r["vec_id"], r["cosine_e6"]) for r in out.collect())
+    assert [v for _, v, _ in rows] == [1, 2, 3, 4]
+    assert rows[0][2] == 1_000_000  # identical vector -> cosine 1.0
+    assert rows[2][2] == 0  # orthogonal
+    assert rows[3][2] == -1_000_000  # opposite
+
+
+def test_multimodal_decode_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "a longer document body here"), (7, "x")],
+        "doc_id long, text string",
+    )
+    binaries = binarize_docs(docs)
+    assert dict(binaries.dtypes)["payload"] == "binary"
+    decoded = decode_images(binaries)
+    got = {r["doc_id"]: r for r in decoded.collect()}
+    assert got[1]["n_bytes"] == 5
+    assert got[1]["width"] == 5 % 640 + 1 and got[1]["height"] == (5 * 7) % 480 + 1
+    assert got[2]["n_bytes"] == 27
+    sampled = {r["doc_id"] for r in frame_sample(decoded, every_n=7).collect()}
+    assert sampled == {7}
+
+
+def test_multimodal_real_decode_raises(spark):
+    docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    with pytest.raises(Exception, match="NotImplementedError|real decode"):
+        decode_images(binarize_docs(docs), decode_mode="real").collect()
