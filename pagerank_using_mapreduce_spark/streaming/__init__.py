@@ -1,0 +1,15 @@
+from .events import (
+    hourly_rollup_stream,
+    read_event_stream,
+    run_available_now,
+    sessionize_stream,
+    stream_dedup,
+)
+
+__all__ = [
+    "hourly_rollup_stream",
+    "read_event_stream",
+    "run_available_now",
+    "sessionize_stream",
+    "stream_dedup",
+]

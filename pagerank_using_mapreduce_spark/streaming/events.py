@@ -1,0 +1,128 @@
+"""Structured Streaming variants of the event operators.
+
+The reference is batch-only (Hadoop MR), so everything here is
+extension surface: the same event analytics as plans/relational, but
+incremental — file-source streams, watermarked tumbling windows,
+streaming dedup, and a custom stateful sessionizer built on
+``applyInPandasWithState`` (the blessed Spark surface for operators
+whose state machine the built-ins can't express).
+
+Scale notes: the file source lists incrementally and each micro-batch
+is a normal Catalyst plan; the window aggregation keeps per-(window,
+type) state with the watermark bounding state size; sessionization
+keys state by user_id, so state shards across executors with the
+shuffle and a skewed user degrades one task, not the query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+    ts arrives as long nanos (same nanosAsLong contract as the batch
+    loader) and is converted to a timestamp column."""
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window rollup — the streaming twin of
+    plans.relational.e2_hourly_rollup."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5000001)).cast("long")
+            ).alias("sum_value_e2"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("hour_epoch"),
+            "event_type",
+            "n",
+            "sum_value_e2",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id with watermark-bounded state
+    (dropDuplicatesWithinWatermark shape)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+SESSION_GAP_S = 1800
+_SESSION_OUT_SCHEMA = "user_id long, n_sessions long, n_events long"
+_SESSION_STATE_SCHEMA = "last_us long, n_sessions long, n_events long"
+
+
+def sessionize_stream(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Custom stateful operator: per-user session counting with a
+    ``gap_s`` inactivity gap, state carried across micro-batches.
+
+    Batch-equivalent: plans.relational.e1_sessions (lag + running sum).
+    """
+    gap_us = gap_s * 1_000_000
+
+    def update(
+        key: tuple, pdfs, state: GroupState
+    ):
+        if state.exists:
+            last_us, n_sessions, n_events = state.get
+        else:
+            last_us, n_sessions, n_events = None, 0, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            us = np.sort(pdf["ts"].astype("int64").to_numpy() // 1000)
+            # sentinel guarantees the first-ever event opens a session
+            # without risking int64 overflow in the subtraction
+            first_prev = last_us if last_us is not None else us[0] - gap_us - 1
+            prev = np.concatenate(([first_prev], us[:-1]))
+            n_sessions += int((us - prev > gap_us).sum())
+            n_events += len(us)
+            last_us = int(us[-1])
+        state.update((last_us, n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        _SESSION_OUT_SCHEMA,
+        _SESSION_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain all available input into an in-memory table and return it
+    (test/driver harness helper)."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream.sparkSession.table(query_name)

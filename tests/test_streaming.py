@@ -1,0 +1,59 @@
+"""Streaming operators verified against their batch twins on the real
+sf0.001 events table (file-source stream drained with availableNow)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_using_mapreduce_spark.plans.relational import (
+    e1_sessions,
+    e2_hourly_rollup,
+)
+from pagerank_using_mapreduce_spark.streaming import (
+    hourly_rollup_stream,
+    read_event_stream,
+    run_available_now,
+    sessionize_stream,
+    stream_dedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_hourly_rollup_matches_batch(spark, events_dir):
+    stream = hourly_rollup_stream(read_event_stream(spark, events_dir))
+    got = run_available_now(stream, "t_rollup")
+    want = e2_hourly_rollup(spark, SF)
+    cols = ["hour_epoch", "event_type", "n", "sum_value_e2"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_streaming_sessionize_matches_batch(spark, events_dir):
+    stream = sessionize_stream(read_event_stream(spark, events_dir))
+    got = run_available_now(stream, "t_sessions", output_mode="update")
+    want = e1_sessions(spark, SF)
+    cols = ["user_id", "n_sessions", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_dedup_keeps_distinct_event_ids(spark, events_dir):
+    stream = stream_dedup(read_event_stream(spark, events_dir))
+    got = run_available_now(
+        stream.select("event_id"), "t_dedup", output_mode="append"
+    )
+    n_distinct = got.select("event_id").distinct().count()
+    assert got.count() == n_distinct == 1000
