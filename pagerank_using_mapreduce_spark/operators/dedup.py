@@ -237,6 +237,166 @@ def verified_near_dups(
     )
 
 
+# ---------------------------------------------------------------------------
+# SimHash: 32-bit signed-projection fingerprint + banded hamming near-dup
+# ---------------------------------------------------------------------------
+
+# 60 bits = 15 md5 hex chars: wide enough that unrelated docs sit at
+# hamming ~19-25 while injected near-dups stay <= ~13 (32 bits collapses
+# — noise pairs reach hamming 0 on this corpus), yet still inside a
+# signed 64-bit long for both engines.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4  # 15-bit bands; hamming <= 3 pairs share >= 1 band for sure
+HAMMING_THRESHOLD = 6
+
+
+def _token_hash(word, bits: int = SIMHASH_BITS) -> F.Column:
+    """First bits/4 md5 hex chars as an int — identical in Spark and
+    DuckDB (both emit lowercase hex), so the oracle recomputes it."""
+    return F.conv(F.substring(F.md5(word), 1, bits // 4), 16, 10).cast("long")
+
+
+def _token_hash_sql(word_expr: str, bits: int = SIMHASH_BITS) -> str:
+    # DuckDB has no base-conv builtin; expand the hex digits manually.
+    nhex = bits // 4
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({word_expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (nhex - 1 - i)}"
+        for i in range(nhex)
+    )
+    return f"({digits})"
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash): classic Charikar fingerprint — each token's
+    hash votes ±count on every bit position; the sign of the per-bit
+    tally is the fingerprint bit.
+
+    One groupBy(doc_id) with ``bits`` sum aggregates (all JVM-side,
+    map-side partial agg) — structurally the same single-shuffle shape
+    as :func:`minhash_signatures`.  Near-identical docs differ in a few
+    token votes, so their tallies keep the same sign almost everywhere
+    → small hamming distance.
+    """
+    counted = (
+        docs.select("doc_id", tokens(strip_non_alpha("text")).alias("toks"))
+        .select("doc_id", F.explode("toks").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .select("doc_id", "cnt", _token_hash(F.col("word"), bits).alias("h"))
+    )
+    tallies = counted.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("cnt")
+                * (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s_{b}")
+            for b in range(bits)
+        ]
+    )
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return tallies.select("doc_id", fingerprint.cast("long").alias("simhash"))
+
+
+def simhash_sql(docs_sql: str, bits: int = SIMHASH_BITS) -> str:
+    tally = ", ".join(
+        f"SUM(cnt * (((h >> {b}) & 1) * 2 - 1)) AS s_{b}" for b in range(bits)
+    )
+    fingerprint = " + ".join(
+        f"CASE WHEN s_{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+  SELECT doc_id, CAST({fingerprint} AS BIGINT) AS simhash FROM (
+    SELECT doc_id, {tally} FROM (
+      SELECT doc_id, COUNT(*) AS cnt, {_token_hash_sql('word', bits)} AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(
+                 lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+                 t -> t != '')) AS word
+        FROM ({docs_sql})
+      ) GROUP BY doc_id, word
+    ) GROUP BY doc_id
+  )
+"""
+
+
+def simhash_near_dups(
+    fp: DataFrame,
+    n_bands: int = SIMHASH_BANDS,
+    bits: int = SIMHASH_BITS,
+    threshold: int = HAMMING_THRESHOLD,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs within ``threshold`` bit flips.
+
+    Same LSH shape as :func:`lsh_candidates`: band the fingerprint into
+    ``n_bands`` buckets, self-join per (band, bucket).  Pigeonhole: a
+    pair within hamming ``n_bands - 1`` is GUARANTEED to agree on one
+    whole band; beyond that recall decays (deterministically — the
+    oracle runs the identical banding, so both engines miss the same
+    pairs).  No O(n²) cross join ever forms; verification is
+    ``bit_count(xor)`` on the candidate set only.
+    """
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    bands = [
+        fp.select(
+            "doc_id",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionAll(b)
+    cand = (
+        allb.alias("a")
+        .join(
+            allb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= threshold)
+
+
+def simhash_near_dups_sql(
+    simhash_query: str,
+    n_bands: int = SIMHASH_BANDS,
+    bits: int = SIMHASH_BITS,
+    threshold: int = HAMMING_THRESHOLD,
+) -> str:
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * width}) & {mask} AS bucket FROM fp"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH fp AS ({simhash_query}),
+bands AS ({selects})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {threshold}
+"""
+
+
 def near_dup_pipeline(docs: DataFrame) -> DataFrame:
     """augment → shingle → minhash → LSH → verify, end to end."""
     sh = shingles(docs)

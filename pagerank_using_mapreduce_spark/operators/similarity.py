@@ -187,6 +187,98 @@ def ivf_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (label-blocked)
+# ---------------------------------------------------------------------------
+
+NEAR_DUP_COSINE_E6 = 950_000  # cosine >= 0.95
+EMB_DUP_OFFSET = 1_000_000
+EMB_PERTURB = 0.25  # on 64-dim unit vectors → cosine ≈ 0.968 vs original
+
+
+def augment_embeddings(embeddings: DataFrame) -> DataFrame:
+    """embeddings + a perturbed copy of every 20th vector (first
+    component +0.25, same label).  The shipped synthetic table has no
+    near-identical pairs (max same-label cosine ≈ 0.47), so — like
+    ``dedup.augment_docs`` — both engines derive the same augmented set
+    to make the near-dup output non-trivial and hash-checkable.
+    Everything is cast to double BEFORE perturbing so Spark and DuckDB
+    see bit-identical inputs."""
+    base = embeddings.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    near = base.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + EMB_DUP_OFFSET).alias("vec_id"),
+        "label",
+        F.transform(
+            F.col("emb"),
+            lambda x, i: x + F.when(i == 0, F.lit(EMB_PERTURB)).otherwise(F.lit(0.0)),
+        ).alias("emb"),
+    )
+    return base.unionAll(near)
+
+
+AUGMENT_EMB_SQL = f"""
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + {EMB_DUP_OFFSET} AS vec_id, label,
+         list_transform(embedding::DOUBLE[],
+           (x, i) -> x + CASE WHEN i = 1 THEN {EMB_PERTURB} ELSE 0 END) AS emb
+  FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+
+def embedding_near_dups(
+    embeddings: DataFrame, threshold_e6: int = NEAR_DUP_COSINE_E6
+) -> DataFrame:
+    """(vec_a, vec_b, cosine_e6): pairs above the cosine threshold,
+    blocked by the ``label`` coarse cell (same quantizer as
+    :func:`ivf_topk`) so the self-join shuffles on label and only
+    same-cell pairs are ever scored — at 100 TB the blocking key is a
+    learned centroid id and the per-cell pair count stays bounded;
+    no O(n²) cross join forms.  Trade-off (documented, standard for
+    blocked dedup): a near-dup pair split across cells is missed —
+    mitigate by multi-probe assignment, not by widening the join.
+    """
+    e = augment_embeddings(embeddings)
+    pairs = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.floor(
+                cosine(F.col("a.emb"), F.col("b.emb")) * 1e6 + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("cosine_e6"),
+        )
+    )
+    return pairs.where(F.col("cosine_e6") >= threshold_e6)
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH aug AS ({AUGMENT_EMB_SQL}),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(FLOOR(
+           list_dot_product(a.emb, b.emb)
+           / (sqrt(list_dot_product(a.emb, a.emb))
+              * sqrt(list_dot_product(b.emb, b.emb)))
+           * 1e6 + 0.5000001) AS BIGINT) AS cosine_e6
+  FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine_e6 FROM pairs
+WHERE cosine_e6 >= {NEAR_DUP_COSINE_E6}
+"""
+
+
 IVF_TOPK_SQL = f"""
 WITH comp AS (
   -- posexplode twin: indexed-lambda + struct unnest (generate_series

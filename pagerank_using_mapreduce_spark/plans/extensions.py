@@ -13,8 +13,10 @@ from ..operators.asof import asof_join
 from ..operators.multimodal import DECODE_META_SQL, binarize_docs, decode_images
 from ..operators.similarity import (
     COSINE_TOPK_SQL,
+    EMBEDDING_NEAR_DUP_SQL,
     IVF_TOPK_SQL,
     cosine_topk,
+    embedding_near_dups,
     ivf_topk,
 )
 from ..operators.text_analysis import (
@@ -82,6 +84,18 @@ def q_x11_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(binarize_docs(_docs(spark, sf_dir)))
 
 
+def q_x13_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(dd.augment_docs(_docs(spark, sf_dir)))
+
+
+def q_x14_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_near_dups(dd.simhash(dd.augment_docs(_docs(spark, sf_dir))))
+
+
+def q_x15_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dups(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_x12_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = load_table(spark, sf_dir, "orders").select(
@@ -126,6 +140,9 @@ EXTENSION_QUERIES = {
     "x10_fingerprint": q_x10_fingerprint,
     "x11_multimodal_decode": q_x11_multimodal_decode,
     "x12_asof_join": q_x12_asof_join,
+    "x13_simhash": q_x13_simhash,
+    "x14_simhash_near_dups": q_x14_simhash_near_dups,
+    "x15_embedding_near_dups": q_x15_embedding_near_dups,
 }
 
 EXTENSION_ORACLE = {
@@ -145,4 +162,7 @@ EXTENSION_ORACLE = {
     "x10_fingerprint": FINGERPRINT_SQL,
     "x11_multimodal_decode": DECODE_META_SQL,
     "x12_asof_join": X12_ASOF_SQL,
+    "x13_simhash": dd.simhash_sql(dd.AUGMENT_SQL),
+    "x14_simhash_near_dups": dd.simhash_near_dups_sql(dd.simhash_sql(dd.AUGMENT_SQL)),
+    "x15_embedding_near_dups": EMBEDDING_NEAR_DUP_SQL,
 }

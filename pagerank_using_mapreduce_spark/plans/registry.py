@@ -187,15 +187,18 @@ def _q_pagerank(iterations: int):
 
 
 def q_o1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1 with positions.  Ordering (and the window) runs on the ROUNDED
-    rank so that mathematically-tied pages cannot be ordered differently
-    by last-bit float noise across engines; title breaks ties."""
+    """O1 with positions, via the parallel global-position operator
+    (range partitions + per-partition offsets — no single-partition
+    window, operators/ranking.py).  Ordering runs on the ROUNDED rank
+    so that mathematically-tied pages cannot be ordered differently by
+    last-bit float noise across engines; title breaks ties."""
+    from ..operators.ranking import with_global_position
+
     ranks = pagerank(_pages(spark, sf_dir), iterations=10)
     rounded = ranks.select("title", _e6(F.col("rank")).alias("rank_e6"))
-    w = Window.orderBy(F.desc("rank_e6"), F.asc("title"))
-    return rounded.select(
-        F.row_number().over(w).cast("long").alias("pos"), "title", "rank_e6"
-    ).orderBy("pos")
+    return with_global_position(
+        rounded, [F.desc("rank_e6"), F.asc("title")]
+    ).select("pos", "title", "rank_e6")
 
 
 def q_a6_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:

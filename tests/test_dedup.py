@@ -71,3 +71,39 @@ def test_lsh_candidates_subset_of_pairs(docs):
     got = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
     assert (1, 2) in got
     assert all(a < b for a, b in got)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_identical_docs_identical_fingerprints(docs):
+    from pagerank_using_mapreduce_spark.operators.dedup import simhash
+
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert fp[1] == fp[2]  # exact dups → identical fingerprint
+    assert 0 <= fp[1] < (1 << 60)
+
+
+def test_simhash_hamming_monotone(docs, spark):
+    """Near-dup of doc 1 must be closer to it than the unrelated doc."""
+    from pagerank_using_mapreduce_spark.operators.dedup import simhash
+
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(fp[1], fp[3]) < ham(fp[1], fp[4])
+
+
+def test_simhash_near_dups_finds_exact_pair(docs):
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        simhash,
+        simhash_near_dups,
+    )
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dups(simhash(docs)).collect()
+    }
+    assert pairs[(1, 2)] == 0  # exact dup at hamming 0
+    assert all(h <= 6 for h in pairs.values())

@@ -63,3 +63,41 @@ def test_multimodal_real_decode_raises(spark):
     docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
     with pytest.raises(Exception, match="NotImplementedError|real decode"):
         decode_images(binarize_docs(docs), decode_mode="real").collect()
+
+
+def test_embedding_near_dups_planted_pairs(spark):
+    from pagerank_using_mapreduce_spark.operators.similarity import (
+        EMB_DUP_OFFSET,
+        embedding_near_dups,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = embedding_near_dups(emb).collect()
+    assert rows, "planted perturbed copies must be found"
+    for r in rows:
+        assert r["vec_b"] == r["vec_a"] + EMB_DUP_OFFSET
+        assert r["cosine_e6"] >= 950_000
+
+
+def test_global_position_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pagerank_using_mapreduce_spark.operators.ranking import (
+        with_global_position,
+    )
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    got = (
+        with_global_position(df, [F.desc("k"), F.asc("v")], num_partitions=8)
+        .select("pos", "k", "v")
+        .collect()
+    )
+    w = Window.orderBy(F.desc("k"), F.asc("v"))
+    want = (
+        df.select(F.row_number().over(w).cast("long").alias("pos"), "k", "v")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
