@@ -27,6 +27,11 @@ BENCH_QUERIES = [
     "a6_inverted_index",
     "a6_inverted_index_wiki",
     "tfidf",
+    "x4_near_dups",
+    "x13_simhash",
+    "x5_cosine_topk",
+    "q1_pricing_summary",
+    "e2_hourly_rollup",
 ]
 
 
