@@ -201,6 +201,25 @@ def q_o1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("pos", "title", "rank_e6")
 
 
+def q_p9_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/S2: encode pages into the reference's exact ``##rank##l1@#@l2``
+    record string (sources/textio.py), decode back, and project the
+    same shape as a23 — proves the text-sink codec is lossless (the
+    oracle recomputes the linkgraph directly; Java-style double→string
+    round-trips exactly)."""
+    from ..operators.pagerank import link_graph
+    from ..sources.textio import decode_rank_records, encode_rank_records
+
+    pages = _pages(spark, sf_dir)
+    lg = link_graph(pages, pages.count())
+    dec = decode_rank_records(encode_rank_records(lg))
+    return dec.select(
+        "title",
+        _e6(F.col("rank")).alias("rank_e6"),
+        F.array_join(F.col("links"), "@#@").alias("links_joined"),
+    )
+
+
 def q_a6_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(_docs(spark, sf_dir))
 
@@ -232,6 +251,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a1_count_n": q_a1_count_n,
     "a23_linkgraph": q_a23_linkgraph,
     "j2_contributions": q_j2_contributions,
+    "p9_codec_roundtrip": q_p9_codec_roundtrip,
     "i1_pagerank2": _q_pagerank(2),
     "i1_pagerank10": _q_pagerank(10),
     "o1_ranking": q_o1_ranking,
@@ -266,6 +286,11 @@ FROM pages""",
 SELECT src, dst,
        CAST(FLOOR(1.0 / (SELECT n FROM np) / outdeg * 1e9 + 0.5000001) AS BIGINT) AS contrib_e9
 FROM edges""",
+    "p9_codec_roundtrip": f"""WITH {_PAGES_CTES}
+SELECT title,
+       {_sql_e6('1.0 / (SELECT n FROM np)')} AS rank_e6,
+       COALESCE(list_aggregate(links, 'string_agg', '@#@'), '') AS links_joined
+FROM pages""",
     "i1_pagerank2": _rank_sql(2),
     "i1_pagerank10": _rank_sql(10),
     "o1_ranking": f"""WITH {_PAGES_CTES},

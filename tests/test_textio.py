@@ -1,0 +1,106 @@
+"""Text source/sink parity: the reference's TextInputFormat /
+TextOutputFormat boundary (S1/S2) and the ##/@#@ record codec (P9)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_using_mapreduce_spark.operators.pagerank import (
+    link_graph,
+    pagerank,
+    parse_corpus,
+)
+from pagerank_using_mapreduce_spark.sources.textio import (
+    decode_rank_records,
+    encode_rank_records,
+    read_corpus_text,
+    write_corpus_text,
+    write_postings_text,
+    write_ranking_text,
+)
+from pagerank_using_mapreduce_spark.sources.wikicorpus import wiki_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return wiki_corpus(docs, docs.count())
+
+
+def test_text_roundtrip_preserves_pagerank(spark, corpus):
+    """Write the corpus as a one-page-per-line text dump, read it back
+    through the S1 source, and check the derived graph is identical."""
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/dump"
+        write_corpus_text(corpus, path)
+        reread = read_corpus_text(spark, path)
+        assert reread.count() == corpus.count()
+        a = parse_corpus(corpus).select("title", F.col("links"))
+        b = parse_corpus(reread).select("title", F.col("links"))
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_codec_roundtrip_exact(spark, corpus):
+    pages = parse_corpus(corpus)
+    lg = link_graph(pages, pages.count())
+    back = decode_rank_records(encode_rank_records(lg))
+    orig = {r["title"]: r for r in lg.collect()}
+    for r in back.collect():
+        o = orig[r["title"]]
+        assert r["rank"] == o["rank"]  # double→string→double exact
+        assert r["links"] == o["links"]
+
+
+def test_codec_linkless_page_collapses(spark):
+    lg = spark.createDataFrame(
+        [("a", 0.5, []), ("b", 0.25, ["a", "a"])],
+        "title string, rank double, links array<string>",
+    )
+    enc = {r["title"]: r["record"] for r in encode_rank_records(lg).collect()}
+    assert enc["a"] == "##0.5##"  # PageRankAlgorithm.java:306-312 shape
+    assert enc["b"] == "##0.25##a@#@a"
+    dec = {r["title"]: r for r in decode_rank_records(
+        encode_rank_records(lg)).collect()}
+    assert dec["a"]["links"] == []
+    assert dec["b"]["links"] == ["a", "a"]
+
+
+def test_ranking_text_globally_sorted(spark, corpus):
+    pages = parse_corpus(corpus)
+    ranks = pagerank(pages, iterations=2)
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/sorted"
+        write_ranking_text(ranks, path)
+        # part files sort lexicographically in global rank order
+        import glob
+
+        vals = []
+        for f in sorted(glob.glob(f"{path}/part-*")):
+            with open(f) as fh:
+                vals += [float(line.split("\t")[1]) for line in fh]
+        assert len(vals) == ranks.count()
+        assert vals == sorted(vals, reverse=True)
+
+
+def test_postings_text_format(spark):
+    from pagerank_using_mapreduce_spark.operators.inverted_index import (
+        inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "Apple banana"), (2, "banana!! cherry")],
+        "doc_id long, text string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/postings"
+        write_postings_text(inverted_index(docs), path)
+        import glob
+
+        lines = []
+        for f in sorted(glob.glob(f"{path}/part-*")):
+            with open(f) as fh:
+                lines += [line.rstrip("\n") for line in fh]
+        assert "banana\t1,2" in lines
