@@ -283,6 +283,202 @@ GROUP BY user_id
 """
 
 
+# --------------------------------------------------------------------------
+# Grouping sets: ROLLUP and CUBE (multi-level aggregation in one pass —
+# Catalyst expands to a single Expand + HashAggregate, not N scans)
+# --------------------------------------------------------------------------
+
+
+def g1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag", "l_linestatus", _q(F.col("l_quantity"), 2).alias("qty_e2")
+        )
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("qty_e2").alias("sum_qty_e2"), F.count("*").alias("n"))
+        # NULL marks the rolled-up level; coalesce to a sentinel so the
+        # value hash treats grouping NULLs identically in both engines
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("l_linestatus"),
+            "sum_qty_e2",
+            "n",
+        )
+    )
+
+
+G1_SQL = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       SUM({_sq("l_quantity", 2)}) AS sum_qty_e2,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def g2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.date_format("ts", "EEEE").alias("dow"),
+            _q(F.col("value"), 2).alias("value_e2"),
+        )
+        .cube("event_type", "dow")
+        .agg(F.sum("value_e2").alias("sum_value_e2"), F.count("*").alias("n"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("dow"), F.lit("ALL")).alias("dow"),
+            "sum_value_e2",
+            "n",
+        )
+    )
+
+
+G2_SQL = f"""
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(dayname(ts), 'ALL') AS dow,
+       SUM({_sq("value", 2)}) AS sum_value_e2,
+       COUNT(*) AS n
+FROM events
+GROUP BY CUBE (event_type, dayname(ts))
+"""
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins (existence tests without row multiplication)
+# --------------------------------------------------------------------------
+
+
+def sj1_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+SJ1_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def sj2_customers_without_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join with non-trivial output on this data: only user_ids
+    0-149 appear in events, so most of the 1500 customers survive
+    (customers-without-orders would be vacuously empty here)."""
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    return cust.join(
+        ev, cust.c_custkey == ev.user_id, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SJ2_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# Range join: for each purchase, the same user's activity in the
+# preceding hour (self band join).  Equi key (user) + range predicate on
+# time — Catalyst plans the equi part as the shuffle key and evaluates
+# the band as a join residual, so it scales like a hash join, not a
+# cross product.
+# --------------------------------------------------------------------------
+
+RANGE_US = 3600 * 1_000_000  # 1 hour
+
+
+def rj1_pre_purchase_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros(F.col("ts")).alias("p_us"),
+    )
+    prior = ev.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("e_us"), "value"
+    )
+    joined = purchases.join(
+        prior,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("e_us") >= F.col("p_us") - F.lit(RANGE_US))
+        & (F.col("e_us") < F.col("p_us")),
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(_q(F.col("value"), 2)).alias("sum_value_e2"),
+    )
+
+
+RJ1_SQL = f"""
+SELECT p.event_id AS purchase_id, COUNT(*) AS n_events,
+       SUM({_sq("e.value", 2)}) AS sum_value_e2
+FROM events p JOIN events e
+  ON e.user_id = p.user_id
+ AND epoch_us(e.ts) >= epoch_us(p.ts) - {RANGE_US}
+ AND epoch_us(e.ts) < epoch_us(p.ts)
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations: union / intersect / except as user-level ops
+# --------------------------------------------------------------------------
+
+
+ERROR_PRONE = 15  # users with more than this many errors get subtracted
+                  # (median is ~13 on this data → a real split, not vacuous)
+
+
+def st1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-user set algebra: (purchasers ∩ clickers) ∪ signups,
+    minus error-prone users — exercising UNION/INTERSECT/EXCEPT
+    DISTINCT (every user has ≥1 error on this data, so subtracting
+    plain error-users would be vacuously empty)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def users_of(t: str) -> DataFrame:
+        return ev.where(F.col("event_type") == t).select("user_id")
+
+    error_prone = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > ERROR_PRONE)
+        .select("user_id")
+    )
+    return (
+        users_of("purchase")
+        .intersect(users_of("click"))  # INTERSECT (distinct)
+        .union(users_of("signup"))
+        .distinct()
+        .subtract(error_prone)  # EXCEPT (distinct)
+    )
+
+
+ST1_SQL = f"""
+SELECT DISTINCT user_id FROM (
+  SELECT user_id FROM (
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'click'
+  )
+  UNION
+  SELECT user_id FROM events WHERE event_type = 'signup'
+)
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+GROUP BY user_id HAVING COUNT(*) > {ERROR_PRONE}
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -291,6 +487,12 @@ RELATIONAL_QUERIES = {
     "e1_sessions": e1_sessions,
     "e2_hourly_rollup": e2_hourly_rollup,
     "e3_pivot_activity": e3_pivot_activity,
+    "g1_rollup": g1_rollup,
+    "g2_cube": g2_cube,
+    "sj1_semi_join": sj1_customers_with_orders,
+    "sj2_anti_join": sj2_customers_without_events,
+    "rj1_range_join": rj1_pre_purchase_activity,
+    "st1_set_ops": st1_set_ops,
 }
 
 RELATIONAL_ORACLE = {
@@ -301,4 +503,10 @@ RELATIONAL_ORACLE = {
     "e1_sessions": E1_SQL,
     "e2_hourly_rollup": E2_SQL,
     "e3_pivot_activity": E3_SQL,
+    "g1_rollup": G1_SQL,
+    "g2_cube": G2_SQL,
+    "sj1_semi_join": SJ1_SQL,
+    "sj2_anti_join": SJ2_SQL,
+    "rj1_range_join": RJ1_SQL,
+    "st1_set_ops": ST1_SQL,
 }
