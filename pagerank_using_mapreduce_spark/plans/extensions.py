@@ -30,6 +30,8 @@ from ..operators.text_analysis import (
     token_count,
 )
 from ..sources.tables import load_table
+from .relational import E1_SQL as _E1_BATCH_SQL
+from .relational import E2_SQL as _E2_BATCH_SQL
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,6 +98,37 @@ def q_x15_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_z1_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming rollup drained with AvailableNow — the
+    oracle is the BATCH rollup SQL (e2), i.e. the hash check proves
+    streaming/batch parity on the same input."""
+    from ..streaming.events import (
+        hourly_rollup_stream,
+        read_event_stream,
+        run_available_now,
+        stage_table_dir,
+    )
+
+    stream = hourly_rollup_stream(
+        read_event_stream(spark, stage_table_dir(sf_dir))
+    )
+    return run_available_now(stream, "drv_z1_rollup")
+
+
+def q_z2_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState sessionizer vs the batch lag+running-sum
+    twin (e1) — custom stateful streaming state machine, same result."""
+    from ..streaming.events import (
+        read_event_stream,
+        run_available_now,
+        sessionize_stream,
+        stage_table_dir,
+    )
+
+    stream = sessionize_stream(read_event_stream(spark, stage_table_dir(sf_dir)))
+    return run_available_now(stream, "drv_z2_sessions", output_mode="update")
+
+
 def q_x12_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = load_table(spark, sf_dir, "orders").select(
@@ -143,6 +176,8 @@ EXTENSION_QUERIES = {
     "x13_simhash": q_x13_simhash,
     "x14_simhash_near_dups": q_x14_simhash_near_dups,
     "x15_embedding_near_dups": q_x15_embedding_near_dups,
+    "z1_stream_rollup": q_z1_stream_rollup,
+    "z2_stream_sessions": q_z2_stream_sessions,
 }
 
 EXTENSION_ORACLE = {
@@ -165,4 +200,7 @@ EXTENSION_ORACLE = {
     "x13_simhash": dd.simhash_sql(dd.AUGMENT_SQL),
     "x14_simhash_near_dups": dd.simhash_near_dups_sql(dd.simhash_sql(dd.AUGMENT_SQL)),
     "x15_embedding_near_dups": EMBEDDING_NEAR_DUP_SQL,
+    # streaming queries: oracle = the BATCH twin's SQL (parity proof)
+    "z1_stream_rollup": _E2_BATCH_SQL,
+    "z2_stream_sessions": _E1_BATCH_SQL,
 }

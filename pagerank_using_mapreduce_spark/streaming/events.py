@@ -28,6 +28,18 @@ EVENTS_SCHEMA = (
 )
 
 
+def stage_table_dir(sf_dir: str, table: str = "events") -> str:
+    """The file stream source requires a DIRECTORY; the testdata layout
+    is one flat dir of per-table parquet files.  Stage a temp dir with
+    a symlink to the single table file (no data copy)."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"stream_{table}_")
+    os.symlink(f"{sf_dir}/{table}.parquet", f"{d}/{table}.parquet")
+    return d
+
+
 def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files.
     ts arrives as long nanos (same nanosAsLong contract as the batch
