@@ -220,6 +220,18 @@ def q_p9_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_o1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 extension: top-20 by rank via TakeOrderedAndProject
+    (per-partition top-k + merge — no global sort, no total shuffle).
+    The limit runs on the quantized rank so ties cut identically in
+    both engines."""
+    from ..operators.pagerank import pagerank as pr
+
+    ranks = pr(_pages(spark, sf_dir), iterations=10)
+    rounded = ranks.select("title", _e6(F.col("rank")).alias("rank_e6"))
+    return rounded.orderBy(F.desc("rank_e6"), F.asc("title")).limit(20)
+
+
 def q_a6_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(_docs(spark, sf_dir))
 
@@ -255,6 +267,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "i1_pagerank2": _q_pagerank(2),
     "i1_pagerank10": _q_pagerank(10),
     "o1_ranking": q_o1_ranking,
+    "o1_topk": q_o1_topk,
     "a6_inverted_index": q_a6_inverted_index,
     "a6_inverted_index_wiki": q_a6_inverted_index_wiki,
     "p678_token_counts": q_p678_token_counts,
@@ -298,6 +311,11 @@ FROM pages""",
 rounded AS (SELECT title, {_sql_e6('rank')} AS rank_e6 FROM r10)
 SELECT ROW_NUMBER() OVER (ORDER BY rank_e6 DESC, title ASC) AS pos, title, rank_e6
 FROM rounded""",
+    "o1_topk": f"""WITH {_PAGES_CTES},
+{_rank_ctes(10)},
+rounded AS (SELECT title, {_sql_e6('rank')} AS rank_e6 FROM r10)
+SELECT title, rank_e6 FROM rounded
+ORDER BY rank_e6 DESC, title ASC LIMIT 20""",
     "a6_inverted_index": """
 WITH toks AS (
   SELECT doc_id,
