@@ -1,0 +1,88 @@
+"""Physical-plan property tests: the scale-critical claims in the
+docstrings, asserted against Catalyst's actual output so they cannot
+silently regress.
+
+These parse ``explain``-style plan strings — brittle against Spark
+version changes by nature, so each assertion targets a stable
+substring (node names, ReadSchema) rather than exact plan shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_using_mapreduce_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+# Queries whose plans are ALLOWED to contain Python evaluation:
+# x11 is mapInPandas by design; z1/z2 are streaming (not built here).
+PYTHON_OK = {"x11_multimodal_decode", "z1_stream_rollup", "z2_stream_sessions"}
+
+
+def test_no_python_in_batch_query_plans(spark):
+    """Every batch query compiles to pure JVM operators — no
+    row-at-a-time or Arrow Python evaluation anywhere in the hot path."""
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name in PYTHON_OK:
+            continue
+        plan = _plan(fn(spark, SF))
+        if "EvalPython" in plan or "MapInPandas" in plan:
+            offenders.append(name)
+    assert not offenders, f"Python in plans of: {offenders}"
+
+
+def test_token_counts_prunes_to_text_column(spark):
+    plan = _plan(QUERIES["p678_token_counts"](spark, SF))
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "text:string" in scan and "doc_id" not in scan
+
+
+def test_q5_broadcasts_dimensions(spark):
+    plan = _plan(QUERIES["q5_region_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cosine_topk_keeps_collection_unshuffled(spark):
+    """The collection side must reach the scoring join without an
+    Exchange: queries are broadcast TO the scan, never vice versa."""
+    plan = _plan(QUERIES["x5_cosine_topk"](spark, SF))
+    join_pos = plan.index("BroadcastNestedLoopJoin")
+    assert "BroadcastExchange" in plan
+    # the only Exchange allowed below/around the scan side is the
+    # broadcast of the 5-row query set and the final top-k window
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_semi_anti_joins_use_semi_anti_nodes(spark):
+    assert "Semi" in _plan(QUERIES["sj1_semi_join"](spark, SF))
+    assert "Anti" in _plan(QUERIES["sj2_anti_join"](spark, SF))
+
+
+def test_rollup_is_single_expand_pass(spark):
+    plan = _plan(QUERIES["g1_rollup"](spark, SF))
+    assert "Expand" in plan
+    # one scan of lineitem, not one per grouping level (each scan node
+    # contributes exactly one Location: line in the details section)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(QUERIES["o1_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pushdown_reaches_scan(spark):
+    plan = _plan(QUERIES["x5_cosine_topk"](spark, SF))
+    assert "LessThan(vec_id,5)" in plan  # PushedFilters on the query side
