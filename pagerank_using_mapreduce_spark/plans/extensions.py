@@ -98,6 +98,31 @@ def q_x15_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_x16_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation — result-identical to the plain
+    groupBy, which is exactly what the oracle asserts (plain GROUP BY
+    SQL vs the salted rewrite)."""
+    from ..operators.scale import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100 + F.lit(0.5000001)).alias("v")
+    )
+    return salted_agg(
+        ev,
+        ["event_type"],
+        {"total_v": "sum(v)", "n": "count(v)", "max_v": "max(v)"},
+    )
+
+
+X16_SQL = """
+SELECT event_type,
+       SUM(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS total_v,
+       COUNT(*) AS n,
+       MAX(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS max_v
+FROM events GROUP BY event_type
+"""
+
+
 def q_z1_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming rollup drained with AvailableNow — the
     oracle is the BATCH rollup SQL (e2), i.e. the hash check proves
@@ -176,6 +201,7 @@ EXTENSION_QUERIES = {
     "x13_simhash": q_x13_simhash,
     "x14_simhash_near_dups": q_x14_simhash_near_dups,
     "x15_embedding_near_dups": q_x15_embedding_near_dups,
+    "x16_salted_agg": q_x16_salted_agg,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
 }
@@ -200,6 +226,7 @@ EXTENSION_ORACLE = {
     "x13_simhash": dd.simhash_sql(dd.AUGMENT_SQL),
     "x14_simhash_near_dups": dd.simhash_near_dups_sql(dd.simhash_sql(dd.AUGMENT_SQL)),
     "x15_embedding_near_dups": EMBEDDING_NEAR_DUP_SQL,
+    "x16_salted_agg": X16_SQL,
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,

@@ -18,11 +18,17 @@ def get_spark(
     app_name: str = "pagerank_using_mapreduce_spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
+    warehouse_dir: str | None = None,
 ) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    if warehouse_dir is None:
+        # keep managed tables (bucketed writes) out of the repo/cwd
+        warehouse_dir = os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -38,6 +44,7 @@ def get_spark(
         # reader rejects; read as long and convert in sources.tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.warehouse.dir", warehouse_dir)
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
