@@ -96,7 +96,22 @@ def write_bucketed(
     n_buckets: int = 32,
 ) -> None:
     """Persist bucketed+sorted on the join key; subsequent equi joins
-    between tables bucketed the same way need no exchange and no sort."""
+    between tables bucketed the same way need no exchange and no sort.
+
+    Idempotent across sessions: with the default in-memory catalog the
+    table registration dies with the session but its warehouse files
+    survive, and ``saveAsTable`` refuses a fresh table over a stale
+    location — so drop both first (local-filesystem warehouses only;
+    on a cluster with a persistent metastore the DROP alone suffices).
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:") or "://" not in wh:
+        import shutil
+
+        local = wh.removeprefix("file:")
+        shutil.rmtree(f"{local}/{table.lower()}", ignore_errors=True)
     (
         df.write.bucketBy(n_buckets, key)
         .sortBy(key)

@@ -38,6 +38,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def write_table(
+    df: DataFrame, path: str, fmt: str = "parquet", partition_by: list[str] | None = None
+) -> None:
+    """Format-generic sink: parquet (default), json lines, or csv.
+    ``partition_by`` produces hive-style directory partitioning —
+    the physical layout that makes partition pruning possible on read."""
+    w = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_table(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema: str | None = None
+) -> DataFrame:
+    """Format-generic source.  For json/csv an explicit schema string
+    skips the inference scan (mandatory at scale: inference reads the
+    data once just to guess what a schema declaration states for free)."""
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    elif fmt in ("json", "csv"):
+        r = r.option("inferSchema", "true")
+    if fmt == "csv":
+        r = r.option("header", "true")
+    return r.load(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

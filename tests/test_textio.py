@@ -104,3 +104,50 @@ def test_postings_text_format(spark):
             with open(f) as fh:
                 lines += [line.rstrip("\n") for line in fh]
         assert "banana\t1,2" in lines
+
+
+def test_format_generic_roundtrip_json_csv(spark):
+    """The same relation flows through json and csv sinks/sources and
+    yields identical query results (schema given explicitly — no
+    inference scan, as at scale)."""
+    import tempfile
+
+    from pagerank_using_mapreduce_spark.sources.tables import (
+        load_table,
+        read_table,
+        write_table,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    want = sorted(map(tuple, ev.collect()))
+    schema = "event_id long, user_id long, event_type string, value double"
+    with tempfile.TemporaryDirectory() as d:
+        for fmt in ("json", "csv", "parquet"):
+            write_table(ev, f"{d}/{fmt}", fmt=fmt)
+            back = read_table(spark, f"{d}/{fmt}", fmt=fmt, schema=schema)
+            got = sorted(map(tuple, back.select(*ev.columns).collect()))
+            assert got == want, fmt
+
+
+def test_partitioned_write_prunes(spark):
+    """partitionBy layout + a partition-key filter → the scan lists
+    only the matching directory (partition pruning)."""
+    import tempfile
+
+    from pagerank_using_mapreduce_spark.sources.tables import (
+        load_table,
+        read_table,
+        write_table,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "value"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        write_table(ev, f"{d}/p", partition_by=["event_type"])
+        back = read_table(spark, f"{d}/p").where(F.col("event_type") == "click")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(event_type" in plan
+        assert back.count() == ev.where(F.col("event_type") == "click").count()
