@@ -1,0 +1,103 @@
+"""Graph analytics beyond PageRank on the same pages/edges relations.
+
+The reference computes exactly one graph metric (PageRank); these are
+the natural extensions a graph-shaped corpus invites, built on the
+identical scale skeleton as :mod:`.pagerank`: static adjacency
+hash-partitioned + persisted once, per-iteration work shuffles only the
+small (title, label) relation, map-side partial aggregation on the min.
+
+Connected components use fixed-iteration hash-min label propagation —
+after k rounds every node holds the lexicographic-min title reachable
+within k undirected hops, and once k ≥ graph diameter that IS the
+component id.  Fixed k (like the reference's fixed 10 PageRank rounds,
+PageRankAlgorithm.java:96-114) keeps the op deterministic and lets the
+DuckDB oracle unroll the same recurrence exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .pagerank import edges
+
+CC_ITERATIONS = 8
+
+
+def undirected_edges(pages: DataFrame) -> DataFrame:
+    """Distinct undirected (a, b) pairs between VALID pages (phantom
+    targets carry no label and cannot merge components — same validity
+    gate as the rank join, F3)."""
+    e = edges(pages).select("src", "dst")
+    valid = pages.select(F.col("title").alias("dst"))
+    e = e.join(valid, "dst")  # drop phantom endpoints
+    sym = e.select("src", "dst").unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return sym.where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    pages: DataFrame, iterations: int = CC_ITERATIONS
+) -> DataFrame:
+    """(title, component): hash-min propagation for ``iterations``
+    rounds over the undirected link graph.
+
+    Per round: each node's label becomes min(own, min over neighbors) —
+    one join (labels into the cached symmetric adjacency) + one min
+    aggregation + one left join back to all nodes, exactly the
+    PageRank iteration shape with sum→min.  Isolated pages keep their
+    own title as component.
+    """
+    spark = pages.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    titles = pages.select("title").repartition(shuffle, "title").persist()
+    sym = undirected_edges(pages).repartition(shuffle, "src").persist()
+    sym.count()
+
+    labels = titles.select("title", F.col("title").alias("component"))
+    for i in range(iterations):
+        neigh_min = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.src") == F.col("l.title"))
+            .groupBy(F.col("e.dst").alias("title"))
+            .agg(F.min("l.component").alias("neigh"))
+        )
+        labels = (
+            titles.alias("t")
+            .join(labels.alias("l"), "title")
+            .join(neigh_min.alias("n"), "title", "left")
+            .select(
+                "title",
+                F.least(
+                    F.col("l.component"),
+                    F.coalesce(F.col("n.neigh"), F.col("l.component")),
+                ).alias("component"),
+            )
+        )
+        if (i + 1) % 4 == 0 and (i + 1) < iterations:
+            labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def degree_stats(pages: DataFrame) -> DataFrame:
+    """(title, out_degree, in_degree): duplicate links count (same
+    convention as the rank contributions, PageRankAlgorithm.java:
+    336-340); in-degree counts only links from valid pages."""
+    out_deg = pages.select(
+        "title", F.size("links").cast("long").alias("out_degree")
+    )
+    in_deg = (
+        edges(pages)
+        .groupBy(F.col("dst").alias("title"))
+        .agg(F.count("*").alias("in_degree"))
+    )
+    return (
+        out_deg.join(in_deg, "title", "left")
+        .select(
+            "title",
+            "out_degree",
+            F.coalesce(F.col("in_degree"), F.lit(0)).cast("long").alias("in_degree"),
+        )
+    )

@@ -72,8 +72,11 @@ _CORPUS_CTE = f"corpus AS ({wiki_corpus_sql(_N)})"
 # no lookbehind, so the link regex is the consuming-capture equivalent of the
 # reference's '(?<=\\[{{2}}).+?(?=\\])' (same matches on this corpus — both
 # take text between '[[' and the first ']').
+# pages/edges are MATERIALIZED: the unrolled rank/component recurrences
+# reference them in every iteration, and DuckDB would otherwise inline
+# (re-parse the corpus) once per reference
 _PAGES_CTES = f"""{_CORPUS_CTE},
-parsed AS (
+parsed AS MATERIALIZED (
   SELECT trim(regexp_extract(raw, '<title>(.*?)</title>', 1)) AS title,
          list_transform(
            regexp_extract_all(
@@ -83,13 +86,13 @@ parsed AS (
   FROM corpus
   WHERE length(raw) > 0
 ),
-pages AS (
+pages AS MATERIALIZED (
   SELECT title,
          list_filter(flatten(list(links)), x -> x != '') AS links
   FROM parsed WHERE title != '' GROUP BY title
 ),
 np AS (SELECT COUNT(*) AS n FROM pages),
-edges AS (
+edges AS MATERIALIZED (
   SELECT title AS src, len(links) AS outdeg, unnest(links) AS dst
   FROM pages WHERE len(links) > 0
 )"""
@@ -232,6 +235,20 @@ def q_o1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rounded.orderBy(F.desc("rank_e6"), F.asc("title")).limit(20)
 
 
+def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (fixed-k hash-min propagation) over the
+    undirected link graph — operators/graph.py."""
+    from ..operators.graph import connected_components
+
+    return connected_components(_pages(spark, sf_dir))
+
+
+def q_deg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import degree_stats
+
+    return degree_stats(_pages(spark, sf_dir))
+
+
 def q_a6_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(_docs(spark, sf_dir))
 
@@ -268,11 +285,41 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "i1_pagerank10": _q_pagerank(10),
     "o1_ranking": q_o1_ranking,
     "o1_topk": q_o1_topk,
+    "cc_components": q_cc_components,
+    "deg_stats": q_deg_stats,
     "a6_inverted_index": q_a6_inverted_index,
     "a6_inverted_index_wiki": q_a6_inverted_index_wiki,
     "p678_token_counts": q_p678_token_counts,
     "tfidf": q_tfidf,
 }
+
+
+# MATERIALIZED: DuckDB would otherwise inline this CTE into every one
+# of the unrolled iterations and recompute the distinct-union 8 times
+_SYM_CTE = """sym AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT e.src, e.dst FROM edges e JOIN pages p ON p.title = e.dst
+    UNION ALL
+    SELECT e.dst AS src, e.src AS dst FROM edges e JOIN pages p ON p.title = e.dst
+  ) WHERE src != dst
+)"""
+
+
+def _cc_ctes(iterations: int) -> str:
+    ctes = ["c0 AS (SELECT title, title AS component FROM pages)"]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""c{k} AS (
+  SELECT t.title,
+         LEAST(l.component, COALESCE(n.neigh, l.component)) AS component
+  FROM pages t
+  JOIN c{k - 1} l ON l.title = t.title
+  LEFT JOIN (
+    SELECT e.dst AS title, MIN(l.component) AS neigh
+    FROM sym e JOIN c{k - 1} l ON l.title = e.src
+    GROUP BY e.dst
+  ) n ON n.title = t.title
+)""")
+    return ",\n".join(ctes)
 
 
 def _rank_sql(iterations: int) -> str:
@@ -316,6 +363,17 @@ FROM rounded""",
 rounded AS (SELECT title, {_sql_e6('rank')} AS rank_e6 FROM r10)
 SELECT title, rank_e6 FROM rounded
 ORDER BY rank_e6 DESC, title ASC LIMIT 20""",
+    "cc_components": f"""WITH {_PAGES_CTES},
+{_SYM_CTE},
+{_cc_ctes(8)}
+SELECT title, component FROM c8""",
+    "deg_stats": f"""WITH {_PAGES_CTES}
+SELECT p.title,
+       CAST(len(p.links) AS BIGINT) AS out_degree,
+       CAST(COALESCE(i.c, 0) AS BIGINT) AS in_degree
+FROM pages p
+LEFT JOIN (SELECT dst, COUNT(*) AS c FROM edges GROUP BY dst) i
+  ON i.dst = p.title""",
     "a6_inverted_index": """
 WITH toks AS (
   SELECT doc_id,

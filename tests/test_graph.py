@@ -1,0 +1,58 @@
+"""Graph extensions: connected components + degree stats on a golden
+micro-graph with known structure."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_using_mapreduce_spark.operators.graph import (
+    connected_components,
+    degree_stats,
+    undirected_edges,
+)
+
+# Two components {a,b,c} (a→b→c) and {x,y} (x→y), plus isolated z,
+# a phantom target (b→ghost must not merge anything), and a duplicate
+# link a→b twice (degree counts both, CC unaffected).
+PAGES = [
+    ("a", ["b", "b"]),
+    ("b", ["c", "ghost"]),
+    ("c", []),
+    ("x", ["y"]),
+    ("y", []),
+    ("z", []),
+]
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.createDataFrame(PAGES, "title string, links array<string>")
+
+
+def test_undirected_edges_drop_phantoms_and_dups(pages):
+    got = sorted(map(tuple, undirected_edges(pages).collect()))
+    assert got == [
+        ("a", "b"),
+        ("b", "a"),
+        ("b", "c"),
+        ("c", "b"),
+        ("x", "y"),
+        ("y", "x"),
+    ]
+
+
+def test_connected_components_golden(pages):
+    got = {r["title"]: r["component"] for r in connected_components(pages).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
+
+
+def test_degree_stats_counts_duplicates(pages):
+    got = {
+        r["title"]: (r["out_degree"], r["in_degree"])
+        for r in degree_stats(pages).collect()
+    }
+    assert got["a"] == (2, 0)  # two a→b links out, nothing in
+    assert got["b"] == (2, 2)  # c+ghost out; both a→b occurrences in
+    assert got["c"] == (0, 1)
+    assert got["z"] == (0, 0)
