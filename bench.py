@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "x5_cosine_topk",
     "q1_pricing_summary",
     "e2_hourly_rollup",
+    "cc_components",
 ]
 
 

@@ -479,10 +479,46 @@ GROUP BY user_id HAVING COUNT(*) > {ERROR_PRONE}
 """
 
 
+# --------------------------------------------------------------------------
+# The spark.sql surface: the engine is also queryable as plain ANSI SQL
+# over registered views (sources.tables.register_views)
+# --------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape, submitted as SQL text — same Catalyst pipeline
+    as the DataFrame API (the oracle is the identical statement on
+    DuckDB, modulo the e4 quantization)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+        SELECT SUM({_sq("l_extendedprice * l_discount", 4)}) AS revenue_e4,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """)
+
+
+Q6_SQL = f"""
+SELECT SUM({_sq("l_extendedprice * l_discount", 4)}) AS revenue_e4,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
     "q5_region_revenue": q5_region_revenue,
+    "q6_forecast_revenue": q6_forecast_revenue,
     "w1_window_top3": w1_window_top3,
     "e1_sessions": e1_sessions,
     "e2_hourly_rollup": e2_hourly_rollup,
@@ -499,6 +535,7 @@ RELATIONAL_ORACLE = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
     "q5_region_revenue": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
     "w1_window_top3": W1_SQL,
     "e1_sessions": E1_SQL,
     "e2_hourly_rollup": E2_SQL,
