@@ -52,9 +52,13 @@ def connected_components(
     spark = pages.sparkSession
     shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    titles = pages.select("title").repartition(shuffle, "title").persist()
-    sym = undirected_edges(pages).repartition(shuffle, "src").persist()
+    # stage the parse once for both derived relations (see pagerank())
+    pages_c = pages.persist()
+    titles = pages_c.select("title").repartition(shuffle, "title").persist()
+    sym = undirected_edges(pages_c).repartition(shuffle, "src").persist()
+    titles.count()
     sym.count()
+    pages_c.unpersist()
 
     labels = titles.select("title", F.col("title").alias("component"))
     for i in range(iterations):
@@ -64,9 +68,11 @@ def connected_components(
             .groupBy(F.col("e.dst").alias("title"))
             .agg(F.min("l.component").alias("neigh"))
         )
+        # labels is closed over the titles set by construction (seeded
+        # from titles, left-join preserves every row), so no join back
+        # through titles is needed — one wide op fewer per round
         labels = (
-            titles.alias("t")
-            .join(labels.alias("l"), "title")
+            labels.alias("l")
             .join(neigh_min.alias("n"), "title", "left")
             .select(
                 "title",

@@ -117,11 +117,18 @@ def pagerank(
     spark = pages.sparkSession
     shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
-    titles = pages.select("title").repartition(shuffle, "title").persist()
-    e = edges(pages).repartition(shuffle, "src").persist()
+    # Stage the parse once: both static relations derive from `pages`,
+    # and materializing their caches independently would re-run the
+    # corpus parse per relation (measured ~2× parse cost at sf0.1).
+    pages_c = pages.persist()
+    titles = pages_c.select("title").repartition(shuffle, "title").persist()
+    e = edges(pages_c).repartition(shuffle, "src").persist()
     if n is None:
         n = titles.count()  # A1/S5: action replaces the Hadoop counter
+    else:
+        titles.count()
     e.count()  # materialize the adjacency once (reference job ②)
+    pages_c.unpersist()  # the staging cache served its purpose
 
     ranks = titles.select("title", F.lit(1.0 / n).alias("rank"))
     prev_persisted = None
@@ -155,6 +162,74 @@ def pagerank(
                 prev_persisted.unpersist()
             prev_persisted = ranks
     return ranks
+
+
+def pagerank_until(
+    pages: DataFrame,
+    tol: float = 1e-6,
+    max_iterations: int = 50,
+    damping: float = DAMPING,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Convergence-terminated PageRank — an extension the reference
+    deliberately lacks (fixed 10 rounds, README.md:70): iterate until
+    ``max |Δrank| < tol`` or ``max_iterations``.
+
+    The delta check is one extra action per iteration (a max over the
+    joined old/new relation — small, same partitioning, no extra wide
+    op on the adjacency).  Returns (title, rank, iterations) with the
+    iteration count that achieved convergence on every row.
+    """
+    spark = pages.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    pages_c = pages.persist()
+    titles = pages_c.select("title").repartition(shuffle, "title").persist()
+    e = edges(pages_c).repartition(shuffle, "src").persist()
+    n = titles.count()
+    e.count()
+    pages_c.unpersist()
+
+    ranks = titles.select("title", F.lit(1.0 / n).alias("rank")).persist()
+    ranks.count()
+    done = 0
+    for i in range(max_iterations):
+        contribs = (
+            e.alias("e")
+            .join(ranks.alias("r"), F.col("e.src") == F.col("r.title"))
+            .select(
+                F.col("e.dst").alias("dst"),
+                (F.col("r.rank") / F.col("e.outdeg")).alias("contrib"),
+            )
+        )
+        mass = contribs.groupBy("dst").agg(F.sum("contrib").alias("mass"))
+        new_ranks = (
+            titles.alias("t")
+            .join(mass.alias("m"), F.col("t.title") == F.col("m.dst"), "left")
+            .select(
+                F.col("t.title").alias("title"),
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("m.mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        else:
+            new_ranks = new_ranks.persist()
+        delta = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "title")
+            .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
+            .first()["d"]
+        )
+        ranks.unpersist()
+        ranks = new_ranks
+        done = i + 1
+        if delta < tol:
+            break
+    return ranks.select("title", "rank", F.lit(done).alias("iterations"))
 
 
 def ranking(ranks: DataFrame, with_position: bool = False) -> DataFrame:

@@ -235,6 +235,18 @@ def q_o1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rounded.orderBy(F.desc("rank_e6"), F.asc("title")).limit(20)
 
 
+def q_i1_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence-terminated PageRank (extension — the reference is
+    fixed-10).  No SQL oracle: the iteration count is data-dependent,
+    so the driver records the rows-only check (contract docstring)."""
+    from ..operators.pagerank import pagerank_until
+
+    out = pagerank_until(_pages(spark, sf_dir), tol=2e-3)
+    return out.select(
+        "title", _e6(F.col("rank")).alias("rank_e6"), "iterations"
+    )
+
+
 def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components (fixed-k hash-min propagation) over the
     undirected link graph — operators/graph.py."""
@@ -283,6 +295,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p9_codec_roundtrip": q_p9_codec_roundtrip,
     "i1_pagerank2": _q_pagerank(2),
     "i1_pagerank10": _q_pagerank(10),
+    "i1_pagerank_converged": q_i1_pagerank_converged,
     "o1_ranking": q_o1_ranking,
     "o1_topk": q_o1_topk,
     "cc_components": q_cc_components,

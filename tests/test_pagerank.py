@@ -114,3 +114,19 @@ def test_rank_floor_invariant(pages):
     """Every surviving page has rank ≥ 1-d (SURVEY.md §5.2)."""
     ranks = pagerank(pages, iterations=10)
     assert ranks.where(F.col("rank") < 0.15 - 1e-12).count() == 0
+
+
+def test_pagerank_until_converges_and_matches_fixed(pages):
+    from pagerank_using_mapreduce_spark.operators.pagerank import (
+        pagerank,
+        pagerank_until,
+    )
+
+    out = pagerank_until(pages, tol=2e-3, max_iterations=60)
+    iters = out.first()["iterations"]
+    assert 0 < iters < 60  # actually converged, not capped
+    got = {r["title"]: r["rank"] for r in out.collect()}
+    want = {r["title"]: r["rank"] for r in pagerank(pages, iterations=iters).collect()}
+    assert got.keys() == want.keys()
+    for t in want:
+        assert abs(got[t] - want[t]) < 1e-12
