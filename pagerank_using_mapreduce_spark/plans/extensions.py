@@ -10,7 +10,15 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as dd
 from ..operators.asof import asof_join
-from ..operators.multimodal import DECODE_META_SQL, binarize_docs, decode_images
+from ..operators.multimodal import (
+    DECODE_META_SQL,
+    FEATURES_SQL,
+    RESIZE_META_SQL,
+    binarize_docs,
+    decode_images,
+    extract_features,
+    resize_meta,
+)
 from ..operators.similarity import (
     COSINE_TOPK_SQL,
     EMBEDDING_NEAR_DUP_SQL,
@@ -84,6 +92,16 @@ def q_x11_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real mapInPandas decode plumbing (fake codec) — the oracle
     reimplements the deterministic fake header math in SQL."""
     return decode_images(binarize_docs(_docs(spark, sf_dir)))
+
+
+def q_x17_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas resize plumbing on decoded dims (integer-exact)."""
+    return resize_meta(decode_images(binarize_docs(_docs(spark, sf_dir))))
+
+
+def q_x18_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas batch feature extraction over the binary payload."""
+    return extract_features(binarize_docs(_docs(spark, sf_dir)))
 
 
 def q_x13_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,6 +220,8 @@ EXTENSION_QUERIES = {
     "x14_simhash_near_dups": q_x14_simhash_near_dups,
     "x15_embedding_near_dups": q_x15_embedding_near_dups,
     "x16_salted_agg": q_x16_salted_agg,
+    "x17_resize": q_x17_resize,
+    "x18_features": q_x18_features,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
 }
@@ -227,6 +247,8 @@ EXTENSION_ORACLE = {
     "x14_simhash_near_dups": dd.simhash_near_dups_sql(dd.simhash_sql(dd.AUGMENT_SQL)),
     "x15_embedding_near_dups": EMBEDDING_NEAR_DUP_SQL,
     "x16_salted_agg": X16_SQL,
+    "x17_resize": RESIZE_META_SQL,
+    "x18_features": FEATURES_SQL,
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,

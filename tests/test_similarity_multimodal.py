@@ -101,3 +101,36 @@ def test_global_position_matches_single_partition_window(spark):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_resize_preserves_aspect_and_bounds(spark):
+    from pagerank_using_mapreduce_spark.operators.multimodal import (
+        MAX_DIM,
+        binarize_docs,
+        decode_images,
+        resize_meta,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = resize_meta(decode_images(binarize_docs(docs))).collect()
+    assert out
+    for r in out:
+        assert 1 <= r["out_w"] <= MAX_DIM or r["width"] <= MAX_DIM
+        assert 1 <= r["out_h"] <= MAX_DIM or r["height"] <= MAX_DIM
+        if max(r["width"], r["height"]) > MAX_DIM:
+            # long side maps exactly to MAX_DIM (integer floor on short)
+            assert max(r["out_w"], r["out_h"]) == MAX_DIM
+
+
+def test_feature_extraction_counts(spark):
+    from pagerank_using_mapreduce_spark.operators.multimodal import (
+        binarize_docs,
+        extract_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a e i 42"), (2, "xyz")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in extract_features(binarize_docs(docs)).collect()}
+    assert got[1]["f_vowels"] == 3 and got[1]["f_digits"] == 2 and got[1]["f_spaces"] == 3
+    assert got[2]["f_vowels"] == 0 and got[2]["f_bytes"] == 3
