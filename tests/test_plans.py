@@ -26,8 +26,15 @@ def _plan(df) -> str:
 
 
 # Queries whose plans are ALLOWED to contain Python evaluation:
-# x11 is mapInPandas by design; z1/z2 are streaming (not built here).
-PYTHON_OK = {"x11_multimodal_decode", "z1_stream_rollup", "z2_stream_sessions"}
+# the multimodal family is mapInPandas by design; z1/z2 are streaming
+# (not built here).
+PYTHON_OK = {
+    "x11_multimodal_decode",
+    "x17_resize",
+    "x18_features",
+    "z1_stream_rollup",
+    "z2_stream_sessions",
+}
 
 
 def test_no_python_in_batch_query_plans(spark):
