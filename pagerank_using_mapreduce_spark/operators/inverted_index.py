@@ -70,6 +70,39 @@ def inverted_index_wiki(corpus: DataFrame) -> DataFrame:
     return _postings(word_doc)
 
 
+N_SHARDS = 16
+
+
+def inverted_index_sharded(
+    documents: DataFrame, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """(word, shard, doc_ids): postings sharded by ``doc_id % n_shards``.
+
+    The plain index materializes ONE row per word — a stopword-class
+    word's posting list is a single aggregation group and a single
+    array in one task's memory, the classic skew wall at corpus scale.
+    Sharding bounds every group to ~1/n_shards of the worst list, the
+    groupBy key becomes (word, shard) (uniform), and a reader
+    re-concatenates shards in shard order (ids within a shard sorted,
+    shards disjoint by construction — production posting formats shard
+    exactly this way).
+    """
+    return (
+        token_stream(documents)
+        .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
+        .groupBy("word", "shard")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("doc_ids")
+        )
+    )
+
+
 def tf_idf(documents: DataFrame, n_docs: int | None = None) -> DataFrame:
     """Extension (SURVEY.md §2.9): TF-IDF over the token stream.
 

@@ -26,7 +26,7 @@ Semantics preserved exactly (SURVEY.md §7.4):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.textops import extract_links, extract_text_full, extract_title
@@ -240,17 +240,16 @@ def ranking(ranks: DataFrame, with_position: bool = False) -> DataFrame:
     ``orderBy`` range-partitions after sampling → a parallel total sort,
     replacing the reference's single-reducer bottleneck
     (PageRankAlgorithm.java:117-129).  ``with_position`` adds a global
-    row_number — that forces a single partition, so it is reserved for
-    small results / oracle checks; at scale the sorted files ARE the
-    positions, as in the reference.
+    row_number via the parallel offset operator (operators/ranking.py)
+    — never a single-partition window.
     """
-    out = ranks.orderBy(F.desc("rank"), F.asc("title"))
     if with_position:
-        w = Window.orderBy(F.desc("rank"), F.asc("title"))
-        out = ranks.select(
-            "title", "rank", F.row_number().over(w).alias("pos")
-        ).orderBy("pos")
-    return out
+        from .ranking import with_global_position
+
+        return with_global_position(
+            ranks, [F.desc("rank"), F.asc("title")]
+        ).select("title", "rank", "pos")
+    return ranks.orderBy(F.desc("rank"), F.asc("title"))
 
 
 def top_k(ranks: DataFrame, k: int) -> DataFrame:

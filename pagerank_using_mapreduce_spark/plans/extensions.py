@@ -104,6 +104,26 @@ def q_x18_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(binarize_docs(_docs(spark, sf_dir)))
 
 
+def q_x19_sharded_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-bounded posting lists: sharded by doc_id % 16."""
+    from ..operators.inverted_index import inverted_index_sharded
+
+    return inverted_index_sharded(_docs(spark, sf_dir))
+
+
+X19_SQL = """
+WITH toks AS (
+  SELECT doc_id, doc_id % 16 AS shard,
+         unnest(list_filter(
+           string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '')) AS word
+  FROM documents
+)
+SELECT word, CAST(shard AS INTEGER) AS shard,
+       string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+FROM toks GROUP BY word, shard"""
+
+
 def q_x13_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(dd.augment_docs(_docs(spark, sf_dir)))
 
@@ -222,6 +242,7 @@ EXTENSION_QUERIES = {
     "x16_salted_agg": q_x16_salted_agg,
     "x17_resize": q_x17_resize,
     "x18_features": q_x18_features,
+    "x19_sharded_index": q_x19_sharded_index,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
 }
@@ -249,6 +270,7 @@ EXTENSION_ORACLE = {
     "x16_salted_agg": X16_SQL,
     "x17_resize": RESIZE_META_SQL,
     "x18_features": FEATURES_SQL,
+    "x19_sharded_index": X19_SQL,
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,

@@ -55,3 +55,23 @@ def test_tf_idf(docs):
 
     want = 2 * (math.log(4 / 3) + 1)
     assert rows[(1, "cat")]["tf_idf"] == pytest.approx(want, rel=1e-12)
+
+
+def test_sharded_index_reconstructs_plain_index(spark):
+    """Concatenating a word's shards in shard order = the unsharded
+    posting list (disjoint shards, ids sorted within each)."""
+    from pagerank_using_mapreduce_spark.operators.inverted_index import (
+        inverted_index,
+        inverted_index_sharded,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plain = {r["word"]: r["doc_ids"] for r in inverted_index(docs).collect()}
+    sharded = {}
+    for r in sorted(
+        inverted_index_sharded(docs).collect(), key=lambda r: (r["word"], r["shard"])
+    ):
+        sharded.setdefault(r["word"], []).extend(r["doc_ids"].split(","))
+    assert set(sharded) == set(plain)
+    for w, ids in sharded.items():
+        assert sorted(ids, key=int) == plain[w].split(",")
