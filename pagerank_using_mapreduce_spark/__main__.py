@@ -38,10 +38,22 @@ def main(argv: list[str] | None = None) -> int:
     ix.add_argument("in_dir")
     ix.add_argument("out_dir")
 
-    for s in (pr, ix):
+    q = sub.add_parser("query", help="run a registered driver query by name")
+    q.add_argument("name", nargs="?", help="query name (omit to list all)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--limit", type=int, default=20)
+
+    for s in (pr, ix, q):
         s.add_argument("--cpus", type=int, default=None)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "query" and args.name is None:
+        from .plans.registry import QUERIES
+
+        for name in QUERIES:
+            print(name)
+        return 0
 
     from .session import get_spark
 
@@ -64,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
             write_rank_records_text(final, f"{args.out_dir}/pages")
             write_ranking_text(ranks, f"{args.out_dir}/ranking")
             print(f"pagerank: {ranks.count()} pages -> {args.out_dir}")
-        else:
+        elif args.cmd == "index":
             from .operators.inverted_index import inverted_index_wiki
             from .sources.textio import read_corpus_text, write_postings_text
 
@@ -72,6 +84,15 @@ def main(argv: list[str] | None = None) -> int:
             postings = inverted_index_wiki(corpus)
             write_postings_text(postings, f"{args.out_dir}/postings")
             print(f"index: {postings.count()} words -> {args.out_dir}")
+        else:
+            from .plans.registry import QUERIES
+
+            if args.name not in QUERIES:
+                print(f"unknown query {args.name!r}; run with no name to list")
+                return 2
+            QUERIES[args.name](spark, args.sf_dir).show(
+                args.limit, truncate=False
+            )
     finally:
         spark.stop()
     return 0
