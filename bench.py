@@ -40,6 +40,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
+    # one trivial action so JVM/executor init is not billed to query #1
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in QUERIES:

@@ -41,7 +41,10 @@ def with_global_position(
     The input is persisted internally so the range-partitioner's sampled
     boundaries (nondeterministic across re-evaluations) are identical in
     the count job and the output job; callers receiving the result
-    lazily inherit that cache.
+    lazily inherit that cache (it cannot be unpersisted here without
+    invalidating the not-yet-evaluated result — long-lived sessions
+    running many positioned queries should materialize and then
+    ``spark.catalog.clearCache()`` between them).
     """
     spark = df.sparkSession
     if num_partitions is None:

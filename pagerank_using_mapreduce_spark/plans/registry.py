@@ -255,6 +255,14 @@ def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(_pages(spark, sf_dir))
 
 
+def q_cc_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixpoint connected components (true components; rows-only —
+    the iteration count is data-dependent)."""
+    from ..operators.graph import connected_components_until
+
+    return connected_components_until(_pages(spark, sf_dir))
+
+
 def q_deg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import degree_stats
 
@@ -299,6 +307,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o1_ranking": q_o1_ranking,
     "o1_topk": q_o1_topk,
     "cc_components": q_cc_components,
+    "cc_converged": q_cc_converged,
     "deg_stats": q_deg_stats,
     "a6_inverted_index": q_a6_inverted_index,
     "a6_inverted_index_wiki": q_a6_inverted_index_wiki,

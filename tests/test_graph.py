@@ -56,3 +56,15 @@ def test_degree_stats_counts_duplicates(pages):
     assert got["b"] == (2, 2)  # c+ghost out; both a→b occurrences in
     assert got["c"] == (0, 1)
     assert got["z"] == (0, 0)
+
+
+def test_connected_components_until_fixpoint(pages):
+    from pagerank_using_mapreduce_spark.operators.graph import (
+        connected_components_until,
+    )
+
+    out = connected_components_until(pages).collect()
+    got = {r["title"]: r["component"] for r in out}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
+    iters = out[0]["iterations"]
+    assert iters <= 4  # tiny graph: converged + one confirming round
