@@ -129,6 +129,10 @@ def pagerank(
         titles.count()
     e.count()  # materialize the adjacency once (reference job ②)
     pages_c.unpersist()  # the staging cache served its purpose
+    if n == 0:
+        # empty corpus: the reference would divide by zero building
+        # 1/N ranks (PageRankAlgorithm.java:302); return empty instead
+        return titles.select("title", F.lit(0.0).alias("rank")).where(F.lit(False))
 
     ranks = titles.select("title", F.lit(1.0 / n).alias("rank"))
     prev_persisted = None

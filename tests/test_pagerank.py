@@ -130,3 +130,10 @@ def test_pagerank_until_converges_and_matches_fixed(pages):
     assert got.keys() == want.keys()
     for t in want:
         assert abs(got[t] - want[t]) < 1e-12
+
+
+def test_pagerank_empty_corpus_yields_empty(spark):
+    empty = spark.createDataFrame([], "title string, links array<string>")
+    from pagerank_using_mapreduce_spark.operators.pagerank import pagerank
+
+    assert pagerank(empty, iterations=3).count() == 0
