@@ -480,6 +480,34 @@ GROUP BY user_id HAVING COUNT(*) > {ERROR_PRONE}
 
 
 # --------------------------------------------------------------------------
+# Q14-style promo revenue share (lineitem × part — the one table no
+# other query touches; the big-side scan joins a broadcast dimension)
+# --------------------------------------------------------------------------
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = _q(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    joined = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.col("p_type"), rev.alias("rev_e4")
+    )
+    return (
+        joined.groupBy(F.col("p_type").startswith("PROMO").alias("is_promo"))
+        .agg(F.sum("rev_e4").alias("revenue_e4"), F.count("*").alias("n"))
+    )
+
+
+Q14_SQL = f"""
+SELECT p_type LIKE 'PROMO%' AS is_promo,
+       SUM({_sq("l_extendedprice * (1 - l_discount)", 4)}) AS revenue_e4,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
 # The spark.sql surface: the engine is also queryable as plain ANSI SQL
 # over registered views (sources.tables.register_views)
 # --------------------------------------------------------------------------
@@ -519,6 +547,7 @@ RELATIONAL_QUERIES = {
     "q3_top_orders": q3_top_orders,
     "q5_region_revenue": q5_region_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
     "w1_window_top3": w1_window_top3,
     "e1_sessions": e1_sessions,
     "e2_hourly_rollup": e2_hourly_rollup,
@@ -536,6 +565,7 @@ RELATIONAL_ORACLE = {
     "q3_top_orders": Q3_SQL,
     "q5_region_revenue": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
+    "q14_promo_revenue": Q14_SQL,
     "w1_window_top3": W1_SQL,
     "e1_sessions": E1_SQL,
     "e2_hourly_rollup": E2_SQL,
