@@ -508,6 +508,38 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# JSON scalar functions over the events.props column (absent from the
+# reference — extension surface; stays JVM-side via from_json)
+# --------------------------------------------------------------------------
+
+
+def j1_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+            F.max(F.col("k").cast("long")).alias("max_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+J1_SQL = """
+SELECT event_type,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(*) AS n
+FROM events
+WHERE json_extract(props, '$.k') IS NOT NULL
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # The spark.sql surface: the engine is also queryable as plain ANSI SQL
 # over registered views (sources.tables.register_views)
 # --------------------------------------------------------------------------
@@ -548,6 +580,7 @@ RELATIONAL_QUERIES = {
     "q5_region_revenue": q5_region_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q14_promo_revenue": q14_promo_revenue,
+    "j1_json_extract": j1_json_extract,
     "w1_window_top3": w1_window_top3,
     "e1_sessions": e1_sessions,
     "e2_hourly_rollup": e2_hourly_rollup,
@@ -566,6 +599,7 @@ RELATIONAL_ORACLE = {
     "q5_region_revenue": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q14_promo_revenue": Q14_SQL,
+    "j1_json_extract": J1_SQL,
     "w1_window_top3": W1_SQL,
     "e1_sessions": E1_SQL,
     "e2_hourly_rollup": E2_SQL,
