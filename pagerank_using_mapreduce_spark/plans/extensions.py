@@ -192,6 +192,32 @@ def q_z2_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(stream, "drv_z2_sessions", output_mode="update")
 
 
+def q_z3_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream self-join drained with AvailableNow;
+    the oracle is the equivalent batch band-join SQL."""
+    from ..streaming.events import (
+        click_purchase_join_stream,
+        read_event_stream,
+        run_available_now,
+        stage_table_dir,
+    )
+
+    stream = click_purchase_join_stream(
+        read_event_stream(spark, stage_table_dir(sf_dir))
+    )
+    return run_available_now(stream, "drv_z3_ssjoin", output_mode="append")
+
+
+Z3_SQL = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+ AND epoch_us(c.ts) < epoch_us(p.ts)
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 def q_x12_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = load_table(spark, sf_dir, "orders").select(
@@ -245,6 +271,7 @@ EXTENSION_QUERIES = {
     "x19_sharded_index": q_x19_sharded_index,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
+    "z3_stream_stream_join": q_z3_stream_stream_join,
 }
 
 EXTENSION_ORACLE = {
@@ -274,4 +301,5 @@ EXTENSION_ORACLE = {
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,
+    "z3_stream_stream_join": Z3_SQL,
 }

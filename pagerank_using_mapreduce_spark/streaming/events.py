@@ -124,6 +124,50 @@ def sessionize_stream(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFram
     )
 
 
+JOIN_WINDOW_S = 3600
+
+
+def click_purchase_join_stream(
+    events: DataFrame, watermark: str = "2 hours", window_s: int = JOIN_WINDOW_S
+) -> DataFrame:
+    """Watermarked stream-stream self-join: each purchase matched to the
+    same user's clicks in the preceding ``window_s`` seconds.
+
+    Both sides carry watermarks + the time-range join condition, which
+    is what lets Spark bound the join state (clicks older than the
+    window past the watermark are evicted).  The batch twin is the
+    z3 oracle SQL — identical result, proving the incremental plan.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_s} SECONDS"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "inner",
+    )
+    return joined.select(
+        "purchase_id", "click_id", F.col("p_user").alias("user_id")
+    )
+
+
 def run_available_now(
     stream: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

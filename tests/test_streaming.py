@@ -57,3 +57,34 @@ def test_stream_dedup_keeps_distinct_event_ids(spark, events_dir):
     )
     n_distinct = got.select("event_id").distinct().count()
     assert got.count() == n_distinct == 1000
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    from pagerank_using_mapreduce_spark.streaming import events as se
+
+    stream = se.click_purchase_join_stream(se.read_event_stream(spark, events_dir))
+    got = se.run_available_now(stream, "t_ssjoin", output_mode="append")
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 3600 SECONDS"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    ).select("purchase_id", "click_id", "user_id")
+    cols = ["purchase_id", "click_id", "user_id"]
+    assert _rows(got.select(*cols), cols) == _rows(want, cols)
