@@ -279,6 +279,129 @@ WHERE cosine_e6 >= {NEAR_DUP_COSINE_E6}
 """
 
 
+# ---------------------------------------------------------------------------
+# Random-hyperplane (SRP) LSH: sign-bit buckets over embeddings
+# ---------------------------------------------------------------------------
+
+N_PLANES = 8
+EMB_DIM = 64
+
+
+def _plane_weight(p: Column, j: Column) -> Column:
+    """Deterministic pseudo-random weight in [-1, 1] for plane p, dim j:
+    a 60-bit md5 integer of "p|j" mapped through mod 2001 — bit-identical
+    in Spark and DuckDB, so buckets match across engines (the same
+    portability trick as the dedup minhash family)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", p.cast("string"), j.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return (F.pmod(h, F.lit(2001)) - 1000) / 1000.0
+
+
+def srp_buckets(embeddings: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, bucket): bucket = the n_planes sign bits of the dot
+    products with the fixed hyperplanes.  One broadcast of n_planes
+    small arrays against the collection scan — no shuffle until the
+    bucket groupBy, and that key is near-uniform by construction."""
+    spark = embeddings.sparkSession
+    planes = (
+        spark.range(n_planes)
+        .select(
+            F.col("id").cast("int").alias("p"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
+                lambda j: _plane_weight(F.col("id"), j),
+            ).alias("w"),
+        )
+    )
+    scored = embeddings.crossJoin(F.broadcast(planes)).select(
+        "vec_id",
+        "p",
+        (_dot(F.col("embedding"), F.col("w")) > 0).cast("long").alias("bit"),
+    )
+    # python-side shiftleft needs a literal bit count; SQL's accepts a
+    # column expression
+    return scored.groupBy("vec_id").agg(
+        F.sum(F.expr("shiftleft(bit, p)")).cast("long").alias("bucket")
+    )
+
+
+def srp_lsh_near_dups(
+    embeddings: DataFrame,
+    threshold_e6: int = NEAR_DUP_COSINE_E6,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """(vec_a, vec_b, cosine_e6): near-dup pairs found via SRP-LSH
+    blocking — candidates share ALL sign bits (same bucket), then exact
+    cosine rescoring on candidates only.  Complements the label-blocked
+    :func:`embedding_near_dups`: no quantizer needed, recall tunable by
+    n_planes (fewer planes → bigger buckets → higher recall, more
+    rescoring).  Runs on the same augmented set so planted near-dups
+    exist; deterministic in both engines, so the oracle finds the exact
+    same pairs (including the same LSH misses)."""
+    aug = augment_embeddings(embeddings)
+    b = srp_buckets(aug.select("vec_id", F.col("emb").alias("embedding")), n_planes)
+    withb = aug.join(b, "vec_id")
+    pairs = (
+        withb.alias("a")
+        .join(
+            withb.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.floor(
+                cosine(F.col("a.emb"), F.col("b.emb")) * 1e6 + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("cosine_e6"),
+        )
+    )
+    return pairs.where(F.col("cosine_e6") >= threshold_e6)
+
+
+def _srp_weight_sql(p_expr: str, j_expr: str) -> str:
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({p_expr} || '|' || {j_expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    return f"((({digits}) % 2001) - 1000) / 1000.0"
+
+
+SRP_LSH_SQL = f"""
+WITH aug AS MATERIALIZED ({AUGMENT_EMB_SQL}),
+planes AS MATERIALIZED (
+  SELECT p, list(w ORDER BY j) AS w FROM (
+    SELECT p.range AS p, j.range AS j,
+           {_srp_weight_sql("p.range::VARCHAR", "j.range::VARCHAR")} AS w
+    FROM range({N_PLANES}) p, range({EMB_DIM}) j
+  ) GROUP BY p
+),
+buckets AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(a.emb, pl.w) > 0
+                  THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM aug a, planes pl GROUP BY vec_id
+),
+withb AS (SELECT a.vec_id, a.emb, b.bucket FROM aug a JOIN buckets b USING (vec_id))
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(FLOOR(
+         list_dot_product(a.emb, b.emb)
+         / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+         * 1e6 + 0.5000001) AS BIGINT) AS cosine_e6
+FROM withb a JOIN withb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE CAST(FLOOR(
+        list_dot_product(a.emb, b.emb)
+        / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
+        * 1e6 + 0.5000001) AS BIGINT) >= {NEAR_DUP_COSINE_E6}
+"""
+
+
 IVF_TOPK_SQL = f"""
 WITH comp AS (
   -- posexplode twin: indexed-lambda + struct unnest (generate_series

@@ -23,9 +23,11 @@ from ..operators.similarity import (
     COSINE_TOPK_SQL,
     EMBEDDING_NEAR_DUP_SQL,
     IVF_TOPK_SQL,
+    SRP_LSH_SQL,
     cosine_topk,
     embedding_near_dups,
     ivf_topk,
+    srp_lsh_near_dups,
 )
 from ..operators.text_analysis import (
     FINGERPRINT_SQL,
@@ -134,6 +136,11 @@ def q_x14_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_x15_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_x20_srp_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH blocking + exact rescoring on candidates."""
+    return srp_lsh_near_dups(load_table(spark, sf_dir, "embeddings"))
 
 
 def q_x16_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,6 +276,7 @@ EXTENSION_QUERIES = {
     "x17_resize": q_x17_resize,
     "x18_features": q_x18_features,
     "x19_sharded_index": q_x19_sharded_index,
+    "x20_srp_lsh_near_dups": q_x20_srp_lsh_near_dups,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
@@ -298,6 +306,7 @@ EXTENSION_ORACLE = {
     "x17_resize": RESIZE_META_SQL,
     "x18_features": FEATURES_SQL,
     "x19_sharded_index": X19_SQL,
+    "x20_srp_lsh_near_dups": SRP_LSH_SQL,
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,

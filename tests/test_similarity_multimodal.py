@@ -134,3 +134,24 @@ def test_feature_extraction_counts(spark):
     got = {r["doc_id"]: r for r in extract_features(binarize_docs(docs)).collect()}
     assert got[1]["f_vowels"] == 3 and got[1]["f_digits"] == 2 and got[1]["f_spaces"] == 3
     assert got[2]["f_vowels"] == 0 and got[2]["f_bytes"] == 3
+
+
+def test_srp_lsh_subset_of_exhaustive(spark):
+    """LSH-found pairs are a subset of the label-blocked exhaustive
+    pairs, with usable recall at 8 planes."""
+    from pagerank_using_mapreduce_spark.operators.similarity import (
+        embedding_near_dups,
+        srp_lsh_near_dups,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh = {(r["vec_a"], r["vec_b"]) for r in srp_lsh_near_dups(emb).collect()}
+    # exhaustive blocked by label; LSH has no label constraint, so
+    # compare against all-pairs ground truth: relax by rebuilding it
+    exhaustive = {
+        (r["vec_a"], r["vec_b"]) for r in embedding_near_dups(emb).collect()
+    }
+    assert lsh, "LSH must find at least some planted pairs"
+    # planted pairs share the label, so exhaustive ⊇ all true pairs here
+    assert lsh <= exhaustive
+    assert len(lsh) / len(exhaustive) >= 0.3  # recall floor at 8 planes
