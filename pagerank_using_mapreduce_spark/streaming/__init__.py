@@ -2,6 +2,7 @@ from .events import (
     hourly_rollup_stream,
     read_event_stream,
     run_available_now,
+    run_foreach_batch,
     sessionize_stream,
     stream_dedup,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "hourly_rollup_stream",
     "read_event_stream",
     "run_available_now",
+    "run_foreach_batch",
     "sessionize_stream",
     "stream_dedup",
 ]

@@ -168,6 +168,25 @@ def click_purchase_join_stream(
     )
 
 
+def run_foreach_batch(
+    stream: DataFrame,
+    batch_fn,
+    output_mode: str = "append",
+) -> None:
+    """Drain the stream through ``foreachBatch`` — the production sink
+    pattern: each micro-batch arrives as a BATCH DataFrame plus its
+    batch id, so any batch writer (parquet/jdbc/merge-into) becomes a
+    streaming sink with exactly-once semantics via the (checkpoint,
+    batch_id) pair.  ``batch_fn(df, batch_id)`` is called per batch."""
+    q = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_available_now(
     stream: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -88,3 +88,18 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     ).select("purchase_id", "click_id", "user_id")
     cols = ["purchase_id", "click_id", "user_id"]
     assert _rows(got.select(*cols), cols) == _rows(want, cols)
+
+
+def test_foreach_batch_parquet_sink(spark, events_dir, tmp_path):
+    from pagerank_using_mapreduce_spark.streaming import events as se
+
+    out = str(tmp_path / "sink")
+    stream = se.stream_dedup(se.read_event_stream(spark, events_dir))
+
+    def write_batch(df, batch_id):
+        df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    se.run_foreach_batch(stream, write_batch)
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.select("event_id").distinct().count() == 1000
