@@ -1,15 +1,100 @@
-from .inverted_index import inverted_index, inverted_index_wiki, tf_idf
-from .pagerank import count_n, edges, link_graph, pagerank, parse_corpus, ranking, top_k
+from .asof import asof_join
+from .dedup import (
+    exact_dedup,
+    lsh_candidates,
+    minhash_signatures,
+    near_dup_pipeline,
+    shingles,
+    simhash,
+    simhash_near_dups,
+)
+from .graph import (
+    connected_components,
+    connected_components_until,
+    degree_stats,
+    undirected_edges,
+)
+from .inverted_index import (
+    inverted_index,
+    inverted_index_sharded,
+    inverted_index_wiki,
+    tf_idf,
+)
+from .multimodal import (
+    binarize_docs,
+    decode_images,
+    extract_features,
+    frame_sample,
+    resize_meta,
+)
+from .pagerank import (
+    count_n,
+    edges,
+    link_graph,
+    pagerank,
+    pagerank_until,
+    parse_corpus,
+    ranking,
+    top_k,
+)
+from .ranking import with_global_position
+from .scale import read_bucketed, salted_agg, salted_join, write_bucketed
+from .similarity import (
+    cosine_topk,
+    embedding_near_dups,
+    ivf_topk,
+    srp_lsh_near_dups,
+)
+from .text_analysis import fingerprint, lang_id, quality_score, token_count
 
 __all__ = [
+    # pagerank pipeline
     "count_n",
     "edges",
     "link_graph",
     "pagerank",
+    "pagerank_until",
     "parse_corpus",
     "ranking",
     "top_k",
+    "with_global_position",
+    # index / text
     "inverted_index",
+    "inverted_index_sharded",
     "inverted_index_wiki",
     "tf_idf",
+    "fingerprint",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    # graph
+    "connected_components",
+    "connected_components_until",
+    "degree_stats",
+    "undirected_edges",
+    # dedup
+    "exact_dedup",
+    "lsh_candidates",
+    "minhash_signatures",
+    "near_dup_pipeline",
+    "shingles",
+    "simhash",
+    "simhash_near_dups",
+    # similarity
+    "cosine_topk",
+    "embedding_near_dups",
+    "ivf_topk",
+    "srp_lsh_near_dups",
+    # multimodal
+    "binarize_docs",
+    "decode_images",
+    "extract_features",
+    "frame_sample",
+    "resize_meta",
+    # joins / scale
+    "asof_join",
+    "read_bucketed",
+    "salted_agg",
+    "salted_join",
+    "write_bucketed",
 ]

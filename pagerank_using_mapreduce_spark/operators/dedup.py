@@ -6,7 +6,9 @@
 - MinHash + LSH near-dup: shingle → K minhashes → band buckets →
   bucket self-join for candidates → exact-Jaccard verification.
   The band self-join only pairs rows inside a bucket, so the shuffle
-  is on the band key (uniform md5) — never an O(n²) cross join.
+  is on the band key (uniform md5) — never an O(n²) cross join;
+- SimHash: 60-bit signed-projection fingerprint, banded hamming LSH,
+  bit_count(xor) verification (same bucket-join shape).
 
 Portability: the hash family is ``md5(seed || '|' || shingle)``
 (lexicographic min over hex strings), chosen because Spark and DuckDB
