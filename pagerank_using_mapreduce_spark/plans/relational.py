@@ -284,6 +284,37 @@ GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# Statistical aggregates: exact interpolated percentiles + dispersion.
+# Verified bit-identical cross-engine (Spark percentile == DuckDB
+# quantile_cont, both type-7 interpolation; stddev/avg agree to the ulp
+# on identical input doubles), so post-aggregation e6 quantization is
+# safe here.
+# --------------------------------------------------------------------------
+
+
+def s1_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _q(F.expr("percentile(value, 0.5)"), 6).alias("p50_e6"),
+        _q(F.expr("percentile(value, 0.95)"), 6).alias("p95_e6"),
+        _q(F.stddev_samp("value"), 6).alias("sd_e6"),
+        _q(F.avg("value"), 6).alias("mean_e6"),
+        F.count("*").alias("n"),
+    )
+
+
+S1_STATS_SQL = f"""
+SELECT event_type,
+       {_sq("quantile_cont(value, 0.5)", 6)} AS p50_e6,
+       {_sq("quantile_cont(value, 0.95)", 6)} AS p95_e6,
+       {_sq("stddev_samp(value)", 6)} AS sd_e6,
+       {_sq("avg(value)", 6)} AS mean_e6,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Grouping sets: ROLLUP and CUBE (multi-level aggregation in one pass —
 # Catalyst expands to a single Expand + HashAggregate, not N scans)
 # --------------------------------------------------------------------------
@@ -581,6 +612,7 @@ RELATIONAL_QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q14_promo_revenue": q14_promo_revenue,
     "j1_json_extract": j1_json_extract,
+    "s1_value_stats": s1_value_stats,
     "w1_window_top3": w1_window_top3,
     "e1_sessions": e1_sessions,
     "e2_hourly_rollup": e2_hourly_rollup,
@@ -600,6 +632,7 @@ RELATIONAL_ORACLE = {
     "q6_forecast_revenue": Q6_SQL,
     "q14_promo_revenue": Q14_SQL,
     "j1_json_extract": J1_SQL,
+    "s1_value_stats": S1_STATS_SQL,
     "w1_window_top3": W1_SQL,
     "e1_sessions": E1_SQL,
     "e2_hourly_rollup": E2_SQL,
