@@ -75,3 +75,16 @@ def test_strip_non_alpha_and_tokens(spark):
 def test_tokens_no_empties(spark):
     assert _one(spark, "  a  b  ", tokens("raw")) == ["a", "b"]
     assert _one(spark, "", tokens("raw")) == []
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    """Approximate aggregates exist and land within the documented HLL
+    error envelope (no oracle — approximation differs per engine)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    exact = ev.select("user_id").distinct().count()
+    approx = ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("a")
+    ).first()["a"]
+    assert abs(approx - exact) / exact < 0.05
