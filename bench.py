@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "x5_cosine_topk",
     "q1_pricing_summary",
     "e2_hourly_rollup",
+    "e1_sessions",
+    "z1_stream_rollup",
     "cc_components",
 ]
 

@@ -193,6 +193,11 @@ def pagerank_until(
     n = titles.count()
     e.count()
     pages_c.unpersist()
+    if n == 0:
+        # same empty-corpus guard as pagerank(): 1/N is undefined
+        return titles.select(
+            "title", F.lit(0.0).alias("rank"), F.lit(0).alias("iterations")
+        ).where(F.lit(False))
 
     ranks = titles.select("title", F.lit(1.0 / n).alias("rank")).persist()
     ranks.count()

@@ -39,12 +39,18 @@ def salted_agg(
     sum / count / min / max (the algebraic aggregates that re-combine
     losslessly: partial sums re-sum, counts re-sum, min/max re-min/max).
 
-    Stage 1 groups by (keys + a random-ish salt derived from a stable
-    hash of the full row id via ``monotonically_increasing_id``) so a
-    hot key occupies ``n_salts`` reducer tasks; stage 2 recombines the
-    ``n_salts`` partials per key.  Cost: one extra (tiny) shuffle over
-    the stage-1 output — rows = distinct_keys × n_salts, independent of
-    input size.
+    Stage 1 groups by (keys + a salt hashed from the FULL ROW VALUES)
+    so a hot key occupies up to ``n_salts`` reducer tasks; stage 2
+    recombines the partials per key.  Cost: one extra (tiny) shuffle
+    over the stage-1 output — rows ≤ distinct_keys × n_salts,
+    independent of input size.
+
+    The salt is a pure function of row values (not
+    ``monotonically_increasing_id``/``rand``, whose outputs depend on
+    partition layout), so a retried or recomputed task re-derives the
+    identical salt — required for exactly-once semantics under task
+    retry.  Identical duplicate rows share a salt; that only narrows
+    the spread when the hot key is dominated by byte-identical rows.
     """
     recombine = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     stage1_exprs, stage2_exprs = [], []
@@ -57,7 +63,7 @@ def salted_agg(
         first = F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col)
         stage1_exprs.append(first.alias(f"_p_{out}"))
         stage2_exprs.append(recombine[fn](f"_p_{out}").alias(out))
-    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     return (
         df.withColumn("_salt", salt)
         .groupBy(*key_cols, "_salt")
@@ -79,8 +85,10 @@ def salted_join(
     (key, salt).  The hot key's rows spread across ``n_salts`` tasks
     instead of one.  Use when the small side is too big to broadcast
     but replication ×n_salts is still cheap; otherwise just broadcast.
+    The salt hashes the row's values (retry-deterministic, see
+    :func:`salted_agg`).
     """
-    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+    salt = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
     left = skewed.withColumn("_salt", salt)
     right = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

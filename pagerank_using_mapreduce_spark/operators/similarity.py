@@ -230,24 +230,78 @@ AUGMENT_EMB_SQL = f"""
 """
 
 
+MAX_CELL_ROWS = 4096  # hard cap on rows per blocking cell
+SRP_REFINE_PLANES = 16  # sign bits available for refining oversized cells
+
+
 def embedding_near_dups(
-    embeddings: DataFrame, threshold_e6: int = NEAR_DUP_COSINE_E6
+    embeddings: DataFrame,
+    threshold_e6: int = NEAR_DUP_COSINE_E6,
+    max_cell_rows: int = MAX_CELL_ROWS,
 ) -> DataFrame:
     """(vec_a, vec_b, cosine_e6): pairs above the cosine threshold,
     blocked by the ``label`` coarse cell (same quantizer as
-    :func:`ivf_topk`) so the self-join shuffles on label and only
-    same-cell pairs are ever scored — at 100 TB the blocking key is a
-    learned centroid id and the per-cell pair count stays bounded;
-    no O(n²) cross join forms.  Trade-off (documented, standard for
-    blocked dedup): a near-dup pair split across cells is missed —
-    mitigate by multi-probe assignment, not by widening the join.
+    :func:`ivf_topk`) so the self-join shuffles on the cell key and only
+    same-cell pairs are ever scored — no O(n²) cross join forms.
+
+    Cell-size invariant (the thing that keeps this sub-quadratic at
+    100 TB): a label cell holding ``cnt`` rows is refined by
+    ``ceil(log2(cnt / max_cell_rows))`` SRP sign bits, so every blocking
+    cell has EXPECTED size <= ``max_cell_rows`` and per-cell pair work
+    is O(max_cell_rows²) regardless of total data volume.  The
+    refinement key is the deterministic md5-derived SRP bucket
+    (:func:`srp_buckets`), identical across engines and across runs.
+    Cells at or under the cap use zero refinement bits — on data where
+    no cell exceeds the cap the output is bit-identical to plain label
+    blocking, which is what the DuckDB oracle states (the shipped
+    testdata satisfies this; tests assert it and exercise the refined
+    path with a tiny cap).
+
+    Trade-off (documented, standard for blocked dedup): a near-dup pair
+    split across cells — by label or, in an oversized cell, by an SRP
+    bit — is missed; mitigate with multi-probe assignment, not by
+    widening the join.
     """
     e = augment_embeddings(embeddings)
+    # Per-label refinement depth: one tiny row per cell, broadcast back.
+    rbits = (
+        e.groupBy("label")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "label",
+            F.when(F.col("cnt") <= max_cell_rows, F.lit(0))
+            .otherwise(
+                F.least(
+                    F.ceil(F.log2(F.col("cnt") / F.lit(max_cell_rows))),
+                    F.lit(SRP_REFINE_PLANES),
+                )
+            )
+            .cast("int")
+            .alias("rbits"),
+        )
+    )
+    buckets = srp_buckets(
+        e.select("vec_id", F.col("emb").alias("embedding")), SRP_REFINE_PLANES
+    )
+    e = (
+        e.join(F.broadcast(rbits), "label")
+        .join(buckets, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "emb",
+            # low `rbits` SRP bits of the bucket; 0 when no refinement
+            # (python-side shiftleft needs a literal count; SQL's takes
+            # a column — same workaround as srp_buckets)
+            F.expr("pmod(bucket, shiftleft(1L, rbits))").cast("long").alias("subcell"),
+        )
+    )
     pairs = (
         e.alias("a")
         .join(
             e.alias("b"),
             (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.subcell") == F.col("b.subcell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
@@ -338,7 +392,14 @@ def srp_lsh_near_dups(
     cosine rescoring on candidates only.  Complements the label-blocked
     :func:`embedding_near_dups`: no quantizer needed, recall tunable by
     n_planes (fewer planes → bigger buckets → higher recall, more
-    rescoring).  Runs on the same augmented set so planted near-dups
+    rescoring).
+
+    Scale invariant: expected bucket size is n / 2^n_planes, so
+    ``n_planes`` must grow ~log2(n / target_bucket_rows) with the
+    collection — 8 planes suits ~10⁵ rows at ~400/bucket; at 10¹⁰ rows
+    use ~25 planes (and multi-probe / repeated bands to recover the
+    recall each extra plane costs).  Runs on the same augmented set so
+    planted near-dups
     exist; deterministic in both engines, so the oracle finds the exact
     same pairs (including the same LSH misses)."""
     aug = augment_embeddings(embeddings)

@@ -161,7 +161,7 @@ def q_x16_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 X16_SQL = """
 SELECT event_type,
-       SUM(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS total_v,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS BIGINT) AS total_v,
        COUNT(*) AS n,
        MAX(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS max_v
 FROM events GROUP BY event_type

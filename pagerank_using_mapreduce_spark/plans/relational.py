@@ -33,6 +33,14 @@ def _sq(expr: str, scale: int) -> str:
     return f"CAST(FLOOR(({expr}) * 1e{scale} + 0.5000001) AS BIGINT)"
 
 
+def _ssum(expr: str, scale: int) -> str:
+    """Quantized sum for the DuckDB oracle.  The outer cast matters:
+    DuckDB's SUM(BIGINT) returns HUGEINT, which degrades to float64 on
+    the pandas/Arrow hash path — values bit-identical to Spark's would
+    still hash-mismatch without it."""
+    return f"CAST(SUM({_sq(expr, scale)}) AS BIGINT)"
+
+
 # --------------------------------------------------------------------------
 # Q1-style pricing summary
 # --------------------------------------------------------------------------
@@ -66,10 +74,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       SUM({_sq("l_quantity", 2)}) AS sum_qty_e2,
-       SUM({_sq("l_extendedprice", 2)}) AS sum_base_e2,
-       SUM({_sq("l_extendedprice * (1 - l_discount)", 4)}) AS sum_disc_e4,
-       SUM({_sq("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)}) AS sum_charge_e6,
+       {_ssum("l_quantity", 2)} AS sum_qty_e2,
+       {_ssum("l_extendedprice", 2)} AS sum_base_e2,
+       {_ssum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_e4,
+       {_ssum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge_e6,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -102,7 +110,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = f"""
 SELECT o_orderkey,
-       SUM({_sq("l_extendedprice * (1 - l_discount)", 4)}) AS revenue_e4
+       {_ssum("l_extendedprice * (1 - l_discount)", 4)} AS revenue_e4
 FROM customer
 JOIN orders ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey
@@ -144,7 +152,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_SQL = f"""
 SELECT r_name, n_name,
-       SUM({_sq("l_extendedprice * (1 - l_discount)", 4)}) AS revenue_e4,
+       {_ssum("l_extendedprice * (1 - l_discount)", 4)} AS revenue_e4,
        COUNT(*) AS n_items
 FROM region
 JOIN nation ON r_regionkey = n_regionkey
@@ -212,7 +220,7 @@ def e1_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 E1_SQL = f"""
 SELECT user_id,
-       SUM(new_sess) + 1 AS n_sessions,
+       CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM (
   SELECT user_id,
@@ -248,7 +256,7 @@ E2_SQL = f"""
 SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
        event_type,
        COUNT(*) AS n,
-       SUM({_sq("value", 2)}) AS sum_value_e2
+       {_ssum("value", 2)} AS sum_value_e2
 FROM events
 GROUP BY 1, 2
 """
@@ -342,7 +350,7 @@ def g1_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 G1_SQL = f"""
 SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
        COALESCE(l_linestatus, 'ALL') AS l_linestatus,
-       SUM({_sq("l_quantity", 2)}) AS sum_qty_e2,
+       {_ssum("l_quantity", 2)} AS sum_qty_e2,
        COUNT(*) AS n
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -371,7 +379,7 @@ def g2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 G2_SQL = f"""
 SELECT COALESCE(event_type, 'ALL') AS event_type,
        COALESCE(dayname(ts), 'ALL') AS dow,
-       SUM({_sq("value", 2)}) AS sum_value_e2,
+       {_ssum("value", 2)} AS sum_value_e2,
        COUNT(*) AS n
 FROM events
 GROUP BY CUBE (event_type, dayname(ts))
@@ -449,7 +457,7 @@ def rj1_pre_purchase_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RJ1_SQL = f"""
 SELECT p.event_id AS purchase_id, COUNT(*) AS n_events,
-       SUM({_sq("e.value", 2)}) AS sum_value_e2
+       {_ssum("e.value", 2)} AS sum_value_e2
 FROM events p JOIN events e
   ON e.user_id = p.user_id
  AND epoch_us(e.ts) >= epoch_us(p.ts) - {RANGE_US}
@@ -531,7 +539,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q14_SQL = f"""
 SELECT p_type LIKE 'PROMO%' AS is_promo,
-       SUM({_sq("l_extendedprice * (1 - l_discount)", 4)}) AS revenue_e4,
+       {_ssum("l_extendedprice * (1 - l_discount)", 4)} AS revenue_e4,
        COUNT(*) AS n
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY 1
@@ -561,7 +569,7 @@ def j1_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 J1_SQL = """
 SELECT event_type,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
        COUNT(*) AS n
 FROM events
@@ -584,7 +592,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(f"""
-        SELECT SUM({_sq("l_extendedprice * l_discount", 4)}) AS revenue_e4,
+        SELECT {_ssum("l_extendedprice * l_discount", 4)} AS revenue_e4,
                COUNT(*) AS n
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -595,7 +603,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q6_SQL = f"""
-SELECT SUM({_sq("l_extendedprice * l_discount", 4)}) AS revenue_e4,
+SELECT {_ssum("l_extendedprice * l_discount", 4)} AS revenue_e4,
        COUNT(*) AS n
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'

@@ -27,11 +27,16 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+        # rejects unless nanosAsLong is on.  The conf is runtime-settable,
+        # and callers (e.g. a driver harness) may hand us a session they
+        # built themselves — so set it here, not only in our own factory.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet, surfaced as long nanos via
-        # spark.sql.legacy.parquet.nanosAsLong; truncate to micros (the
-        # same conversion DuckDB applies reading NANOS into TIMESTAMP).
+        # ts arrives as long nanos (via nanosAsLong); truncate to micros
+        # (the same conversion DuckDB applies reading NANOS into TIMESTAMP).
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -44,6 +44,10 @@ def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files.
     ts arrives as long nanos (same nanosAsLong contract as the batch
     loader) and is converted to a timestamp column."""
+    # Runtime-set for driver-owned sessions (same reason as
+    # sources.tables.load_table): events.ts is parquet TIMESTAMP(NANOS),
+    # readable only as long nanos with this legacy conf on.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
@@ -70,9 +74,20 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
 
 
 def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Streaming exact dedup on event_id with watermark-bounded state
-    (dropDuplicatesWithinWatermark shape)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    """Streaming exact dedup on event_id with watermark-bounded state.
+
+    ``dropDuplicatesWithinWatermark`` is the operator whose state the
+    watermark actually evicts: a key's entry is dropped once the
+    watermark passes its event time, so state is bounded by (event
+    rate x watermark delay).  Plain ``dropDuplicates([\"event_id\"])``
+    would NOT evict — without the event-time column in the subset its
+    keys live forever, growing state unboundedly on a real stream.
+    Duplicates farther apart than the watermark delay may both survive;
+    that is the documented trade for bounded state.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 SESSION_GAP_S = 1800

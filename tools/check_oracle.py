@@ -16,8 +16,22 @@ import pandas as pd
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod  # noqa: E402
-from pagerank_using_mapreduce_spark.session import get_spark  # noqa: E402
 from pagerank_using_mapreduce_spark.sources.tables import TABLES  # noqa: E402
+
+
+def bare_spark():
+    """A session like the DRIVER builds — deliberately NOT the repo's
+    get_spark factory, so any query that silently depends on a conf our
+    factory sets (the r01 nanosAsLong failure mode) fails here first."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[32]")
+        .appName("check_oracle")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -29,7 +43,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(app_name="check_oracle")
+    spark = bare_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -55,6 +69,16 @@ def main() -> int:
             status = f"COLS spark={sorted(sdf.columns)} duck={sorted(ddf.columns)}"
         else:
             a, b = canon(sdf), canon(ddf)
+            # dtype drift IS a failure: the driver hashes pandas values,
+            # so e.g. DuckDB HUGEINT→float64 hash-mismatches even when
+            # every value is numerically identical (the r01 SUM bug).
+            dt = [
+                (c, str(a[c].dtype), str(b[c].dtype))
+                for c in a.columns
+                if str(a[c].dtype) != str(b[c].dtype)
+            ]
+            if dt:
+                status = f"DTYPE {dt}"
             try:
                 pd.testing.assert_frame_equal(a, b, check_dtype=False)
             except AssertionError as exc:
