@@ -137,3 +137,12 @@ def test_pagerank_empty_corpus_yields_empty(spark):
     from pagerank_using_mapreduce_spark.operators.pagerank import pagerank
 
     assert pagerank(empty, iterations=3).count() == 0
+
+
+def test_pagerank_until_empty_corpus_yields_empty(spark):
+    from pagerank_using_mapreduce_spark.operators.pagerank import pagerank_until
+
+    empty = spark.createDataFrame([], "title string, links array<string>")
+    out = pagerank_until(empty, tol=1e-3, max_iterations=5)
+    assert out.count() == 0
+    assert set(out.columns) == {"title", "rank", "iterations"}

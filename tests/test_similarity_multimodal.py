@@ -79,6 +79,60 @@ def test_embedding_near_dups_planted_pairs(spark):
         assert r["cosine_e6"] >= 950_000
 
 
+def test_embedding_near_dups_cell_cap(spark):
+    """With a cap smaller than every label cell, the SRP refinement
+    path activates: the result must stay a subset of the uncapped
+    pairs (same scoring, narrower blocking) and still keep planted
+    pairs whose two vectors agree on the refinement bits — i.e. the
+    cap trades bounded cell size for recall, never correctness."""
+    from pagerank_using_mapreduce_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = {
+        (r["vec_a"], r["vec_b"]) for r in embedding_near_dups(emb).collect()
+    }
+    capped = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dups(emb, max_cell_rows=8).collect()
+    }
+    assert capped <= full
+    assert full, "uncapped run must find the planted pairs"
+    # determinism: the refined blocking is a pure row-value function
+    again = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dups(emb, max_cell_rows=8).collect()
+    }
+    assert capped == again
+
+
+def test_embedding_near_dups_default_cap_inactive_on_testdata(spark):
+    """On the shipped testdata no label cell exceeds MAX_CELL_ROWS, so
+    the default call must equal plain label blocking — the invariant
+    that keeps the DuckDB oracle exact."""
+    from pagerank_using_mapreduce_spark.operators.similarity import (
+        MAX_CELL_ROWS,
+        augment_embeddings,
+        embedding_near_dups,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sizes = [
+        r["cnt"]
+        for r in augment_embeddings(emb)
+        .groupBy("label")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    ]
+    assert max(sizes) <= MAX_CELL_ROWS
+    huge_cap = embedding_near_dups(emb, max_cell_rows=1_000_000_000)
+    assert sorted(map(tuple, embedding_near_dups(emb).collect())) == sorted(
+        map(tuple, huge_cap.collect())
+    )
+
+
 def test_global_position_matches_single_partition_window(spark):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
