@@ -27,11 +27,37 @@ from pyspark.sql import functions as F
 DEFAULT_SALTS = 16
 
 
+def _row_salt(
+    df: DataFrame, n_salts: int, stable_id: str | None
+) -> Column:
+    """Retry-deterministic salt in [0, n_salts).
+
+    Pure function of row values (not ``monotonically_increasing_id`` /
+    ``rand``, whose outputs depend on partition layout), so a retried
+    or recomputed task re-derives the identical salt — required for
+    exactly-once semantics under task retry.
+
+    With ``stable_id`` (a caller-supplied retry-stable row-id column,
+    e.g. a primary key): hash only that column — works for any schema
+    and spreads even byte-identical payload rows.  Without it: hash
+    ALL columns, with two documented caveats: (a) byte-identical
+    duplicate rows of a hot key collapse into ONE salt bucket, so the
+    spread silently degrades exactly when the hot key is dominated by
+    repeated identical rows; (b) ``F.hash`` raises an
+    AnalysisException for MapType columns (hashing maps is disallowed)
+    and pays per-row hashing of large array/struct payloads.  Pass a
+    stable id when either applies.
+    """
+    cols = [F.col(stable_id)] if stable_id else [F.col(c) for c in df.columns]
+    return F.pmod(F.hash(*cols), F.lit(n_salts))
+
+
 def salted_agg(
     df: DataFrame,
     key_cols: list[str],
     aggs: dict[str, str],
     n_salts: int = DEFAULT_SALTS,
+    stable_id: str | None = None,
 ) -> DataFrame:
     """Two-stage skew-safe aggregation.
 
@@ -39,18 +65,17 @@ def salted_agg(
     sum / count / min / max (the algebraic aggregates that re-combine
     losslessly: partial sums re-sum, counts re-sum, min/max re-min/max).
 
-    Stage 1 groups by (keys + a salt hashed from the FULL ROW VALUES)
-    so a hot key occupies up to ``n_salts`` reducer tasks; stage 2
-    recombines the partials per key.  Cost: one extra (tiny) shuffle
-    over the stage-1 output — rows ≤ distinct_keys × n_salts,
-    independent of input size.
+    Stage 1 groups by (keys + a retry-deterministic salt, see
+    :func:`_row_salt`) so a hot key occupies up to ``n_salts`` reducer
+    tasks; stage 2 recombines the partials per key.  Cost: one extra
+    (tiny) shuffle over the stage-1 output — rows ≤ distinct_keys ×
+    n_salts, independent of input size.
 
-    The salt is a pure function of row values (not
-    ``monotonically_increasing_id``/``rand``, whose outputs depend on
-    partition layout), so a retried or recomputed task re-derives the
-    identical salt — required for exactly-once semantics under task
-    retry.  Identical duplicate rows share a salt; that only narrows
-    the spread when the hot key is dominated by byte-identical rows.
+    Salt caveats (full detail in :func:`_row_salt`): without
+    ``stable_id`` the salt hashes all columns, so byte-identical
+    duplicate rows share a bucket (no spread on identical-row hot keys)
+    and MapType columns are unsupported; pass a retry-stable row-id
+    column to avoid both.
     """
     recombine = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     stage1_exprs, stage2_exprs = [], []
@@ -63,7 +88,7 @@ def salted_agg(
         first = F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col)
         stage1_exprs.append(first.alias(f"_p_{out}"))
         stage2_exprs.append(recombine[fn](f"_p_{out}").alias(out))
-    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    salt = _row_salt(df, n_salts, stable_id)
     return (
         df.withColumn("_salt", salt)
         .groupBy(*key_cols, "_salt")
@@ -79,16 +104,25 @@ def salted_join(
     on: str,
     n_salts: int = DEFAULT_SALTS,
     how: str = "inner",
+    stable_id: str | None = None,
 ) -> DataFrame:
     """Skew-safe equi join: salt the skewed side, replicate the other
     side ``n_salts``× (explode over the salt domain), join on
     (key, salt).  The hot key's rows spread across ``n_salts`` tasks
     instead of one.  Use when the small side is too big to broadcast
     but replication ×n_salts is still cheap; otherwise just broadcast.
-    The salt hashes the row's values (retry-deterministic, see
-    :func:`salted_agg`).
+
+    The salt is retry-deterministic (:func:`_row_salt`), with the same
+    caveats as :func:`salted_agg` spelled out here too: without
+    ``stable_id`` it hashes ALL columns of the skewed side, so (a)
+    byte-identical duplicate rows of a hot key land in ONE salt bucket
+    — the skew mitigation silently degrades to no spread exactly in
+    the "hot key with repeated identical rows" case — and (b) MapType
+    columns raise and big array/struct payloads pay per-row hashing.
+    Pass a retry-stable row-id column (``stable_id``) when either
+    applies.
     """
-    salt = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(n_salts))
+    salt = _row_salt(skewed, n_salts, stable_id)
     left = skewed.withColumn("_salt", salt)
     right = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
@@ -102,20 +136,28 @@ def write_bucketed(
     table: str,
     key: str,
     n_buckets: int = 32,
+    drop_stale_location: bool = False,
 ) -> None:
     """Persist bucketed+sorted on the join key; subsequent equi joins
     between tables bucketed the same way need no exchange and no sort.
 
-    Idempotent across sessions: with the default in-memory catalog the
-    table registration dies with the session but its warehouse files
-    survive, and ``saveAsTable`` refuses a fresh table over a stale
-    location — so drop both first (local-filesystem warehouses only;
-    on a cluster with a persistent metastore the DROP alone suffices).
+    ``drop_stale_location=True`` additionally rmtree's the table's
+    local-warehouse directory before writing.  That is an explicit
+    opt-in for in-memory-catalog sessions (tests, local runs), where
+    the table registration dies with the session but its warehouse
+    files survive and ``saveAsTable`` refuses a fresh table over the
+    stale location.  It requires a LOCAL-FILESYSTEM warehouse and is
+    refused otherwise; on a cluster with a persistent metastore leave
+    it off — the DROP TABLE alone is correct there.
     """
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS `{table}`")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    if wh.startswith("file:") or "://" not in wh:
+    if drop_stale_location:
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        if not (wh.startswith("file:") or "://" not in wh):
+            raise ValueError(
+                f"drop_stale_location requires a local warehouse, got {wh!r}"
+            )
         import shutil
 
         local = wh.removeprefix("file:")

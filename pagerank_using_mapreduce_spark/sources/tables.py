@@ -32,6 +32,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # rejects unless nanosAsLong is on.  The conf is runtime-settable,
         # and callers (e.g. a driver harness) may hand us a session they
         # built themselves — so set it here, not only in our own factory.
+        # PERSISTENT SESSION SIDE EFFECT (deliberate): the conf stays on
+        # for the session's lifetime, so any later parquet read in this
+        # session surfaces TIMESTAMP(NANOS) columns as long nanos.  It
+        # cannot be restored after this call — the scan consults the
+        # conf at EXECUTION time, so flipping it back would fail the
+        # (lazy) read we just planned.  The only nanos-typed testdata
+        # column is events.ts, which this loader already converts.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":

@@ -40,15 +40,29 @@ def stage_table_dir(sf_dir: str, table: str = "events") -> str:
     return d
 
 
-def read_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over a directory of events parquet files.
     ts arrives as long nanos (same nanosAsLong contract as the batch
-    loader) and is converted to a timestamp column."""
+    loader) and is converted to a timestamp column.
+
+    ``max_files_per_trigger`` caps files per micro-batch — the test
+    harness uses it to force multi-batch (and out-of-order) delivery
+    from a static directory."""
     # Runtime-set for driver-owned sessions (same reason as
     # sources.tables.load_table): events.ts is parquet TIMESTAMP(NANOS),
     # readable only as long nanos with this legacy conf on.
+    # PERSISTENT SESSION SIDE EFFECT (deliberate, same as load_table):
+    # the conf stays on for the session — micro-batches consult it at
+    # execution time, so restoring it after planning would break the
+    # stream.  Later parquet reads in this session see NANOS columns
+    # as longs; events.ts is the only such testdata column.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(events_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -92,7 +106,23 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
 
 SESSION_GAP_S = 1800
 _SESSION_OUT_SCHEMA = "user_id long, n_sessions long, n_events long"
-_SESSION_STATE_SCHEMA = "last_us long, n_sessions long, n_events long"
+_SESSION_STATE_SCHEMA = "starts array<long>, ends array<long>, n_events long"
+
+
+def _merge_intervals(
+    starts: np.ndarray, ends: np.ndarray, gap_us: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge [start, end] intervals whose gap is <= gap_us (vectorized;
+    inputs need not be sorted).  Pure function so the cross-batch fold
+    is unit-testable without a streaming harness."""
+    order = np.argsort(starts, kind="stable")
+    starts, ends = starts[order], ends[order]
+    cummax_end = np.maximum.accumulate(ends)
+    # strictly-greater gap opens a new session — same strictness as the
+    # batch twin's `ts - lag(ts) > gap`
+    brk = np.concatenate(([True], starts[1:] > cummax_end[:-1] + gap_us))
+    idx = np.flatnonzero(brk)
+    return starts[idx], np.maximum.reduceat(ends, idx)
 
 
 def sessionize_stream(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
@@ -100,6 +130,21 @@ def sessionize_stream(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFram
     ``gap_s`` inactivity gap, state carried across micro-batches.
 
     Batch-equivalent: plans.relational.e1_sessions (lag + running sum).
+
+    Cross-batch ordering: the fold is ORDER-INSENSITIVE.  State is the
+    user's merged session intervals (start/end event-time arrays), and
+    each batch's event times are merged in as point intervals — so a
+    late event arriving in a later micro-batch lands in (or bridges,
+    or opens) exactly the session it would have produced in a single
+    sorted batch.  Any partition of the events into micro-batches, in
+    any order, yields the same final (n_sessions, n_events).
+
+    State size: O(#sessions per user), not O(#events) — bounded by the
+    user's activity span / gap, and by construction can only shrink as
+    sessions merge.  A production variant would additionally seal and
+    emit intervals older than a watermark (they can no longer change)
+    to cap state for unbounded retention; with NoTimeout here, totals
+    stay exact and re-emittable every batch.
     """
     gap_us = gap_s * 1_000_000
 
@@ -107,25 +152,26 @@ def sessionize_stream(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFram
         key: tuple, pdfs, state: GroupState
     ):
         if state.exists:
-            last_us, n_sessions, n_events = state.get
+            starts, ends, n_events = state.get
+            starts = np.asarray(starts, dtype=np.int64)
+            ends = np.asarray(ends, dtype=np.int64)
         else:
-            last_us, n_sessions, n_events = None, 0, 0
+            starts = np.empty(0, dtype=np.int64)
+            ends = np.empty(0, dtype=np.int64)
+            n_events = 0
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            us = np.sort(pdf["ts"].astype("int64").to_numpy() // 1000)
-            # sentinel guarantees the first-ever event opens a session
-            # without risking int64 overflow in the subtraction
-            first_prev = last_us if last_us is not None else us[0] - gap_us - 1
-            prev = np.concatenate(([first_prev], us[:-1]))
-            n_sessions += int((us - prev > gap_us).sum())
+            us = pdf["ts"].astype("int64").to_numpy() // 1000
+            starts = np.concatenate([starts, us])
+            ends = np.concatenate([ends, us])
+            starts, ends = _merge_intervals(starts, ends, gap_us)
             n_events += len(us)
-            last_us = int(us[-1])
-        state.update((last_us, n_sessions, n_events))
+        state.update((starts.tolist(), ends.tolist(), n_events))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
-                "n_sessions": [n_sessions],
+                "n_sessions": [len(starts)],
                 "n_events": [n_events],
             }
         )

@@ -39,6 +39,35 @@ def test_salted_agg_equals_plain_groupby(spark):
     )
 
 
+def test_salted_agg_with_stable_id(spark):
+    # stable_id salt: spreads byte-identical payload rows of a hot key
+    # and stays result-identical to the plain groupBy
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "event_id", "event_type", F.floor(F.col("value") * 100).alias("v")
+    )
+    plain = ev.groupBy("event_type").agg(
+        F.sum("v").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    salted = salted_agg(
+        ev,
+        ["event_type"],
+        {"total": "sum(v)", "n": "count(v)"},
+        n_salts=8,
+        stable_id="event_id",
+    )
+    assert _sorted(salted.select("event_type", "total", "n")) == _sorted(
+        plain.select("event_type", "total", "n")
+    )
+    # the id-derived salt actually spreads one hot key over many buckets
+    from pagerank_using_mapreduce_spark.operators.scale import _row_salt
+
+    hot = ev.where(F.col("event_type") == "click")
+    n_buckets = (
+        hot.select(_row_salt(hot, 8, "event_id").alias("s")).distinct().count()
+    )
+    assert n_buckets > 1
+
+
 def test_salted_join_equals_plain_join(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "user_id")
     users = (
@@ -59,12 +88,17 @@ def test_bucketed_join_has_no_exchange(spark):
     li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
         "l_orderkey", "l_quantity"
     )
-    write_bucketed(orders, "t_orders_b", "o_orderkey", n_buckets=8)
+    # drop_stale_location: explicit opt-in for in-memory-catalog sessions
+    # whose warehouse files outlive the table registration
+    write_bucketed(
+        orders, "t_orders_b", "o_orderkey", n_buckets=8, drop_stale_location=True
+    )
     write_bucketed(
         li.withColumnRenamed("l_orderkey", "o_orderkey"),
         "t_lineitem_b",
         "o_orderkey",
         n_buckets=8,
+        drop_stale_location=True,
     )
     joined = read_bucketed(spark, "t_orders_b").join(
         read_bucketed(spark, "t_lineitem_b"), "o_orderkey"

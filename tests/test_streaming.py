@@ -50,6 +50,91 @@ def test_streaming_sessionize_matches_batch(spark, events_dir):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_merge_intervals_order_insensitive():
+    """The sessionizer's cross-batch fold is a pure interval merge:
+    any partition of the events into batches, in any order, must give
+    the same sessions as one sorted batch."""
+    import numpy as np
+
+    from pagerank_using_mapreduce_spark.streaming.events import _merge_intervals
+
+    gap = 10
+    # sessions (sorted view): [0,5], [20,28], [100,100]
+    all_ts = np.array([0, 5, 20, 25, 28, 100], dtype=np.int64)
+
+    def fold(batches):
+        s = np.empty(0, dtype=np.int64)
+        e = np.empty(0, dtype=np.int64)
+        for b in batches:
+            b = np.asarray(b, dtype=np.int64)
+            s, e = _merge_intervals(
+                np.concatenate([s, b]), np.concatenate([e, b]), gap
+            )
+        return s.tolist(), e.tolist()
+
+    want = fold([all_ts])
+    assert want == ([0, 20, 100], [5, 28, 100])
+    # late batch arrives after a newer one (out of event-time order)
+    assert fold([[20, 25, 28, 100], [0, 5]]) == want
+    # a late event BRIDGES two previously-separate sessions
+    s, e = fold([[0, 5], [20, 28]])
+    assert len(s) == 2
+    assert fold([[0, 5], [20, 28], [12]]) == ([0], [28])
+    # singleton batches in reverse order
+    assert fold([[t] for t in reversed(all_ts.tolist())]) == want
+
+
+def test_streaming_sessionize_out_of_order_batches(spark, tmp_path):
+    """Two micro-batches delivered out of event-time order (the late
+    half of the table first) must still converge to the batch twin's
+    totals — the r02 verdict's cross-batch ordering gap."""
+    from pagerank_using_mapreduce_spark.streaming import events as se
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    mid = ev.selectExpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ts)").first()[0]
+    d = tmp_path / "ooo_events"
+    d.mkdir()
+    # file source orders batches by modification time: write LATE half
+    # first so batch 0 = newest events, batch 1 = oldest (out of order)
+    import os
+    import time
+
+    ev.where(F.col("ts") > mid).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "late")
+    )
+    ev.where(F.col("ts") <= mid).coalesce(1).write.mode("overwrite").parquet(
+        str(d / "early")
+    )
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    for i, sub in enumerate(["late", "early"]):
+        src = next((d / sub).glob("*.parquet"))
+        dst = staged / f"batch{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() - 100 + i, time.time() - 100 + i))
+
+    stream = se.sessionize_stream(
+        se.read_event_stream(spark, str(staged), max_files_per_trigger=1)
+    )
+    latest: dict[int, tuple[int, int]] = {}
+    batches: list[int] = []
+
+    def collect(df, batch_id):
+        rows = df.collect()
+        if rows:
+            batches.append(batch_id)
+        for r in rows:
+            latest[r["user_id"]] = (r["n_sessions"], r["n_events"])
+
+    se.run_foreach_batch(stream, collect, output_mode="update")
+    assert len(batches) >= 2, "expected multiple micro-batches"
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in e1_sessions(spark, SF).collect()
+    }
+    assert latest == want
+
+
 def test_stream_dedup_keeps_distinct_event_ids(spark, events_dir):
     stream = stream_dedup(read_event_stream(spark, events_dir))
     got = run_available_now(
