@@ -188,6 +188,265 @@ def ivf_topk(
 
 
 # ---------------------------------------------------------------------------
+# IVF with a LEARNED coarse quantizer (deterministic seeded k-means)
+# ---------------------------------------------------------------------------
+
+KM_CELLS = 8
+KM_ITERS = 2
+KM_NPROBE = 2
+
+
+def _as_double(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+
+
+def _quantized_mean_centroids(assigned: DataFrame) -> DataFrame:
+    """assigned(cell, emb) → (cell, centroid): per-dimension means,
+    each quantized to the e6 grid so the (summation-order-dependent)
+    float mean cannot leak engine noise into the next assignment round.
+    Empty cells simply drop out (a centroid only exists for a cell with
+    members), so no null/zero-vector centroid can arise."""
+    pe = F.posexplode(F.col("emb"))
+    comp = assigned.select("cell", pe.alias("dim", "val"))
+    return (
+        comp.groupBy("cell", "dim")
+        .agg(
+            (
+                F.floor(
+                    (F.sum(F.col("val")) / F.count("*")) * 1e6 + F.lit(0.5000001)
+                )
+                / 1e6
+            ).alias("cval")
+        )
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("pairs"))
+        .select(
+            "cell",
+            F.transform(F.col("pairs"), lambda p: p.getField("cval")).alias("centroid"),
+        )
+    )
+
+
+def _assign_cells(base: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest centroid by e6-quantized cosine, smallest
+    cell id as the deterministic tiebreak.  One broadcast of the (tiny)
+    centroid table against the collection scan, then a map-side-partial
+    ``max_by`` aggregate — the collection itself never shuffles more
+    than its (vec_id, cell) projection."""
+    scored = base.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "cell",
+        F.floor(
+            cosine(F.col("emb"), F.col("centroid")) * 1e6 + F.lit(0.5000001)
+        )
+        .cast("long")
+        .alias("cell_score"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.expr("max_by(cell, struct(cell_score, -cell))").alias("cell")
+    )
+
+
+def kmeans_centroids(
+    base: DataFrame, k_cells: int = KM_CELLS, iters: int = KM_ITERS
+) -> DataFrame:
+    """(cell, centroid): deterministic seeded Lloyd k-means.
+
+    Seeding: the ``k_cells`` vectors that sort first by
+    ``(md5(vec_id), vec_id)`` — a pseudo-random but engine-portable and
+    retry-stable choice (the same md5 determinism trick as the minhash
+    family).  Each Lloyd round is assign (broadcast + max_by) → new
+    quantized per-dim means; quantization makes every round's output
+    bit-identical across engines, so the DuckDB twin replays the exact
+    same trajectory.
+
+    Scale notes: centroids are O(k_cells × dim) — always broadcast.
+    The global seed ordering is the only non-sampled step; production
+    seeds from a bounded sample (seed quality only affects recall, not
+    correctness).  Lloyd cost per round is one collection scan + a
+    (cell, dim)-keyed partial aggregate, rows ≤ k_cells × dim per
+    partition after map-side combine.
+    """
+    seeds = (
+        base.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(k_cells)
+        .coalesce(1)
+        .select(
+            "vec_id",
+            "emb",
+            F.row_number()
+            .over(
+                Window.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+            )
+            .alias("rn"),
+        )
+        .select((F.col("rn") - 1).cast("int").alias("cell"), F.col("emb").alias("centroid"))
+    )
+    cent = seeds
+    for _ in range(iters):
+        assigned = (
+            _assign_cells(base, cent).join(base, "vec_id").select("cell", "emb")
+        )
+        cent = _quantized_mean_centroids(assigned)
+    return cent
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    k_cells: int = KM_CELLS,
+    iters: int = KM_ITERS,
+    nprobe: int = KM_NPROBE,
+) -> DataFrame:
+    """Approximate top-k with a LEARNED coarse quantizer: k-means cells
+    replace :func:`ivf_topk`'s fixed-cardinality ``label`` cells — the
+    production IVF shape, closing the r02 caveat that label cells grow
+    O(n).
+
+    Sizing rule: ``k_cells`` should scale ∝ √n (the classic IVF
+    balance: probe cost ≈ nprobe·n/ncells rows + ncells centroid
+    scores, minimized at ncells ≈ √(nprobe·n)); 8 cells suit the ~10³
+    test collection, 10⁹ vectors want ~10⁴–10⁵ cells.  Recall is
+    tunable by ``nprobe`` at fixed cost ∝ nprobe/ncells of the
+    collection.
+    """
+    base = _as_double(embeddings)
+    cent = kmeans_centroids(base, k_cells, iters)
+    cells = _assign_cells(base, cent)
+    queries = base.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("q_emb")
+    )
+    qc = queries.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "q_emb",
+        "cell",
+        F.floor(
+            cosine(F.col("q_emb"), F.col("centroid")) * 1e6 + F.lit(0.5000001)
+        )
+        .cast("long")
+        .alias("cell_score"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cell_score"), F.asc("cell"))
+    probe = (
+        qc.withColumn("cell_rank", F.row_number().over(wq))
+        .where(F.col("cell_rank") <= nprobe)
+        .select("query_id", "q_emb", "cell")
+    )
+    scored = (
+        base.join(cells, "vec_id")
+        .alias("bc")
+        .join(
+            F.broadcast(probe.alias("p")),
+            (F.col("bc.cell") == F.col("p.cell"))
+            & (F.col("bc.vec_id") != F.col("p.query_id")),
+        )
+        .select(
+            F.col("p.query_id").alias("query_id"),
+            F.col("bc.vec_id").alias("vec_id"),
+            F.floor(
+                cosine(F.col("p.q_emb"), F.col("bc.emb")) * 1e6 + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("cosine_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_e6"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine_e6")
+    )
+
+
+def _km_cosine_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(FLOOR(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))) "
+        f"* 1e6 + 0.5000001) AS BIGINT)"
+    )
+
+
+def _ivf_kmeans_sql(
+    k: int = TOP_K,
+    k_cells: int = KM_CELLS,
+    iters: int = KM_ITERS,
+    nprobe: int = KM_NPROBE,
+) -> str:
+    """DuckDB twin of :func:`ivf_kmeans_topk`: the Lloyd rounds are
+    unrolled as chained CTEs (same pattern as the PageRank oracle), so
+    the oracle replays the identical quantized k-means trajectory."""
+    ctes = [
+        "base AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"""cent0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS INTEGER) AS cell,
+         emb AS centroid
+  FROM (SELECT vec_id, emb FROM base ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k_cells})
+)""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(f"""a{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT b.vec_id, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {_km_cosine_sql("b.emb", "c.centroid")} DESC, c.cell ASC) AS rn
+    FROM base b, cent{t - 1} c
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"""cent{t} AS MATERIALIZED (
+  SELECT cell, list(FLOOR(cval * 1e6 + 0.5000001) / 1e6 ORDER BY dim) AS centroid
+  FROM (
+    SELECT cell, u.dim AS dim, SUM(u.val) / COUNT(*) AS cval FROM (
+      SELECT a.cell, unnest(list_transform(b.emb, (x, i) -> {{'dim': i - 1, 'val': x}})) AS u
+      FROM a{t} a JOIN base b USING (vec_id)
+    ) GROUP BY cell, u.dim
+  ) GROUP BY cell
+)""")
+    final = f"cent{iters}"
+    ctes.append(f"""cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT b.vec_id, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {_km_cosine_sql("b.emb", "c.centroid")} DESC, c.cell ASC) AS rn
+    FROM base b, {final} c
+  ) WHERE rn = 1
+)""")
+    ctes.append(f"""q AS (
+  SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id < {N_QUERIES}
+)""")
+    ctes.append(f"""probe AS (
+  SELECT query_id, q_emb, cell FROM (
+    SELECT q.query_id, q.q_emb, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_km_cosine_sql("q.q_emb", "c.centroid")} DESC, c.cell ASC) AS cell_rank
+    FROM q, {final} c
+  ) WHERE cell_rank <= {nprobe}
+)""")
+    ctes.append(f"""scored AS (
+  SELECT p.query_id, b.vec_id,
+         {_km_cosine_sql("p.q_emb", "b.emb")} AS cosine_e6
+  FROM base b JOIN cells ON cells.vec_id = b.vec_id
+  JOIN probe p ON p.cell = cells.cell AND b.vec_id != p.query_id
+)""")
+    joined_ctes = ",\n".join(ctes)
+    return f"""WITH {joined_ctes}
+SELECT query_id, rank, vec_id, cosine_e6 FROM (
+  SELECT query_id, vec_id, cosine_e6,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine_e6 DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}"""
+
+
+IVF_KMEANS_SQL = _ivf_kmeans_sql()
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs (label-blocked)
 # ---------------------------------------------------------------------------
 
@@ -251,11 +510,18 @@ def embedding_near_dups(
     is O(max_cell_rows²) regardless of total data volume.  The
     refinement key is the deterministic md5-derived SRP bucket
     (:func:`srp_buckets`), identical across engines and across runs.
-    Cells at or under the cap use zero refinement bits — on data where
-    no cell exceeds the cap the output is bit-identical to plain label
-    blocking, which is what the DuckDB oracle states (the shipped
-    testdata satisfies this; tests assert it and exercise the refined
-    path with a tiny cap).
+    Refinement depth is clamped at ``SRP_REFINE_PLANES`` bits, so the
+    invariant holds up to ``max_cell_rows * 2**SRP_REFINE_PLANES``
+    rows per label (cap 4096 × 2¹⁶ ≈ 2.7e8); past that, raise
+    ``SRP_REFINE_PLANES`` (each extra plane doubles the bound).
+
+    Common-case fast path: one tiny aggregate action first reads the
+    max cell size; when NO cell exceeds the cap (the expected state
+    with a well-sized quantizer, and what the shipped testdata
+    satisfies), the SRP bucket computation and its groupBy/join are
+    skipped entirely — the plan is plain label blocking, bit-identical
+    to what the DuckDB oracle states.  Tests assert that equivalence
+    and exercise the refined path with a tiny cap.
 
     Trade-off (documented, standard for blocked dedup): a near-dup pair
     split across cells — by label or, in an oversized cell, by an SRP
@@ -263,11 +529,15 @@ def embedding_near_dups(
     widening the join.
     """
     e = augment_embeddings(embeddings)
-    # Per-label refinement depth: one tiny row per cell, broadcast back.
-    rbits = (
-        e.groupBy("label")
-        .agg(F.count("*").alias("cnt"))
-        .select(
+    # Per-label cell sizes: one tiny aggregate, also used to decide the
+    # fast path (max over it is one scalar action on ncells rows).
+    counts = e.groupBy("label").agg(F.count("*").alias("cnt"))
+    max_cell = counts.agg(F.max("cnt")).first()[0] or 0
+    if max_cell <= max_cell_rows:
+        # fast path: no oversized cell → no SRP refinement work at all
+        e = e.select("vec_id", "label", "emb", F.lit(0).alias("subcell"))
+    else:
+        rbits = counts.select(
             "label",
             F.when(F.col("cnt") <= max_cell_rows, F.lit(0))
             .otherwise(
@@ -279,23 +549,24 @@ def embedding_near_dups(
             .cast("int")
             .alias("rbits"),
         )
-    )
-    buckets = srp_buckets(
-        e.select("vec_id", F.col("emb").alias("embedding")), SRP_REFINE_PLANES
-    )
-    e = (
-        e.join(F.broadcast(rbits), "label")
-        .join(buckets, "vec_id")
-        .select(
-            "vec_id",
-            "label",
-            "emb",
-            # low `rbits` SRP bits of the bucket; 0 when no refinement
-            # (python-side shiftleft needs a literal count; SQL's takes
-            # a column — same workaround as srp_buckets)
-            F.expr("pmod(bucket, shiftleft(1L, rbits))").cast("long").alias("subcell"),
+        buckets = srp_buckets(
+            e.select("vec_id", F.col("emb").alias("embedding")), SRP_REFINE_PLANES
         )
-    )
+        e = (
+            e.join(F.broadcast(rbits), "label")
+            .join(buckets, "vec_id")
+            .select(
+                "vec_id",
+                "label",
+                "emb",
+                # low `rbits` SRP bits of the bucket; 0 when no refinement
+                # (python-side shiftleft needs a literal count; SQL's takes
+                # a column — same workaround as srp_buckets)
+                F.expr("pmod(bucket, shiftleft(1L, rbits))")
+                .cast("long")
+                .alias("subcell"),
+            )
+        )
     pairs = (
         e.alias("a")
         .join(

@@ -22,10 +22,12 @@ from ..operators.multimodal import (
 from ..operators.similarity import (
     COSINE_TOPK_SQL,
     EMBEDDING_NEAR_DUP_SQL,
+    IVF_KMEANS_SQL,
     IVF_TOPK_SQL,
     SRP_LSH_SQL,
     cosine_topk,
     embedding_near_dups,
+    ivf_kmeans_topk,
     ivf_topk,
     srp_lsh_near_dups,
 )
@@ -72,6 +74,14 @@ def q_x5_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_x6_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_x21_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a learned (deterministic seeded k-means) coarse
+    quantizer — the oracle replays the identical quantized Lloyd
+    trajectory via unrolled CTEs, so this hash-checks the k-means
+    itself, not just the final scan."""
+    return ivf_kmeans_topk(load_table(spark, sf_dir, "embeddings"))
 
 
 def q_x7_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,6 +287,7 @@ EXTENSION_QUERIES = {
     "x18_features": q_x18_features,
     "x19_sharded_index": q_x19_sharded_index,
     "x20_srp_lsh_near_dups": q_x20_srp_lsh_near_dups,
+    "x21_ivf_kmeans": q_x21_ivf_kmeans,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
@@ -307,6 +318,7 @@ EXTENSION_ORACLE = {
     "x18_features": FEATURES_SQL,
     "x19_sharded_index": X19_SQL,
     "x20_srp_lsh_near_dups": SRP_LSH_SQL,
+    "x21_ivf_kmeans": IVF_KMEANS_SQL,
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,

@@ -209,3 +209,29 @@ def test_srp_lsh_subset_of_exhaustive(spark):
     # planted pairs share the label, so exhaustive ⊇ all true pairs here
     assert lsh <= exhaustive
     assert len(lsh) / len(exhaustive) >= 0.3  # recall floor at 8 planes
+
+
+def test_ivf_kmeans_recall_and_determinism(spark):
+    """The learned-quantizer IVF must (a) be bit-deterministic across
+    runs (seeded md5 init + e6-quantized Lloyd rounds), (b) reach a
+    usable recall of the brute-force top-k at nprobe=2/8 cells, and
+    (c) return exact brute-force results when probing every cell."""
+    from pagerank_using_mapreduce_spark.operators.similarity import (
+        TOP_K,
+        cosine_topk,
+        ivf_kmeans_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {(r["query_id"], r["vec_id"]) for r in ivf_kmeans_topk(emb).collect()}
+    b = {(r["query_id"], r["vec_id"]) for r in ivf_kmeans_topk(emb).collect()}
+    assert a == b
+    brute = {(r["query_id"], r["vec_id"]) for r in cosine_topk(emb).collect()}
+    assert len(a & brute) / len(brute) >= 0.3  # recall floor at nprobe=2
+    # probing all cells makes IVF exhaustive -> exact brute-force match
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_kmeans_topk(emb, nprobe=8).collect()
+    }
+    assert full == brute
+    assert all(len({q for q, _ in s}) == 5 and len(s) == 5 * TOP_K for s in (a, full))
