@@ -98,12 +98,19 @@ edges AS MATERIALIZED (
 )"""
 
 
-def _rank_ctes(iterations: int) -> str:
+def _rank_ctes(iterations: int, materialized: bool = False) -> str:
     """r0..r{k}: the unrolled PageRank recurrence (the reference's fixed
-    10-iteration loop, PageRankAlgorithm.java:96-114) as chained CTEs."""
+    10-iteration loop, PageRankAlgorithm.java:96-114) as chained CTEs.
+
+    ``materialized`` forces MATERIALIZED per level — required whenever a
+    level is referenced more than once (the converged oracle reads each
+    r{k} from the next level, the delta computation, AND the levels
+    union; DuckDB inlines plain CTEs per reference, which re-expands the
+    whole chain exponentially)."""
+    m = "MATERIALIZED " if materialized else ""
     ctes = ["r0 AS (SELECT title, 1.0 / (SELECT n FROM np) AS rank FROM pages)"]
     for k in range(1, iterations + 1):
-        ctes.append(f"""r{k} AS (
+        ctes.append(f"""r{k} AS {m}(
   SELECT p.title, 0.15 + 0.85 * COALESCE(c.mass, 0.0) AS rank
   FROM pages p
   LEFT JOIN (
@@ -237,8 +244,10 @@ def q_o1_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_i1_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Convergence-terminated PageRank (extension — the reference is
-    fixed-10).  No SQL oracle: the iteration count is data-dependent,
-    so the driver records the rows-only check (contract docstring)."""
+    fixed-10).  Oracle: the recurrence unrolled to an upper bound with
+    the stop rule (first round with max |Δrank| < tol) evaluated in
+    SQL (:func:`_rank_converged_sql`), so even the data-dependent
+    iteration count is hash-checked."""
     from ..operators.pagerank import pagerank_until
 
     out = pagerank_until(_pages(spark, sf_dir), tol=2e-3)
@@ -256,8 +265,10 @@ def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cc_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixpoint connected components (true components; rows-only —
-    the iteration count is data-dependent)."""
+    """Fixpoint connected components (true components).  Oracle:
+    hash-min propagation unrolled to an upper bound with the
+    zero-changes stop rule evaluated in SQL (:func:`_cc_converged_sql`)
+    — integer-only comparisons, no float boundary risk."""
     from ..operators.graph import connected_components_until
 
     return connected_components_until(_pages(spark, sf_dir))
@@ -327,10 +338,11 @@ _SYM_CTE = """sym AS MATERIALIZED (
 )"""
 
 
-def _cc_ctes(iterations: int) -> str:
+def _cc_ctes(iterations: int, materialized: bool = False) -> str:
+    m = "MATERIALIZED " if materialized else ""
     ctes = ["c0 AS (SELECT title, title AS component FROM pages)"]
     for k in range(1, iterations + 1):
-        ctes.append(f"""c{k} AS (
+        ctes.append(f"""c{k} AS {m}(
   SELECT t.title,
          LEAST(l.component, COALESCE(n.neigh, l.component)) AS component
   FROM pages t
@@ -348,6 +360,57 @@ def _rank_sql(iterations: int) -> str:
     return f"""WITH {_PAGES_CTES},
 {_rank_ctes(iterations)}
 SELECT title, {_sql_e6('rank')} AS rank_e6 FROM r{iterations}"""
+
+
+def _levels_union(prefix: str, kmax: int, cols: str) -> str:
+    return "\n  UNION ALL ".join(
+        f"SELECT {k} AS k, {cols} FROM {prefix}{k}" for k in range(1, kmax + 1)
+    )
+
+
+def _rank_converged_sql(tol: float, kmax: int) -> str:
+    """Oracle for the data-dependent convergence loop (pagerank_until):
+    unroll the recurrence to an upper bound ``kmax`` (observed
+    convergence is 9 rounds at sf0.001/0.01 for tol=2e-3), compute each
+    round's max |Δrank|, and select the FIRST round below ``tol`` —
+    exactly the operator's stop rule.  If convergence needed more than
+    ``kmax`` rounds the conv scalar is NULL and the oracle returns zero
+    rows, failing the row-count check loudly rather than silently."""
+    diffs = "\n  UNION ALL ".join(
+        f"SELECT {k} AS k, (SELECT MAX(ABS(a.rank - b.rank)) "
+        f"FROM r{k} a JOIN r{k - 1} b USING (title)) AS delta"
+        for k in range(1, kmax + 1)
+    )
+    return f"""WITH {_PAGES_CTES},
+{_rank_ctes(kmax, materialized=True)},
+d AS ({diffs}),
+conv AS (SELECT MIN(k) AS it FROM d WHERE delta < {tol!r}),
+levels AS ({_levels_union("r", kmax, "title, rank")})
+SELECT title, {_sql_e6('rank')} AS rank_e6,
+       CAST((SELECT it FROM conv) AS INTEGER) AS iterations
+FROM levels WHERE k = (SELECT it FROM conv)"""
+
+
+def _cc_converged_sql(kmax: int) -> str:
+    """Oracle for connected_components_until: unroll hash-min
+    propagation to ``kmax`` (observed fixpoint: 11 rounds), find the
+    first round with ZERO label changes (the operator's stop rule —
+    pure integer comparisons, no float boundary risk), and emit that
+    round's labels."""
+    changes = "\n  UNION ALL ".join(
+        f"SELECT {k} AS k, (SELECT COUNT(*) FROM c{k} a JOIN c{k - 1} b USING (title) "
+        f"WHERE a.component != b.component) AS changed"
+        for k in range(1, kmax + 1)
+    )
+    return f"""WITH {_PAGES_CTES},
+{_SYM_CTE},
+{_cc_ctes(kmax, materialized=True)},
+ch AS ({changes}),
+conv AS (SELECT MIN(k) AS it FROM ch WHERE changed = 0),
+levels AS ({_levels_union("c", kmax, "title, component")})
+SELECT title, component,
+       CAST((SELECT it FROM conv) AS INTEGER) AS iterations
+FROM levels WHERE k = (SELECT it FROM conv)"""
 
 
 _CORE_ORACLE: dict[str, str] = {
@@ -375,6 +438,8 @@ SELECT title,
 FROM pages""",
     "i1_pagerank2": _rank_sql(2),
     "i1_pagerank10": _rank_sql(10),
+    "i1_pagerank_converged": _rank_converged_sql(tol=2e-3, kmax=25),
+    "cc_converged": _cc_converged_sql(kmax=25),
     "o1_ranking": f"""WITH {_PAGES_CTES},
 {_rank_ctes(10)},
 rounded AS (SELECT title, {_sql_e6('rank')} AS rank_e6 FROM r10)
