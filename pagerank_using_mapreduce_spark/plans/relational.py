@@ -547,6 +547,53 @@ GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# Q18-style large-volume orders: aggregate → HAVING → join back — the
+# one relational shape the other queries don't cover (filtering on an
+# aggregate BEFORE joining dimensions).  The HAVING runs on the
+# aggregated (small) relation, so the expensive joins only see the
+# ~0.5% of orders that survive.
+# --------------------------------------------------------------------------
+
+LARGE_ORDER_QTY_E2 = 300 * 100  # sum(l_quantity) > 300, in e2 units
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.select("l_orderkey", _q(F.col("l_quantity"), 2).alias("qty_e2"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("qty_e2").alias("sum_qty_e2"))
+        .where(F.col("sum_qty_e2") > LARGE_ORDER_QTY_E2)  # HAVING
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            _q(F.col("o_totalprice"), 2).alias("total_e2"),
+            "sum_qty_e2",
+        )
+    )
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey,
+       {_sq("o_totalprice", 2)} AS total_e2, sum_qty_e2
+FROM orders
+JOIN (
+  SELECT l_orderkey, {_ssum("l_quantity", 2)} AS sum_qty_e2
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {_ssum("l_quantity", 2)} > {LARGE_ORDER_QTY_E2}
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
 # JSON scalar functions over the events.props column (absent from the
 # reference — extension surface; stays JVM-side via from_json)
 # --------------------------------------------------------------------------
@@ -619,6 +666,7 @@ RELATIONAL_QUERIES = {
     "q5_region_revenue": q5_region_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q14_promo_revenue": q14_promo_revenue,
+    "q18_large_orders": q18_large_orders,
     "j1_json_extract": j1_json_extract,
     "s1_value_stats": s1_value_stats,
     "w1_window_top3": w1_window_top3,
@@ -639,6 +687,7 @@ RELATIONAL_ORACLE = {
     "q5_region_revenue": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q14_promo_revenue": Q14_SQL,
+    "q18_large_orders": Q18_SQL,
     "j1_json_extract": J1_SQL,
     "s1_value_stats": S1_STATS_SQL,
     "w1_window_top3": W1_SQL,
