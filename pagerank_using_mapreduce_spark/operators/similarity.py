@@ -696,6 +696,81 @@ def srp_lsh_near_dups(
     return pairs.where(F.col("cosine_e6") >= threshold_e6)
 
 
+def srp_lsh_near_dups_multiprobe(
+    embeddings: DataFrame,
+    threshold_e6: int = NEAR_DUP_COSINE_E6,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """(vec_a, vec_b, cosine_e6): SRP-LSH near-dups with 1-bit
+    multi-probe — the recall-recovery path the single-bucket variant's
+    docstring defers to.  Each vector probes its own bucket plus the
+    ``n_planes`` buckets at Hamming distance 1 (one sign bit flipped),
+    so candidate pairs are those whose sign-bit signatures differ in AT
+    MOST one plane; a vector whose projection sits just on the wrong
+    side of one hyperplane no longer loses its pair.
+
+    Scale shape: the probe expansion replicates only the tiny
+    (vec_id, bucket) relation ×(n_planes+1) — never the embeddings —
+    and the join stays a bucket-keyed equi join.  Expected extra
+    rescoring cost ≈ (n_planes+1)× the single-probe candidate volume,
+    the standard multi-probe trade: more planes (smaller buckets) plus
+    probes recovers the recall each extra plane costs, at a controlled
+    constant factor instead of exponentially larger buckets.
+
+    Pair dedup: a Hamming-1 pair is found from both sides (a probes
+    into b's bucket and vice versa), so candidates are de-duplicated
+    on (vec_a, vec_b) before the exact rescoring."""
+    aug = augment_embeddings(embeddings)
+    b = srp_buckets(aug.select("vec_id", F.col("emb").alias("embedding")), n_planes)
+    # probe set: own bucket (p = -1) + each 1-bit flip
+    spark = embeddings.sparkSession
+    planes = spark.range(-1, n_planes).select(F.col("id").cast("int").alias("p"))
+    probes = b.crossJoin(F.broadcast(planes)).select(
+        "vec_id",
+        F.when(F.col("p") < 0, F.col("bucket"))
+        .otherwise(F.expr("bucket ^ shiftleft(1L, p)"))
+        .cast("long")
+        .alias("probe_bucket"),
+    )
+    cands = (
+        probes.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.probe_bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    withe = aug.select("vec_id", "emb")
+    pairs = (
+        cands.join(
+            withe.select(
+                F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a")
+            ),
+            "vec_a",
+        )
+        .join(
+            withe.select(
+                F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b")
+            ),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.floor(
+                cosine(F.col("emb_a"), F.col("emb_b")) * 1e6 + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("cosine_e6"),
+        )
+    )
+    return pairs.where(F.col("cosine_e6") >= threshold_e6)
+
+
 def _srp_weight_sql(p_expr: str, j_expr: str) -> str:
     digits = " + ".join(
         f"(strpos('0123456789abcdef', substring(md5({p_expr} || '|' || {j_expr}), {i + 1}, 1)) - 1)"
@@ -731,6 +806,46 @@ WHERE CAST(FLOOR(
         list_dot_product(a.emb, b.emb)
         / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb)))
         * 1e6 + 0.5000001) AS BIGINT) >= {NEAR_DUP_COSINE_E6}
+"""
+
+
+SRP_MULTIPROBE_SQL = f"""
+WITH aug AS MATERIALIZED ({AUGMENT_EMB_SQL}),
+planes AS MATERIALIZED (
+  SELECT p, list(w ORDER BY j) AS w FROM (
+    SELECT p.range AS p, j.range AS j,
+           {_srp_weight_sql("p.range::VARCHAR", "j.range::VARCHAR")} AS w
+    FROM range({N_PLANES}) p, range({EMB_DIM}) j
+  ) GROUP BY p
+),
+buckets AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(a.emb, pl.w) > 0
+                  THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM aug a, planes pl GROUP BY vec_id
+),
+probes AS (
+  SELECT vec_id,
+         CASE WHEN t.p < 0 THEN bucket
+              ELSE xor(bucket, CAST(1 AS BIGINT) << t.p) END AS probe_bucket
+  FROM buckets, range(-1, {N_PLANES}) t(p)
+),
+cands AS MATERIALIZED (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM probes a JOIN buckets b
+    ON a.probe_bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine_e6 FROM (
+  SELECT c.vec_a, c.vec_b,
+         CAST(FLOOR(
+           list_dot_product(ea.emb, eb.emb)
+           / (sqrt(list_dot_product(ea.emb, ea.emb))
+              * sqrt(list_dot_product(eb.emb, eb.emb)))
+           * 1e6 + 0.5000001) AS BIGINT) AS cosine_e6
+  FROM cands c
+  JOIN aug ea ON ea.vec_id = c.vec_a
+  JOIN aug eb ON eb.vec_id = c.vec_b
+) WHERE cosine_e6 >= {NEAR_DUP_COSINE_E6}
 """
 
 

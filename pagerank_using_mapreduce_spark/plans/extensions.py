@@ -25,11 +25,13 @@ from ..operators.similarity import (
     IVF_KMEANS_SQL,
     IVF_TOPK_SQL,
     SRP_LSH_SQL,
+    SRP_MULTIPROBE_SQL,
     cosine_topk,
     embedding_near_dups,
     ivf_kmeans_topk,
     ivf_topk,
     srp_lsh_near_dups,
+    srp_lsh_near_dups_multiprobe,
 )
 from ..operators.text_analysis import (
     FINGERPRINT_SQL,
@@ -74,6 +76,12 @@ def q_x5_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_x6_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_x22_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit multi-probe SRP-LSH near-dups — recall recovery over x20
+    at a controlled (n_planes+1)x candidate cost."""
+    return srp_lsh_near_dups_multiprobe(load_table(spark, sf_dir, "embeddings"))
 
 
 def q_x21_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,6 +296,7 @@ EXTENSION_QUERIES = {
     "x19_sharded_index": q_x19_sharded_index,
     "x20_srp_lsh_near_dups": q_x20_srp_lsh_near_dups,
     "x21_ivf_kmeans": q_x21_ivf_kmeans,
+    "x22_srp_multiprobe": q_x22_srp_multiprobe,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
@@ -319,6 +328,7 @@ EXTENSION_ORACLE = {
     "x19_sharded_index": X19_SQL,
     "x20_srp_lsh_near_dups": SRP_LSH_SQL,
     "x21_ivf_kmeans": IVF_KMEANS_SQL,
+    "x22_srp_multiprobe": SRP_MULTIPROBE_SQL,
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,

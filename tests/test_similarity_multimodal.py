@@ -235,3 +235,26 @@ def test_ivf_kmeans_recall_and_determinism(spark):
     }
     assert full == brute
     assert all(len({q for q, _ in s}) == 5 and len(s) == 5 * TOP_K for s in (a, full))
+
+
+def test_srp_multiprobe_recall_at_least_single_probe(spark):
+    """1-bit multi-probe candidates strictly contain the single-bucket
+    candidates, so its near-dup recall can only be >= x20's."""
+    from pagerank_using_mapreduce_spark.operators.similarity import (
+        embedding_near_dups,
+        srp_lsh_near_dups,
+        srp_lsh_near_dups_multiprobe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    single = {(r["vec_a"], r["vec_b"]) for r in srp_lsh_near_dups(emb).collect()}
+    multi = {
+        (r["vec_a"], r["vec_b"])
+        for r in srp_lsh_near_dups_multiprobe(emb).collect()
+    }
+    exhaustive = {
+        (r["vec_a"], r["vec_b"]) for r in embedding_near_dups(emb).collect()
+    }
+    assert single <= multi <= exhaustive
+    assert len(multi) / len(exhaustive) >= len(single) / len(exhaustive)
+    assert len(multi) / len(exhaustive) >= 0.5  # recall floor with probing
