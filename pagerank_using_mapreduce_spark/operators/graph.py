@@ -150,6 +150,110 @@ def connected_components_until(
     return labels.select("title", "component", F.lit(done).alias("iterations"))
 
 
+def connected_components_star(
+    pages: DataFrame, max_rounds: int = 40
+) -> DataFrame:
+    """(title, component): connected components in O(log n) rounds via
+    alternating large-star / small-star edge rewriting (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    100 TB answer for HIGH-DIAMETER graphs, where hash-min label
+    propagation (:func:`connected_components_until`) needs a round per
+    hop of diameter.
+
+    Per round (all built-in ops, map-side combine on the mins):
+    - large-star: group the symmetric edge list by node, attach
+      ``m = min(neighbors ∪ self)``, and re-point every LARGER neighbor
+      at m;
+    - small-star: group by the larger endpoint of each edge and point
+      it plus all its smaller neighbors at their collective min.
+
+    Both steps strictly shrink path lengths toward the component
+    minimum; the edge set converges to stars centered at each
+    component's lexicographic-min title, after which
+    ``component(v) = star center`` (centers and isolated pages label
+    themselves).  The result is IDENTICAL to the hash-min fixpoint —
+    same oracle — but the round count is ~log n instead of diameter.
+
+    Scale notes: each round is two groupBy-min aggregations plus a
+    distinct; edge rows only ever shrink (toward n − 1 star edges); the
+    stop test is one left-anti count per round on the (small) edge
+    relation.  Lineage is truncated with an eager localCheckpoint per
+    round (the edge set is the whole state, so the checkpoint doubles
+    as the stability snapshot; swap for ``checkpoint()`` on a cluster).
+    """
+    sym = undirected_edges(pages)
+    # canonical undirected pairs (u < v), both directions derivable
+    edges = (
+        sym.where(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        if edges.isEmpty():
+            break
+        # ---- large-star ----
+        symd = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            symd.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        )
+        ls = (
+            symd.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.least(F.col("v"), F.col("m")).alias("u"),
+                F.greatest(F.col("v"), F.col("m")).alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star (group by the larger endpoint) ----
+        s = ls.select(F.col("v").alias("u"), F.col("u").alias("v"))  # v < u now
+        mn = s.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+        ss = (
+            s.join(mn, "u")
+            .select(
+                # re-point each smaller neighbor v and u itself at m
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("x"), F.col("m").alias("y")),
+                        F.struct(F.col("u").alias("x"), F.col("m").alias("y")),
+                    )
+                ).alias("e")
+            )
+            .select(
+                F.least(F.col("e.x"), F.col("e.y")).alias("u"),
+                F.greatest(F.col("e.x"), F.col("e.y")).alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new_edges = ss.localCheckpoint(eager=True)
+        changed = (
+            new_edges.join(edges, ["u", "v"], "left_anti").count()
+            + edges.join(new_edges, ["u", "v"], "left_anti").count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    # stars: every remaining edge is (center=u, member=v)
+    titles = pages.select("title")
+    return (
+        titles.join(
+            edges.select(F.col("v").alias("title"), F.col("u").alias("component")),
+            "title",
+            "left",
+        )
+        .select(
+            "title",
+            F.coalesce(F.col("component"), F.col("title")).alias("component"),
+        )
+    )
+
+
 def degree_stats(pages: DataFrame) -> DataFrame:
     """(title, out_degree, in_degree): duplicate links count (same
     convention as the rank contributions, PageRankAlgorithm.java:

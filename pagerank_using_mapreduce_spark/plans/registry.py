@@ -274,6 +274,15 @@ def q_cc_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_until(_pages(spark, sf_dir))
 
 
+def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (O(log n) rounds — the high-diameter scale path).  Oracle: the
+    hash-min fixpoint labels (algorithm-independent truth)."""
+    from ..operators.graph import connected_components_star
+
+    return connected_components_star(_pages(spark, sf_dir))
+
+
 def q_deg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import degree_stats
 
@@ -319,6 +328,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o1_topk": q_o1_topk,
     "cc_components": q_cc_components,
     "cc_converged": q_cc_converged,
+    "cc_star": q_cc_star,
     "deg_stats": q_deg_stats,
     "a6_inverted_index": q_a6_inverted_index,
     "a6_inverted_index_wiki": q_a6_inverted_index_wiki,
@@ -391,16 +401,26 @@ SELECT title, {_sql_e6('rank')} AS rank_e6,
 FROM levels WHERE k = (SELECT it FROM conv)"""
 
 
-def _cc_converged_sql(kmax: int) -> str:
-    """Oracle for connected_components_until: unroll hash-min
-    propagation to ``kmax`` (observed fixpoint: 11 rounds), find the
-    first round with ZERO label changes (the operator's stop rule —
-    pure integer comparisons, no float boundary risk), and emit that
-    round's labels."""
+def _cc_converged_sql(kmax: int, with_iterations: bool = True) -> str:
+    """Oracle for the hash-min FIXPOINT labels: unroll propagation to
+    ``kmax`` (observed fixpoint: 11 rounds), find the first round with
+    ZERO label changes (the stop rule — pure integer comparisons, no
+    float boundary risk), and emit that round's labels.
+
+    ``with_iterations=False`` drops the round-count column: the
+    fixpoint labels are ALGORITHM-INDEPENDENT (any correct CC reaches
+    the same min-title-per-component labeling), so the same oracle
+    also checks cc_star, whose round count is ~log n rather than the
+    hash-min count."""
     changes = "\n  UNION ALL ".join(
         f"SELECT {k} AS k, (SELECT COUNT(*) FROM c{k} a JOIN c{k - 1} b USING (title) "
         f"WHERE a.component != b.component) AS changed"
         for k in range(1, kmax + 1)
+    )
+    it_col = (
+        ",\n       CAST((SELECT it FROM conv) AS INTEGER) AS iterations"
+        if with_iterations
+        else ""
     )
     return f"""WITH {_PAGES_CTES},
 {_SYM_CTE},
@@ -408,8 +428,7 @@ def _cc_converged_sql(kmax: int) -> str:
 ch AS ({changes}),
 conv AS (SELECT MIN(k) AS it FROM ch WHERE changed = 0),
 levels AS ({_levels_union("c", kmax, "title, component")})
-SELECT title, component,
-       CAST((SELECT it FROM conv) AS INTEGER) AS iterations
+SELECT title, component{it_col}
 FROM levels WHERE k = (SELECT it FROM conv)"""
 
 
@@ -440,6 +459,7 @@ FROM pages""",
     "i1_pagerank10": _rank_sql(10),
     "i1_pagerank_converged": _rank_converged_sql(tol=2e-3, kmax=25),
     "cc_converged": _cc_converged_sql(kmax=25),
+    "cc_star": _cc_converged_sql(kmax=25, with_iterations=False),
     "o1_ranking": f"""WITH {_PAGES_CTES},
 {_rank_ctes(10)},
 rounded AS (SELECT title, {_sql_e6('rank')} AS rank_e6 FROM r10)

@@ -68,3 +68,50 @@ def test_connected_components_until_fixpoint(pages):
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
     iters = out[0]["iterations"]
     assert iters <= 4  # tiny graph: converged + one confirming round
+
+
+def test_cc_star_golden_and_empty(pages, spark):
+    from pagerank_using_mapreduce_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    got = {
+        r["title"]: r["component"]
+        for r in connected_components_star(pages).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
+    # edgeless corpus: every page is its own component
+    lonely = spark.createDataFrame(
+        [("p", []), ("q", [])], "title string, links array<string>"
+    )
+    got = {
+        r["title"]: r["component"]
+        for r in connected_components_star(lonely).collect()
+    }
+    assert got == {"p": "p", "q": "q"}
+
+
+def test_cc_star_long_chain_matches_hashmin(spark):
+    """A 40-node path (diameter 39): hash-min needs ~39 rounds, the
+    star algorithm a handful — both must land on identical labels."""
+    from pagerank_using_mapreduce_spark.operators.graph import (
+        connected_components_star,
+        connected_components_until,
+    )
+
+    n = 40
+    rows = [
+        (f"n{i:02d}", [f"n{i + 1:02d}"] if i + 1 < n else [])
+        for i in range(n)
+    ] + [("solo", [])]
+    chain = spark.createDataFrame(rows, "title string, links array<string>")
+    star = {
+        r["title"]: r["component"]
+        for r in connected_components_star(chain).collect()
+    }
+    hashmin = {
+        r["title"]: r["component"]
+        for r in connected_components_until(chain, max_iterations=60).collect()
+    }
+    assert star == hashmin
+    assert star["n39"] == "n00" and star["solo"] == "solo"
