@@ -78,6 +78,56 @@ def q_x6_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_x23_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format sink/source path end-to-end in the driver gate: the
+    events subset is quantized to integers, written as BOTH hive-style
+    partitioned csv and json (sources.tables.write_table), read back
+    with explicit schemas (no inference scan), joined, and aggregated.
+    Quantizing BEFORE the write means only longs/strings cross the
+    text formats — the check proves the sink/source plumbing without
+    any float-formatting risk.  The oracle recomputes the aggregate
+    straight from the parquet table: identical numbers prove both
+    roundtrips were lossless."""
+    import os
+    import tempfile
+
+    from ..sources.tables import read_table, write_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5000001))
+        .cast("long")
+        .alias("v_e2"),
+    )
+    d = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    write_table(ev, os.path.join(d, "csv"), fmt="csv", partition_by=["event_type"])
+    write_table(ev, os.path.join(d, "json"), fmt="json")
+    schema = "event_id long, v_e2 long, event_type string"
+    back_csv = read_table(spark, os.path.join(d, "csv"), fmt="csv", schema=schema)
+    back_json = read_table(
+        spark, os.path.join(d, "json"), fmt="json", schema=schema
+    )
+    both = back_csv.alias("c").join(
+        back_json.alias("j"), "event_id"
+    )
+    return (
+        both.where(F.col("c.v_e2") == F.col("j.v_e2"))
+        .groupBy(F.col("c.event_type").alias("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c.v_e2")).alias("sum_v_e2"),
+        )
+    )
+
+
+X23_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS BIGINT) AS sum_v_e2
+FROM events GROUP BY event_type
+"""
+
+
 def q_x22_srp_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-bit multi-probe SRP-LSH near-dups — recall recovery over x20
     at a controlled (n_planes+1)x candidate cost."""
@@ -297,6 +347,7 @@ EXTENSION_QUERIES = {
     "x20_srp_lsh_near_dups": q_x20_srp_lsh_near_dups,
     "x21_ivf_kmeans": q_x21_ivf_kmeans,
     "x22_srp_multiprobe": q_x22_srp_multiprobe,
+    "x23_format_roundtrip": q_x23_format_roundtrip,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
@@ -329,6 +380,7 @@ EXTENSION_ORACLE = {
     "x20_srp_lsh_near_dups": SRP_LSH_SQL,
     "x21_ivf_kmeans": IVF_KMEANS_SQL,
     "x22_srp_multiprobe": SRP_MULTIPROBE_SQL,
+    "x23_format_roundtrip": X23_SQL,
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,
