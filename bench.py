@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "e1_sessions",
     "z1_stream_rollup",
     "cc_components",
+    "cc_star",
 ]
 
 
