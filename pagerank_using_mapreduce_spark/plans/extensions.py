@@ -17,6 +17,7 @@ from ..operators.multimodal import (
     binarize_docs,
     decode_images,
     extract_features,
+    frame_sample,
     resize_meta,
 )
 from ..operators.similarity import (
@@ -172,6 +173,21 @@ def q_x17_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_x18_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas batch feature extraction over the binary payload."""
     return extract_features(binarize_docs(_docs(spark, sf_dir)))
+
+
+def q_x24_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-N frame sampling over decoded multimodal
+    metadata — the cheap-predicate, no-shuffle video-sampling shape."""
+    return frame_sample(decode_images(binarize_docs(_docs(spark, sf_dir))))
+
+
+X24_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       'fake/raw' AS format,
+       CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
+       CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height
+FROM documents WHERE doc_id % 7 = 0"""
 
 
 def q_x19_sharded_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -348,6 +364,7 @@ EXTENSION_QUERIES = {
     "x21_ivf_kmeans": q_x21_ivf_kmeans,
     "x22_srp_multiprobe": q_x22_srp_multiprobe,
     "x23_format_roundtrip": q_x23_format_roundtrip,
+    "x24_frame_sample": q_x24_frame_sample,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
@@ -381,6 +398,7 @@ EXTENSION_ORACLE = {
     "x21_ivf_kmeans": IVF_KMEANS_SQL,
     "x22_srp_multiprobe": SRP_MULTIPROBE_SQL,
     "x23_format_roundtrip": X23_SQL,
+    "x24_frame_sample": X24_SQL,
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,
