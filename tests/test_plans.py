@@ -32,6 +32,7 @@ PYTHON_OK = {
     "x11_multimodal_decode",
     "x17_resize",
     "x18_features",
+    "x24_frame_sample",  # sampling over the mapInPandas decode output
     "z1_stream_rollup",
     "z2_stream_sessions",
 }
