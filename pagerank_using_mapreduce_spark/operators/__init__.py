@@ -10,6 +10,7 @@ from .dedup import (
 )
 from .graph import (
     connected_components,
+    connected_components_star,
     connected_components_until,
     degree_stats,
     undirected_edges,
@@ -42,8 +43,11 @@ from .scale import read_bucketed, salted_agg, salted_join, write_bucketed
 from .similarity import (
     cosine_topk,
     embedding_near_dups,
+    ivf_kmeans_topk,
     ivf_topk,
+    kmeans_centroids,
     srp_lsh_near_dups,
+    srp_lsh_near_dups_multiprobe,
 )
 from .text_analysis import fingerprint, lang_id, quality_score, token_count
 
@@ -69,6 +73,7 @@ __all__ = [
     "token_count",
     # graph
     "connected_components",
+    "connected_components_star",
     "connected_components_until",
     "degree_stats",
     "undirected_edges",
@@ -83,8 +88,11 @@ __all__ = [
     # similarity
     "cosine_topk",
     "embedding_near_dups",
+    "ivf_kmeans_topk",
     "ivf_topk",
+    "kmeans_centroids",
     "srp_lsh_near_dups",
+    "srp_lsh_near_dups_multiprobe",
     # multimodal
     "binarize_docs",
     "decode_images",

@@ -5,11 +5,12 @@ set against the full collection; the collection side never shuffles,
 so at 100 TB this scans embarrassingly parallel and the only wide op
 is the final per-query top-k (TakeOrdered-style).
 
-Scale path: IVF-style pruning using the ``label`` column as a coarse
-quantizer (centroid per label, probe the nearest ``nprobe`` cells) —
-cuts the scanned fraction to nprobe/ncells.  A production system would
-learn centroids with k-means; the operator shape (centroid broadcast,
-cell pruning, in-cell rescoring) is identical.
+Scale path: IVF-style pruning — cuts the scanned fraction to
+nprobe/ncells.  Two quantizers: the ``label`` column as the simplest
+oracle-checked variant (:func:`ivf_topk`; fixed cardinality, cells grow
+O(n)), and learned deterministic k-means (:func:`ivf_kmeans_topk`;
+k_cells ∝ √n — the production shape).  Centroid broadcast, cell
+pruning, and in-cell rescoring are identical between the two.
 
 All arithmetic stays in built-in column expressions (``zip_with`` +
 ``aggregate``), element order left-to-right, doubles throughout — the
