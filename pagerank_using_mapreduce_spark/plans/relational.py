@@ -660,13 +660,405 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+# --------------------------------------------------------------------------
+# Q4-style order-priority check: EXISTS with a CORRELATED date predicate
+# (lineitem shipped >60 days after its order's date).  Compiles to a
+# left-semi join whose condition mixes the equi key with the correlated
+# inequality — the equi part is still the shuffle key, so it scales as a
+# hash join; no other query covers correlated-EXISTS.
+# --------------------------------------------------------------------------
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Q7-style volume shipping: the nation dimension joined TWICE in two
+# roles (supplier's nation vs customer's nation) — broadcast both
+# copies; only the big-side lineitem scan shuffles.
+# --------------------------------------------------------------------------
+
+Q7_PAIR = ("NATION_1", "NATION_2")
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    a, b = Q7_PAIR
+    rev = _q(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .where(
+            ((F.col("supp_nation") == a) & (F.col("cust_nation") == b))
+            | ((F.col("supp_nation") == b) & (F.col("cust_nation") == a))
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            rev.alias("rev_e4"),
+        )
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(F.sum("rev_e4").alias("revenue_e4"), F.count("*").alias("n"))
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       {_ssum("l_extendedprice * (1 - l_discount)", 4)} AS revenue_e4,
+       COUNT(*) AS n
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = '{Q7_PAIR[0]}' AND n2.n_name = '{Q7_PAIR[1]}')
+   OR (n1.n_name = '{Q7_PAIR[1]}' AND n2.n_name = '{Q7_PAIR[0]}')
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Q10-style returned items: which customers returned the most revenue in
+# a quarter (4-way join filtered on both fact tables, top-20)
+# --------------------------------------------------------------------------
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = _q(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            _q(F.col("c_acctbal"), 2).alias("acctbal_e2"),
+            rev.alias("rev_e4"),
+        )
+        .groupBy("c_custkey", "c_name", "nation", "acctbal_e2")
+        .agg(F.sum("rev_e4").alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name AS nation,
+       {_sq("c_acctbal", 2)} AS acctbal_e2,
+       {_ssum("l_extendedprice * (1 - l_discount)", 4)} AS revenue_e4
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_e4 DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Q12-style priority shipping: conditional aggregation (CASE inside SUM)
+# classifying lines by their order's priority, per ship-year
+# --------------------------------------------------------------------------
+
+HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.when(F.col("o_orderpriority").isin(*HIGH_PRIORITIES), 1).otherwise(0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.sum(high).cast("long").alias("high_lines"),
+            F.sum(1 - high).cast("long").alias("low_lines"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q12_SQL = f"""
+SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       CAST(SUM(CASE WHEN o_orderpriority IN {HIGH_PRIORITIES!r} THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+       CAST(SUM(CASE WHEN o_orderpriority IN {HIGH_PRIORITIES!r} THEN 0 ELSE 1 END) AS BIGINT) AS low_lines,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q13-style customer distribution: LEFT OUTER join + two-level
+# aggregation (orders per customer, then customers per order-count) —
+# the only query exercising outer-join null-preserving aggregation
+# --------------------------------------------------------------------------
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        # COUNT(col) skips NULLs, so order-less customers count 0
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# --------------------------------------------------------------------------
+# Q15-style top supplier: aggregate, then filter on the aggregate's own
+# MAX — a scalar subquery over a derived relation.  Spark side keeps it
+# distributed: the 1-row max is broadcast back, never collect()ed.
+# --------------------------------------------------------------------------
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.select("l_suppkey", _q(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("rev_e4"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_e4").alias("total_e4"))
+    )
+    mx = rev.agg(F.max("total_e4").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_e4 == mx.mx)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_e4")
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, {_ssum("l_extendedprice * (1 - l_discount)", 4)} AS total_e4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_e4
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_e4 = (SELECT MAX(total_e4) FROM rev)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q17-style small-quantity revenue: per-key average as a CORRELATED
+# threshold (quantity below 20% of the part's mean order size).
+# Cross-engine determinism: l_quantity is integer-valued, so AVG is an
+# exact-operand division — both engines produce the bit-identical
+# double, and the < comparison cannot flip.
+# --------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#5"
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == Q17_BRAND)
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("lim")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("a_partkey"))
+        .where(F.col("l_quantity") < F.col("lim"))
+        .agg(
+            F.sum(_q(F.col("l_extendedprice"), 2)).alias("total_price_e2"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+Q17_SQL = f"""
+SELECT {_ssum("l_extendedprice", 2)} AS total_price_e2,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part ON l.l_partkey = p_partkey
+JOIN (SELECT l_partkey AS a_partkey, AVG(l_quantity) * 0.2 AS lim
+      FROM lineitem GROUP BY l_partkey) a
+  ON l.l_partkey = a.a_partkey
+WHERE p_brand = '{Q17_BRAND}' AND l.l_quantity < a.lim
+"""
+
+
+# --------------------------------------------------------------------------
+# Q19-style disjunctive predicates: OR-of-ANDs across two tables — the
+# shape that tests whether the optimizer can still push the per-table
+# parts of the disjunction down to the scans
+# --------------------------------------------------------------------------
+
+Q19_ARMS = (
+    ("Brand#1", 1, 15, 1, 20),
+    ("Brand#2", 16, 30, 10, 30),
+    ("Brand#3", 31, 50, 20, 40),
+)
+
+
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    arm = None
+    for brand, s_lo, s_hi, q_lo, q_hi in Q19_ARMS:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        arm = c if arm is None else (arm | c)
+    rev = _q(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(arm)
+        .agg(F.sum(rev).alias("revenue_e4"), F.count("*").alias("n"))
+    )
+
+
+Q19_SQL = f"""
+SELECT {_ssum("l_extendedprice * (1 - l_discount)", 4)} AS revenue_e4,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE {" OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+    f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in Q19_ARMS)}
+"""
+
+
+# --------------------------------------------------------------------------
+# Q22-style global sales opportunity: wealthy customers (balance above
+# the positive-balance average) with no RECENT order (none since
+# LAPSED_CUTOFF — every customer has *some* order on this data, so the
+# unqualified variant would be vacuously empty), per nation.  The
+# average threshold is computed over e2-quantized integers so the
+# scalar is an exact-operand division — bit-identical cross-engine.
+# --------------------------------------------------------------------------
+
+LAPSED_CUTOFF = "2000-01-01"
+
+
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", _q(F.col("c_acctbal"), 2).alias("acctbal_e2")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= LAPSED_CUTOFF)
+        .select("o_custkey")
+    )
+    thr = cust.where(F.col("acctbal_e2") > 0).agg(
+        F.avg("acctbal_e2").alias("thr")
+    )
+    return (
+        cust.join(F.broadcast(thr), cust.acctbal_e2 > thr.thr)
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum("acctbal_e2").alias("total_bal_e2"),
+        )
+    )
+
+
+Q22_SQL = f"""
+WITH c2 AS (
+  SELECT c_custkey, c_nationkey, {_sq("c_acctbal", 2)} AS acctbal_e2
+  FROM customer
+)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       COUNT(*) AS n_cust,
+       CAST(SUM(acctbal_e2) AS BIGINT) AS total_bal_e2
+FROM c2
+WHERE acctbal_e2 > (SELECT AVG(acctbal_e2) FROM c2 WHERE acctbal_e2 > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '{LAPSED_CUTOFF}')
+GROUP BY 1
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
+    "q4_order_priority": q4_order_priority,
     "q5_region_revenue": q5_region_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q10_returned_items": q10_returned_items,
+    "q12_priority_lines": q12_priority_lines,
+    "q13_customer_distribution": q13_customer_distribution,
     "q14_promo_revenue": q14_promo_revenue,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity": q17_small_quantity,
     "q18_large_orders": q18_large_orders,
+    "q19_disjunctive": q19_disjunctive,
+    "q22_sales_opportunity": q22_sales_opportunity,
     "j1_json_extract": j1_json_extract,
     "s1_value_stats": s1_value_stats,
     "w1_window_top3": w1_window_top3,
@@ -684,10 +1076,19 @@ RELATIONAL_QUERIES = {
 RELATIONAL_ORACLE = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
+    "q4_order_priority": Q4_SQL,
     "q5_region_revenue": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q12_priority_lines": Q12_SQL,
+    "q13_customer_distribution": Q13_SQL,
     "q14_promo_revenue": Q14_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_quantity": Q17_SQL,
     "q18_large_orders": Q18_SQL,
+    "q19_disjunctive": Q19_SQL,
+    "q22_sales_opportunity": Q22_SQL,
     "j1_json_extract": J1_SQL,
     "s1_value_stats": S1_STATS_SQL,
     "w1_window_top3": W1_SQL,
