@@ -1,0 +1,163 @@
+"""Deterministic sampling and dataset-split operators for training-data
+pipelines (extension surface — the reference has no sampling; its corpus
+is consumed whole, PageRankAlgorithm.java:60-136).
+
+Design for 100 TB:
+
+- Every assignment is a PURE COLUMN EXPRESSION of the row's own key —
+  no RNG state, no driver coordination, no shuffle.  A row's split is
+  reproducible across retries, executors, and engine versions, which is
+  the property training pipelines actually need (`rand()` with a seed is
+  only reproducible per-partition-layout, which a cluster does not
+  preserve).
+- The hash family is ``md5(seed || '|' || key)`` hex, the same
+  cross-engine-stable family the dedup operators use
+  (operators/dedup.py): Spark and DuckDB produce identical lowercase
+  hex, so thresholds compare identically as plain strings — the oracle
+  needs no engine-specific hash shim.
+- Fractions are mapped to thresholds over the first ``HEX_DIGITS`` hex
+  chars (65536 buckets): resolution 1/65536 ≈ 0.0015%, far below any
+  practical split-fraction precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_DIGITS = 4
+_BUCKETS = 16**HEX_DIGITS
+
+
+def _bucket_hex(key: Column, seed: str) -> Column:
+    return F.substring(
+        F.md5(F.concat_ws("|", F.lit(seed), key.cast("string"))), 1, HEX_DIGITS
+    )
+
+
+def _bucket_hex_sql(key_expr: str, seed: str) -> str:
+    return f"substr(md5('{seed}' || '|' || CAST({key_expr} AS VARCHAR)), 1, {HEX_DIGITS})"
+
+
+def _thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
+    """(split_name, upper_hex_threshold) with cumulative boundaries.
+    The last split absorbs rounding remainder (its threshold is ffff+1
+    conceptually — implemented as the CASE ELSE arm)."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    out, cum = [], 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        out.append((name, format(min(round(cum * _BUCKETS), _BUCKETS - 1), "04x")))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float] | None = None,
+    seed: str = "split-0",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split (train/val/test by default)
+    purely from ``md5(seed|key)`` — deterministic, shuffle-free,
+    retry-stable.  Dict order of ``fractions`` fixes the bucket layout,
+    so the same (fractions, seed) always yields the same assignment."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    thr = _thresholds(fractions)
+    bucket = _bucket_hex(F.col(key_col), seed)
+    expr: Column | None = None
+    for name, hi in thr[:-1]:
+        cond = bucket < F.lit(hi)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = thr[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def hash_split_sql(
+    key_expr: str,
+    fractions: dict[str, float] | None = None,
+    seed: str = "split-0",
+) -> str:
+    """DuckDB CASE expression twin of :func:`hash_split`."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    thr = _thresholds(fractions)
+    b = _bucket_hex_sql(key_expr, seed)
+    arms = " ".join(
+        f"WHEN {b} < '{hi}' THEN '{name}'" for name, hi in thr[:-1]
+    )
+    return f"CASE {arms} ELSE '{thr[-1][0]}' END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: str = "sample-0",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows: row survives
+    iff its hash bucket falls below the stratum's threshold.  Unlike
+    ``df.sampleBy`` (per-partition RNG — resample on retry/re-layout),
+    membership is a pure function of (seed, key), so a 1000-executor
+    re-run, a lost-task retry, and a laptop all keep the same rows.
+    Strata absent from ``fractions`` keep ``default_fraction``."""
+    bucket = _bucket_hex(F.col(key_col), seed)
+    thr: Column | None = None
+    for stratum, frac in fractions.items():
+        hexthr = format(min(round(frac * _BUCKETS), _BUCKETS), "05x")
+        cond = F.col(strata_col) == stratum
+        thr = F.when(cond, hexthr) if thr is None else thr.when(cond, hexthr)
+    default_hex = format(min(round(default_fraction * _BUCKETS), _BUCKETS), "05x")
+    thr = F.lit(default_hex) if thr is None else thr.otherwise(default_hex)
+    # bucket is 4 hex digits, thresholds 5 — a full fraction (1.0 →
+    # '10000') sorts above every bucket, so fraction 1.0 keeps all rows
+    return df.where(F.concat(F.lit("0"), bucket) < thr)
+
+
+def stratified_sample_sql(
+    strata_expr: str,
+    fractions: dict[str, float],
+    key_expr: str,
+    seed: str = "sample-0",
+    default_fraction: float = 0.0,
+) -> str:
+    """DuckDB WHERE-clause twin of :func:`stratified_sample`."""
+    b = _bucket_hex_sql(key_expr, seed)
+    arms = " ".join(
+        f"WHEN {strata_expr} = '{s}' THEN '{format(min(round(f * _BUCKETS), _BUCKETS), '05x')}'"
+        for s, f in fractions.items()
+    )
+    default_hex = format(min(round(default_fraction * _BUCKETS), _BUCKETS), "05x")
+    return f"('0' || {b}) < (CASE {arms} ELSE '{default_hex}' END)"
+
+
+def quantile_bins(
+    df: DataFrame,
+    order_cols: list,
+    n_bins: int,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Assign every row an equi-depth quantile bin (1..n_bins) under the
+    total order ``order_cols`` — decile/percentile bucketing for curriculum
+    ordering or quality-tier selection.
+
+    ``bin = (pos - 1) * n_bins div N + 1`` over the parallel global
+    position (operators/ranking.py — range partitions + offsets, never a
+    single-partition window).  Bin sizes differ by at most 1.  INTEGER
+    division (`div`, not `/` — Spark's `/` is double division, whose
+    truncation can disagree with exact integer division by one ulp), so
+    the bin boundary cannot drift cross-engine.  N comes from one count
+    action (the S4 driver-scalar channel, same as PageRank's page
+    count)."""
+    from .ranking import with_global_position
+
+    n = df.count()
+    pos = with_global_position(df, order_cols)
+    return pos.withColumn(
+        out_col,
+        F.expr(f"(pos - 1) * {int(n_bins)} div {int(n)} + 1").cast("long"),
+    )

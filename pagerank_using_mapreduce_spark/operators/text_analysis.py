@@ -211,3 +211,82 @@ SELECT doc_id,
          lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
          t -> t != ''), ' ')) AS fp
 FROM documents"""
+
+
+def ngram_counts(documents: DataFrame, n: int = 2) -> DataFrame:
+    """(ngram, cnt): global word-n-gram frequencies over the normalized
+    token stream — the vocabulary-statistics pass of a training-data
+    pipeline (n-gram LM features, contamination screens).
+
+    Stays JVM-side: the n-gram windows are built with ``zip_with`` over
+    ``slice`` offsets of the token array (no posexplode self-join, no
+    Python), then one explode + one shuffle for the global count.  At
+    100 TB the explode multiplies rows ~tokens-per-doc-fold but the
+    groupBy gets map-side partial aggregation, so the shuffle carries
+    only distinct n-grams per partition."""
+    if n < 2:
+        raise ValueError("use token counts for n=1")
+    toks = _toks()
+    grams = F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, k + 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return (
+        documents.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def ngram_counts_sql(n: int = 2) -> str:
+    """DuckDB twin of :func:`ngram_counts` (1-indexed list slicing)."""
+    joined = " || ' ' || ".join(f"t[i+{k}]" for k in range(n))
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(
+           lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - {n - 1}), i -> {joined})) AS ngram
+  FROM toks
+)
+SELECT ngram, COUNT(*) AS cnt FROM grams GROUP BY ngram"""
+
+
+def redact_numbers(events: DataFrame, col: str = "props") -> DataFrame:
+    """Per-type redaction audit for a PII-style scrubbing pass: digit
+    runs in ``col`` replaced by the '<NUM>' sentinel.  (The documents
+    table is digit-free by construction, so the demonstration target is
+    the events payload column.)  Emits, per event_type: row count,
+    total redacted runs, and the count of distinct redacted payloads —
+    the last verifies the replacement TEXT cross-engine, not just the
+    match counts.  Pure column expressions; one shuffle."""
+    redacted = F.regexp_replace(F.col(col), r"[0-9]+", "<NUM>")
+    n_runs = F.size(F.regexp_extract_all(col, F.lit(r"[0-9]+"), 0))
+    return (
+        events.select(
+            "event_type",
+            redacted.alias("red"),
+            n_runs.cast("long").alias("n_runs"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("n_runs").alias("total_runs"),
+            F.countDistinct("red").alias("distinct_payloads"),
+        )
+    )
+
+
+REDACT_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(len(regexp_extract_all(props, '[0-9]+'))) AS BIGINT) AS total_runs,
+       COUNT(DISTINCT regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS distinct_payloads
+FROM events
+GROUP BY event_type"""

@@ -38,11 +38,22 @@ from ..operators.text_analysis import (
     FINGERPRINT_SQL,
     LANG_ID_SQL,
     QUALITY_SQL,
+    REDACT_SQL,
     TOKEN_COUNT_SQL,
     fingerprint,
     lang_id,
+    ngram_counts,
+    ngram_counts_sql,
     quality_score,
+    redact_numbers,
     token_count,
+)
+from ..operators.sampling import (
+    hash_split,
+    hash_split_sql,
+    quantile_bins,
+    stratified_sample,
+    stratified_sample_sql,
 )
 from ..sources.tables import load_table
 from .relational import E1_SQL as _E1_BATCH_SQL
@@ -340,6 +351,85 @@ SELECT event_id, user_id, o_orderkey AS r_o_orderkey FROM (
 ) WHERE rn = 1"""
 
 
+# ---------------------------------------------------------------------------
+# Sampling / split / curation queries (operators/sampling.py,
+# text_analysis.py ngram/redact) — the dataset-assembly surface of a
+# training pipeline
+# ---------------------------------------------------------------------------
+
+SAMPLE_FRACTIONS = {"click": 0.05, "view": 0.02, "error": 0.5, "purchase": 1.0}
+QBIN_N = 10
+
+
+def q_x25_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document deterministic split assignment + char mass per split
+    proves both the assignment and that the full row survives intact."""
+    return hash_split(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", "split", "n_chars"
+    )
+
+
+X25_SQL = f"""
+SELECT doc_id, {hash_split_sql("doc_id")} AS split, n_chars
+FROM documents"""
+
+
+def q_x26_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-style rebalancing: downsample the common event types,
+    keep every rare purchase (signup falls to the 0 default — absent
+    strata are dropped, the usual blocklist behavior)."""
+    ev = load_table(spark, sf_dir, "events")
+    return stratified_sample(
+        ev, "event_type", SAMPLE_FRACTIONS, key_col="event_id"
+    ).select("event_id", "event_type", "user_id")
+
+
+X26_SQL = f"""
+SELECT event_id, event_type, user_id
+FROM events
+WHERE {stratified_sample_sql("event_type", SAMPLE_FRACTIONS, "event_id")}"""
+
+
+def q_x27_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_counts(_docs(spark, sf_dir), n=2)
+
+
+def q_x28_redact_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return redact_numbers(load_table(spark, sf_dir, "events"))
+
+
+def q_x29_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bins over the quantized event value (equi-depth, global
+    total order via the parallel position operator)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.floor(F.col("value") * 100 + F.lit(0.5000001)).cast("long").alias("value_e2")
+    )
+    binned = quantile_bins(ev, [F.asc("value_e2"), F.asc("event_id")], QBIN_N)
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.min("value_e2").alias("lo_e2"),
+        F.max("value_e2").alias("hi_e2"),
+    )
+
+
+X29_SQL = f"""
+WITH v AS (
+  SELECT event_id,
+         CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT) AS value_e2
+  FROM events
+),
+p AS (
+  SELECT value_e2,
+         ROW_NUMBER() OVER (ORDER BY value_e2 ASC, event_id ASC) AS pos
+  FROM v
+)
+SELECT (pos - 1) * {QBIN_N} // (SELECT COUNT(*) FROM v) + 1 AS bin,
+       COUNT(*) AS n,
+       MIN(value_e2) AS lo_e2,
+       MAX(value_e2) AS hi_e2
+FROM p GROUP BY 1"""
+
+
 EXTENSION_QUERIES = {
     "x1_exact_dedup": q_x1_exact_dedup,
     "x2_minhash_signatures": q_x2_minhash_signatures,
@@ -365,6 +455,11 @@ EXTENSION_QUERIES = {
     "x22_srp_multiprobe": q_x22_srp_multiprobe,
     "x23_format_roundtrip": q_x23_format_roundtrip,
     "x24_frame_sample": q_x24_frame_sample,
+    "x25_train_test_split": q_x25_train_test_split,
+    "x26_stratified_sample": q_x26_stratified_sample,
+    "x27_bigram_counts": q_x27_bigram_counts,
+    "x28_redact_numbers": q_x28_redact_numbers,
+    "x29_quantile_bins": q_x29_quantile_bins,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
@@ -399,6 +494,11 @@ EXTENSION_ORACLE = {
     "x22_srp_multiprobe": SRP_MULTIPROBE_SQL,
     "x23_format_roundtrip": X23_SQL,
     "x24_frame_sample": X24_SQL,
+    "x25_train_test_split": X25_SQL,
+    "x26_stratified_sample": X26_SQL,
+    "x27_bigram_counts": ngram_counts_sql(n=2),
+    "x28_redact_numbers": REDACT_SQL,
+    "x29_quantile_bins": X29_SQL,
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,
