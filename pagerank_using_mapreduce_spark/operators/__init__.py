@@ -49,7 +49,15 @@ from .similarity import (
     srp_lsh_near_dups,
     srp_lsh_near_dups_multiprobe,
 )
-from .text_analysis import fingerprint, lang_id, quality_score, token_count
+from .sampling import hash_split, quantile_bins, stratified_sample
+from .text_analysis import (
+    fingerprint,
+    lang_id,
+    ngram_counts,
+    quality_score,
+    redact_numbers,
+    token_count,
+)
 
 __all__ = [
     # pagerank pipeline
@@ -69,8 +77,14 @@ __all__ = [
     "tf_idf",
     "fingerprint",
     "lang_id",
+    "ngram_counts",
     "quality_score",
+    "redact_numbers",
     "token_count",
+    # sampling / splits
+    "hash_split",
+    "quantile_bins",
+    "stratified_sample",
     # graph
     "connected_components",
     "connected_components_star",

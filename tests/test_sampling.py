@@ -1,0 +1,107 @@
+"""Sampling/split/curation operators (operators/sampling.py,
+text_analysis n-grams + redaction)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_using_mapreduce_spark.operators.sampling import (
+    hash_split,
+    quantile_bins,
+    stratified_sample,
+)
+from pagerank_using_mapreduce_spark.operators.text_analysis import (
+    ngram_counts,
+    redact_numbers,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 2000).withColumnRenamed("id", "key")
+
+
+def test_hash_split_partitions_and_fractions(ids):
+    out = hash_split(ids, "key").groupBy("split").count().collect()
+    by = {r["split"]: r["count"] for r in out}
+    assert set(by) == {"train", "val", "test"}
+    assert sum(by.values()) == 2000
+    # binomial(2000, 0.8) is within ±4 sigma of 1600 (~±72)
+    assert 1520 <= by["train"] <= 1680
+    assert 120 <= by["val"] <= 280
+
+
+def test_hash_split_deterministic_and_seed_sensitive(ids):
+    a = {r["key"]: r["split"] for r in hash_split(ids, "key").collect()}
+    b = {r["key"]: r["split"] for r in hash_split(ids, "key").collect()}
+    assert a == b
+    c = {r["key"]: r["split"] for r in hash_split(ids, "key", seed="other").collect()}
+    assert a != c  # a different seed must reshuffle assignments
+
+
+def test_hash_split_rejects_bad_fractions(ids):
+    with pytest.raises(ValueError):
+        hash_split(ids, "key", {"train": 0.5, "test": 0.1})
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("s"),
+    )
+    kept = stratified_sample(df, "s", {"a": 1.0, "b": 0.1}, key_col="key")
+    by = {r["s"]: r["cnt"] for r in kept.groupBy("s").agg(F.count("*").alias("cnt")).collect()}
+    assert by["a"] == 1000  # fraction 1.0 keeps every row
+    assert 130 <= by.get("b", 0) <= 270  # ~200 ± 4 sigma
+    # absent stratum → default 0.0 → dropped entirely
+    none = stratified_sample(df, "s", {"a": 0.5}, key_col="key")
+    assert none.where(F.col("s") == "b").count() == 0
+    # determinism: same rows both evaluations
+    k1 = sorted(r["key"] for r in kept.collect())
+    k2 = sorted(r["key"] for r in kept.collect())
+    assert k1 == k2
+
+
+def test_quantile_bins_equi_depth(spark):
+    df = spark.range(0, 1003).select(F.col("id").alias("v"))
+    out = quantile_bins(df, [F.asc("v")], 10, out_col="b")
+    sizes = {r["b"]: r["n"] for r in out.groupBy("b").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == set(range(1, 11))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # bins respect the order: every value in bin k < every value in k+1
+    rows = out.select("b", "v").collect()
+    hi = {}
+    lo = {}
+    for r in rows:
+        hi[r["b"]] = max(hi.get(r["b"], -1), r["v"])
+        lo[r["b"]] = min(lo.get(r["b"], 1 << 60), r["v"])
+    for k in range(1, 10):
+        assert hi[k] < lo[k + 1]
+
+
+def test_ngram_counts_windows_and_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "x"), (4, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["ngram"]: r["cnt"] for r in ngram_counts(df, 2).collect()}
+    # 1-token and empty docs contribute nothing; no partial windows
+    assert out == {"a b": 2, "b c": 1}
+    tri = {r["ngram"]: r["cnt"] for r in ngram_counts(df, 3).collect()}
+    assert tri == {"a b c": 1}
+    with pytest.raises(ValueError):
+        ngram_counts(df, 1)
+
+
+def test_redact_numbers(spark):
+    df = spark.createDataFrame(
+        [("t", "id=123 x=45"), ("t", "id=123 x=45"), ("t", "none"), ("u", "9")],
+        ["event_type", "props"],
+    )
+    out = {r["event_type"]: r for r in redact_numbers(df).collect()}
+    assert out["t"]["total_runs"] == 4  # two runs in each duplicated payload
+    assert out["t"]["n_events"] == 3
+    # the two identical payloads redact identically; 'none' differs
+    assert out["t"]["distinct_payloads"] == 2
+    assert out["u"]["total_runs"] == 1
