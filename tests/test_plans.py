@@ -94,3 +94,40 @@ def test_topk_is_take_ordered(spark):
 def test_pushdown_reaches_scan(spark):
     plan = _plan(QUERIES["x5_cosine_topk"](spark, SF))
     assert "LessThan(vec_id,5)" in plan  # PushedFilters on the query side
+
+
+def test_q4_compiles_to_semi_join_with_date_pushdown(spark):
+    plan = _plan(QUERIES["q4_order_priority"](spark, SF))
+    assert "Semi" in plan  # correlated EXISTS → left-semi, not a fan-out join
+    # the o_orderdate range reaches the orders scan as a pushed filter
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q19_pushes_disjunction_arms_to_scans(spark):
+    """The per-table parts of the OR-of-ANDs must reach both scans:
+    brand/size arms to part, quantity bounds cannot be split per-row
+    but brand Or-filter appears in part's PushedFilters."""
+    plan = _plan(QUERIES["q19_disjunctive"](spark, SF))
+    assert "Or(And(EqualTo(p_brand,Brand#1)" in plan
+
+
+def test_q7_broadcasts_both_nation_roles(spark):
+    plan = _plan(QUERIES["q7_volume_shipping"](spark, SF))
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_q13_outer_join_preserved(spark):
+    plan = _plan(QUERIES["q13_customer_distribution"](spark, SF))
+    assert "LeftOuter" in plan
+
+
+def test_x25_split_is_scan_project_only(spark):
+    """hash_split adds zero shuffles: the plan is scan → project."""
+    plan = _plan(QUERIES["x25_train_test_split"](spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_x26_sample_filter_reaches_scan_side(spark):
+    """stratified_sample is a pure filter — no shuffle, no join."""
+    plan = _plan(QUERIES["x26_stratified_sample"](spark, SF))
+    assert "Exchange" not in plan or "Exchange hashpartitioning" not in plan
