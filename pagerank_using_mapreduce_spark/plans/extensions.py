@@ -320,6 +320,80 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def q_z4_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1h window / 30min slide) streaming rollup — the
+    oracle re-derives each event's two covering windows arithmetically
+    (starts ≡ 0 mod slide), proving the overlap semantics."""
+    from ..streaming.events import (
+        read_event_stream,
+        run_available_now,
+        sliding_rollup_stream,
+        stage_table_dir,
+    )
+
+    stream = sliding_rollup_stream(
+        read_event_stream(spark, stage_table_dir(sf_dir))
+    )
+    return run_available_now(stream, "drv_z4_sliding")
+
+
+Z4_SQL = """
+SELECT (epoch_us(ts) // 1800000000) * 1800 - u.k * 1800 AS win_epoch,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS BIGINT) AS sum_value_e2
+FROM events, (SELECT unnest([0, 1]) AS k) u
+GROUP BY 1, 2"""
+
+
+def q_z5_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: events stream joined to the customer
+    dimension (broadcast per micro-batch), then a windowed per-segment
+    rollup.  Oracle: the identical batch join+rollup."""
+    from ..streaming.events import (
+        enrich_stream,
+        read_event_stream,
+        run_available_now,
+        stage_table_dir,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = enrich_stream(
+        read_event_stream(spark, stage_table_dir(sf_dir)),
+        cust,
+        "user_id",
+        "c_custkey",
+    )
+    rolled = (
+        enriched.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 day").alias("win"), "c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5000001)).cast("long")
+            ).alias("sum_value_e2"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("day_epoch"),
+            F.col("c_mktsegment").alias("segment"),
+            "n",
+            "sum_value_e2",
+        )
+    )
+    return run_available_now(rolled, "drv_z5_enrich")
+
+
+Z5_SQL = """
+SELECT (epoch_us(ts) // 86400000000) * 86400 AS day_epoch,
+       c_mktsegment AS segment,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS BIGINT) AS sum_value_e2
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2"""
+
+
 def q_x12_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = load_table(spark, sf_dir, "orders").select(
@@ -463,6 +537,8 @@ EXTENSION_QUERIES = {
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
+    "z4_sliding_rollup": q_z4_sliding_rollup,
+    "z5_stream_enrich": q_z5_stream_enrich,
 }
 
 EXTENSION_ORACLE = {
@@ -503,4 +579,6 @@ EXTENSION_ORACLE = {
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,
     "z3_stream_stream_join": Z3_SQL,
+    "z4_sliding_rollup": Z4_SQL,
+    "z5_stream_enrich": Z5_SQL,
 }

@@ -1,17 +1,23 @@
 from .events import (
+    click_purchase_join_stream,
+    enrich_stream,
     hourly_rollup_stream,
     read_event_stream,
     run_available_now,
     run_foreach_batch,
     sessionize_stream,
+    sliding_rollup_stream,
     stream_dedup,
 )
 
 __all__ = [
+    "click_purchase_join_stream",
+    "enrich_stream",
     "hourly_rollup_stream",
     "read_event_stream",
     "run_available_now",
     "run_foreach_batch",
     "sessionize_stream",
+    "sliding_rollup_stream",
     "stream_dedup",
 ]

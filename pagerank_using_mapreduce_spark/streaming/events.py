@@ -262,3 +262,45 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream.sparkSession.table(query_name)
+
+
+def sliding_rollup_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked SLIDING-window rollup: each event lands in
+    window/slide overlapping windows (2 here), the windowing mode the
+    tumbling z1 rollup can't express (moving averages, overlap-smoothed
+    rates).  State per (window, type) key as with tumbling — the
+    watermark still evicts closed windows; the only cost of overlap is
+    window/slide× more live keys."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5000001)).cast("long")
+            ).alias("sum_value_e2"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("win_epoch"),
+            "event_type",
+            "n",
+            "sum_value_e2",
+        )
+    )
+
+
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, stream_key: str, dim_key: str
+) -> DataFrame:
+    """Stream-static enrichment join: the dimension is a plain batch
+    DataFrame re-read (and auto-broadcast at dimension size) every
+    micro-batch — the standard pattern for slowly-changing lookup
+    tables; no state is kept for the static side."""
+    return events.join(
+        F.broadcast(dim), events[stream_key] == dim[dim_key], "inner"
+    )

@@ -188,3 +188,52 @@ def test_foreach_batch_parquet_sink(spark, events_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 1000
     assert back.select("event_id").distinct().count() == 1000
+
+
+def test_sliding_rollup_overlap_and_batch_parity(spark, events_dir):
+    from pagerank_using_mapreduce_spark.streaming import sliding_rollup_stream
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    stream = sliding_rollup_stream(read_event_stream(spark, events_dir))
+    got = run_available_now(stream, "t_sliding")
+    # every event lands in exactly window/slide = 2 windows
+    ev = load_table(spark, SF, "events")
+    assert got.agg(F.sum("n")).first()[0] == 2 * ev.count()
+    # parity with the same sliding window computed in batch
+    want = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5000001)).cast("long")).alias(
+                "sum_value_e2"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("win_epoch"),
+            "event_type",
+            "n",
+            "sum_value_e2",
+        )
+    )
+    cols = ["win_epoch", "event_type", "n", "sum_value_e2"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_static_enrich_matches_batch_join(spark, events_dir):
+    from pagerank_using_mapreduce_spark.streaming import enrich_stream
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    cust = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    enriched = enrich_stream(
+        read_event_stream(spark, events_dir), cust, "user_id", "c_custkey"
+    )
+    counted = enriched.groupBy("c_mktsegment").count()
+    got = run_available_now(counted, "t_enrich")
+    ev = load_table(spark, SF, "events")
+    want = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    cols = ["c_mktsegment", "count"]
+    assert _rows(got, cols) == _rows(want, cols)
