@@ -504,6 +504,63 @@ SELECT (pos - 1) * {QBIN_N} // (SELECT COUNT(*) FROM v) + 1 AS bin,
 FROM p GROUP BY 1"""
 
 
+QUALITY_THR_E6 = 330_000  # ~40th pct on this corpus — a real split
+
+
+def q_c1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition: the end-to-end curation pass a training
+    pipeline runs — quality gate → fingerprint dedup (canonical =
+    min doc_id per fingerprint) → deterministic split → per-split
+    accounting.  Every stage is an existing oracle-checked operator;
+    this query proves they COMPOSE (one plan, no materialization
+    between stages)."""
+    from ..operators.text_analysis import fingerprint, quality_score
+
+    docs = _docs(spark, sf_dir)
+    kept = (
+        quality_score(docs)
+        .where(F.col("quality_e6") >= QUALITY_THR_E6)
+        .select("doc_id", "n_chars")
+    )
+    fp = fingerprint(docs)
+    canon = (
+        kept.join(fp, "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(kept, "doc_id")
+    )
+    return (
+        hash_split(canon, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def _c1_sql() -> str:
+    from ..operators.text_analysis import FINGERPRINT_SQL, QUALITY_SQL
+
+    return f"""
+WITH q AS ({QUALITY_SQL}),
+f AS ({FINGERPRINT_SQL}),
+kept AS (
+  SELECT q.doc_id, q.n_chars, f.fp FROM q JOIN f ON q.doc_id = f.doc_id
+  WHERE q.quality_e6 >= {QUALITY_THR_E6}
+),
+canon AS (
+  SELECT k.doc_id, k.n_chars
+  FROM (SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp) c
+  JOIN kept k ON k.doc_id = c.doc_id
+)
+SELECT {hash_split_sql("doc_id")} AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM canon
+GROUP BY 1"""
+
+
 EXTENSION_QUERIES = {
     "x1_exact_dedup": q_x1_exact_dedup,
     "x2_minhash_signatures": q_x2_minhash_signatures,
@@ -529,6 +586,7 @@ EXTENSION_QUERIES = {
     "x22_srp_multiprobe": q_x22_srp_multiprobe,
     "x23_format_roundtrip": q_x23_format_roundtrip,
     "x24_frame_sample": q_x24_frame_sample,
+    "c1_curation_pipeline": q_c1_curation_pipeline,
     "x25_train_test_split": q_x25_train_test_split,
     "x26_stratified_sample": q_x26_stratified_sample,
     "x27_bigram_counts": q_x27_bigram_counts,
@@ -570,6 +628,7 @@ EXTENSION_ORACLE = {
     "x22_srp_multiprobe": SRP_MULTIPROBE_SQL,
     "x23_format_roundtrip": X23_SQL,
     "x24_frame_sample": X24_SQL,
+    "c1_curation_pipeline": _c1_sql(),
     "x25_train_test_split": X25_SQL,
     "x26_stratified_sample": X26_SQL,
     "x27_bigram_counts": ngram_counts_sql(n=2),
