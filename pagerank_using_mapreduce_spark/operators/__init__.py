@@ -34,6 +34,7 @@ from .pagerank import (
     link_graph,
     pagerank,
     pagerank_until,
+    personalized_pagerank,
     parse_corpus,
     ranking,
     top_k,
@@ -66,6 +67,7 @@ __all__ = [
     "link_graph",
     "pagerank",
     "pagerank_until",
+    "personalized_pagerank",
     "parse_corpus",
     "ranking",
     "top_k",

@@ -168,6 +168,76 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    pages: DataFrame,
+    sources: list[str],
+    iterations: int = ITERATIONS,
+    damping: float = DAMPING,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass returns only to ``sources``
+    (uniformly), not to every page — relevance ranking *relative to a
+    seed set* (query-biased ranking, related-page discovery).  An
+    extension of the reference's global recurrence
+    (PageRankAlgorithm.java:96-114): same un-normalized update with the
+    constant (1-d) term replaced by ``(1-d)/|S|·[v ∈ S]``.
+
+    Same scale skeleton as :func:`pagerank` (static edge relation
+    hash-partitioned once + persisted; only the small rank relation
+    moves per iteration; lineage truncated on a cadence).  The seed set
+    is a driver-side literal list folded into the plan (S4 channel) —
+    personalization sets are user queries, naturally small; for
+    million-seed use cases, swap the ``isin`` for a broadcast join.
+    """
+    if not sources:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    spark = pages.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    pages_c = pages.persist()
+    titles = pages_c.select("title").repartition(shuffle, "title").persist()
+    e = edges(pages_c).repartition(shuffle, "src").persist()
+    titles.count()
+    e.count()
+    pages_c.unpersist()
+
+    s = float(len(sources))
+    teleport = F.when(
+        F.col("title").isin(*sources), F.lit((1.0 - damping) / s)
+    ).otherwise(F.lit(0.0))
+    init = F.when(F.col("title").isin(*sources), F.lit(1.0 / s)).otherwise(
+        F.lit(0.0)
+    )
+    ranks = titles.select("title", init.alias("rank"))
+    prev_persisted = None
+    for i in range(iterations):
+        contribs = (
+            e.alias("e")
+            .join(ranks.alias("r"), F.col("e.src") == F.col("r.title"))
+            .select(
+                F.col("e.dst").alias("dst"),
+                (F.col("r.rank") / F.col("e.outdeg")).alias("contrib"),
+            )
+        )
+        mass = contribs.groupBy("dst").agg(F.sum("contrib").alias("mass"))
+        ranks = (
+            titles.alias("t")
+            .join(mass.alias("m"), F.col("t.title") == F.col("m.dst"), "left")
+            .select(
+                F.col("t.title").alias("title"),
+                (
+                    teleport
+                    + F.lit(damping) * F.coalesce(F.col("m.mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+            if prev_persisted is not None:
+                prev_persisted.unpersist()
+            prev_persisted = ranks
+    return ranks
+
+
 def pagerank_until(
     pages: DataFrame,
     tol: float = 1e-6,

@@ -196,6 +196,58 @@ def _q_pagerank(iterations: int):
     return q
 
 
+PPR_SEEDS = 3  # lexicographically-first titles form the seed set
+
+
+def q_i2_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (teleport only to a 3-page seed set — the
+    lexicographically first titles, derived identically in both
+    engines).  Oracle: the recurrence unrolled as CTEs with the seed
+    membership evaluated per level."""
+    from ..operators.pagerank import personalized_pagerank
+
+    pages = _pages(spark, sf_dir)
+    seeds = [
+        r["title"]
+        for r in pages.select("title").orderBy("title").limit(PPR_SEEDS).collect()
+    ]
+    out = personalized_pagerank(pages, seeds, iterations=10)
+    return out.select("title", _e6(F.col("rank")).alias("rank_e6"))
+
+
+def _ppr_sql(iterations: int = 10, k_seeds: int = PPR_SEEDS) -> str:
+    # The teleport/init constants are the PYTHON-computed doubles
+    # ((1-0.85)/k is NOT the same double as SQL's 0.15/k — the
+    # subtraction rounds differently), embedded via repr so both
+    # engines iterate with bit-identical coefficients.
+    tele = repr((1.0 - 0.85) / k_seeds)
+    init = repr(1.0 / k_seeds)
+    srcs = f"srcs AS MATERIALIZED (SELECT title FROM pages ORDER BY title LIMIT {k_seeds})"
+    ctes = [
+        f"""pp0 AS (
+  SELECT title,
+         CASE WHEN title IN (SELECT title FROM srcs) THEN {init} ELSE 0.0 END AS rank
+  FROM pages)"""
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""pp{k} AS (
+  SELECT p.title,
+         (CASE WHEN p.title IN (SELECT title FROM srcs) THEN {tele} ELSE 0.0 END)
+           + 0.85 * COALESCE(c.mass, 0.0) AS rank
+  FROM pages p
+  LEFT JOIN (
+    SELECT e.dst AS title, SUM(r.rank / e.outdeg) AS mass
+    FROM edges e JOIN pp{k - 1} r ON r.title = e.src
+    GROUP BY e.dst
+  ) c USING (title)
+)""")
+    body = ",\n".join(ctes)
+    return f"""WITH {_PAGES_CTES},
+{srcs},
+{body}
+SELECT title, {_sql_e6('rank')} AS rank_e6 FROM pp{iterations}"""
+
+
 def q_o1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 with positions, via the parallel global-position operator
     (range partitions + per-partition offsets — no single-partition
@@ -324,6 +376,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "i1_pagerank2": _q_pagerank(2),
     "i1_pagerank10": _q_pagerank(10),
     "i1_pagerank_converged": q_i1_pagerank_converged,
+    "i2_personalized_pagerank": q_i2_personalized_pagerank,
     "o1_ranking": q_o1_ranking,
     "o1_topk": q_o1_topk,
     "cc_components": q_cc_components,
@@ -458,6 +511,7 @@ FROM pages""",
     "i1_pagerank2": _rank_sql(2),
     "i1_pagerank10": _rank_sql(10),
     "i1_pagerank_converged": _rank_converged_sql(tol=2e-3, kmax=25),
+    "i2_personalized_pagerank": _ppr_sql(),
     "cc_converged": _cc_converged_sql(kmax=25),
     "cc_star": _cc_converged_sql(kmax=25, with_iterations=False),
     "o1_ranking": f"""WITH {_PAGES_CTES},

@@ -146,3 +146,41 @@ def test_pagerank_until_empty_corpus_yields_empty(spark):
     out = pagerank_until(empty, tol=1e-3, max_iterations=5)
     assert out.count() == 0
     assert set(out.columns) == {"title", "rank", "iterations"}
+
+
+def test_personalized_pagerank_chain_golden(spark):
+    from pagerank_using_mapreduce_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    chain = spark.createDataFrame(
+        [("a", ["b"]), ("b", ["c"]), ("c", [])],
+        "title string, links array<string>",
+    )
+    # seed {a}: r0 = (1,0,0); r_{k+1}(a) = 0.15, others get 0.85*inflow
+    got = {
+        r["title"]: r["rank"]
+        for r in personalized_pagerank(chain, ["a"], iterations=2).collect()
+    }
+    assert got["a"] == pytest.approx(0.15)
+    assert got["b"] == pytest.approx(0.85 * 0.15)
+    assert got["c"] == pytest.approx(0.85 * 0.85)
+
+
+def test_personalized_pagerank_unreachable_is_zero(spark):
+    from pagerank_using_mapreduce_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    g = spark.createDataFrame(
+        [("a", ["b"]), ("b", []), ("z", ["a"])],  # z unreachable FROM {a,b}
+        "title string, links array<string>",
+    )
+    got = {
+        r["title"]: r["rank"]
+        for r in personalized_pagerank(g, ["a"], iterations=5).collect()
+    }
+    assert got["z"] == 0.0
+    assert got["a"] > 0 and got["b"] > 0
+    with pytest.raises(ValueError):
+        personalized_pagerank(g, [])
