@@ -425,6 +425,51 @@ SELECT event_id, user_id, o_orderkey AS r_o_orderkey FROM (
 ) WHERE rn = 1"""
 
 
+ASOF_FWD_TOL_S = 7200
+
+
+def q_x30_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance: each purchase matched to the
+    NEAREST click at-or-after it (same user) within 2 hours — the
+    time-reversed direction of x12, exercising the negated-sort path
+    and the tolerance bound."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        left_on="user_id",
+        right_on="c_user",
+        left_ts="ts",
+        right_ts="c_ts",
+        right_payload=["event_id"],
+        how="inner",
+        direction="forward",
+        tolerance_s=ASOF_FWD_TOL_S,
+    )
+    return out.select("purchase_id", "user_id", F.col("r_event_id").alias("next_click_id"))
+
+
+X30_SQL = f"""
+SELECT purchase_id, user_id, event_id AS next_click_id FROM (
+  SELECT p.event_id AS purchase_id, p.user_id, c.event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.event_id
+           ORDER BY c.ts ASC, c.event_id DESC) AS rn
+  FROM events p
+  JOIN events c
+    ON c.user_id = p.user_id AND c.event_type = 'click'
+   AND epoch_us(c.ts) >= epoch_us(p.ts)
+   AND epoch_us(c.ts) <= epoch_us(p.ts) + {ASOF_FWD_TOL_S * 1_000_000}
+  WHERE p.event_type = 'purchase'
+) WHERE rn = 1"""
+
+
 # ---------------------------------------------------------------------------
 # Sampling / split / curation queries (operators/sampling.py,
 # text_analysis.py ngram/redact) — the dataset-assembly surface of a
@@ -592,6 +637,7 @@ EXTENSION_QUERIES = {
     "x27_bigram_counts": q_x27_bigram_counts,
     "x28_redact_numbers": q_x28_redact_numbers,
     "x29_quantile_bins": q_x29_quantile_bins,
+    "x30_asof_forward": q_x30_asof_forward,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
@@ -634,6 +680,7 @@ EXTENSION_ORACLE = {
     "x27_bigram_counts": ngram_counts_sql(n=2),
     "x28_redact_numbers": REDACT_SQL,
     "x29_quantile_bins": X29_SQL,
+    "x30_asof_forward": X30_SQL,
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,

@@ -5,6 +5,7 @@ from datetime import datetime
 import pytest
 
 from pagerank_using_mapreduce_spark.operators.asof import asof_join
+from pyspark.sql import functions as F
 
 
 @pytest.fixture(scope="module")
@@ -65,3 +66,38 @@ def test_asof_left(frames):
     assert len(got) == 6
     assert got[12]["r_rid"] is None and got[15]["r_rid"] is None
     assert got[10]["r_rid"] == 100
+
+
+def test_asof_forward_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, "k", 100.0), (2, "k", 500.0)],
+        "id long, k string, t double",
+    ).select("id", "k", F.timestamp_seconds("t").alias("ts"))
+    right = spark.createDataFrame(
+        [(10, "k", 120.0), (11, "k", 120.0), (12, "k", 9000.0)],
+        "rid long, k string, t double",
+    ).select("rid", "k", F.timestamp_seconds("t").alias("rts"))
+    out = asof_join(
+        left, right, "k", "k", "ts", "rts", ["rid"],
+        how="left", direction="forward", tolerance_s=60.0,
+    )
+    got = {r["id"]: r["r_rid"] for r in out.collect()}
+    # id=1: nearest-after at t=120 (two ties -> max rid wins); within 60s
+    assert got[1] == 11
+    # id=2: nearest-after is t=9000, 8500s away > tolerance -> null
+    assert got[2] is None
+
+
+def test_asof_forward_inner_drops_out_of_tolerance(spark):
+    left = spark.createDataFrame([(1, "k", 100.0)], "id long, k string, t double").select(
+        "id", "k", F.timestamp_seconds("t").alias("ts")
+    )
+    right = spark.createDataFrame([(9, "k", 99.0)], "rid long, k string, t double").select(
+        "rid", "k", F.timestamp_seconds("t").alias("rts")
+    )
+    # only right row is BEFORE the left row -> no forward match at all
+    out = asof_join(left, right, "k", "k", "ts", "rts", ["rid"],
+                    how="inner", direction="forward")
+    assert out.count() == 0
+    with pytest.raises(ValueError):
+        asof_join(left, right, "k", "k", "ts", "rts", ["rid"], direction="sideways")
