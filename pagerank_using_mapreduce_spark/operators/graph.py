@@ -274,3 +274,56 @@ def degree_stats(pages: DataFrame) -> DataFrame:
             F.coalesce(F.col("in_degree"), F.lit(0)).cast("long").alias("in_degree"),
         )
     )
+
+
+def triangle_count(pages: DataFrame) -> DataFrame:
+    """One row (n_triangles, n_edges): triangle census over the
+    undirected link graph.
+
+    Degree-ordered orientation — each undirected edge {a, b} is kept
+    once, pointing from the LOWER-degree endpoint to the higher
+    (degree ties broken by title), then triangles are wedges
+    u→v, u→w (v < w in the same order) closed by v→w.  Every triangle
+    is counted exactly once, and the wedge fan-out per node is bounded
+    by its ORIENTED out-degree ≤ O(√m) — the standard bound that keeps
+    a hub with 10^6 neighbors from generating 10^12 wedge candidates
+    at 100 TB (a plain a<b-ordering would leave high-degree-but-
+    lexicographically-small hubs with huge fan-out).  Three shuffles
+    total: degree agg, wedge self-join, closing-edge semi join.
+
+    The count is orientation-independent, so the oracle uses the
+    simple lexicographic a<b<c formulation — algorithm-independent
+    truth, same pattern as cc_star vs the hash-min fixpoint.
+    """
+    und = undirected_edges(pages)  # distinct, both directions present
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    # orient: keep (a,b) iff (deg_a, a) < (deg_b, b)
+    d1 = deg.select(F.col("src").alias("a"), F.col("deg").alias("da"))
+    d2 = deg.select(F.col("src").alias("b"), F.col("deg").alias("db"))
+    oriented = (
+        und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .join(d1, "a")
+        .join(d2, "b")
+        .where(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+        )
+        .select("a", "b")
+        .persist()
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.a") == F.col("e2.a"))
+        .where(F.col("e1.b") < F.col("e2.b"))
+        .select(F.col("e1.b").alias("v"), F.col("e2.b").alias("w"))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
+            oriented.select(F.col("b").alias("v"), F.col("a").alias("w"))
+        ),
+        ["v", "w"],
+        "left_semi",
+    )
+    return closed.agg(F.count("*").alias("n_triangles")).crossJoin(
+        und.agg((F.count("*") / 2).cast("long").alias("n_edges"))
+    )

@@ -335,6 +335,15 @@ def q_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(_pages(spark, sf_dir))
 
 
+def q_g3_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census (degree-ordered orientation — operators/graph.py).
+    Oracle: the lexicographic a<b<c three-way self-join (orientation-
+    independent truth)."""
+    from ..operators.graph import triangle_count
+
+    return triangle_count(_pages(spark, sf_dir))
+
+
 def q_deg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import degree_stats
 
@@ -382,6 +391,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_components": q_cc_components,
     "cc_converged": q_cc_converged,
     "cc_star": q_cc_star,
+    "g3_triangles": q_g3_triangles,
     "deg_stats": q_deg_stats,
     "a6_inverted_index": q_a6_inverted_index,
     "a6_inverted_index_wiki": q_a6_inverted_index_wiki,
@@ -514,6 +524,14 @@ FROM pages""",
     "i2_personalized_pagerank": _ppr_sql(),
     "cc_converged": _cc_converged_sql(kmax=25),
     "cc_star": _cc_converged_sql(kmax=25, with_iterations=False),
+    "g3_triangles": f"""WITH {_PAGES_CTES},
+{_SYM_CTE},
+und AS (SELECT src AS a, dst AS b FROM sym WHERE src < dst)
+SELECT
+  (SELECT COUNT(*) FROM und e1
+     JOIN und e2 ON e2.a = e1.b
+     JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
+  (SELECT COUNT(*) FROM und) AS n_edges""",
     "o1_ranking": f"""WITH {_PAGES_CTES},
 {_rank_ctes(10)},
 rounded AS (SELECT title, {_sql_e6('rank')} AS rank_e6 FROM r10)

@@ -115,3 +115,36 @@ def test_cc_star_long_chain_matches_hashmin(spark):
     }
     assert star == hashmin
     assert star["n39"] == "n00" and star["solo"] == "solo"
+
+
+def test_triangle_count_golden(spark):
+    from pagerank_using_mapreduce_spark.operators.graph import triangle_count
+
+    # K4 (4 triangles) plus a pendant node and a disconnected 4-cycle (0)
+    g = spark.createDataFrame(
+        [
+            ("a", ["b", "c", "d"]),
+            ("b", ["c", "d"]),
+            ("c", ["d"]),
+            ("d", ["e"]),  # pendant
+            ("e", []),
+            ("p", ["q"]), ("q", ["r"]), ("r", ["s"]), ("s", ["p"]),  # C4
+        ],
+        "title string, links array<string>",
+    )
+    row = triangle_count(g).first()
+    assert row["n_triangles"] == 4
+    # K4=6 edges + pendant 1 + C4=4
+    assert row["n_edges"] == 11
+
+
+def test_triangle_count_duplicate_links_not_double_counted(spark):
+    from pagerank_using_mapreduce_spark.operators.graph import triangle_count
+
+    g = spark.createDataFrame(
+        [("a", ["b", "b", "c"]), ("b", ["c", "a"]), ("c", [])],
+        "title string, links array<string>",
+    )
+    row = triangle_count(g).first()
+    assert row["n_triangles"] == 1
+    assert row["n_edges"] == 3
