@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "x12_asof_join",
     "x16_salted_agg",
     "q1_pricing_summary",
+    "q18_large_orders",
+    "c1_curation_pipeline",
+    "i2_personalized_pagerank",
     "e2_hourly_rollup",
     "e1_sessions",
     "z1_stream_rollup",

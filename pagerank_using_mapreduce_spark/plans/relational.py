@@ -195,6 +195,46 @@ SELECT * FROM (
 
 
 # --------------------------------------------------------------------------
+# Bounded ROWS frame: per-user rolling mean over the last 7 events —
+# the moving-average window shape (w1 covers ranking frames, e1 lag;
+# this is the only bounded sliding frame).  The rolling mean divides a
+# sum of e2-quantized integers by the frame row count — exact-operand
+# division, bit-identical cross-engine.
+# --------------------------------------------------------------------------
+
+ROLL_FRAME = 6  # preceding rows -> 7-event window
+
+
+def w2_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ROLL_FRAME, Window.currentRow)
+    )
+    v = _q(F.col("value"), 2)
+    return ev.select(
+        "event_id",
+        "user_id",
+        v.alias("value_e2"),
+        F.sum(v).over(w).alias("roll_sum_e2"),
+        F.count("*").over(w).alias("roll_n"),
+        _q(F.sum(v).over(w) / F.count("*").over(w), 0).alias("roll_mean_e2"),
+    )
+
+
+W2_SQL = f"""
+SELECT event_id, user_id,
+       {_sq("value", 2)} AS value_e2,
+       CAST(SUM({_sq("value", 2)}) OVER w AS BIGINT) AS roll_sum_e2,
+       COUNT(*) OVER w AS roll_n,
+       {_sq(f"CAST(SUM({_sq('value', 2)}) OVER w AS DOUBLE) / COUNT(*) OVER w", 0)} AS roll_mean_e2
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {ROLL_FRAME} PRECEDING AND CURRENT ROW)"""
+
+
+# --------------------------------------------------------------------------
 # Sessionization: 30-minute inactivity gap (lag + running sum)
 # --------------------------------------------------------------------------
 
@@ -1062,6 +1102,7 @@ RELATIONAL_QUERIES = {
     "j1_json_extract": j1_json_extract,
     "s1_value_stats": s1_value_stats,
     "w1_window_top3": w1_window_top3,
+    "w2_rolling_mean": w2_rolling_mean,
     "e1_sessions": e1_sessions,
     "e2_hourly_rollup": e2_hourly_rollup,
     "e3_pivot_activity": e3_pivot_activity,
@@ -1092,6 +1133,7 @@ RELATIONAL_ORACLE = {
     "j1_json_extract": J1_SQL,
     "s1_value_stats": S1_STATS_SQL,
     "w1_window_top3": W1_SQL,
+    "w2_rolling_mean": W2_SQL,
     "e1_sessions": E1_SQL,
     "e2_hourly_rollup": E2_SQL,
     "e3_pivot_activity": E3_SQL,
