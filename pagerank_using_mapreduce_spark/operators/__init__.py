@@ -50,7 +50,7 @@ from .similarity import (
     srp_lsh_near_dups,
     srp_lsh_near_dups_multiprobe,
 )
-from .sampling import hash_split, quantile_bins, stratified_sample
+from .sampling import hash_split, quantile_bins, stratified_sample, weighted_mix
 from .text_analysis import (
     fingerprint,
     lang_id,
@@ -87,6 +87,7 @@ __all__ = [
     "hash_split",
     "quantile_bins",
     "stratified_sample",
+    "weighted_mix",
     # graph
     "connected_components",
     "connected_components_star",

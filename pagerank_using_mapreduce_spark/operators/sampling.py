@@ -161,3 +161,76 @@ def quantile_bins(
         out_col,
         F.expr(f"(pos - 1) * {int(n_bins)} div {int(n)} + 1").cast("long"),
     )
+
+
+def _mix_arms(weights: dict[str, float], default_weight: float):
+    """Per-stratum (base_copies, fractional-part hex threshold)."""
+    def arm(w: float) -> tuple[int, str]:
+        if w < 0:
+            raise ValueError(f"negative mix weight {w}")
+        base = int(w)
+        frac = w - base
+        return base, format(min(round(frac * _BUCKETS), _BUCKETS), "05x")
+
+    return {s: arm(w) for s, w in weights.items()}, arm(default_weight)
+
+
+def weighted_mix(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    seed: str = "mix-0",
+    default_weight: float = 1.0,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Deterministic weighted re-mixing of data sources: a row whose
+    stratum has weight ``w`` appears ``floor(w)`` times plus one more
+    iff its hash bucket falls below ``frac(w)`` — so a 2.5× domain is
+    upsampled to 2 or 3 copies (expected 2.5) and a 0.25× domain is
+    downsampled, all as a pure function of (seed, key).  This is the
+    epoch-mixing operator of a training pipeline (oversample rare
+    high-quality sources, damp boilerplate) with exact reproducibility
+    across retries and re-partitioning.
+
+    Replication is ``explode(sequence(1, n))`` — no RNG, no join; the
+    ``copy_col`` index (1-based) lets downstream shuffles decorrelate
+    copies.  Scale: output rows ≤ ceil(max weight) × input, produced
+    map-side with zero shuffles."""
+    arms, default_arm = _mix_arms(weights, default_weight)
+    bucket5 = F.concat(F.lit("0"), _bucket_hex(F.col(key_col), seed))
+    base: Column | None = None
+    thr: Column | None = None
+    for stratum, (b, h) in arms.items():
+        cond = F.col(strata_col) == stratum
+        base = F.when(cond, b) if base is None else base.when(cond, b)
+        thr = F.when(cond, h) if thr is None else thr.when(cond, h)
+    db, dh = default_arm
+    base = F.lit(db) if base is None else base.otherwise(db)
+    thr = F.lit(dh) if thr is None else thr.otherwise(dh)
+    n = (base + (bucket5 < thr).cast("int")).alias("_n_copies")
+    out = df.withColumn("_n_copies", n).where(F.col("_n_copies") >= 1)
+    return out.withColumn(
+        copy_col, F.explode(F.sequence(F.lit(1), F.col("_n_copies")))
+    ).drop("_n_copies")
+
+
+def weighted_mix_sql(
+    strata_expr: str,
+    weights: dict[str, float],
+    key_expr: str,
+    seed: str = "mix-0",
+    default_weight: float = 1.0,
+) -> str:
+    """DuckDB fragment twin of :func:`weighted_mix`: emits
+    ``(n_copies_expr, copy-unnest_expr)`` usage as a full FROM-lateral
+    snippet the caller embeds; returns the n_copies CASE expression."""
+    arms, (db, dh) = _mix_arms(weights, default_weight)
+    b = _bucket_hex_sql(key_expr, seed)
+    base_arms = " ".join(f"WHEN {strata_expr} = '{s}' THEN {a[0]}" for s, a in arms.items())
+    thr_arms = " ".join(f"WHEN {strata_expr} = '{s}' THEN '{a[1]}'" for s, a in arms.items())
+    return (
+        f"(CASE {base_arms} ELSE {db} END"
+        f" + CASE WHEN ('0' || {b}) < (CASE {thr_arms} ELSE '{dh}' END)"
+        f" THEN 1 ELSE 0 END)"
+    )

@@ -54,6 +54,8 @@ from ..operators.sampling import (
     quantile_bins,
     stratified_sample,
     stratified_sample_sql,
+    weighted_mix,
+    weighted_mix_sql,
 )
 from ..sources.tables import load_table
 from .relational import E1_SQL as _E1_BATCH_SQL
@@ -480,6 +482,28 @@ SAMPLE_FRACTIONS = {"click": 0.05, "view": 0.02, "error": 0.5, "purchase": 1.0}
 QBIN_N = 10
 
 
+MIX_WEIGHTS = {"src0": 2.5, "src1": 0.25, "src2": 0.0}  # others 1.0
+
+
+def q_x32_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source re-weighting: src0 oversampled 2.5×, src1
+    damped to 0.25×, src2 dropped, the rest passed through — each doc
+    replicated/kept purely from md5(seed|doc_id)."""
+    return weighted_mix(
+        _docs(spark, sf_dir), "source", MIX_WEIGHTS, key_col="doc_id"
+    ).select("doc_id", "source", F.col("copy").cast("long").alias("copy"))
+
+
+def _x32_sql() -> str:
+    n = weighted_mix_sql("source", MIX_WEIGHTS, "doc_id")
+    return f"""
+WITH n_of AS (
+  SELECT doc_id, source, {n} AS n_copies FROM documents
+)
+SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy
+FROM n_of WHERE n_copies >= 1"""
+
+
 def q_x25_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document deterministic split assignment + char mass per split
     proves both the assignment and that the full row survives intact."""
@@ -547,6 +571,47 @@ SELECT (pos - 1) * {QBIN_N} // (SELECT COUNT(*) FROM v) + 1 AS bin,
        MIN(value_e2) AS lo_e2,
        MAX(value_e2) AS hi_e2
 FROM p GROUP BY 1"""
+
+
+def q_x31_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics over the embedding arrays — the
+    vector-hygiene pass (detect unnormalized / degenerate vectors)
+    before any similarity work.  Pure higher-order column expressions
+    (zip_with product + left-to-right aggregate fold, the same float
+    contract the cosine oracle proves); per-row norms quantized to e6
+    integers BEFORE the cross-row agg so no float crosses a shuffle."""
+    from ..operators.similarity import _dot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm_e6 = F.floor(
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * 1e6
+        + F.lit(0.5000001)
+    ).cast("long")
+    return (
+        emb.select(F.col("label").cast("long").alias("label"), norm_e6.alias("norm_e6"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("norm_e6").alias("min_norm_e6"),
+            F.max("norm_e6").alias("max_norm_e6"),
+            F.sum("norm_e6").alias("sum_norm_e6"),
+        )
+    )
+
+
+X31_SQL = """
+WITH norms AS (
+  SELECT label,
+         CAST(FLOOR(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * 1e6 + 0.5000001) AS BIGINT) AS norm_e6
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label,
+       COUNT(*) AS n,
+       MIN(norm_e6) AS min_norm_e6,
+       MAX(norm_e6) AS max_norm_e6,
+       CAST(SUM(norm_e6) AS BIGINT) AS sum_norm_e6
+FROM norms GROUP BY 1"""
 
 
 QUALITY_THR_E6 = 330_000  # ~40th pct on this corpus — a real split
@@ -638,6 +703,8 @@ EXTENSION_QUERIES = {
     "x28_redact_numbers": q_x28_redact_numbers,
     "x29_quantile_bins": q_x29_quantile_bins,
     "x30_asof_forward": q_x30_asof_forward,
+    "x31_embedding_norms": q_x31_embedding_norms,
+    "x32_weighted_mix": q_x32_weighted_mix,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
@@ -681,6 +748,8 @@ EXTENSION_ORACLE = {
     "x28_redact_numbers": REDACT_SQL,
     "x29_quantile_bins": X29_SQL,
     "x30_asof_forward": X30_SQL,
+    "x31_embedding_norms": X31_SQL,
+    "x32_weighted_mix": _x32_sql(),
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,

@@ -105,3 +105,37 @@ def test_redact_numbers(spark):
     # the two identical payloads redact identically; 'none' differs
     assert out["t"]["distinct_payloads"] == 2
     assert out["u"]["total_runs"] == 1
+
+
+def test_weighted_mix_copies_and_determinism(spark):
+    from pagerank_using_mapreduce_spark.operators.sampling import weighted_mix
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("key"),
+        F.when(F.col("id") % 2 == 0, "up").otherwise("drop").alias("s"),
+    )
+    out = weighted_mix(df, "s", {"up": 2.5, "drop": 0.0}, key_col="key")
+    by = {r["s"]: r["cnt"] for r in out.groupBy("s").agg(F.count("*").alias("cnt")).collect()}
+    assert "drop" not in by  # weight 0 removes the stratum entirely
+    # 500 'up' rows at 2.5x -> expected 1250, binomial(500, .5)+1000 within ±4σ
+    assert 1150 <= by["up"] <= 1350
+    # every key appears 2 or 3 times, copies numbered 1..n
+    per_key = {
+        r["key"]: sorted(r["copies"])
+        for r in out.groupBy("key").agg(F.collect_list("copy").alias("copies")).collect()
+    }
+    assert all(c in ([1, 2], [1, 2, 3]) for c in per_key.values())
+    # determinism across evaluations
+    again = weighted_mix(df, "s", {"up": 2.5, "drop": 0.0}, key_col="key")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    with pytest.raises(ValueError):
+        weighted_mix(df, "s", {"up": -1.0}, key_col="key")
+
+
+def test_weighted_mix_default_weight_passthrough(spark):
+    from pagerank_using_mapreduce_spark.operators.sampling import weighted_mix
+
+    df = spark.range(0, 100).select(F.col("id").alias("key"), F.lit("other").alias("s"))
+    out = weighted_mix(df, "s", {"x": 3.0}, key_col="key")  # 'other' -> default 1.0
+    assert out.count() == 100
+    assert out.agg(F.max("copy")).first()[0] == 1
