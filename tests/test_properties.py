@@ -74,3 +74,61 @@ def test_tokenizer_invariants(spark, text):
         assert t != ""
         assert t.isalpha()
         assert t == t.lower()
+
+
+_fractions = st.lists(
+    st.floats(min_value=0.05, max_value=1.0), min_size=2, max_size=4
+).map(lambda ws: {f"s{i}": w / sum(ws) for i, w in enumerate(ws)})
+
+
+@given(fractions=_fractions, seed=st.sampled_from(["a", "b", "c"]))
+@_SETTINGS
+def test_hash_split_total_and_layout_independent(spark, fractions, seed):
+    """For ANY fraction dict: every row lands in exactly one split, and
+    the assignment is identical under a different physical layout
+    (retry/re-partition stability — the property seeded rand() lacks)."""
+    from pagerank_using_mapreduce_spark.operators.sampling import hash_split
+
+    df = spark.range(0, 200).withColumnRenamed("id", "k")
+    a = {r["k"]: r["split"] for r in hash_split(df, "k", fractions, seed=seed).collect()}
+    b = {
+        r["k"]: r["split"]
+        for r in hash_split(df.repartition(7), "k", fractions, seed=seed).collect()
+    }
+    assert a == b
+    assert len(a) == 200
+    assert set(a.values()) <= set(fractions)
+
+
+_graph = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)), min_size=0, max_size=14
+)
+
+
+@given(raw_edges=_graph)
+@_SETTINGS
+def test_triangle_count_matches_naive(spark, raw_edges):
+    """Degree-ordered triangle census equals the brute-force count on
+    ANY small graph (including multi-edges and self-loops, which the
+    undirected-distinct base drops)."""
+    from itertools import combinations
+
+    from pagerank_using_mapreduce_spark.operators.graph import triangle_count
+
+    nodes = sorted({f"n{a}" for a, _ in raw_edges} | {f"n{b}" for _, b in raw_edges})
+    adj = {t: [] for t in nodes}
+    for a, b in raw_edges:
+        adj[f"n{a}"].append(f"n{b}")
+    pages = spark.createDataFrame(
+        [(t, adj[t]) for t in nodes] or [("lone", [])],
+        "title string, links array<string>",
+    )
+    und = {frozenset((a, b)) for a, bs in adj.items() for b in bs if a != b}
+    naive = sum(
+        1
+        for tri in combinations(nodes, 3)
+        if all(frozenset(p) in und for p in combinations(tri, 2))
+    )
+    row = triangle_count(pages).first()
+    assert row["n_triangles"] == naive
+    assert row["n_edges"] == len(und)
