@@ -1083,6 +1083,74 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Snapshot diff (incremental-ETL shape): compare per-order aggregate
+# state at two ship-date cutoffs — which orders APPEARED, which grew
+# (CHANGED), which were already complete (SAME).  One full-outer join
+# of two aggregate states on the key; the CDC pattern for maintaining
+# derived tables without reprocessing history.
+# --------------------------------------------------------------------------
+
+SNAP_T1 = "1997-01-01"
+SNAP_T2 = "1998-01-01"
+
+
+def d1_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def snap(cutoff: str, col: str) -> DataFrame:
+        return (
+            li.where(F.col("l_shipdate") < cutoff)
+            .select("l_orderkey", _q(F.col("l_quantity"), 2).alias("q"))
+            .groupBy("l_orderkey")
+            .agg(F.sum("q").alias(col))
+        )
+
+    old = snap(SNAP_T1, "old_qty_e2")
+    new = snap(SNAP_T2, "new_qty_e2")
+    # full outer: keys can exist in either snapshot alone
+    joined = old.join(new, "l_orderkey", "full_outer")
+    status = (
+        F.when(F.col("old_qty_e2").isNull(), "added")
+        .when(F.col("new_qty_e2").isNull(), "removed")  # impossible for
+        # a monotone cutoff — kept so the operator generalizes to
+        # non-append sources; the oracle proves the count is 0
+        .when(F.col("old_qty_e2") != F.col("new_qty_e2"), "changed")
+        .otherwise("same")
+    )
+    return (
+        joined.select(
+            status.alias("status"),
+            F.coalesce(F.col("new_qty_e2"), F.lit(0)).alias("n_q"),
+            F.coalesce(F.col("old_qty_e2"), F.lit(0)).alias("o_q"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("n_q") - F.col("o_q")).alias("delta_qty_e2"),
+        )
+    )
+
+
+D1_SQL = f"""
+WITH old AS (
+  SELECT l_orderkey, {_ssum("l_quantity", 2)} AS old_qty_e2
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '{SNAP_T1}' GROUP BY 1
+),
+new AS (
+  SELECT l_orderkey, {_ssum("l_quantity", 2)} AS new_qty_e2
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '{SNAP_T2}' GROUP BY 1
+)
+SELECT CASE WHEN old_qty_e2 IS NULL THEN 'added'
+            WHEN new_qty_e2 IS NULL THEN 'removed'
+            WHEN old_qty_e2 != new_qty_e2 THEN 'changed'
+            ELSE 'same' END AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(COALESCE(new_qty_e2, 0) - COALESCE(old_qty_e2, 0)) AS BIGINT) AS delta_qty_e2
+FROM old FULL OUTER JOIN new USING (l_orderkey)
+GROUP BY 1"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1112,6 +1180,7 @@ RELATIONAL_QUERIES = {
     "sj2_anti_join": sj2_customers_without_events,
     "rj1_range_join": rj1_pre_purchase_activity,
     "st1_set_ops": st1_set_ops,
+    "d1_snapshot_diff": d1_snapshot_diff,
 }
 
 RELATIONAL_ORACLE = {
@@ -1143,4 +1212,5 @@ RELATIONAL_ORACLE = {
     "sj2_anti_join": SJ2_SQL,
     "rj1_range_join": RJ1_SQL,
     "st1_set_ops": ST1_SQL,
+    "d1_snapshot_diff": D1_SQL,
 }
