@@ -1089,6 +1089,13 @@ GROUP BY 1
 # (CHANGED), which were already complete (SAME).  One full-outer join
 # of two aggregate states on the key; the CDC pattern for maintaining
 # derived tables without reprocessing history.
+#
+# Scale note: the full-outer form is the GENERAL shape (two independent
+# snapshot tables, e.g. yesterday's materialization vs today's).  For
+# this same-source special case a single scan with conditional
+# aggregation (SUM(CASE WHEN < T1 ...) vs SUM over the < T2 filter)
+# halves the I/O; the general form is kept because two real snapshots
+# cannot be fused.
 # --------------------------------------------------------------------------
 
 SNAP_T1 = "1997-01-01"
