@@ -327,3 +327,158 @@ def triangle_count(pages: DataFrame) -> DataFrame:
     return closed.agg(F.count("*").alias("n_triangles")).crossJoin(
         und.agg((F.count("*") / 2).cast("long").alias("n_edges"))
     )
+
+
+HITS_ITERATIONS = 10
+
+
+def valid_edges(pages: DataFrame) -> DataFrame:
+    """Directed (src, dst) pairs whose TARGET is a valid page — the
+    same phantom gate the rank join applies (F3,
+    reference PageRankAlgorithm.java:102-114 drops targets that never
+    emit a self record)."""
+    e = edges(pages).select("src", "dst")
+    valid = pages.select(F.col("title").alias("dst"))
+    return e.join(valid, "dst").select("src", "dst")
+
+
+def hits(
+    pages: DataFrame,
+    iterations: int = HITS_ITERATIONS,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(title, hub, authority): Kleinberg's HITS by mutual power
+    iteration over the directed valid-edge graph, L1-normalized each
+    half-step (hubs sum to 1, authorities sum to 1).
+
+    Not in the reference (its only graph metric is PageRank); this is
+    the natural companion ranking for a link corpus.  Same scale
+    skeleton as :func:`..pagerank.pagerank`: the static edge relation
+    is hash-partitioned and persisted ONCE; each half-step shuffles
+    only the small (title, score) relation into it, aggregates with
+    map-side partials, and left-joins back to all nodes.  The L1 norm
+    is a driver-side scalar per half-step (the S5 global-counter
+    channel, same as the convergence scalars in ``pagerank_until``)
+    over a persisted N-row relation — folding it back lazily instead
+    would duplicate the un-normalized subplan inside its own total and
+    double the logical plan every half-step.  Lineage is truncated on a
+    cadence exactly like the rank loop.
+
+    L1 (sum) rather than L2 normalization keeps the per-round scalar a
+    LINEAR reduction: cross-engine float summation noise stays ~1 ulp
+    relative, which the e6 quantization nudge absorbs — an L2 sqrt on
+    an order-dependent sum-of-squares would be harder to pin down.
+    """
+    spark = pages.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    pages_c = pages.persist()
+    titles = pages_c.select("title").repartition(shuffle, "title").persist()
+    # hub step groups by src, authority step by dst: partition on src
+    # (the hub-side key); the dst-side agg re-shuffles only the small
+    # score relation.
+    e = valid_edges(pages_c).repartition(shuffle, "src").persist()
+    titles.count()
+    e.count()
+    pages_c.unpersist()
+
+    n = titles.count()
+    auth = titles.select("title", F.lit(1.0 / n).alias("score"))
+    hub = auth
+    persisted: list[DataFrame] = []
+
+    def _step(scores: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+        """One half-step: pull ``scores`` across edges from ``dst_col``
+        to ``src_col``, L1-normalize."""
+        raw = (
+            e.alias("e")
+            .join(scores.alias("s"), F.col(f"e.{dst_col}") == F.col("s.title"))
+            .groupBy(F.col(f"e.{src_col}").alias("title"))
+            .agg(F.sum("s.score").alias("s"))
+        )
+        unnorm = (
+            titles.alias("t")
+            .join(raw.alias("r"), "title", "left")
+            .select("title", F.coalesce(F.col("r.s"), F.lit(0.0)).alias("score"))
+            .persist()
+        )
+        persisted.append(unnorm)
+        tot = unnorm.agg(F.sum("score")).first()[0]
+        if not tot or tot <= 0.0:
+            return unnorm  # all-zero scores: nothing to normalize
+        return unnorm.select("title", (F.col("score") / F.lit(tot)).alias("score"))
+
+    for i in range(iterations):
+        hub = _step(auth, "src", "dst")  # hub(v) = Σ_{v→u} auth(u)
+        auth = _step(hub, "dst", "src")  # auth(u) = Σ_{v→u} hub(v)
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            hub = hub.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
+            for p in persisted:
+                p.unpersist()
+            persisted = []
+    out = (
+        hub.select("title", F.col("score").alias("hub"))
+        .join(
+            auth.select("title", F.col("score").alias("authority")),
+            "title",
+        )
+    )
+    return out
+
+
+BFS_ITERATIONS = 8
+
+
+def bfs_depths(
+    pages: DataFrame, sources: list[str], iterations: int = BFS_ITERATIONS
+) -> DataFrame:
+    """(title, depth): minimum number of directed link hops from any
+    page in ``sources``, for every page reachable within ``iterations``
+    hops.  Unreached pages are absent from the result (not NULL-depth
+    rows), so the output size is the reachable set, not |V|.
+
+    Frontier-free formulation: each round the depth relation is
+    min-merged with (neighbors of current depths)+1 — one join into the
+    persisted adjacency + one min-groupBy per round, the same two-wide-
+    op shape as hash-min components.  A frontier-only delta iteration
+    sends less data per round once depths stabilize, but needs a
+    changed-rows anti-join per round (a third wide op) — at a fixed
+    small hop budget the dense form wins; swap in the delta form for
+    diameter-scale traversals.
+
+    Fixed ``iterations`` (like the reference's fixed 10 rank rounds)
+    keeps the op deterministic and lets the oracle unroll the identical
+    recurrence; depths only need k rounds to be exact for all nodes
+    within k hops.
+    """
+    if not sources:
+        raise ValueError("bfs_depths needs a non-empty source set")
+    spark = pages.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    pages_c = pages.persist()
+    e = valid_edges(pages_c).repartition(shuffle, "src").persist()
+    seeds = (
+        pages_c.select("title")
+        .where(F.col("title").isin(*sources))
+        .select("title", F.lit(0).cast("long").alias("depth"))
+    )
+    e.count()
+    depths = seeds
+    for i in range(iterations):
+        expanded = (
+            e.alias("e")
+            .join(depths.alias("d"), F.col("e.src") == F.col("d.title"))
+            .select(
+                F.col("e.dst").alias("title"),
+                (F.col("d.depth") + 1).alias("depth"),
+            )
+        )
+        depths = (
+            depths.unionAll(expanded)
+            .groupBy("title")
+            .agg(F.min("depth").alias("depth"))
+        )
+        if (i + 1) % 4 == 0 and (i + 1) < iterations:
+            depths = depths.localCheckpoint(eager=True)
+    pages_c.unpersist()
+    return depths

@@ -373,6 +373,102 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "word", "tf", "df", _e6(F.col("tf_idf")).alias("tfidf_e6"))
 
 
+BFS_SEEDS = 3  # lexicographically-first titles, same convention as PPR
+
+
+def q_g4_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities, 10 L1-normalized mutual power iterations
+    (operators/graph.py).  Oracle: the recurrence unrolled as
+    MATERIALIZED CTE levels with the per-level norm as a scalar
+    subquery."""
+    from ..operators.graph import hits
+
+    out = hits(_pages(spark, sf_dir), iterations=10)
+    return out.select(
+        "title",
+        _e6(F.col("hub")).alias("hub_e6"),
+        _e6(F.col("authority")).alias("auth_e6"),
+    )
+
+
+def q_g5_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source directed BFS depths within 8 hops from the
+    3 lexicographically-first titles (derived identically in both
+    engines — the i2 seed convention)."""
+    from ..operators.graph import bfs_depths
+
+    pages = _pages(spark, sf_dir)
+    seeds = [
+        r["title"]
+        for r in pages.select("title").orderBy("title").limit(BFS_SEEDS).collect()
+    ]
+    return bfs_depths(pages, seeds, iterations=8)
+
+
+_EV_CTE = (
+    "ev AS MATERIALIZED (SELECT e.src, e.dst FROM edges e "
+    "JOIN pages p ON p.title = e.dst)"
+)
+
+
+def _hits_sql(iterations: int = 10) -> str:
+    """HITS unrolled: per level, a raw pull across edges then an L1
+    normalization whose total is a scalar subquery over the
+    MATERIALIZED raw level (referenced twice — must not inline)."""
+    ctes = [
+        "a0 AS MATERIALIZED (SELECT title, 1.0 / (SELECT n FROM np) AS val FROM pages)"
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""hr{k} AS MATERIALIZED (
+  SELECT p.title, COALESCE(s.x, 0.0) AS v
+  FROM pages p LEFT JOIN (
+    SELECT e.src AS title, SUM(a.val) AS x
+    FROM ev e JOIN a{k - 1} a ON a.title = e.dst GROUP BY e.src
+  ) s USING (title))""")
+        ctes.append(f"""h{k} AS MATERIALIZED (
+  SELECT title, CASE WHEN (SELECT SUM(v) FROM hr{k}) > 0
+                     THEN v / (SELECT SUM(v) FROM hr{k}) ELSE 0.0 END AS val
+  FROM hr{k})""")
+        ctes.append(f"""ar{k} AS MATERIALIZED (
+  SELECT p.title, COALESCE(s.x, 0.0) AS v
+  FROM pages p LEFT JOIN (
+    SELECT e.dst AS title, SUM(h.val) AS x
+    FROM ev e JOIN h{k} h ON h.title = e.src GROUP BY e.dst
+  ) s USING (title))""")
+        ctes.append(f"""a{k} AS MATERIALIZED (
+  SELECT title, CASE WHEN (SELECT SUM(v) FROM ar{k}) > 0
+                     THEN v / (SELECT SUM(v) FROM ar{k}) ELSE 0.0 END AS val
+  FROM ar{k})""")
+    body = ",\n".join(ctes)
+    return f"""WITH {_PAGES_CTES},
+{_EV_CTE},
+{body}
+SELECT h.title, {_sql_e6("h.val")} AS hub_e6, {_sql_e6("a.val")} AS auth_e6
+FROM h{iterations} h JOIN a{iterations} a USING (title)"""
+
+
+def _bfs_sql(iterations: int = 8, k_seeds: int = BFS_SEEDS) -> str:
+    """BFS depths unrolled: d{k} = min-merge of d{k-1} with its
+    out-neighbors at depth+1 — identical recurrence to the operator."""
+    ctes = [
+        f"d0 AS MATERIALIZED (SELECT title, 0 AS depth FROM "
+        f"(SELECT title FROM pages ORDER BY title LIMIT {k_seeds}))"
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""d{k} AS MATERIALIZED (
+  SELECT title, MIN(depth) AS depth FROM (
+    SELECT title, depth FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst AS title, d.depth + 1 AS depth
+    FROM ev e JOIN d{k - 1} d ON d.title = e.src
+  ) GROUP BY title)""")
+    body = ",\n".join(ctes)
+    return f"""WITH {_PAGES_CTES},
+{_EV_CTE},
+{body}
+SELECT title, CAST(depth AS BIGINT) AS depth FROM d{iterations}"""
+
+
 _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s1_corpus_scan": q_s1_corpus_scan,
     "p1_titles": q_p1_titles,
@@ -392,6 +488,8 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cc_converged": q_cc_converged,
     "cc_star": q_cc_star,
     "g3_triangles": q_g3_triangles,
+    "g4_hits": q_g4_hits,
+    "g5_bfs_depths": q_g5_bfs,
     "deg_stats": q_deg_stats,
     "a6_inverted_index": q_a6_inverted_index,
     "a6_inverted_index_wiki": q_a6_inverted_index_wiki,
@@ -524,6 +622,8 @@ FROM pages""",
     "i2_personalized_pagerank": _ppr_sql(),
     "cc_converged": _cc_converged_sql(kmax=25),
     "cc_star": _cc_converged_sql(kmax=25, with_iterations=False),
+    "g4_hits": _hits_sql(),
+    "g5_bfs_depths": _bfs_sql(),
     "g3_triangles": f"""WITH {_PAGES_CTES},
 {_SYM_CTE},
 und AS (SELECT src AS a, dst AS b FROM sym WHERE src < dst)

@@ -797,6 +797,142 @@ GROUP BY 1, 2, 3
 
 
 # --------------------------------------------------------------------------
+# Q8-style national market share: what fraction of a region's revenue in
+# one part segment is supplied by a given nation, per year.  The share
+# ratio is emitted as two quantized integer columns (numerator /
+# denominator) rather than a double — integer sums are
+# summation-order-independent, so the cross-engine hash can't wobble.
+# Shape not covered elsewhere: conditional aggregation over a 6-way join
+# where the SAME dimension (nation) plays two roles (customer's region
+# membership + supplier's nationality).
+# --------------------------------------------------------------------------
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_19"  # present among ASIA-facing PROMO suppliers at every SF
+Q8_TYPE = "PROMO"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    # customer-side role: nation → region gate (broadcast both)
+    cn = (
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == Q8_REGION)),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    # supplier-side role: nationality label
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = _q(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        li.join(F.broadcast(part.where(F.col("p_type") == Q8_TYPE)),
+                li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("c_nk"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            rev.alias("rev_e4"),
+            F.when(F.col("supp_nation") == Q8_NATION, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_target"),
+        )
+        .groupBy("order_year")
+        .agg(
+            F.sum(F.when(F.col("is_target") == 1, F.col("rev_e4")).otherwise(F.lit(0)))
+            .alias("nation_rev_e4"),
+            F.sum("rev_e4").alias("total_rev_e4"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(SUM(CASE WHEN n2.n_name = '{Q8_NATION}'
+                     THEN {_sq("l_extendedprice * (1 - l_discount)", 4)}
+                     ELSE 0 END) AS BIGINT) AS nation_rev_e4,
+       {_ssum("l_extendedprice * (1 - l_discount)", 4)} AS total_rev_e4,
+       COUNT(*) AS n
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_type = '{Q8_TYPE}'
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = '{Q8_REGION}'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Q9-style product-type profit by supplier nation and year.  The TPC-H
+# original prices cost from partsupp.ps_supplycost; this testdata has no
+# partsupp, so cost is modeled as a fixed fraction of p_retailprice —
+# the SHAPE (profit = revenue − cost over a part×supplier×orders join,
+# grouped by nation×year, with per-row signed quantization) is what's
+# exercised.
+# --------------------------------------------------------------------------
+
+Q9_COST_RATE = 0.1  # cost per unit = 10% of retail price
+
+
+def q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    amount = _q(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * Q9_COST_RATE,
+        4,
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("s_nk"))
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            amount.alias("amount_e4"),
+        )
+        .groupBy("nation", "order_year")
+        .agg(F.sum("amount_e4").alias("profit_e4"), F.count("*").alias("n"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       {_ssum(f"l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * {Q9_COST_RATE}", 4)} AS profit_e4,
+       COUNT(*) AS n
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Q10-style returned items: which customers returned the most revenue in
 # a quarter (4-way join filtered on both fact tables, top-20)
 # --------------------------------------------------------------------------
@@ -1165,6 +1301,8 @@ RELATIONAL_QUERIES = {
     "q5_region_revenue": q5_region_revenue,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q9_profit": q9_profit,
     "q10_returned_items": q10_returned_items,
     "q12_priority_lines": q12_priority_lines,
     "q13_customer_distribution": q13_customer_distribution,
@@ -1197,6 +1335,8 @@ RELATIONAL_ORACLE = {
     "q5_region_revenue": Q5_SQL,
     "q6_forecast_revenue": Q6_SQL,
     "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q9_profit": Q9_SQL,
     "q10_returned_items": Q10_SQL,
     "q12_priority_lines": Q12_SQL,
     "q13_customer_distribution": Q13_SQL,

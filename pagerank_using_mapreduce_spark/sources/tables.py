@@ -26,27 +26,50 @@ TABLES = (
 )
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TimestampType (micros,
+    epoch == the raw stored value) regardless of how the file was
+    written.  Testdata generations have used two physical types:
+
+    - parquet TIMESTAMP(NANOS): readable only as long nanos with
+      ``nanosAsLong`` on; truncate to micros (DuckDB's conversion).
+    - parquet timestamp[us] (unannotated → TIMESTAMP_NTZ under Spark 4's
+      ``inferTimestampNTZ`` default): cast NTZ → TIMESTAMP, a value
+      identity in a UTC session (the repo factory pins
+      ``spark.sql.session.timeZone=UTC``; the test container's JVM
+      default is UTC too, so driver-owned bare sessions match).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-        # rejects unless nanosAsLong is on.  The conf is runtime-settable,
-        # and callers (e.g. a driver harness) may hand us a session they
-        # built themselves — so set it here, not only in our own factory.
+        # Older testdata wrote events.ts as parquet TIMESTAMP(NANOS),
+        # which Spark's reader rejects unless nanosAsLong is on.  The
+        # conf is runtime-settable, and callers (e.g. a driver harness)
+        # may hand us a session they built themselves — so set it here,
+        # not only in our own factory.
         # PERSISTENT SESSION SIDE EFFECT (deliberate): the conf stays on
         # for the session's lifetime, so any later parquet read in this
         # session surfaces TIMESTAMP(NANOS) columns as long nanos.  It
         # cannot be restored after this call — the scan consults the
         # conf at EXECUTION time, so flipping it back would fail the
         # (lazy) read we just planned.  The only nanos-typed testdata
-        # column is events.ts, which this loader already converts.
+        # column ever generated is events.ts, which this loader already
+        # converts (current generations write micros; see
+        # :func:`normalize_event_ts`, which handles both).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts arrives as long nanos (via nanosAsLong); truncate to micros
-        # (the same conversion DuckDB applies reading NANOS into TIMESTAMP).
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
     return df
 
 

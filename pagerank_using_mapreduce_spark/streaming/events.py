@@ -22,10 +22,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
+# Historical note: events.ts has been written as TIMESTAMP(NANOS)
+# (readable only as long via nanosAsLong) and as plain micros.  The
+# stream reader derives its required explicit schema from a footer-only
+# batch peek of the directory, so both — and any future re-typing —
+# work unchanged; sources.tables.normalize_event_ts then lands every
+# variant on TimestampType.
 
 
 def stage_table_dir(sf_dir: str, table: str = "events") -> str:
@@ -44,26 +46,33 @@ def read_event_stream(
     spark: SparkSession, events_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
     """File-source stream over a directory of events parquet files.
-    ts arrives as long nanos (same nanosAsLong contract as the batch
-    loader) and is converted to a timestamp column.
+    ``ts`` is normalized to TimestampType whichever way the files were
+    written — long nanos (older testdata, via nanosAsLong) or native
+    micros (current testdata) — by the same rules as the batch loader
+    (:func:`..sources.tables.normalize_event_ts`).
 
     ``max_files_per_trigger`` caps files per micro-batch — the test
     harness uses it to force multi-batch (and out-of-order) delivery
     from a static directory."""
     # Runtime-set for driver-owned sessions (same reason as
-    # sources.tables.load_table): events.ts is parquet TIMESTAMP(NANOS),
-    # readable only as long nanos with this legacy conf on.
+    # sources.tables.load_table): NANOS-era events.ts is readable only
+    # as long nanos with this legacy conf on.
     # PERSISTENT SESSION SIDE EFFECT (deliberate, same as load_table):
     # the conf stays on for the session — micro-batches consult it at
     # execution time, so restoring it after planning would break the
     # stream.  Later parquet reads in this session see NANOS columns
     # as longs; events.ts is the only such testdata column.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    # The file source needs an explicit schema; peek at the directory
+    # with a one-off batch read (footer-only, no data scan) to learn
+    # which physical ts type this generation of files carries.
+    from ..sources.tables import normalize_event_ts
+
+    peeked = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(peeked)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(events_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(reader.parquet(events_dir))
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

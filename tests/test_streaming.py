@@ -90,8 +90,12 @@ def test_streaming_sessionize_out_of_order_batches(spark, tmp_path):
     totals — the r02 verdict's cross-batch ordering gap."""
     from pagerank_using_mapreduce_spark.streaming import events as se
 
-    ev = spark.read.parquet(f"{SF}/events.parquet")
-    mid = ev.selectExpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ts)").first()[0]
+    from pagerank_using_mapreduce_spark.sources.tables import normalize_event_ts
+
+    ev = normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
+    mid = ev.selectExpr(
+        "percentile_cont(0.5) WITHIN GROUP (ORDER BY unix_micros(ts))"
+    ).first()[0]
     d = tmp_path / "ooo_events"
     d.mkdir()
     # file source orders batches by modification time: write LATE half
@@ -99,10 +103,10 @@ def test_streaming_sessionize_out_of_order_batches(spark, tmp_path):
     import os
     import time
 
-    ev.where(F.col("ts") > mid).coalesce(1).write.mode("overwrite").parquet(
+    ev.where(F.unix_micros(F.col("ts")) > mid).coalesce(1).write.mode("overwrite").parquet(
         str(d / "late")
     )
-    ev.where(F.col("ts") <= mid).coalesce(1).write.mode("overwrite").parquet(
+    ev.where(F.unix_micros(F.col("ts")) <= mid).coalesce(1).write.mode("overwrite").parquet(
         str(d / "early")
     )
     staged = tmp_path / "staged"
@@ -152,9 +156,9 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     stream = se.click_purchase_join_stream(se.read_event_stream(spark, events_dir))
     got = se.run_available_now(stream, "t_ssjoin", output_mode="append")
 
-    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    from pagerank_using_mapreduce_spark.sources.tables import normalize_event_ts
+
+    ev = normalize_event_ts(spark.read.parquet(f"{SF}/events.parquet"))
     p = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
         F.col("user_id"),
