@@ -441,3 +441,90 @@ jac AS (
 SELECT doc_a, doc_b,
        CAST(FLOOR(jaccard * 1e6 + 0.5000001) AS BIGINT) AS jaccard_e6
 FROM jac WHERE jaccard >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: pairs → connected components → canonical doc.
+# The step a real curation pipeline runs after pair finding: transitive
+# closure so that a chain a~b~c keeps ONE representative, not two.
+# ---------------------------------------------------------------------------
+
+CLUSTER_ROUNDS = 4  # covers diameter-4 near-dup chains (the synthetic
+# corpus builds pairs/triangles, diameter <= 2; real LSH graphs are
+# shallow too).  Rounds must be >= the pair-graph diameter for full
+# transitive closure — raise it (or run cc_star) for adversarially
+# chained corpora.  Fixed rounds keep the op deterministic and the
+# oracle unrollable, like cc_components.
+
+
+def dedup_clusters(docs: DataFrame, rounds: int = CLUSTER_ROUNDS) -> DataFrame:
+    """(doc_id, canonical_id, is_canonical): every document mapped to
+    the min doc_id of its near-duplicate cluster (transitive closure of
+    :func:`near_dup_pipeline` pairs); docs in no pair map to themselves.
+
+    Scale shape: the pair graph is a tiny fraction of the corpus (only
+    LSH-verified near-dups), so the min-label iteration runs on the
+    pair-member subset; the full corpus only appears in the final left
+    join that fills in singletons.  Per round: one join into the
+    (persisted) symmetric pair relation + one min-agg — same wide-op
+    budget as hash-min components on an O(|pairs|) relation.
+    """
+    pairs = near_dup_pipeline(docs).select("doc_a", "doc_b").persist()
+    sym = pairs.unionAll(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        sym.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(rounds):
+        pulled = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.doc_b") == F.col("l.doc_id"))
+            .select(F.col("e.doc_a").alias("doc_id"), F.col("l.label").alias("label"))
+        )
+        labels = (
+            labels.unionAll(pulled)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+        )
+    out = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("canonical_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_id"))
+    )
+    return out
+
+
+def dedup_clusters_sql(docs_sql: str, rounds: int = CLUSTER_ROUNDS) -> str:
+    """Oracle: the identical min-label recurrence unrolled over the
+    near-dup pair CTE (MATERIALIZED — each level is referenced by the
+    next and by the final join)."""
+    nd = near_dup_sql(docs_sql)
+    ctes = [
+        f"nd AS MATERIALIZED ({nd})",
+        "sym AS MATERIALIZED (SELECT doc_a, doc_b FROM nd "
+        "UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM nd)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM sym)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""l{k} AS MATERIALIZED (
+  SELECT doc_id, MIN(label) AS label FROM (
+    SELECT doc_id, label FROM l{k - 1}
+    UNION ALL
+    SELECT e.doc_a AS doc_id, l.label
+    FROM sym e JOIN l{k - 1} l ON l.doc_id = e.doc_b
+  ) GROUP BY doc_id)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH docs AS ({docs_sql}),
+{body}
+SELECT d.doc_id,
+       COALESCE(l.label, d.doc_id) AS canonical_id,
+       d.doc_id = COALESCE(l.label, d.doc_id) AS is_canonical
+FROM docs d LEFT JOIN l{rounds} l USING (doc_id)"""

@@ -290,3 +290,75 @@ SELECT event_type,
        COUNT(DISTINCT regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS distinct_payloads
 FROM events
 GROUP BY event_type"""
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, distinct_ratio_e6,
+    top_share_e6): token-repetition quality signals — low distinct
+    ratio / high top-token share flag boilerplate and degenerate
+    (looping) generations, a standard pretraining-corpus filter.
+
+    Stays exploded-relational (token explode → two-level aggregate)
+    rather than per-row array gymnastics: the explode+groupBy shape
+    gets map-side partial aggregation and whole-stage codegen, and the
+    doc_id key is unique per document so the shuffle is balanced by
+    construction.  Ratios divide two exact integers — bit-identical
+    cross-engine."""
+    toks = documents.select(
+        "doc_id", F.explode(_toks()).alias("tok")
+    )
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    def e6(c: Column) -> Column:
+        return F.floor(c * 1e6 + F.lit(0.5000001)).cast("long")
+
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("n_distinct"), F.lit(0)).alias("n_distinct"),
+            e6(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("n_distinct").cast("double") / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0))
+            ).alias("distinct_ratio_e6"),
+            e6(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("top_c").cast("double") / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0))
+            ).alias("top_share_e6"),
+        )
+    )
+
+
+REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(
+           lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '')) AS tok
+  FROM documents
+),
+per_tok AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+per_doc AS (
+  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS top_c
+  FROM per_tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(p.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(FLOOR((CASE WHEN p.n_tokens > 0
+                        THEN CAST(p.n_distinct AS DOUBLE) / p.n_tokens
+                        ELSE 0.0 END) * 1e6 + 0.5000001) AS BIGINT) AS distinct_ratio_e6,
+       CAST(FLOOR((CASE WHEN p.n_tokens > 0
+                        THEN CAST(p.top_c AS DOUBLE) / p.n_tokens
+                        ELSE 0.0 END) * 1e6 + 0.5000001) AS BIGINT) AS top_share_e6
+FROM documents d LEFT JOIN per_doc p USING (doc_id)"""

@@ -39,6 +39,7 @@ from ..operators.text_analysis import (
     LANG_ID_SQL,
     QUALITY_SQL,
     REDACT_SQL,
+    REPETITION_SQL,
     TOKEN_COUNT_SQL,
     fingerprint,
     lang_id,
@@ -46,6 +47,7 @@ from ..operators.text_analysis import (
     ngram_counts_sql,
     quality_score,
     redact_numbers,
+    repetition_stats,
     token_count,
 )
 from ..operators.sampling import (
@@ -82,6 +84,18 @@ def q_x3_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_x4_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.near_dup_pipeline(dd.augment_docs(_docs(spark, sf_dir)))
+
+
+def q_x33_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → transitive closure → canonical doc per cluster
+    (operators/dedup.py:dedup_clusters)."""
+    return dd.dedup_clusters(dd.augment_docs(_docs(spark, sf_dir)))
+
+
+def q_x34_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-repetition quality signals (distinct ratio, top-token
+    share) — operators/text_analysis.py:repetition_stats."""
+    return repetition_stats(_docs(spark, sf_dir))
 
 
 def q_x5_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -705,6 +719,8 @@ EXTENSION_QUERIES = {
     "x30_asof_forward": q_x30_asof_forward,
     "x31_embedding_norms": q_x31_embedding_norms,
     "x32_weighted_mix": q_x32_weighted_mix,
+    "x33_dedup_clusters": q_x33_dedup_clusters,
+    "x34_repetition_stats": q_x34_repetition_stats,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
@@ -750,6 +766,8 @@ EXTENSION_ORACLE = {
     "x30_asof_forward": X30_SQL,
     "x31_embedding_norms": X31_SQL,
     "x32_weighted_mix": _x32_sql(),
+    "x33_dedup_clusters": dd.dedup_clusters_sql(dd.AUGMENT_SQL),
+    "x34_repetition_stats": REPETITION_SQL,
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,

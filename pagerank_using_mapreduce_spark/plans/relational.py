@@ -1294,6 +1294,44 @@ FROM old FULL OUTER JOIN new USING (l_orderkey)
 GROUP BY 1"""
 
 
+# --------------------------------------------------------------------------
+# Exact grouped quantiles: interpolated median / p90 per group — the
+# order-statistic aggregate shape (s1 covers moments; this is the sort-
+# based family).  Exact percentile is a full per-group sort, which is
+# the point: at scale you'd swap in approx_percentile (t-digest sketch,
+# mergeable, one pass) and accept the error bound; the exact form is
+# the oracle-checkable baseline.  Both engines define quantiles by the
+# same linear interpolation at rank (n-1)p, on identical doubles.
+# --------------------------------------------------------------------------
+
+
+def s2_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("p50"),
+            F.percentile("l_quantity", 0.9).alias("p90"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            _q(F.col("p50"), 6).alias("p50_e6"),
+            _q(F.col("p90"), 6).alias("p90_e6"),
+            "n",
+        )
+    )
+
+
+S2_SQL = f"""
+SELECT l_returnflag,
+       {_sq("quantile_cont(l_quantity, 0.5)", 6)} AS p50_e6,
+       {_sq("quantile_cont(l_quantity, 0.9)", 6)} AS p90_e6,
+       COUNT(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1314,6 +1352,7 @@ RELATIONAL_QUERIES = {
     "q22_sales_opportunity": q22_sales_opportunity,
     "j1_json_extract": j1_json_extract,
     "s1_value_stats": s1_value_stats,
+    "s2_grouped_quantiles": s2_grouped_quantiles,
     "w1_window_top3": w1_window_top3,
     "w2_rolling_mean": w2_rolling_mean,
     "e1_sessions": e1_sessions,
@@ -1348,6 +1387,7 @@ RELATIONAL_ORACLE = {
     "q22_sales_opportunity": Q22_SQL,
     "j1_json_extract": J1_SQL,
     "s1_value_stats": S1_STATS_SQL,
+    "s2_grouped_quantiles": S2_SQL,
     "w1_window_top3": W1_SQL,
     "w2_rolling_mean": W2_SQL,
     "e1_sessions": E1_SQL,
