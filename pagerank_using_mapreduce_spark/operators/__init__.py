@@ -1,5 +1,6 @@
 from .asof import asof_join
 from .dedup import (
+    dedup_clusters,
     exact_dedup,
     lsh_candidates,
     minhash_signatures,
@@ -9,10 +10,13 @@ from .dedup import (
     simhash_near_dups,
 )
 from .graph import (
+    bfs_depths,
     connected_components,
     connected_components_star,
     connected_components_until,
     degree_stats,
+    hits,
+    triangle_count,
     undirected_edges,
 )
 from .inverted_index import (
@@ -51,12 +55,14 @@ from .similarity import (
     srp_lsh_near_dups_multiprobe,
 )
 from .sampling import hash_split, quantile_bins, stratified_sample, weighted_mix
+from .sketches import hll_estimate, hll_registers
 from .text_analysis import (
     fingerprint,
     lang_id,
     ngram_counts,
     quality_score,
     redact_numbers,
+    repetition_stats,
     token_count,
 )
 
@@ -82,6 +88,7 @@ __all__ = [
     "ngram_counts",
     "quality_score",
     "redact_numbers",
+    "repetition_stats",
     "token_count",
     # sampling / splits
     "hash_split",
@@ -89,12 +96,16 @@ __all__ = [
     "stratified_sample",
     "weighted_mix",
     # graph
+    "bfs_depths",
     "connected_components",
     "connected_components_star",
     "connected_components_until",
     "degree_stats",
+    "hits",
+    "triangle_count",
     "undirected_edges",
     # dedup
+    "dedup_clusters",
     "exact_dedup",
     "lsh_candidates",
     "minhash_signatures",
@@ -116,6 +127,9 @@ __all__ = [
     "extract_features",
     "frame_sample",
     "resize_meta",
+    # sketches
+    "hll_estimate",
+    "hll_registers",
     # joins / scale
     "asof_join",
     "read_bucketed",

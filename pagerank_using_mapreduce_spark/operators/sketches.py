@@ -1,0 +1,121 @@
+"""Deterministic cardinality sketches (HyperLogLog) as pure DataFrame
+compositions.
+
+The reference has no sketching (its only global scalar is the exact
+page count, PageRankAlgorithm.java:60-77); at 100 TB the exact
+COUNT(DISTINCT) it would imply is a full shuffle of every distinct key,
+while an HLL register table is a fixed 2^p-row aggregate with map-side
+partial merge (max per register) — the standard cardinality path for
+corpus statistics.
+
+Unlike the engine-native implementations (Spark's
+``approx_count_distinct`` HLL++, DuckDB's ``approx_distinct``), the
+hash here is md5 — slower, but bit-identical in any engine — so the
+REGISTER TABLE itself is cross-engine hash-checkable: the oracle gate
+verifies the sketch content exactly, and only the final float estimate
+(whose ln/harmonic sum is ulp-sensitive) stays out of the hash check
+(tests/test_sketches.py bounds it against the exact count instead:
+within 5 standard errors, sigma = 1.04/sqrt(2^p)).
+
+Register derivation from the 32-hex md5: the first ``p/4`` hex chars
+index the register; the next 13 chars (52 bits) feed the rank
+rho = (# leading zero bits) + 1, computed on the HEX string — 4 bits
+per leading '0' char plus a per-digit leading-zero lookup — so no
+engine-specific bit intrinsics are involved.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HLL_P = 8  # 2^8 = 256 registers; standard error 1.04/16 = 6.5%
+_TAIL_HEX = 13  # 52 bits of rank material
+
+
+def _digit_lz(c: Column) -> Column:
+    """Leading zero bits of one nonzero hex digit (as 4-bit field)."""
+    return (
+        F.when(c == "1", F.lit(3))
+        .when(c.isin("2", "3"), F.lit(2))
+        .when(c.isin("4", "5", "6", "7"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def hll_registers(df: DataFrame, key: str, p: int = HLL_P) -> DataFrame:
+    """(register, max_rho): the HLL register table for the values of
+    ``key``.  One narrow projection + one 2^p-group aggregate with
+    map-side partial max — the whole sketch is a single shuffle of at
+    most 2^p rows per upstream partition regardless of data volume.
+    """
+    if p % 4 != 0:
+        raise ValueError("p must be a multiple of 4 (hex-digit indexing)")
+    nidx = p // 4
+    h = F.md5(F.col(key).cast("string"))
+    idx = F.conv(F.substring(h, 1, nidx), 16, 10).cast("long")
+    tail = F.substring(h, nidx + 1, _TAIL_HEX)
+    zeros = F.length(F.regexp_extract(tail, "^0*", 0))
+    first = F.substring(tail, zeros + 1, 1)  # '' when tail is all zeros
+    rho = F.when(zeros == _TAIL_HEX, F.lit(4 * _TAIL_HEX + 1)).otherwise(
+        F.lit(4) * zeros + _digit_lz(first) + 1
+    )
+    return (
+        df.select(idx.alias("register"), rho.cast("long").alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_registers_sql(table: str, key_expr: str, p: int = HLL_P) -> str:
+    """DuckDB twin of :func:`hll_registers` (identical md5-derived
+    registers; hex→int via strpos since DuckDB has no conv())."""
+    nidx = p // 4
+    digits = "0123456789abcdef"
+    idx_terms = " + ".join(
+        f"(strpos('{digits}', substr(h, {i + 1}, 1)) - 1) * {16 ** (nidx - 1 - i)}"
+        for i in range(nidx)
+    )
+    return f"""
+WITH hashed AS (SELECT md5(CAST({key_expr} AS VARCHAR)) AS h FROM {table}),
+parts AS (
+  SELECT CAST({idx_terms} AS BIGINT) AS register,
+         substr(h, {nidx + 1}, {_TAIL_HEX}) AS tail
+  FROM hashed
+),
+rho AS (
+  SELECT register,
+         CASE WHEN length(regexp_extract(tail, '^0*', 0)) = {_TAIL_HEX}
+              THEN {4 * _TAIL_HEX + 1}
+              ELSE 4 * length(regexp_extract(tail, '^0*', 0))
+                   + CASE substr(tail, length(regexp_extract(tail, '^0*', 0)) + 1, 1)
+                       WHEN '1' THEN 3
+                       WHEN '2' THEN 2 WHEN '3' THEN 2
+                       WHEN '4' THEN 1 WHEN '5' THEN 1
+                       WHEN '6' THEN 1 WHEN '7' THEN 1
+                       ELSE 0 END
+                   + 1 END AS rho
+  FROM parts
+)
+SELECT register, CAST(MAX(rho) AS BIGINT) AS max_rho
+FROM rho GROUP BY register"""
+
+
+def hll_estimate(registers: list[tuple[int, int]], p: int = HLL_P) -> float:
+    """Flajolet et al. HLL estimate from a (register, max_rho) list.
+    Driver-side: the register table is tiny (2^p rows) by design.
+    Registers never observed count as rho=0.  Includes the small-range
+    linear-counting correction; the large-range correction is omitted
+    (32+ bit hashes at 52 rank bits saturate far beyond any real
+    cardinality here)."""
+    m = 1 << p
+    got = dict(registers)
+    harmonic = sum(2.0 ** -got.get(j, 0) for j in range(m))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / harmonic
+    zeros = m - len([v for v in got.values() if v > 0])
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est

@@ -50,6 +50,7 @@ from ..operators.text_analysis import (
     repetition_stats,
     token_count,
 )
+from ..operators.sketches import hll_registers_sql
 from ..operators.sampling import (
     hash_split,
     hash_split_sql,
@@ -90,6 +91,16 @@ def q_x33_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → transitive closure → canonical doc per cluster
     (operators/dedup.py:dedup_clusters)."""
     return dd.dedup_clusters(dd.augment_docs(_docs(spark, sf_dir)))
+
+
+def q_x35_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-md5 HyperLogLog register table over
+    lineitem.l_orderkey (operators/sketches.py) — the sketch content
+    itself is integer-exact and hash-checked; the float estimate is
+    bounded in tests/test_sketches.py."""
+    from ..operators.sketches import hll_registers
+
+    return hll_registers(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
 
 
 def q_x34_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,6 +288,23 @@ SELECT event_type,
        MAX(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS max_v
 FROM events GROUP BY event_type
 """
+
+
+def q_z6_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL registers over events.user_id drained with
+    AvailableNow — max-per-register is a monotone merge, so the result
+    is bit-identical to the batch sketch (oracle: the batch SQL)."""
+    from ..streaming.events import (
+        hll_registers_stream,
+        read_event_stream,
+        run_available_now,
+        stage_table_dir,
+    )
+
+    stream = hll_registers_stream(
+        read_event_stream(spark, stage_table_dir(sf_dir))
+    )
+    return run_available_now(stream, "t_z6_hll", output_mode="complete")
 
 
 def q_z1_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,11 +749,13 @@ EXTENSION_QUERIES = {
     "x32_weighted_mix": q_x32_weighted_mix,
     "x33_dedup_clusters": q_x33_dedup_clusters,
     "x34_repetition_stats": q_x34_repetition_stats,
+    "x35_hll_registers": q_x35_hll_registers,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
     "z4_sliding_rollup": q_z4_sliding_rollup,
     "z5_stream_enrich": q_z5_stream_enrich,
+    "z6_stream_hll": q_z6_stream_hll,
 }
 
 EXTENSION_ORACLE = {
@@ -768,10 +798,12 @@ EXTENSION_ORACLE = {
     "x32_weighted_mix": _x32_sql(),
     "x33_dedup_clusters": dd.dedup_clusters_sql(dd.AUGMENT_SQL),
     "x34_repetition_stats": REPETITION_SQL,
+    "x35_hll_registers": hll_registers_sql("lineitem", "l_orderkey"),
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,
     "z3_stream_stream_join": Z3_SQL,
     "z4_sliding_rollup": Z4_SQL,
     "z5_stream_enrich": Z5_SQL,
+    "z6_stream_hll": hll_registers_sql("events", "user_id"),
 }

@@ -313,3 +313,15 @@ def enrich_stream(
     return events.join(
         F.broadcast(dim), events[stream_key] == dim[dim_key], "inner"
     )
+
+
+def hll_registers_stream(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Streaming HLL register table over ``key`` — the incremental twin
+    of :func:`..operators.sketches.hll_registers`.  max-per-register is
+    a monotone merge, so complete-mode state is a fixed 2^p rows and the
+    drained result is BIT-IDENTICAL to the batch sketch on the same
+    input regardless of micro-batch partitioning (the z-series parity
+    pattern: the oracle is the batch SQL)."""
+    from ..operators.sketches import hll_registers
+
+    return hll_registers(events, key)
