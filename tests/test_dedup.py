@@ -107,3 +107,31 @@ def test_simhash_near_dups_finds_exact_pair(docs):
     }
     assert pairs[(1, 2)] == 0  # exact dup at hamming 0
     assert all(h <= 6 for h in pairs.values())
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    """A chain 1~2~3 (1 and 3 are NOT a direct near-dup pair of each
+    other in general) must collapse to ONE canonical doc; unrelated and
+    pairless docs map to themselves."""
+    from pagerank_using_mapreduce_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "alpha beta gamma delta epsilon zeta eta iota"),
+            (4, "completely different words entirely unrelated content here"),
+            (5, "xy"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+           for r in dedup_clusters(docs).collect()}
+    # docs 1-3 form one cluster with min id 1 canonical
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[3] == (1, False)
+    # 4 and 5 are singletons
+    assert got[4] == (4, True)
+    assert got[5] == (5, True)
+    assert len(got) == 5

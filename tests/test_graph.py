@@ -148,3 +148,75 @@ def test_triangle_count_duplicate_links_not_double_counted(spark):
     row = triangle_count(g).first()
     assert row["n_triangles"] == 1
     assert row["n_edges"] == 3
+
+
+def test_hits_star_golden(spark):
+    """a→b, c→b: b is the sole authority (=1), a and c split hub mass
+    evenly; b has no outlinks so its hub is 0, and a/c have no inlinks
+    so their authority is 0."""
+    from pagerank_using_mapreduce_spark.operators.graph import hits
+
+    pages = spark.createDataFrame(
+        [("a", ["b"]), ("b", []), ("c", ["b"])],
+        "title string, links array<string>",
+    )
+    got = {r["title"]: (r["hub"], r["authority"]) for r in hits(pages).collect()}
+    assert got["b"][0] == 0.0 and got["b"][1] == pytest.approx(1.0)
+    assert got["a"][0] == pytest.approx(0.5) and got["a"][1] == 0.0
+    assert got["c"][0] == pytest.approx(0.5) and got["c"][1] == 0.0
+
+
+def test_hits_ignores_phantom_targets(spark):
+    """Links to pages that don't exist carry no authority mass and
+    don't count toward hub totals (same F3 gate as the rank join)."""
+    from pagerank_using_mapreduce_spark.operators.graph import hits
+
+    pages = spark.createDataFrame(
+        [("a", ["ghost", "b"]), ("b", [])],
+        "title string, links array<string>",
+    )
+    got = {r["title"]: (r["hub"], r["authority"]) for r in hits(pages).collect()}
+    assert got["a"] == (pytest.approx(1.0), 0.0)
+    assert got["b"] == (0.0, pytest.approx(1.0))
+    assert "ghost" not in got
+
+
+def test_bfs_depths_chain_and_unreachable(spark):
+    """Chain a→b→c→d with an off-path x→y: depths from {a} are
+    0,1,2,3 and x/y are absent (unreachable)."""
+    from pagerank_using_mapreduce_spark.operators.graph import bfs_depths
+
+    pages = spark.createDataFrame(
+        [("a", ["b"]), ("b", ["c"]), ("c", ["d"]), ("d", []),
+         ("x", ["y"]), ("y", [])],
+        "title string, links array<string>",
+    )
+    got = {r["title"]: r["depth"] for r in bfs_depths(pages, ["a"]).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_bfs_depths_multi_source_min(spark):
+    """Two sources: every node takes the MIN hop count over sources;
+    a diamond reached from both ends keeps the closer depth."""
+    from pagerank_using_mapreduce_spark.operators.graph import bfs_depths
+
+    pages = spark.createDataFrame(
+        [("a", ["m"]), ("m", ["z"]), ("z", []), ("q", ["z"])],
+        "title string, links array<string>",
+    )
+    got = {r["title"]: r["depth"] for r in bfs_depths(pages, ["a", "q"]).collect()}
+    assert got == {"a": 0, "q": 0, "m": 1, "z": 1}
+
+
+def test_bfs_depth_capped_by_iterations(spark):
+    """With iterations=2, nodes 3+ hops out are absent — the fixed-round
+    contract the oracle unrolls."""
+    from pagerank_using_mapreduce_spark.operators.graph import bfs_depths
+
+    pages = spark.createDataFrame(
+        [("a", ["b"]), ("b", ["c"]), ("c", ["d"]), ("d", [])],
+        "title string, links array<string>",
+    )
+    got = {r["title"]: r["depth"]
+           for r in bfs_depths(pages, ["a"], iterations=2).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}
