@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "z1_stream_rollup",
     "cc_components",
     "cc_star",
+    "g5_bfs_depths",
+    "x35_hll_registers",
 ]
 
 

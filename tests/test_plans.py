@@ -131,3 +131,31 @@ def test_x26_sample_filter_reaches_scan_side(spark):
     """stratified_sample is a pure filter — no shuffle, no join."""
     plan = _plan(QUERIES["x26_stratified_sample"](spark, SF))
     assert "Exchange" not in plan or "Exchange hashpartitioning" not in plan
+
+
+def test_hll_registers_single_exchange(spark):
+    """The sketch is one aggregate: exactly one shuffle node (partial
+    max → final max over 2^p register groups), nothing else wide."""
+    import re
+
+    plan = _plan(QUERIES["x35_hll_registers"](spark, SF))
+    nodes = [l for l in plan.splitlines() if re.match(r"\(\d+\) Exchange", l)]
+    assert len(nodes) == 1, nodes
+    assert "EvalPython" not in plan
+
+
+def test_repetition_stats_prunes_scan(spark):
+    """x34's scans prune: the token side reads only doc_id+text; no
+    scan drags in lang/source/n_chars."""
+    plan = _plan(QUERIES["x34_repetition_stats"](spark, SF))
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert any("text:string" in l and "doc_id" in l for l in scans)
+    assert all("lang" not in l and "source" not in l and "n_chars" not in l
+               for l in scans)
+
+
+def test_q8_broadcasts_all_dimensions(spark):
+    """Q8's six joins: the lineitem side never broadcast, all
+    dimension sides broadcast (explicitly or by AQE)."""
+    plan = _plan(QUERIES["q8_market_share"](spark, SF))
+    assert "BroadcastHashJoin" in plan
