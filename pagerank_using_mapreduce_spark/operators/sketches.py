@@ -1,5 +1,5 @@
-"""Deterministic cardinality sketches (HyperLogLog) as pure DataFrame
-compositions.
+"""Deterministic sketches (HyperLogLog cardinality, count-min
+frequency) as pure DataFrame compositions.
 
 The reference has no sketching (its only global scalar is the exact
 page count, PageRankAlgorithm.java:60-77); at 100 TB the exact
@@ -119,3 +119,92 @@ def hll_estimate(registers: list[tuple[int, int]], p: int = HLL_P) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * math.log(m / zeros)
     return est
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: fixed (depth × width) frequency table, same
+# deterministic-md5 design as the HLL above — the COUNTS table is
+# integer-exact and cross-engine hash-checkable; the point estimate
+# (min over rows) is bounded in tests.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256  # error ~ e/width of total mass per probe, delta ~ e^-depth
+
+
+def _cms_col(key: Column, i: int, width: int) -> Column:
+    h = F.md5(F.concat_ws("|", F.lit(f"cms{i}"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % width
+
+
+def cms_counts(
+    df: DataFrame, key: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """(row, col, cnt): the count-min table for the values of ``key``.
+    One projection exploding each input row into ``depth`` (row, col)
+    cells + one bounded aggregate (≤ depth×width groups, map-side
+    partial sum) — fixed-size output regardless of input volume, the
+    heavy-hitter / frequency-estimate path where an exact per-key
+    count would shuffle every distinct key."""
+    cells = [
+        F.struct(
+            F.lit(i).cast("long").alias("row"),
+            _cms_col(F.col(key), i, width).alias("col"),
+        )
+        for i in range(depth)
+    ]
+    return (
+        df.select(F.explode(F.array(*cells)).alias("rc"))
+        .select(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _hex4_to_int_sql(expr: str) -> str:
+    digits = "0123456789abcdef"
+    return " + ".join(
+        f"(strpos('{digits}', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+
+
+def cms_counts_sql(
+    table: str, key_expr: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> str:
+    """DuckDB twin of :func:`cms_counts`."""
+    selects = []
+    for i in range(depth):
+        h = f"md5('cms{i}' || '|' || CAST({key_expr} AS VARCHAR))"
+        selects.append(
+            f"SELECT {i} AS row, ({_hex4_to_int_sql(f'substr({h}, 1, 4)')}) % {width} AS col FROM {table}"
+        )
+    body = "\n  UNION ALL ".join(selects)
+    return f"""
+WITH cells AS (
+  {body}
+)
+SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col,
+       COUNT(*) AS cnt
+FROM cells GROUP BY row, col"""
+
+
+def cms_estimate(
+    counts: list[tuple[int, int, int]],
+    value,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> int:
+    """Point frequency estimate: min over rows of the value's cell.
+    Always >= the true count; overshoot bounded by ~e/width of the
+    total mass with probability 1 - e^-depth."""
+    import hashlib
+
+    table = {(r, c): n for r, c, n in counts}
+    est = None
+    for i in range(depth):
+        h = hashlib.md5(f"cms{i}|{value}".encode()).hexdigest()
+        col = int(h[:4], 16) % width
+        cell = table.get((i, col), 0)
+        est = cell if est is None else min(est, cell)
+    return est or 0

@@ -50,7 +50,7 @@ from ..operators.text_analysis import (
     repetition_stats,
     token_count,
 )
-from ..operators.sketches import hll_registers_sql
+from ..operators.sketches import cms_counts_sql, hll_registers_sql
 from ..operators.sampling import (
     hash_split,
     hash_split_sql,
@@ -101,6 +101,16 @@ def q_x35_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import hll_registers
 
     return hll_registers(load_table(spark, sf_dir, "lineitem"), "l_orderkey")
+
+
+def q_x36_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-md5 count-min frequency table over
+    lineitem.l_suppkey — fixed depth x width cells, integer-exact and
+    hash-checked; the min-over-rows estimator is bounded in
+    tests/test_sketches.py."""
+    from ..operators.sketches import cms_counts
+
+    return cms_counts(load_table(spark, sf_dir, "lineitem"), "l_suppkey")
 
 
 def q_x34_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -750,6 +760,7 @@ EXTENSION_QUERIES = {
     "x33_dedup_clusters": q_x33_dedup_clusters,
     "x34_repetition_stats": q_x34_repetition_stats,
     "x35_hll_registers": q_x35_hll_registers,
+    "x36_cms_counts": q_x36_cms_counts,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
@@ -799,6 +810,7 @@ EXTENSION_ORACLE = {
     "x33_dedup_clusters": dd.dedup_clusters_sql(dd.AUGMENT_SQL),
     "x34_repetition_stats": REPETITION_SQL,
     "x35_hll_registers": hll_registers_sql("lineitem", "l_orderkey"),
+    "x36_cms_counts": cms_counts_sql("lineitem", "l_suppkey"),
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,

@@ -54,3 +54,40 @@ def test_hll_union_merge(spark):
         for k, v in d.items():
             merged[k] = max(merged.get(k, 0), v)
     assert merged == whole
+
+
+def test_cms_never_underestimates_and_bounds_error(spark):
+    from pagerank_using_mapreduce_spark.operators.sketches import (
+        CMS_WIDTH,
+        cms_counts,
+        cms_estimate,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    counts = [tuple(r) for r in cms_counts(li, "l_suppkey").collect()]
+    exact = {
+        r["l_suppkey"]: r["n"]
+        for r in li.groupBy("l_suppkey").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(exact.values())
+    bound = 5 * total / CMS_WIDTH  # well beyond the e/width expectation
+    for k, n in exact.items():
+        est = cms_estimate(counts, k)
+        assert est >= n, (k, est, n)
+        assert est - n <= bound, (k, est, n, bound)
+
+
+def test_cms_counts_layout_independent_and_mass_preserving(spark):
+    from pagerank_using_mapreduce_spark.operators.sketches import (
+        CMS_DEPTH,
+        cms_counts,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    a = sorted(map(tuple, cms_counts(li, "l_suppkey").collect()))
+    b = sorted(map(tuple, cms_counts(li.repartition(5), "l_suppkey").collect()))
+    assert a == b
+    n = li.count()
+    # every row contributes exactly one increment per sketch row
+    for i in range(CMS_DEPTH):
+        assert sum(c for r, _, c in a if r == i) == n
