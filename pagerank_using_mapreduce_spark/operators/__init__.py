@@ -55,7 +55,15 @@ from .similarity import (
     srp_lsh_near_dups_multiprobe,
 )
 from .sampling import hash_split, quantile_bins, stratified_sample, weighted_mix
-from .sketches import cms_counts, cms_estimate, hll_estimate, hll_registers
+from .sketches import (
+    bloom_join_audit,
+    bloom_positions,
+    bloom_probe,
+    cms_counts,
+    cms_estimate,
+    hll_estimate,
+    hll_registers,
+)
 from .text_analysis import (
     fingerprint,
     lang_id,
@@ -128,6 +136,9 @@ __all__ = [
     "frame_sample",
     "resize_meta",
     # sketches
+    "bloom_join_audit",
+    "bloom_positions",
+    "bloom_probe",
     "cms_counts",
     "cms_estimate",
     "hll_estimate",

@@ -208,3 +208,137 @@ def cms_estimate(
         cell = table.get((i, col), 0)
         est = cell if est is None else min(est, cell)
     return est or 0
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter as a position set: the join-pruning sketch.  At 100 TB
+# the pattern is: build the filter from the SMALL (filtered) side's
+# keys, broadcast it, and drop probe-side rows before the shuffle —
+# Spark's own runtime row-group/bloom pushdown, made explicit and
+# engine-checkable (md5 positions, so the pass/fail decision per key is
+# bit-identical cross-engine; false positives are DETERMINISTIC here,
+# not a statistical afterthought, and the query below counts them
+# exactly against the true semi join).
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16  # one hex4 per hash: positions are md5 16-bit slices
+BLOOM_HASHES = 4
+
+
+def _bloom_pos(key: Column, i: int) -> Column:
+    h = F.md5(F.concat_ws("|", F.lit(f"bf{i}"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+
+
+def bloom_positions(df: DataFrame, key: str, k: int = BLOOM_HASHES) -> DataFrame:
+    """(pos,): the DISTINCT set of bit positions the build side lights
+    up — the filter itself, as a relation (≤ BLOOM_BITS rows no matter
+    the build cardinality).  On a cluster this is what you'd collect/
+    broadcast; as a relation it stays checkable and composable."""
+    cells = [_bloom_pos(F.col(key), i).alias("pos") for i in range(k)]
+    return (
+        df.select(F.explode(F.array(*cells)).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    probe: DataFrame, key: str, positions: DataFrame, k: int = BLOOM_HASHES
+) -> DataFrame:
+    """(key, bloom_pass): per DISTINCT probe key, whether all k of its
+    positions are set.  The positions relation is broadcast (it is ≤
+    BLOOM_BITS rows by construction); probing is an explode + broadcast
+    semi-ish join + count==k — no shuffle of the probe side at all
+    beyond its own key dedup."""
+    keys = probe.select(F.col(key).alias("key")).distinct()
+    cells = [
+        F.struct(F.lit(i).alias("i"), _bloom_pos(F.col("key"), i).alias("pos"))
+        for i in range(k)
+    ]
+    exploded = keys.select("key", F.explode(F.array(*cells)).alias("c")).select(
+        "key", F.col("c.pos").alias("pos")
+    )
+    hits = (
+        exploded.join(F.broadcast(positions), "pos")
+        .groupBy("key")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return keys.join(hits, "key", "left").select(
+        "key", (F.coalesce(F.col("n_hits"), F.lit(0)) == k).alias("bloom_pass")
+    )
+
+
+def bloom_join_audit(
+    probe: DataFrame,
+    probe_key: str,
+    build: DataFrame,
+    build_key: str,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """One row (n_keys, n_pass, n_true, n_false_pos): audit of bloom
+    pre-join pruning — how many distinct probe keys the filter passes
+    vs true membership.  n_true_pass == n_true ALWAYS (a bloom filter
+    has no false negatives — asserted in tests); n_false_pos is the
+    exact price of the pruning at this bits/keys ratio."""
+    positions = bloom_positions(build, build_key, k)
+    flags = bloom_probe(probe, probe_key, positions, k)
+    truth = build.select(F.col(build_key).alias("key")).distinct().withColumn(
+        "is_true", F.lit(True)
+    )
+    joined = flags.join(truth, "key", "left").select(
+        "bloom_pass", F.coalesce(F.col("is_true"), F.lit(False)).alias("is_true")
+    )
+    return joined.agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0)).alias("n_pass"),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).alias("n_true"),
+        F.sum(
+            F.when(F.col("bloom_pass") & ~F.col("is_true"), 1).otherwise(0)
+        ).alias("n_false_pos"),
+    )
+
+
+def _bloom_pos_sql(key_expr: str, i: int) -> str:
+    h = f"md5('bf{i}' || '|' || CAST({key_expr} AS VARCHAR))"
+    return f"({_hex4_to_int_sql(f'substr({h}, 1, 4)')})"
+
+
+def bloom_join_audit_sql(
+    probe_table: str,
+    probe_key: str,
+    build_table: str,
+    build_key: str,
+    build_where: str = "TRUE",
+    k: int = BLOOM_HASHES,
+) -> str:
+    """DuckDB twin of :func:`bloom_join_audit`."""
+    build_cells = "\n    UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql(build_key, i)} AS pos FROM {build_table} WHERE {build_where}"
+        for i in range(k)
+    )
+    probe_cells = "\n    UNION ALL ".join(
+        f"SELECT key, {_bloom_pos_sql('key', i)} AS pos FROM keys"
+        for i in range(k)
+    )
+    return f"""
+WITH positions AS MATERIALIZED (SELECT DISTINCT pos FROM (
+    {build_cells}
+)),
+keys AS MATERIALIZED (SELECT DISTINCT {probe_key} AS key FROM {probe_table}),
+cells AS (
+    {probe_cells}
+),
+hits AS (
+  SELECT key, COUNT(*) AS n_hits
+  FROM cells JOIN positions USING (pos) GROUP BY key
+),
+flags AS (
+  SELECT k.key, COALESCE(h.n_hits, 0) = {k} AS bloom_pass
+  FROM keys k LEFT JOIN hits h USING (key)
+),
+truth AS (SELECT DISTINCT {build_key} AS key FROM {build_table} WHERE {build_where})
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN t.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(SUM(CASE WHEN bloom_pass AND t.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM flags f LEFT JOIN truth t USING (key)"""

@@ -50,7 +50,11 @@ from ..operators.text_analysis import (
     repetition_stats,
     token_count,
 )
-from ..operators.sketches import cms_counts_sql, hll_registers_sql
+from ..operators.sketches import (
+    bloom_join_audit_sql,
+    cms_counts_sql,
+    hll_registers_sql,
+)
 from ..operators.sampling import (
     hash_split,
     hash_split_sql,
@@ -111,6 +115,20 @@ def q_x36_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import cms_counts
 
     return cms_counts(load_table(spark, sf_dir, "lineitem"), "l_suppkey")
+
+
+def q_x37_bloom_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-join pruning audit: filter built from URGENT orders'
+    keys, probed by distinct lineitem orderkeys; counts pass/true/
+    false-positive exactly (operators/sketches.py — md5 positions, so
+    the per-key decision is bit-identical cross-engine)."""
+    from ..operators.sketches import bloom_join_audit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return bloom_join_audit(li, "l_orderkey", orders, "o_orderkey")
 
 
 def q_x34_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -761,6 +779,7 @@ EXTENSION_QUERIES = {
     "x34_repetition_stats": q_x34_repetition_stats,
     "x35_hll_registers": q_x35_hll_registers,
     "x36_cms_counts": q_x36_cms_counts,
+    "x37_bloom_join_audit": q_x37_bloom_join_audit,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
@@ -811,6 +830,13 @@ EXTENSION_ORACLE = {
     "x34_repetition_stats": REPETITION_SQL,
     "x35_hll_registers": hll_registers_sql("lineitem", "l_orderkey"),
     "x36_cms_counts": cms_counts_sql("lineitem", "l_suppkey"),
+    "x37_bloom_join_audit": bloom_join_audit_sql(
+        "lineitem",
+        "l_orderkey",
+        "orders",
+        "o_orderkey",
+        build_where="o_orderpriority = '1-URGENT'",
+    ),
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,

@@ -91,3 +91,30 @@ def test_cms_counts_layout_independent_and_mass_preserving(spark):
     # every row contributes exactly one increment per sketch row
     for i in range(CMS_DEPTH):
         assert sum(c for r, _, c in a if r == i) == n
+
+
+def test_bloom_no_false_negatives_and_pruning(spark):
+    from pagerank_using_mapreduce_spark.operators.sketches import (
+        bloom_positions,
+        bloom_probe,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    pos = bloom_positions(orders, "o_orderkey")
+    flags = {
+        r["key"]: r["bloom_pass"]
+        for r in bloom_probe(li, "l_orderkey", pos).collect()
+    }
+    truth = {r["o_orderkey"] for r in orders.select("o_orderkey").distinct().collect()}
+    probed = set(flags)
+    # NO false negatives: every true key that was probed passes
+    for k in truth & probed:
+        assert flags[k], k
+    # the filter actually prunes: most non-members fail
+    non_members = [k for k in probed if k not in truth]
+    passed_fp = [k for k in non_members if flags[k]]
+    assert len(passed_fp) <= max(5, 0.02 * len(non_members)), (
+        len(passed_fp), len(non_members))
