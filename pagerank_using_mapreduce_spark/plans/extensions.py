@@ -66,6 +66,7 @@ from ..operators.sampling import (
 )
 from ..sources.tables import load_table
 from .relational import E1_SQL as _E1_BATCH_SQL
+from .relational import E4_SQL as _E4_BATCH_SQL
 from .relational import E2_SQL as _E2_BATCH_SQL
 
 
@@ -333,6 +334,22 @@ def q_z6_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_event_stream(spark, stage_table_dir(sf_dir))
     )
     return run_available_now(stream, "t_z6_hll", output_mode="complete")
+
+
+def q_z7_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session_window drained with AvailableNow —
+    oracle is the batch e4 SQL (engine-managed session state parity)."""
+    from ..streaming.events import (
+        read_event_stream,
+        run_available_now,
+        session_window_stream,
+        stage_table_dir,
+    )
+
+    stream = session_window_stream(
+        read_event_stream(spark, stage_table_dir(sf_dir))
+    )
+    return run_available_now(stream, "t_z7_sessions", output_mode="complete")
 
 
 def q_z1_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -786,6 +803,7 @@ EXTENSION_QUERIES = {
     "z4_sliding_rollup": q_z4_sliding_rollup,
     "z5_stream_enrich": q_z5_stream_enrich,
     "z6_stream_hll": q_z6_stream_hll,
+    "z7_session_window_stream": q_z7_session_window_stream,
 }
 
 EXTENSION_ORACLE = {
@@ -844,4 +862,5 @@ EXTENSION_ORACLE = {
     "z4_sliding_rollup": Z4_SQL,
     "z5_stream_enrich": Z5_SQL,
     "z6_stream_hll": hll_registers_sql("events", "user_id"),
+    "z7_session_window_stream": _E4_BATCH_SQL,
 }

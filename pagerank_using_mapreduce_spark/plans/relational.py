@@ -275,6 +275,65 @@ GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# Native session windows: Spark's built-in session_window aggregation in
+# BATCH mode — the engine-native complement to the lag/cumsum e1 shape
+# and the custom stateful streaming sessionizer (z2).  Emits one row per
+# SESSION (not per user), so it also exercises the per-session grain.
+#
+# Boundary semantics differ from e1 by design and the oracle mirrors
+# them exactly: session_window closes when the next event is >= gap
+# away (diff == gap opens a NEW session), while e1's lag test uses
+# strict >.  The oracle's break predicate is therefore `>=`.
+# --------------------------------------------------------------------------
+
+
+def e4_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("sw"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_q(F.col("value"), 2)).alias("sum_value_e2"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("sess_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("sess_end_us"),
+            "n_events",
+            "sum_value_e2",
+        )
+    )
+
+
+E4_SQL = f"""
+WITH marked AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              >= {SESSION_GAP_S} * 1000000
+              THEN 1 ELSE 0 END AS brk,
+         {_sq("value", 2)} AS v_e2
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts_us, v_e2,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts_us) AS sess_start_us,
+       MAX(ts_us) + {SESSION_GAP_S} * 1000000 AS sess_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(v_e2) AS BIGINT) AS sum_value_e2
+FROM sess GROUP BY user_id, sid
+"""
+
+
+# --------------------------------------------------------------------------
 # Tumbling-window aggregation (batch twin of the streaming operator)
 # --------------------------------------------------------------------------
 
@@ -1358,6 +1417,7 @@ RELATIONAL_QUERIES = {
     "e1_sessions": e1_sessions,
     "e2_hourly_rollup": e2_hourly_rollup,
     "e3_pivot_activity": e3_pivot_activity,
+    "e4_session_windows": e4_session_windows,
     "g1_rollup": g1_rollup,
     "g2_cube": g2_cube,
     "sj1_semi_join": sj1_customers_with_orders,
@@ -1393,6 +1453,7 @@ RELATIONAL_ORACLE = {
     "e1_sessions": E1_SQL,
     "e2_hourly_rollup": E2_SQL,
     "e3_pivot_activity": E3_SQL,
+    "e4_session_windows": E4_SQL,
     "g1_rollup": G1_SQL,
     "g2_cube": G2_SQL,
     "sj1_semi_join": SJ1_SQL,

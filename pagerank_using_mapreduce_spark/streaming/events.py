@@ -325,3 +325,33 @@ def hll_registers_stream(events: DataFrame, key: str = "user_id") -> DataFrame:
     from ..operators.sketches import hll_registers
 
     return hll_registers(events, key)
+
+
+def session_window_stream(
+    events: DataFrame, gap_s: int = SESSION_GAP_S, watermark: str = "2 hours"
+) -> DataFrame:
+    """Spark's NATIVE session-window aggregation on the stream — the
+    built-in complement to the custom applyInPandasWithState
+    sessionizer (:func:`sessionize_stream`): engine-managed merging
+    session state, one output row per session.  Same schema and
+    boundary semantics (diff >= gap opens a new session) as the batch
+    twin ``plans.relational.e4_session_windows``, which is its oracle."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            "user_id", F.session_window("ts", f"{gap_s} seconds").alias("sw")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5000001)).cast("long")
+            ).alias("sum_value_e2"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("sess_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("sess_end_us"),
+            "n_events",
+            "sum_value_e2",
+        )
+    )
