@@ -391,6 +391,104 @@ GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# Unpivot (melt): the inverse reshape of e3 — wide per-type count
+# columns back to (user_id, event_type, n) rows.  Exercises Spark's
+# unpivot/melt API; the oracle re-derives the long form directly.
+# Zero-count combinations are kept (the unpivot of a dense wide table
+# is dense), matching the CROSS JOIN in the oracle.
+# --------------------------------------------------------------------------
+
+
+def e5_unpivot_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = e3_pivot_activity(spark, sf_dir)
+    return wide.unpivot(
+        ids=["user_id"],
+        values=[f"n_{t}" for t in EVENT_TYPES],
+        variableColumnName="type_col",
+        valueColumnName="n",
+    ).select(
+        "user_id",
+        F.expr("substring(type_col, 3)").alias("event_type"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+E5_SQL = f"""
+WITH types AS (SELECT unnest(ARRAY[{", ".join(f"'{t}'" for t in EVENT_TYPES)}]) AS event_type),
+users AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id, t.event_type,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM users u CROSS JOIN types t
+LEFT JOIN (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+) c ON c.user_id = u.user_id AND c.event_type = t.event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average: the TSDB aggregate — each observation holds
+# until the next one, so the mean weights each value by its holding
+# interval, not by row count.  The weighted sum multiplies the
+# e2-quantized value by WHOLE SECONDS held (both integer-exact); the
+# final ratio divides two exact longs — bit-identical cross-engine.
+# The last observation per user has no successor and drops out, the
+# standard open-interval convention.
+# --------------------------------------------------------------------------
+
+
+def w3_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    dt_s = (F.lead(ts_us).over(w) - ts_us) / F.lit(1_000_000)
+    rows = ev.select(
+        "user_id",
+        _q(F.col("value"), 2).alias("v_e2"),
+        F.floor(dt_s).cast("long").alias("dt_s"),
+    ).where(F.col("dt_s").isNotNull())
+    agg = rows.groupBy("user_id").agg(
+        F.sum(F.col("v_e2") * F.col("dt_s")).alias("weighted_e2s"),
+        F.sum("dt_s").alias("total_s"),
+        F.count("*").alias("n_intervals"),
+    )
+    twa = F.when(
+        F.col("total_s") > 0,
+        F.col("weighted_e2s").cast("double") / F.col("total_s"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "user_id",
+        "weighted_e2s",
+        "total_s",
+        "n_intervals",
+        F.floor(twa * 1e4 + F.lit(0.5000001)).cast("long").alias("twa_e6"),
+    )
+
+
+W3_SQL = f"""
+WITH rows_ AS (
+  SELECT user_id,
+         {_sq("value", 2)} AS v_e2,
+         CAST(FLOOR((LEAD(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts))
+             / 1000000.0) AS BIGINT) AS dt_s
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         CAST(SUM(v_e2 * dt_s) AS BIGINT) AS weighted_e2s,
+         CAST(SUM(dt_s) AS BIGINT) AS total_s,
+         COUNT(*) AS n_intervals
+  FROM rows_ WHERE dt_s IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, weighted_e2s, total_s, n_intervals,
+       CAST(FLOOR((CASE WHEN total_s > 0
+                        THEN CAST(weighted_e2s AS DOUBLE) / total_s
+                        ELSE 0.0 END) * 1e4 + 0.5000001) AS BIGINT) AS twa_e6
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # Statistical aggregates: exact interpolated percentiles + dispersion.
 # Verified bit-identical cross-engine (Spark percentile == DuckDB
 # quantile_cont, both type-7 interpolation; stddev/avg agree to the ulp
@@ -1418,6 +1516,8 @@ RELATIONAL_QUERIES = {
     "e2_hourly_rollup": e2_hourly_rollup,
     "e3_pivot_activity": e3_pivot_activity,
     "e4_session_windows": e4_session_windows,
+    "e5_unpivot_activity": e5_unpivot_activity,
+    "w3_time_weighted": w3_time_weighted,
     "g1_rollup": g1_rollup,
     "g2_cube": g2_cube,
     "sj1_semi_join": sj1_customers_with_orders,
@@ -1454,6 +1554,8 @@ RELATIONAL_ORACLE = {
     "e2_hourly_rollup": E2_SQL,
     "e3_pivot_activity": E3_SQL,
     "e4_session_windows": E4_SQL,
+    "e5_unpivot_activity": E5_SQL,
+    "w3_time_weighted": W3_SQL,
     "g1_rollup": G1_SQL,
     "g2_cube": G2_SQL,
     "sj1_semi_join": SJ1_SQL,
