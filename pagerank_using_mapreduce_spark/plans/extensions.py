@@ -132,6 +132,37 @@ def q_x37_bloom_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_join_audit(li, "l_orderkey", orders, "o_orderkey")
 
 
+def q_x38_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: near-dup pairs that STRADDLE
+    dataset splits — the leakage a curation pipeline must catch before
+    training (a test doc whose near-duplicate sits in train inflates
+    eval).  Composes the LSH near-dup pipeline with the deterministic
+    hash split; output is the pair count per (split_a, split_b) cell
+    plus how many of those pairs cross splits."""
+    from ..operators.sampling import hash_split
+
+    docs = dd.augment_docs(_docs(spark, sf_dir))
+    splits = hash_split(docs, "doc_id").select("doc_id", "split")
+    pairs = dd.near_dup_pipeline(docs).select("doc_a", "doc_b")
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)
+            ).alias("n_leaking"),
+        )
+    )
+
+
 def q_x34_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-repetition quality signals (distinct ratio, top-token
     share) — operators/text_analysis.py:repetition_stats."""
@@ -797,6 +828,7 @@ EXTENSION_QUERIES = {
     "x35_hll_registers": q_x35_hll_registers,
     "x36_cms_counts": q_x36_cms_counts,
     "x37_bloom_join_audit": q_x37_bloom_join_audit,
+    "x38_contamination_audit": q_x38_contamination_audit,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
@@ -855,6 +887,16 @@ EXTENSION_ORACLE = {
         "o_orderkey",
         build_where="o_orderpriority = '1-URGENT'",
     ),
+    "x38_contamination_audit": f"""
+WITH nd AS MATERIALIZED ({dd.near_dup_sql(dd.AUGMENT_SQL)}),
+docs AS ({dd.AUGMENT_SQL}),
+splits AS (SELECT doc_id, {hash_split_sql("doc_id")} AS split FROM docs)
+SELECT sa.split AS split_a, sb.split AS split_b, COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN sa.split != sb.split THEN 1 ELSE 0 END) AS BIGINT) AS n_leaking
+FROM nd
+JOIN splits sa ON sa.doc_id = nd.doc_a
+JOIN splits sb ON sb.doc_id = nd.doc_b
+GROUP BY 1, 2""",
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,
