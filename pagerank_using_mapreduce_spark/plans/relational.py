@@ -1391,6 +1391,42 @@ GROUP BY 1
 # cannot be fused.
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# SCD type-2 build (the other half of the CDC story): turn the event
+# change feed into a VERSIONED dimension — one row per observed state,
+# [valid_from, valid_to) via lead(), open interval (NULL valid_to,
+# encoded as -1 for hash parity) on the current version.  One window
+# over the natural key; no self-join.
+# --------------------------------------------------------------------------
+
+
+def d2_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        _q(F.col("value"), 2).alias("value_e2"),
+        ts_us.alias("valid_from_us"),
+        F.coalesce(F.lead(ts_us).over(w), F.lit(-1)).alias("valid_to_us"),
+        F.lead(ts_us).over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("long").alias("version"),
+    )
+
+
+D2_SQL = f"""
+SELECT user_id, event_id,
+       {_sq("value", 2)} AS value_e2,
+       epoch_us(ts) AS valid_from_us,
+       COALESCE(LEAD(epoch_us(ts)) OVER w, -1) AS valid_to_us,
+       LEAD(epoch_us(ts)) OVER w IS NULL AS is_current,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 SNAP_T1 = "1997-01-01"
 SNAP_T2 = "1998-01-01"
 
@@ -1525,6 +1561,7 @@ RELATIONAL_QUERIES = {
     "rj1_range_join": rj1_pre_purchase_activity,
     "st1_set_ops": st1_set_ops,
     "d1_snapshot_diff": d1_snapshot_diff,
+    "d2_scd2_versions": d2_scd2_versions,
 }
 
 RELATIONAL_ORACLE = {
@@ -1563,4 +1600,5 @@ RELATIONAL_ORACLE = {
     "rj1_range_join": RJ1_SQL,
     "st1_set_ops": ST1_SQL,
     "d1_snapshot_diff": D1_SQL,
+    "d2_scd2_versions": D2_SQL,
 }
