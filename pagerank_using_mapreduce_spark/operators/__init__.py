@@ -43,6 +43,7 @@ from .pagerank import (
     ranking,
     top_k,
 )
+from .pca import covariance_matrix, top_principal_component
 from .ranking import with_global_position
 from .scale import read_bucketed, salted_agg, salted_join, write_bucketed
 from .similarity import (
@@ -135,6 +136,9 @@ __all__ = [
     "extract_features",
     "frame_sample",
     "resize_meta",
+    # pca
+    "covariance_matrix",
+    "top_principal_component",
     # sketches
     "bloom_join_audit",
     "bloom_positions",

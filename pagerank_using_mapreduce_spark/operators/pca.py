@@ -1,0 +1,143 @@
+"""Top principal component of the embedding collection via power
+iteration — the dimensionality-analysis op an embedding pipeline runs
+before choosing an index or a projection (effective dimensionality,
+anisotropy checks).
+
+Scale shape: the only data-sized work is the COVARIANCE aggregate —
+(vec_id, i, xi) self-joined on vec_id and reduced to d² entries with
+map-side partial sums, so each partition contributes at most d² rows to
+the shuffle no matter how many vectors it holds.  The power iteration
+itself runs on the d²-row cov relation (d = 64 here): per round one
+join + one d-group aggregate, with the max-abs normalization scalar
+fetched to the driver (the S5 channel, same as HITS' L1 norms —
+folding it back lazily would double the plan every round).
+
+Determinism: all arithmetic is double (the float32 embeddings are
+widened first, matching the oracle's ``embedding::DOUBLE[]``); the
+max-abs norm divides by one exact scalar; the final sign is fixed by
+requiring the loading at the max-|loading| index (min index on ties)
+to be positive.  Cross-engine float-sum ordering noise stays ~1 ulp
+per reduction and is absorbed by the e6 quantization nudge, exactly as
+in the unrolled PageRank oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+POWER_ITERATIONS = 10
+
+
+def covariance_matrix(emb: DataFrame) -> DataFrame:
+    """(i, j, c): the d×d covariance of the (centered) embedding
+    collection, c_ij = Σ (x_i-μ_i)(x_j-μ_j) / n."""
+    n = emb.count()
+    x = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "xi")
+    )
+    mu = x.groupBy("i").agg(F.avg("xi").alias("mu"))
+    xc = x.join(F.broadcast(mu), "i").select(
+        "vec_id", "i", (F.col("xi") - F.col("mu")).alias("xi")
+    )
+    return (
+        xc.alias("a")
+        .join(xc.alias("b"), "vec_id")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg((F.sum(F.col("a.xi") * F.col("b.xi")) / F.lit(float(n))).alias("c"))
+    )
+
+
+def top_principal_component(
+    emb: DataFrame, iterations: int = POWER_ITERATIONS
+) -> DataFrame:
+    """(i, loading_e6): the dominant eigenvector of the embedding
+    covariance after ``iterations`` max-abs-normalized power steps,
+    scaled to max |loading| = 1 and sign-fixed."""
+    spark = emb.sparkSession
+    cov = covariance_matrix(emb).persist()
+    cov.count()
+    d = emb.select(F.size("embedding")).first()[0]
+    v = spark.range(d).select(
+        F.col("id").cast("long").alias("i"),
+        F.lit(1.0 / float(d) ** 0.5).alias("val"),
+    )
+    persisted = []
+    for _ in range(iterations):
+        w_un = (
+            cov.alias("c")
+            .join(v.alias("v"), F.col("c.j") == F.col("v.i"))
+            .groupBy(F.col("c.i").alias("i"))
+            .agg(F.sum(F.col("c.c") * F.col("v.val")).alias("val"))
+            .persist()
+        )
+        persisted.append(w_un)
+        mx = w_un.agg(F.max(F.abs(F.col("val")))).first()[0]
+        if not mx or mx <= 0.0:
+            v = w_un  # degenerate (zero matrix): stop normalizing
+            continue
+        v = w_un.select("i", (F.col("val") / F.lit(mx)).alias("val"))
+    # sign fix: the max-|val| component (min i on ties) must be positive
+    top = (
+        v.orderBy(F.abs(F.col("val")).desc(), F.col("i").asc()).limit(1).first()
+    )
+    sign = 1.0 if top["val"] >= 0 else -1.0
+    out = v.select(
+        F.col("i").cast("long").alias("i"),
+        F.floor(F.col("val") * F.lit(sign) * 1e6 + F.lit(0.5000001))
+        .cast("long")
+        .alias("loading_e6"),
+    )
+    for p in persisted:
+        p.unpersist()
+    return out
+
+
+def top_pc_sql(iterations: int = POWER_ITERATIONS) -> str:
+    """DuckDB twin: same centering, covariance, unrolled max-abs power
+    steps, and sign fix.  Levels are MATERIALIZED (each is referenced
+    by the next step AND by its own norm scalar)."""
+    ctes = [
+        """x AS MATERIALIZED (
+  SELECT vec_id, u.i AS i, u.xi AS xi FROM (
+    SELECT vec_id,
+           unnest(list_transform(embedding::DOUBLE[],
+                                 (e, k) -> {'i': k - 1, 'xi': e})) AS u
+    FROM embeddings
+  )
+)""",
+        "mu AS (SELECT i, AVG(xi) AS mu FROM x GROUP BY i)",
+        """xc AS MATERIALIZED (
+  SELECT x.vec_id, x.i, x.xi - mu.mu AS xi FROM x JOIN mu USING (i)
+)""",
+        """cov AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j,
+         SUM(a.xi * b.xi) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM embeddings) AS c
+  FROM xc a JOIN xc b USING (vec_id)
+  GROUP BY a.i, b.i
+)""",
+        """v0 AS (
+  SELECT i, 1.0 / sqrt((SELECT CAST(MAX(i) + 1 AS DOUBLE) FROM mu)) AS val
+  FROM mu
+)""",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""w{k} AS MATERIALIZED (
+  SELECT c.i AS i, SUM(c.c * v.val) AS val
+  FROM cov c JOIN v{k - 1} v ON v.i = c.j
+  GROUP BY c.i
+)""")
+        ctes.append(f"""v{k} AS MATERIALIZED (
+  SELECT i, CASE WHEN (SELECT MAX(ABS(val)) FROM w{k}) > 0
+                 THEN val / (SELECT MAX(ABS(val)) FROM w{k})
+                 ELSE val END AS val
+  FROM w{k}
+)""")
+    body = ",\n".join(ctes)
+    return f"""WITH {body},
+sign_ AS (
+  SELECT CASE WHEN val >= 0 THEN 1.0 ELSE -1.0 END AS s
+  FROM v{iterations} ORDER BY ABS(val) DESC, i ASC LIMIT 1
+)
+SELECT i, CAST(FLOOR(val * (SELECT s FROM sign_) * 1e6 + 0.5000001) AS BIGINT) AS loading_e6
+FROM v{iterations}"""

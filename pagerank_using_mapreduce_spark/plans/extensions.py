@@ -50,6 +50,7 @@ from ..operators.text_analysis import (
     repetition_stats,
     token_count,
 )
+from ..operators.pca import top_pc_sql
 from ..operators.sketches import (
     bloom_join_audit_sql,
     cms_counts_sql,
@@ -161,6 +162,15 @@ def q_x38_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_leaking"),
         )
     )
+
+
+def q_x39_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding collection (power
+    iteration over the distributed covariance — operators/pca.py);
+    oracle unrolls the identical max-abs-normalized recurrence."""
+    from ..operators.pca import top_principal_component
+
+    return top_principal_component(load_table(spark, sf_dir, "embeddings"))
 
 
 def q_x34_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -829,6 +839,7 @@ EXTENSION_QUERIES = {
     "x36_cms_counts": q_x36_cms_counts,
     "x37_bloom_join_audit": q_x37_bloom_join_audit,
     "x38_contamination_audit": q_x38_contamination_audit,
+    "x39_top_pc": q_x39_top_pc,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
@@ -897,6 +908,7 @@ FROM nd
 JOIN splits sa ON sa.doc_id = nd.doc_a
 JOIN splits sb ON sb.doc_id = nd.doc_b
 GROUP BY 1, 2""",
+    "x39_top_pc": top_pc_sql(),
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,
