@@ -128,3 +128,70 @@ def tf_idf(documents: DataFrame, n_docs: int | None = None) -> DataFrame:
             ).alias("tf_idf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional postings + phrase search: the IR capability plain A6
+# postings can't answer.  Positions come from the token ORDER within
+# each document (posexplode), so the index supports adjacency
+# predicates; a k-word phrase is a (k-1)-way self-join on
+# (doc_id, pos + offset) — each join leg is an equi-join on doc_id
+# with an integer position equality, shuffling only the posting rows
+# of the phrase's words once the word filter is pushed into the scan.
+# ---------------------------------------------------------------------------
+
+
+def positional_index(documents: DataFrame) -> DataFrame:
+    """(word, doc_id, pos): one row per token OCCURRENCE with its
+    0-based position in the normalized token stream."""
+    from ..functions.textops import strip_non_alpha, tokens
+
+    return documents.select(
+        "doc_id", F.posexplode(tokens(strip_non_alpha("text"))).alias("pos", "word")
+    ).select("word", "doc_id", "pos")
+
+
+def phrase_search(documents: DataFrame, phrase: list[str]) -> DataFrame:
+    """(doc_id, n_matches): documents containing the exact consecutive
+    ``phrase``, with match counts.  Each phrase word filters the
+    positional index BEFORE the join (predicate pushdown does the
+    candidate pruning), then adjacency is enforced by pos arithmetic.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase_search needs >= 2 words")
+    idx = positional_index(documents)
+    legs = None
+    for k, w in enumerate(phrase):
+        leg = (
+            idx.where(F.col("word") == w)
+            .select("doc_id", (F.col("pos") - F.lit(k)).alias("anchor"))
+            .alias(f"t{k}")
+        )
+        legs = leg if legs is None else legs.join(leg, ["doc_id", "anchor"])
+    return legs.groupBy("doc_id").agg(F.count("*").alias("n_matches"))
+
+
+def phrase_search_sql(phrase: list[str]) -> str:
+    """DuckDB twin of :func:`phrase_search` over the documents view."""
+    toks = """
+  SELECT doc_id, u.p AS pos, u.t AS word FROM (
+    SELECT doc_id, unnest(list_transform(
+      list_filter(string_split_regex(
+        lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+        x -> x != ''),
+      (x, i) -> {'p': i - 1, 't': x})) AS u
+    FROM documents)"""
+    legs = [
+        f"t{k} AS (SELECT doc_id, pos - {k} AS anchor FROM toks WHERE word = '{w}')"
+        for k, w in enumerate(phrase)
+    ]
+    joins = " ".join(
+        f"JOIN t{k} USING (doc_id, anchor)" for k in range(1, len(phrase))
+    )
+    legs_sql = ",\n".join(legs)
+    return f"""
+WITH toks AS MATERIALIZED ({toks}),
+{legs_sql}
+SELECT doc_id, COUNT(*) AS n_matches
+FROM t0 {joins}
+GROUP BY doc_id"""

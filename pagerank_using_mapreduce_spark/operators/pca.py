@@ -141,3 +141,60 @@ sign_ AS (
 )
 SELECT i, CAST(FLOOR(val * (SELECT s FROM sign_) * 1e6 + 0.5000001) AS BIGINT) AS loading_e6
 FROM v{iterations}"""
+
+
+def project_onto_top_pc(
+    emb: DataFrame, iterations: int = POWER_ITERATIONS
+) -> DataFrame:
+    """(vec_id, coord_e6): every embedding's coordinate along the top
+    principal component (centered dot product with the sign-fixed,
+    max-abs-scaled loading vector) — the 1-D reduction a pipeline
+    materializes for coarse ordering/binning of an embedding corpus.
+
+    The loading vector is d rows and broadcast; the projection is one
+    scan of the exploded embeddings + a d-group... no: a per-vec_id
+    aggregate with map-side partials.  Output is n rows (one per
+    vector), so this is the data-sized companion to the fixed-size
+    :func:`top_principal_component`."""
+    pc = top_principal_component(emb, iterations)
+    # un-quantized loadings would need a second code path; the e6 grid
+    # is part of the OPERATOR's contract (both engines project onto the
+    # same quantized vector, so coords stay hash-comparable).
+    loadings = pc.select("i", (F.col("loading_e6") / F.lit(1e6)).alias("w"))
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "xi"),
+    )
+    mu = x.groupBy("i").agg(F.avg("xi").alias("mu"))
+    xc = x.join(F.broadcast(mu), "i").select(
+        "vec_id", "i", (F.col("xi") - F.col("mu")).alias("xi")
+    )
+    return (
+        xc.join(F.broadcast(loadings), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.floor(
+                F.sum(F.col("xi") * F.col("w")) * 1e6 + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("coord_e6")
+        )
+    )
+
+
+def pc_projection_sql(iterations: int = POWER_ITERATIONS) -> str:
+    """DuckDB twin of :func:`project_onto_top_pc` — reuses the x39
+    CTE chain, quantizes the loadings to the same e6 grid, projects."""
+    base = top_pc_sql(iterations)
+    # top_pc_sql returns "WITH <ctes>, sign_ AS (...) SELECT ...": keep
+    # the CTE chain, replace the final SELECT with the projection.
+    head, _final = base.rsplit("SELECT i,", 1)
+    return f"""{head.rstrip()},
+pc AS (
+  SELECT i, CAST(FLOOR(val * (SELECT s FROM sign_) * 1e6 + 0.5000001) AS BIGINT) / 1e6 AS w
+  FROM v{iterations}
+)
+SELECT xc.vec_id,
+       CAST(FLOOR(SUM(xc.xi * pc.w) * 1e6 + 0.5000001) AS BIGINT) AS coord_e6
+FROM xc JOIN pc USING (i)
+GROUP BY xc.vec_id"""

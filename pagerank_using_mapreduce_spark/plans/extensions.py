@@ -50,7 +50,8 @@ from ..operators.text_analysis import (
     repetition_stats,
     token_count,
 )
-from ..operators.pca import top_pc_sql
+from ..operators.inverted_index import phrase_search_sql
+from ..operators.pca import pc_projection_sql, top_pc_sql
 from ..operators.sketches import (
     bloom_join_audit_sql,
     cms_counts_sql,
@@ -171,6 +172,26 @@ def q_x39_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.pca import top_principal_component
 
     return top_principal_component(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_x40_pc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D reduction: every embedding's coordinate along the (e6-
+    quantized, sign-fixed) top principal component."""
+    from ..operators.pca import project_onto_top_pc
+
+    return project_onto_top_pc(load_table(spark, sf_dir, "embeddings"))
+
+
+PHRASE = ["table", "hash"]
+
+
+def q_x41_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact consecutive-phrase search over the positional index
+    (operators/inverted_index.py:phrase_search) — the adjacency
+    capability plain postings can't answer."""
+    from ..operators.inverted_index import phrase_search
+
+    return phrase_search(_docs(spark, sf_dir), PHRASE)
 
 
 def q_x34_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,6 +861,8 @@ EXTENSION_QUERIES = {
     "x37_bloom_join_audit": q_x37_bloom_join_audit,
     "x38_contamination_audit": q_x38_contamination_audit,
     "x39_top_pc": q_x39_top_pc,
+    "x40_pc_projection": q_x40_pc_projection,
+    "x41_phrase_search": q_x41_phrase_search,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
@@ -909,6 +932,8 @@ JOIN splits sa ON sa.doc_id = nd.doc_a
 JOIN splits sb ON sb.doc_id = nd.doc_b
 GROUP BY 1, 2""",
     "x39_top_pc": top_pc_sql(),
+    "x40_pc_projection": pc_projection_sql(),
+    "x41_phrase_search": phrase_search_sql(PHRASE),
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,

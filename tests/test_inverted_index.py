@@ -75,3 +75,38 @@ def test_sharded_index_reconstructs_plain_index(spark):
     assert set(sharded) == set(plain)
     for w, ids in sharded.items():
         assert sorted(ids, key=int) == plain[w].split(",")
+
+
+def test_phrase_search_adjacency_and_counts(spark):
+    """Phrase matching is exact adjacency: 'a b' matches only where b
+    immediately follows a; overlapping repeats count each start."""
+    from pagerank_using_mapreduce_spark.operators.inverted_index import (
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window spark window spark"),  # 'spark window' twice
+            (2, "window spark"),                      # reversed: no match
+            (3, "spark and window"),                  # gap: no match
+            (4, "spark window"),                      # once
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(docs, ["spark", "window"]).collect()}
+    assert got == {1: 2, 4: 1}
+
+
+def test_phrase_search_three_words(spark):
+    from pagerank_using_mapreduce_spark.operators.inverted_index import (
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "fast key order sort"), (2, "fast order key")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(docs, ["fast", "key", "order"]).collect()}
+    assert got == {1: 1}
