@@ -23,6 +23,8 @@ from .inverted_index import (
     inverted_index,
     inverted_index_sharded,
     inverted_index_wiki,
+    phrase_search,
+    positional_index,
     tf_idf,
 )
 from .multimodal import (
@@ -43,7 +45,11 @@ from .pagerank import (
     ranking,
     top_k,
 )
-from .pca import covariance_matrix, top_principal_component
+from .pca import (
+    covariance_matrix,
+    project_onto_top_pc,
+    top_principal_component,
+)
 from .ranking import with_global_position
 from .scale import read_bucketed, salted_agg, salted_join, write_bucketed
 from .similarity import (
@@ -90,6 +96,8 @@ __all__ = [
     # index / text
     "inverted_index",
     "inverted_index_sharded",
+    "phrase_search",
+    "positional_index",
     "inverted_index_wiki",
     "tf_idf",
     "fingerprint",
@@ -138,6 +146,7 @@ __all__ = [
     "resize_meta",
     # pca
     "covariance_matrix",
+    "project_onto_top_pc",
     "top_principal_component",
     # sketches
     "bloom_join_audit",
