@@ -55,7 +55,10 @@ def top_principal_component(
     covariance after ``iterations`` max-abs-normalized power steps,
     scaled to max |loading| = 1 and sign-fixed."""
     spark = emb.sparkSession
-    cov = covariance_matrix(emb).persist()
+    # the cov relation is d² rows (4096 at d=64) — single-partition it
+    # so each power round is one tiny task instead of a 32-partition
+    # shuffle; v is broadcast into the join (no exchange per round).
+    cov = covariance_matrix(emb).coalesce(1).persist()
     cov.count()
     d = emb.select(F.size("embedding")).first()[0]
     v = spark.range(d).select(
@@ -66,7 +69,7 @@ def top_principal_component(
     for _ in range(iterations):
         w_un = (
             cov.alias("c")
-            .join(v.alias("v"), F.col("c.j") == F.col("v.i"))
+            .join(F.broadcast(v.alias("v")), F.col("c.j") == F.col("v.i"))
             .groupBy(F.col("c.i").alias("i"))
             .agg(F.sum(F.col("c.c") * F.col("v.val")).alias("val"))
             .persist()
