@@ -11,6 +11,7 @@ from .dedup import (
 )
 from .graph import (
     bfs_depths,
+    kcore_survivors,
     connected_components,
     connected_components_star,
     connected_components_until,
@@ -119,6 +120,7 @@ __all__ = [
     "connected_components_until",
     "degree_stats",
     "hits",
+    "kcore_survivors",
     "triangle_count",
     "undirected_edges",
     # dedup

@@ -482,3 +482,63 @@ def bfs_depths(
             depths = depths.localCheckpoint(eager=True)
     pages_c.unpersist()
     return depths
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+def kcore_survivors(
+    pages: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """(title,): nodes surviving ``rounds`` of k-core peeling on the
+    undirected link graph — each round removes every node whose degree
+    among CURRENT survivors is < k.  After enough rounds this is the
+    k-core (the maximal subgraph of min-degree >= k); fixed ``rounds``
+    keeps the op deterministic and the oracle unrollable (the peeling
+    sequence is integer-only: no float risk anywhere).
+
+    Per round: one semi-join to restrict the cached symmetric edge
+    relation to survivors on both endpoints + one degree aggregate +
+    one filter — the degree recomputation touches only edges between
+    survivors, which strictly shrinks.  Data-dependent full peeling
+    (loop until no removal) would be the ``_until`` variant, same
+    driver-loop pattern as ``connected_components_until``.
+    """
+    spark = pages.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sym = undirected_edges(pages).repartition(shuffle, "src").persist()
+    sym.count()
+    nodes = sym.select(F.col("src").alias("title")).distinct()
+    for _ in range(rounds):
+        alive_a = nodes.select(F.col("title").alias("src"))
+        alive_b = nodes.select(F.col("title").alias("dst"))
+        deg = (
+            sym.join(alive_a, "src", "left_semi")
+            .join(alive_b, "dst", "left_semi")
+            .groupBy("src")
+            .agg(F.count("*").alias("deg"))
+        )
+        nodes = deg.where(F.col("deg") >= k).select(
+            F.col("src").alias("title")
+        )
+    return nodes
+
+
+def kcore_sql(pages_ctes: str, sym_cte: str, k: int = KCORE_K,
+              rounds: int = KCORE_ROUNDS) -> str:
+    """DuckDB twin: the peeling recurrence unrolled over the symmetric
+    edge CTE (``sym_cte`` must define ``sym(src, dst)``)."""
+    ctes = ["n0 AS MATERIALIZED (SELECT DISTINCT src AS title FROM sym)"]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""n{r} AS MATERIALIZED (
+  SELECT src AS title FROM sym
+  WHERE src IN (SELECT title FROM n{r - 1})
+    AND dst IN (SELECT title FROM n{r - 1})
+  GROUP BY src HAVING COUNT(*) >= {k}
+)""")
+    body = ",\n".join(ctes)
+    return f"""WITH {pages_ctes},
+{sym_cte},
+{body}
+SELECT title FROM n{rounds}"""

@@ -376,6 +376,14 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 BFS_SEEDS = 3  # lexicographically-first titles, same convention as PPR
 
 
+def q_g6_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core survivors after 6 peeling rounds (integer-only
+    recurrence; operators/graph.py:kcore_survivors)."""
+    from ..operators.graph import kcore_survivors
+
+    return kcore_survivors(_pages(spark, sf_dir))
+
+
 def q_g4_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities, 10 L1-normalized mutual power iterations
     (operators/graph.py).  Oracle: the recurrence unrolled as
@@ -409,6 +417,12 @@ _EV_CTE = (
     "ev AS MATERIALIZED (SELECT e.src, e.dst FROM edges e "
     "JOIN pages p ON p.title = e.dst)"
 )
+
+
+def _kcore_oracle() -> str:
+    from ..operators.graph import kcore_sql
+
+    return kcore_sql(_PAGES_CTES, _SYM_CTE)
 
 
 def _hits_sql(iterations: int = 10) -> str:
@@ -490,6 +504,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g3_triangles": q_g3_triangles,
     "g4_hits": q_g4_hits,
     "g5_bfs_depths": q_g5_bfs,
+    "g6_kcore": q_g6_kcore,
     "deg_stats": q_deg_stats,
     "a6_inverted_index": q_a6_inverted_index,
     "a6_inverted_index_wiki": q_a6_inverted_index_wiki,
@@ -624,6 +639,7 @@ FROM pages""",
     "cc_star": _cc_converged_sql(kmax=25, with_iterations=False),
     "g4_hits": _hits_sql(),
     "g5_bfs_depths": _bfs_sql(),
+    "g6_kcore": _kcore_oracle(),
     "g3_triangles": f"""WITH {_PAGES_CTES},
 {_SYM_CTE},
 und AS (SELECT src AS a, dst AS b FROM sym WHERE src < dst)

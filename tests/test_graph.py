@@ -220,3 +220,28 @@ def test_bfs_depth_capped_by_iterations(spark):
     got = {r["title"]: r["depth"]
            for r in bfs_depths(pages, ["a"], iterations=2).collect()}
     assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_kcore_peels_tails_keeps_cycle(spark):
+    """Cycle a-b-c-d (all degree 2) with a pendant tail e-f: the
+    2-core is exactly the cycle; the tail peels off in two rounds."""
+    from pagerank_using_mapreduce_spark.operators.graph import kcore_survivors
+
+    pages = spark.createDataFrame(
+        [("a", ["b"]), ("b", ["c"]), ("c", ["d"]), ("d", ["a"]),
+         ("e", ["a", "f"]), ("f", [])],
+        "title string, links array<string>",
+    )
+    got = sorted(r["title"] for r in kcore_survivors(pages).collect())
+    assert got == ["a", "b", "c", "d"]
+
+
+def test_kcore_empty_when_forest(spark):
+    """A tree has no 2-core: everything peels."""
+    from pagerank_using_mapreduce_spark.operators.graph import kcore_survivors
+
+    pages = spark.createDataFrame(
+        [("r", ["x", "y"]), ("x", ["x1"]), ("y", []), ("x1", [])],
+        "title string, links array<string>",
+    )
+    assert kcore_survivors(pages).count() == 0
