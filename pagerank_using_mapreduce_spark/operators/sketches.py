@@ -45,11 +45,15 @@ def _digit_lz(c: Column) -> Column:
     )
 
 
-def hll_registers(df: DataFrame, key: str, p: int = HLL_P) -> DataFrame:
-    """(register, max_rho): the HLL register table for the values of
-    ``key``.  One narrow projection + one 2^p-group aggregate with
-    map-side partial max — the whole sketch is a single shuffle of at
-    most 2^p rows per upstream partition regardless of data volume.
+def hll_registers(
+    df: DataFrame, key: str, p: int = HLL_P, by: list[str] | None = None
+) -> DataFrame:
+    """(register, max_rho) — or (*by, register, max_rho) with ``by``:
+    the HLL register table for the values of ``key``, optionally one
+    sketch per group (per-domain/per-language cardinalities, the
+    realistic pipeline shape).  One narrow projection + one aggregate
+    with map-side partial max — at most |groups|·2^p rows shuffle per
+    upstream partition regardless of data volume.
     """
     if p % 4 != 0:
         raise ValueError("p must be a multiple of 4 (hex-digit indexing)")
@@ -62,14 +66,19 @@ def hll_registers(df: DataFrame, key: str, p: int = HLL_P) -> DataFrame:
     rho = F.when(zeros == _TAIL_HEX, F.lit(4 * _TAIL_HEX + 1)).otherwise(
         F.lit(4) * zeros + _digit_lz(first) + 1
     )
+    by = by or []
     return (
-        df.select(idx.alias("register"), rho.cast("long").alias("rho"))
-        .groupBy("register")
+        df.select(
+            *by, idx.alias("register"), rho.cast("long").alias("rho")
+        )
+        .groupBy(*by, "register")
         .agg(F.max("rho").alias("max_rho"))
     )
 
 
-def hll_registers_sql(table: str, key_expr: str, p: int = HLL_P) -> str:
+def hll_registers_sql(
+    table: str, key_expr: str, p: int = HLL_P, by: list[str] | None = None
+) -> str:
     """DuckDB twin of :func:`hll_registers` (identical md5-derived
     registers; hex→int via strpos since DuckDB has no conv())."""
     nidx = p // 4
@@ -78,15 +87,17 @@ def hll_registers_sql(table: str, key_expr: str, p: int = HLL_P) -> str:
         f"(strpos('{digits}', substr(h, {i + 1}, 1)) - 1) * {16 ** (nidx - 1 - i)}"
         for i in range(nidx)
     )
+    by = by or []
+    bycols = "".join(f"{c}, " for c in by)
     return f"""
-WITH hashed AS (SELECT md5(CAST({key_expr} AS VARCHAR)) AS h FROM {table}),
+WITH hashed AS (SELECT {bycols}md5(CAST({key_expr} AS VARCHAR)) AS h FROM {table}),
 parts AS (
-  SELECT CAST({idx_terms} AS BIGINT) AS register,
+  SELECT {bycols}CAST({idx_terms} AS BIGINT) AS register,
          substr(h, {nidx + 1}, {_TAIL_HEX}) AS tail
   FROM hashed
 ),
 rho AS (
-  SELECT register,
+  SELECT {bycols}register,
          CASE WHEN length(regexp_extract(tail, '^0*', 0)) = {_TAIL_HEX}
               THEN {4 * _TAIL_HEX + 1}
               ELSE 4 * length(regexp_extract(tail, '^0*', 0))
@@ -99,8 +110,8 @@ rho AS (
                    + 1 END AS rho
   FROM parts
 )
-SELECT register, CAST(MAX(rho) AS BIGINT) AS max_rho
-FROM rho GROUP BY register"""
+SELECT {bycols}register, CAST(MAX(rho) AS BIGINT) AS max_rho
+FROM rho GROUP BY {bycols}register"""
 
 
 def hll_estimate(registers: list[tuple[int, int]], p: int = HLL_P) -> float:

@@ -194,6 +194,15 @@ def q_x41_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(_docs(spark, sf_dir), PHRASE)
 
 
+def q_x42_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL: one register table per documents.source — distinct
+    doc_id cardinality per corpus source, the per-domain stat a
+    curation pipeline tracks."""
+    from ..operators.sketches import hll_registers
+
+    return hll_registers(_docs(spark, sf_dir), "doc_id", by=["source"])
+
+
 def q_x34_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-repetition quality signals (distinct ratio, top-token
     share) — operators/text_analysis.py:repetition_stats."""
@@ -412,6 +421,21 @@ def q_z7_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_event_stream(spark, stage_table_dir(sf_dir))
     )
     return run_available_now(stream, "t_z7_sessions", output_mode="complete")
+
+
+def q_z8_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min over events.user_id drained with
+    AvailableNow — additive cells, bit-identical to the batch sketch
+    (oracle: the batch SQL)."""
+    from ..streaming.events import (
+        cms_counts_stream,
+        read_event_stream,
+        run_available_now,
+        stage_table_dir,
+    )
+
+    stream = cms_counts_stream(read_event_stream(spark, stage_table_dir(sf_dir)))
+    return run_available_now(stream, "t_z8_cms", output_mode="complete")
 
 
 def q_z1_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -863,6 +887,7 @@ EXTENSION_QUERIES = {
     "x39_top_pc": q_x39_top_pc,
     "x40_pc_projection": q_x40_pc_projection,
     "x41_phrase_search": q_x41_phrase_search,
+    "x42_hll_by_source": q_x42_hll_by_source,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
@@ -870,6 +895,7 @@ EXTENSION_QUERIES = {
     "z5_stream_enrich": q_z5_stream_enrich,
     "z6_stream_hll": q_z6_stream_hll,
     "z7_session_window_stream": q_z7_session_window_stream,
+    "z8_stream_cms": q_z8_stream_cms,
 }
 
 EXTENSION_ORACLE = {
@@ -934,6 +960,7 @@ GROUP BY 1, 2""",
     "x39_top_pc": top_pc_sql(),
     "x40_pc_projection": pc_projection_sql(),
     "x41_phrase_search": phrase_search_sql(PHRASE),
+    "x42_hll_by_source": hll_registers_sql("documents", "doc_id", by=["source"]),
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,
@@ -942,4 +969,5 @@ GROUP BY 1, 2""",
     "z5_stream_enrich": Z5_SQL,
     "z6_stream_hll": hll_registers_sql("events", "user_id"),
     "z7_session_window_stream": _E4_BATCH_SQL,
+    "z8_stream_cms": cms_counts_sql("events", "user_id"),
 }

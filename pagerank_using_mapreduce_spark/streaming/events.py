@@ -355,3 +355,14 @@ def session_window_stream(
             "sum_value_e2",
         )
     )
+
+
+def cms_counts_stream(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Streaming count-min table over ``key`` — the incremental twin of
+    :func:`..operators.sketches.cms_counts`.  Cell counts are ADDITIVE,
+    so complete-mode state is the fixed depth×width table and the
+    drained result equals the batch sketch on the same input (oracle =
+    the batch SQL), the same parity pattern as the HLL stream."""
+    from ..operators.sketches import cms_counts
+
+    return cms_counts(events, key)
