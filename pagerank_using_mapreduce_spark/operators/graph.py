@@ -348,21 +348,27 @@ def hits(
     checkpoint_every: int = 5,
 ) -> DataFrame:
     """(title, hub, authority): Kleinberg's HITS by mutual power
-    iteration over the directed valid-edge graph, L1-normalized each
-    half-step (hubs sum to 1, authorities sum to 1).
+    iteration over the directed valid-edge graph, emitted L1-normalized
+    (hubs sum to 1, authorities sum to 1; pages with no valid out/in
+    links carry hub/authority 0).
 
     Not in the reference (its only graph metric is PageRank); this is
     the natural companion ranking for a link corpus.  Same scale
     skeleton as :func:`..pagerank.pagerank`: the static edge relation
-    is hash-partitioned and persisted ONCE; each half-step shuffles
-    only the small (title, score) relation into it, aggregates with
-    map-side partials, and left-joins back to all nodes.  The L1 norm
-    is a driver-side scalar per half-step (the S5 global-counter
-    channel, same as the convergence scalars in ``pagerank_until``)
-    over a persisted N-row relation — folding it back lazily instead
-    would duplicate the un-normalized subplan inside its own total and
-    double the logical plan every half-step.  Lineage is truncated on a
-    cadence exactly like the rank loop.
+    is hash-partitioned and persisted ONCE; each step shuffles only the
+    small (title, score) relation into it and aggregates with map-side
+    partials.
+
+    Normalization exploits the scale-invariance of power iteration:
+    only the AUTHORITY vector is L1-normalized per iteration (so
+    magnitudes stay bounded — one unnormalized pull is bounded by the
+    max degree); hubs are normalized once at the end.  That costs ONE
+    driver norm scalar per iteration (the S5 global-counter channel,
+    same as ``pagerank_until``'s convergence scalars — folding it back
+    lazily would duplicate the subplan inside its own total and double
+    the plan every round) instead of two, and intermediate rounds skip
+    the dense left-join back to all titles: zero-score nodes contribute
+    nothing to sums or pulls, so only the final output fills them in.
 
     L1 (sum) rather than L2 normalization keeps the per-round scalar a
     LINEAR reduction: cross-engine float summation noise stays ~1 ulp
@@ -383,44 +389,58 @@ def hits(
 
     n = titles.count()
     auth = titles.select("title", F.lit(1.0 / n).alias("score"))
-    hub = auth
+    hub_un = auth
     persisted: list[DataFrame] = []
 
-    def _step(scores: DataFrame, src_col: str, dst_col: str) -> DataFrame:
-        """One half-step: pull ``scores`` across edges from ``dst_col``
-        to ``src_col``, L1-normalize."""
-        raw = (
+    def _pull(scores: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+        """Pull ``scores`` across edges from ``dst_col`` to ``src_col``
+        (sparse: only nodes with at least one scored neighbor appear)."""
+        return (
             e.alias("e")
             .join(scores.alias("s"), F.col(f"e.{dst_col}") == F.col("s.title"))
             .groupBy(F.col(f"e.{src_col}").alias("title"))
-            .agg(F.sum("s.score").alias("s"))
+            .agg(F.sum("s.score").alias("score"))
         )
-        unnorm = (
-            titles.alias("t")
-            .join(raw.alias("r"), "title", "left")
-            .select("title", F.coalesce(F.col("r.s"), F.lit(0.0)).alias("score"))
-            .persist()
-        )
-        persisted.append(unnorm)
-        tot = unnorm.agg(F.sum("score")).first()[0]
-        if not tot or tot <= 0.0:
-            return unnorm  # all-zero scores: nothing to normalize
-        return unnorm.select("title", (F.col("score") / F.lit(tot)).alias("score"))
 
     for i in range(iterations):
-        hub = _step(auth, "src", "dst")  # hub(v) = Σ_{v→u} auth(u)
-        auth = _step(hub, "dst", "src")  # auth(u) = Σ_{v→u} hub(v)
+        hub_un = _pull(auth, "src", "dst")  # hub(v) = Σ_{v→u} auth(u)
+        auth_un = _pull(hub_un, "dst", "src").persist()  # Σ_{v→u} hub(v)
+        persisted.append(auth_un)
+        tot = auth_un.agg(F.sum("score")).first()[0]
+        auth = (
+            auth_un
+            if not tot or tot <= 0.0
+            else auth_un.select(
+                "title", (F.col("score") / F.lit(tot)).alias("score")
+            )
+        )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
-            hub = hub.localCheckpoint(eager=True)
+            hub_un = hub_un.localCheckpoint(eager=True)
             auth = auth.localCheckpoint(eager=True)
             for p in persisted:
                 p.unpersist()
             persisted = []
+    hub_un = hub_un.persist()
+    hub_tot = hub_un.agg(F.sum("score")).first()[0]
+    hub = (
+        hub_un
+        if not hub_tot or hub_tot <= 0.0
+        else hub_un.select(
+            "title", (F.col("score") / F.lit(hub_tot)).alias("score")
+        )
+    )
     out = (
-        hub.select("title", F.col("score").alias("hub"))
+        titles.alias("t")
+        .join(hub.select("title", F.col("score").alias("hub")), "title", "left")
         .join(
             auth.select("title", F.col("score").alias("authority")),
             "title",
+            "left",
+        )
+        .select(
+            "title",
+            F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("authority"), F.lit(0.0)).alias("authority"),
         )
     )
     return out

@@ -426,39 +426,40 @@ def _kcore_oracle() -> str:
 
 
 def _hits_sql(iterations: int = 10) -> str:
-    """HITS unrolled: per level, a raw pull across edges then an L1
-    normalization whose total is a scalar subquery over the
-    MATERIALIZED raw level (referenced twice — must not inline)."""
+    """HITS unrolled, mirroring the operator's normalization structure
+    exactly: per level a raw hub pull from the (normalized) authority,
+    a raw authority pull from the UN-normalized hub, and one L1
+    normalization of the authority; hubs are normalized once at the
+    end.  Raw levels are MATERIALIZED (each is referenced by the next
+    pull AND by its own norm scalar)."""
     ctes = [
         "a0 AS MATERIALIZED (SELECT title, 1.0 / (SELECT n FROM np) AS val FROM pages)"
     ]
     for k in range(1, iterations + 1):
         ctes.append(f"""hr{k} AS MATERIALIZED (
-  SELECT p.title, COALESCE(s.x, 0.0) AS v
-  FROM pages p LEFT JOIN (
-    SELECT e.src AS title, SUM(a.val) AS x
-    FROM ev e JOIN a{k - 1} a ON a.title = e.dst GROUP BY e.src
-  ) s USING (title))""")
-        ctes.append(f"""h{k} AS MATERIALIZED (
-  SELECT title, CASE WHEN (SELECT SUM(v) FROM hr{k}) > 0
-                     THEN v / (SELECT SUM(v) FROM hr{k}) ELSE 0.0 END AS val
-  FROM hr{k})""")
+  SELECT e.src AS title, SUM(a.val) AS val
+  FROM ev e JOIN a{k - 1} a ON a.title = e.dst GROUP BY e.src)""")
         ctes.append(f"""ar{k} AS MATERIALIZED (
-  SELECT p.title, COALESCE(s.x, 0.0) AS v
-  FROM pages p LEFT JOIN (
-    SELECT e.dst AS title, SUM(h.val) AS x
-    FROM ev e JOIN h{k} h ON h.title = e.src GROUP BY e.dst
-  ) s USING (title))""")
+  SELECT e.dst AS title, SUM(h.val) AS val
+  FROM ev e JOIN hr{k} h ON h.title = e.src GROUP BY e.dst)""")
         ctes.append(f"""a{k} AS MATERIALIZED (
-  SELECT title, CASE WHEN (SELECT SUM(v) FROM ar{k}) > 0
-                     THEN v / (SELECT SUM(v) FROM ar{k}) ELSE 0.0 END AS val
+  SELECT title, CASE WHEN (SELECT SUM(val) FROM ar{k}) > 0
+                     THEN val / (SELECT SUM(val) FROM ar{k}) ELSE val END AS val
   FROM ar{k})""")
     body = ",\n".join(ctes)
     return f"""WITH {_PAGES_CTES},
 {_EV_CTE},
-{body}
-SELECT h.title, {_sql_e6("h.val")} AS hub_e6, {_sql_e6("a.val")} AS auth_e6
-FROM h{iterations} h JOIN a{iterations} a USING (title)"""
+{body},
+hfin AS (
+  SELECT title, CASE WHEN (SELECT SUM(val) FROM hr{iterations}) > 0
+                     THEN val / (SELECT SUM(val) FROM hr{iterations}) ELSE val END AS val
+  FROM hr{iterations})
+SELECT p.title,
+       {_sql_e6("COALESCE(h.val, 0.0)")} AS hub_e6,
+       {_sql_e6("COALESCE(a.val, 0.0)")} AS auth_e6
+FROM pages p
+LEFT JOIN hfin h ON h.title = p.title
+LEFT JOIN a{iterations} a ON a.title = p.title"""
 
 
 def _bfs_sql(iterations: int = 8, k_seeds: int = BFS_SEEDS) -> str:
