@@ -470,8 +470,23 @@ def dedup_clusters(docs: DataFrame, rounds: int = CLUSTER_ROUNDS) -> DataFrame:
     budget as hash-min components on an O(|pairs|) relation.
     """
     pairs = near_dup_pipeline(docs).select("doc_a", "doc_b").persist()
-    sym = pairs.unionAll(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    # size the iteration's partitioning from the MEASURED pair count
+    # (pairs is already persisted, so the count is one cheap action):
+    # near-dup graphs are a sliver of the corpus, and iterating a
+    # few-hundred-row relation across 32-partition shuffles is all
+    # overhead.  ~100k pair rows per partition keeps tasks meaty.
+    n_pairs = pairs.count()
+    spark = docs.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = max(1, min(shuffle, n_pairs // 100_000 + 1))
+    sym = (
+        pairs.unionAll(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .repartition(parts, "doc_b")
+        .persist()
     )
     labels = (
         sym.select(F.col("doc_a").alias("doc_id"))
