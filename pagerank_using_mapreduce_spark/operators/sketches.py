@@ -353,3 +353,72 @@ SELECT COUNT(*) AS n_keys,
        CAST(SUM(CASE WHEN t.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
        CAST(SUM(CASE WHEN bloom_pass AND t.key IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
 FROM flags f LEFT JOIN truth t USING (key)"""
+
+
+CMS_JOIN_WIDTH = 1 << 16  # join estimation needs width >> the point-
+# query case: the estimator's additive error is ||a||_1 * ||b||_1 / width,
+# so 2^16 keeps the collision term below ~5% of real join sizes here
+# (hex4 positions ARE 16 bits, so the mod is an identity)
+
+
+def cms_join_size_estimate(
+    a: DataFrame,
+    a_key: str,
+    b: DataFrame,
+    b_key: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_JOIN_WIDTH,
+) -> DataFrame:
+    """One row (est_rows, exact_rows): equi-join cardinality estimated
+    from the two sides' count-min tables — est = min over sketch rows
+    of Σ_col cntA·cntB, the classic inner-product estimator (always an
+    OVER-estimate; collisions only add).  This is what a cost-based
+    planner does with sketches instead of scanning: the estimate costs
+    two fixed-size tables and a depth×width join, the truth costs the
+    join itself (computed here too, to audit the error exactly —
+    integer arithmetic end to end, so the audit is hash-checkable).
+    """
+    ca = cms_counts(a, a_key, depth, width)
+    cb = cms_counts(b, b_key, depth, width)
+    per_row = (
+        ca.alias("a")
+        .join(cb.alias("b"), ["row", "col"])
+        .groupBy("row")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
+    )
+    est = per_row.agg(F.min("dot").alias("est_rows"))
+    exact = (
+        a.select(F.col(a_key).alias("k"))
+        .join(b.select(F.col(b_key).alias("k")), "k")
+        .agg(F.count("*").alias("exact_rows"))
+    )
+    return est.crossJoin(exact)
+
+
+def cms_join_size_estimate_sql(
+    a_table: str,
+    a_key: str,
+    b_table: str,
+    b_key: str,
+    b_where: str = "TRUE",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_JOIN_WIDTH,
+) -> str:
+    """DuckDB twin of :func:`cms_join_size_estimate`."""
+    ca = cms_counts_sql(a_table, a_key, depth, width)
+    cb = cms_counts_sql(f"(SELECT * FROM {b_table} WHERE {b_where})", b_key, depth, width)
+    return f"""
+WITH ca AS MATERIALIZED ({ca}),
+cb AS MATERIALIZED ({cb}),
+dots AS (
+  SELECT a.row, SUM(a.cnt * b.cnt) AS dot
+  FROM ca a JOIN cb b USING (row, col)
+  GROUP BY a.row
+),
+est AS (SELECT CAST(MIN(dot) AS BIGINT) AS est_rows FROM dots),
+exact AS (
+  SELECT COUNT(*) AS exact_rows
+  FROM {a_table} a JOIN (SELECT * FROM {b_table} WHERE {b_where}) b
+    ON a.{a_key} = b.{b_key}
+)
+SELECT est.est_rows, exact.exact_rows FROM est, exact"""

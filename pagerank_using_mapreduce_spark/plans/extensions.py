@@ -55,6 +55,7 @@ from ..operators.pca import pc_projection_sql, top_pc_sql
 from ..operators.sketches import (
     bloom_join_audit_sql,
     cms_counts_sql,
+    cms_join_size_estimate_sql,
     hll_registers_sql,
 )
 from ..operators.sampling import (
@@ -201,6 +202,19 @@ def q_x42_hll_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import hll_registers
 
     return hll_registers(_docs(spark, sf_dir), "doc_id", by=["source"])
+
+
+def q_x43_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS inner-product join-cardinality estimate vs the exact join
+    size (lineitem x URGENT orders on orderkey) — what a cost-based
+    planner computes from sketches, with the error audited exactly."""
+    from ..operators.sketches import cms_join_size_estimate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cms_join_size_estimate(li, "l_orderkey", orders, "o_orderkey")
 
 
 def q_x34_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -888,6 +902,7 @@ EXTENSION_QUERIES = {
     "x40_pc_projection": q_x40_pc_projection,
     "x41_phrase_search": q_x41_phrase_search,
     "x42_hll_by_source": q_x42_hll_by_source,
+    "x43_join_size_estimate": q_x43_join_size_estimate,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
@@ -961,6 +976,13 @@ GROUP BY 1, 2""",
     "x40_pc_projection": pc_projection_sql(),
     "x41_phrase_search": phrase_search_sql(PHRASE),
     "x42_hll_by_source": hll_registers_sql("documents", "doc_id", by=["source"]),
+    "x43_join_size_estimate": cms_join_size_estimate_sql(
+        "lineitem",
+        "l_orderkey",
+        "orders",
+        "o_orderkey",
+        b_where="o_orderpriority = '1-URGENT'",
+    ),
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,

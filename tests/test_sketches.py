@@ -118,3 +118,17 @@ def test_bloom_no_false_negatives_and_pruning(spark):
     passed_fp = [k for k in non_members if flags[k]]
     assert len(passed_fp) <= max(5, 0.02 * len(non_members)), (
         len(passed_fp), len(non_members))
+
+
+def test_cms_join_estimate_upper_bounds_exact(spark):
+    """The inner-product estimator never underestimates the true join
+    size, and at this width the overshoot is small."""
+    from pagerank_using_mapreduce_spark.operators.sketches import (
+        cms_join_size_estimate,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    row = cms_join_size_estimate(li, "l_orderkey", orders, "o_orderkey").first()
+    assert row["est_rows"] >= row["exact_rows"]
+    assert row["est_rows"] <= 2 * row["exact_rows"]
