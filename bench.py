@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "cc_star",
     "g5_bfs_depths",
     "x35_hll_registers",
+    "x33_dedup_clusters",
+    "x43_join_size_estimate",
 ]
 
 
