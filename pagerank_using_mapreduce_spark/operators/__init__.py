@@ -69,6 +69,7 @@ from .sketches import (
     bloom_probe,
     cms_counts,
     cms_estimate,
+    cms_heavy_hitters,
     cms_join_size_estimate,
     hll_estimate,
     hll_registers,
@@ -157,6 +158,7 @@ __all__ = [
     "bloom_probe",
     "cms_counts",
     "cms_estimate",
+    "cms_heavy_hitters",
     "cms_join_size_estimate",
     "hll_estimate",
     "hll_registers",

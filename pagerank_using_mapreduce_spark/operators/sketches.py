@@ -422,3 +422,70 @@ exact AS (
     ON a.{a_key} = b.{b_key}
 )
 SELECT est.est_rows, exact.exact_rows FROM est, exact"""
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key: str,
+    top_n: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(key, est_count) top-``top_n`` by CMS-estimated frequency — the
+    point-query read path of the sketch (the write path is
+    :func:`cms_counts`).  Candidates are the distinct keys (already a
+    bounded relation after dedup); each probes its depth cells against
+    the fixed-size counts table and takes the min.  Estimates never
+    underestimate, so the true top-n is always CONTAINED in the
+    CMS top-n of the same cutoff modulo collision ties — the standard
+    sketch-based heavy-hitter pattern.  Deterministic output: ties
+    break on the key."""
+    counts = cms_counts(df, key, depth, width)
+    keys = df.select(F.col(key).alias("key")).distinct()
+    cells = [
+        F.struct(
+            F.lit(i).cast("long").alias("row"),
+            _cms_col(F.col("key"), i, width).alias("col"),
+        )
+        for i in range(depth)
+    ]
+    probes = keys.select("key", F.explode(F.array(*cells)).alias("rc")).select(
+        "key", F.col("rc.row").alias("row"), F.col("rc.col").alias("col")
+    )
+    est = (
+        probes.join(F.broadcast(counts), ["row", "col"])
+        .groupBy("key")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return est.orderBy(F.desc("est_count"), F.asc("key")).limit(top_n)
+
+
+def cms_heavy_hitters_sql(
+    table: str,
+    key_expr: str,
+    top_n: int = 20,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB twin of :func:`cms_heavy_hitters`."""
+    counts = cms_counts_sql(table, key_expr, depth, width)
+    probe_selects = []
+    for i in range(depth):
+        h = f"md5('cms{i}' || '|' || CAST(key AS VARCHAR))"
+        probe_selects.append(
+            f"SELECT key, {i} AS row, ({_hex4_to_int_sql(f'substr({h}, 1, 4)')}) % {width} AS col FROM keys"
+        )
+    probes = "\n  UNION ALL ".join(probe_selects)
+    return f"""
+WITH counts AS MATERIALIZED ({counts}),
+keys AS MATERIALIZED (SELECT DISTINCT {key_expr} AS key FROM {table}),
+probes AS (
+  {probes}
+),
+est AS (
+  SELECT p.key, CAST(MIN(c.cnt) AS BIGINT) AS est_count
+  FROM probes p JOIN counts c USING (row, col)
+  GROUP BY p.key
+)
+SELECT key, est_count FROM est
+ORDER BY est_count DESC, key ASC LIMIT {top_n}"""

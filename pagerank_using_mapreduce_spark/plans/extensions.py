@@ -55,6 +55,7 @@ from ..operators.pca import pc_projection_sql, top_pc_sql
 from ..operators.sketches import (
     bloom_join_audit_sql,
     cms_counts_sql,
+    cms_heavy_hitters_sql,
     cms_join_size_estimate_sql,
     hll_registers_sql,
 )
@@ -215,6 +216,14 @@ def q_x43_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority") == "1-URGENT"
     )
     return cms_join_size_estimate(li, "l_orderkey", orders, "o_orderkey")
+
+
+def q_x44_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 suppliers by CMS-estimated lineitem frequency — the
+    sketch's point-query read path, deterministic tie-break."""
+    from ..operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(load_table(spark, sf_dir, "lineitem"), "l_suppkey")
 
 
 def q_x34_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,6 +912,7 @@ EXTENSION_QUERIES = {
     "x41_phrase_search": q_x41_phrase_search,
     "x42_hll_by_source": q_x42_hll_by_source,
     "x43_join_size_estimate": q_x43_join_size_estimate,
+    "x44_cms_heavy_hitters": q_x44_cms_heavy_hitters,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
@@ -976,6 +986,7 @@ GROUP BY 1, 2""",
     "x40_pc_projection": pc_projection_sql(),
     "x41_phrase_search": phrase_search_sql(PHRASE),
     "x42_hll_by_source": hll_registers_sql("documents", "doc_id", by=["source"]),
+    "x44_cms_heavy_hitters": cms_heavy_hitters_sql("lineitem", "l_suppkey"),
     "x43_join_size_estimate": cms_join_size_estimate_sql(
         "lineitem",
         "l_orderkey",

@@ -132,3 +132,26 @@ def test_cms_join_estimate_upper_bounds_exact(spark):
     row = cms_join_size_estimate(li, "l_orderkey", orders, "o_orderkey").first()
     assert row["est_rows"] >= row["exact_rows"]
     assert row["est_rows"] <= 2 * row["exact_rows"]
+
+
+def test_cms_heavy_hitters_contains_true_top(spark):
+    """The CMS top-k (estimates never underestimate) must contain every
+    key whose TRUE count exceeds the estimated cutoff."""
+    from pagerank_using_mapreduce_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    li = load_table(spark, SF, "lineitem")
+    got = [(r["key"], r["est_count"])
+           for r in cms_heavy_hitters(li, "l_suppkey", top_n=10).collect()]
+    exact = {
+        r["l_suppkey"]: r["n"]
+        for r in li.groupBy("l_suppkey").agg(F.count("*").alias("n")).collect()
+    }
+    cutoff = min(e for _, e in got)
+    picked = {k for k, _ in got}
+    for k, n in exact.items():
+        if n > cutoff:
+            assert k in picked, (k, n, cutoff)
+    for k, e in got:
+        assert e >= exact[k]
