@@ -1298,17 +1298,22 @@ Q19_ARMS = (
 def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # Every OR-arm constrains (p_brand, p_size), so the part-only
+    # disjunction is a valid pre-filter: push it onto `part` BEFORE the
+    # broadcast.  At TPC-H sf100 `part` is 20M rows — broadcasting it
+    # unfiltered is a driver OOM; filtered, the broadcast side is only
+    # the rows any arm could match (and the filter reaches the parquet
+    # scan as a pushed predicate).
+    part_arm = None
     arm = None
     for brand, s_lo, s_hi, q_lo, q_hi in Q19_ARMS:
-        c = (
-            (F.col("p_brand") == brand)
-            & F.col("p_size").between(s_lo, s_hi)
-            & F.col("l_quantity").between(q_lo, q_hi)
-        )
+        p = (F.col("p_brand") == brand) & F.col("p_size").between(s_lo, s_hi)
+        c = p & F.col("l_quantity").between(q_lo, q_hi)
+        part_arm = p if part_arm is None else (part_arm | p)
         arm = c if arm is None else (arm | c)
     rev = _q(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(F.broadcast(part.where(part_arm)), li.l_partkey == part.p_partkey)
         .where(arm)
         .agg(F.sum(rev).alias("revenue_e4"), F.count("*").alias("n"))
     )

@@ -9,6 +9,8 @@ substring (node names, ReadSchema) rather than exact plan shapes.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -154,8 +156,71 @@ def test_repetition_stats_prunes_scan(spark):
                for l in scans)
 
 
+def _scan_ids(plan: str, table: str) -> list[str]:
+    """Node ids of parquet scans over `table` in a formatted plan."""
+    ids = []
+    for block in plan.split("\n\n"):
+        m = re.match(r"\((\d+)\) Scan parquet", block.strip())
+        if m and f"{table}.parquet" in block:
+            ids.append(m.group(1))
+    return ids
+
+
+def _scan_block(plan: str, table: str) -> str:
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Scan parquet", block.strip()) and (
+            f"{table}.parquet" in block
+        ):
+            return block
+    raise AssertionError(f"no {table} scan in plan")
+
+
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """The tree text under each BroadcastExchange node (its build side)."""
+    tree = plan.split("\n\n")[0].splitlines()
+
+    def start(line: str) -> int:
+        m = re.search(r"[^\s:+\-]", line)
+        return m.start() if m else 0
+
+    subs = []
+    for i, line in enumerate(tree):
+        if "BroadcastExchange" in line:
+            d = start(line)
+            sub = []
+            for nxt in tree[i + 1 :]:
+                if start(nxt) <= d:
+                    break
+                sub.append(nxt)
+            subs.append("\n".join(sub))
+    return subs
+
+
 def test_q8_broadcasts_all_dimensions(spark):
-    """Q8's six joins: the lineitem side never broadcast, all
-    dimension sides broadcast (explicitly or by AQE)."""
+    """Q8's six joins: all dimension sides broadcast, and no
+    BroadcastExchange subtree contains the lineitem scan (the fact side
+    is the probe, never the build)."""
     plan = _plan(QUERIES["q8_market_share"](spark, SF))
     assert "BroadcastHashJoin" in plan
+    li_ids = _scan_ids(plan, "lineitem")
+    assert li_ids, "expected a lineitem scan"
+    for sub in _broadcast_subtrees(plan):
+        for lid in li_ids:
+            assert f"({lid})" not in sub, "lineitem scan inside a broadcast"
+
+
+def test_q19_broadcasts_filtered_part_only(spark):
+    """Q19's broadcast side is `part` pre-filtered by the part-only
+    arm disjunction: the filter reaches the part scan as a pushed
+    predicate, and lineitem is never on the build side (at sf100 an
+    unfiltered part broadcast is a driver OOM)."""
+    plan = _plan(QUERIES["q19_disjunctive"](spark, SF))
+    part_scan = _scan_block(plan, "part")
+    pushed = [l for l in part_scan.splitlines() if "PushedFilters" in l]
+    assert pushed and "p_brand" in pushed[0], part_scan
+    li_ids = _scan_ids(plan, "lineitem")
+    subs = _broadcast_subtrees(plan)
+    assert subs, "expected a BroadcastExchange"
+    for sub in subs:
+        for lid in li_ids:
+            assert f"({lid})" not in sub, "lineitem scan inside a broadcast"
