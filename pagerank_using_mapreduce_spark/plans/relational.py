@@ -280,10 +280,11 @@ GROUP BY user_id
 # and the custom stateful streaming sessionizer (z2).  Emits one row per
 # SESSION (not per user), so it also exercises the per-session grain.
 #
-# Boundary semantics differ from e1 by design and the oracle mirrors
-# them exactly: session_window closes when the next event is >= gap
-# away (diff == gap opens a NEW session), while e1's lag test uses
-# strict >.  The oracle's break predicate is therefore `>=`.
+# Boundary semantics (verified on PySpark 4.1.2): session_window
+# MERGES events exactly gap apart — a session [t, t+gap) is extended
+# by an event at t+gap, so only diff > gap opens a new session.  This
+# matches e1's strict-> lag test, and the oracle's break predicate is
+# therefore strict `>` as well.
 # --------------------------------------------------------------------------
 
 
@@ -313,7 +314,7 @@ WITH marked AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,
          CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id)
-              >= {SESSION_GAP_S} * 1000000
+              > {SESSION_GAP_S} * 1000000
               THEN 1 ELSE 0 END AS brk,
          {_sq("value", 2)} AS v_e2
   FROM events

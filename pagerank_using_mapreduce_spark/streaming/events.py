@@ -334,8 +334,9 @@ def session_window_stream(
     built-in complement to the custom applyInPandasWithState
     sessionizer (:func:`sessionize_stream`): engine-managed merging
     session state, one output row per session.  Same schema and
-    boundary semantics (diff >= gap opens a new session) as the batch
-    twin ``plans.relational.e4_session_windows``, which is its oracle."""
+    boundary semantics (events exactly gap apart MERGE; only
+    diff > gap opens a new session) as the batch twin
+    ``plans.relational.e4_session_windows``, which is its oracle."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(

@@ -241,3 +241,49 @@ def test_stream_static_enrich_matches_batch_join(spark, events_dir):
     )
     cols = ["c_mktsegment", "count"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """Events exactly SESSION_GAP_S apart MERGE into one session in
+    Spark's session_window (verified PySpark 4.1.2 behavior: a session
+    [t, t+gap) is extended by an event at t+gap); only diff > gap
+    splits.  The E4/z7 DuckDB oracle must agree at this boundary."""
+    import duckdb
+    import pandas as pd
+
+    from pagerank_using_mapreduce_spark.plans.relational import (
+        E4_SQL,
+        SESSION_GAP_S,
+    )
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    gap = pd.Timedelta(seconds=SESSION_GAP_S)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 2],
+            "event_id": [10, 11, 20, 21],
+            # user 1: exactly gap apart -> ONE session
+            # user 2: gap + 1s apart   -> TWO sessions
+            "ts": [base, base + gap, base, base + gap + pd.Timedelta(seconds=1)],
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    ev = spark.createDataFrame(pdf)
+    got = (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("sw"),
+        )
+        .count()
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    spark_sessions = {r["user_id"]: r["count"] for r in got}
+    assert spark_sessions == {1: 1, 2: 2}
+
+    con = duckdb.connect()
+    con.register("events", pdf)
+    oracle = con.execute(E4_SQL).df()
+    oracle_sessions = oracle.groupby("user_id").size().to_dict()
+    assert oracle_sessions == spark_sessions
