@@ -321,8 +321,9 @@ def q_x10_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x11_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real mapInPandas decode plumbing (fake codec) — the oracle
-    reimplements the deterministic fake header math in SQL."""
+    """Real PNG/GIF/BMP header parsing over constructed payloads in
+    mapInPandas — the oracle re-derives the dims from the generative
+    formula, so assembly and parsing must both be correct to hash."""
     return decode_images(binarize_docs(_docs(spark, sf_dir)))
 
 
@@ -344,8 +345,11 @@ def q_x24_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 X24_SQL = """
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       'fake/raw' AS format,
+       CAST(octet_length(encode(text))
+            + CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 54 END
+            AS BIGINT) AS n_bytes,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png'
+            WHEN 1 THEN 'image/gif' ELSE 'image/bmp' END AS format,
        CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
        CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height
 FROM documents WHERE doc_id % 7 = 0"""

@@ -52,17 +52,64 @@ def test_multimodal_decode_plumbing(spark):
     assert dict(binaries.dtypes)["payload"] == "binary"
     decoded = decode_images(binaries)
     got = {r["doc_id"]: r for r in decoded.collect()}
-    assert got[1]["n_bytes"] == 5
+    # doc 1 -> GIF (1%3): 13-byte header + 5-byte body
+    assert got[1]["n_bytes"] == 5 + 13 and got[1]["format"] == "image/gif"
     assert got[1]["width"] == 5 % 640 + 1 and got[1]["height"] == (5 * 7) % 480 + 1
-    assert got[2]["n_bytes"] == 27
+    # doc 2 -> BMP (2%3): 54-byte header + 27-byte body
+    assert got[2]["n_bytes"] == 27 + 54 and got[2]["format"] == "image/bmp"
     sampled = {r["doc_id"] for r in frame_sample(decoded, every_n=7).collect()}
     assert sampled == {7}
 
 
-def test_multimodal_real_decode_raises(spark):
-    docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
-    with pytest.raises(Exception, match="NotImplementedError|real decode"):
-        decode_images(binarize_docs(docs), decode_mode="real").collect()
+def test_multimodal_headers_are_real(spark):
+    """The constructed payloads carry genuine file headers: correct
+    magic bytes, struct-unpackable dims at the real offsets, and a
+    correct PNG IHDR CRC32 — verified against Python's zlib, not the
+    repo's own parser."""
+    import struct
+    import zlib
+
+    from pagerank_using_mapreduce_spark.operators.multimodal import (
+        PNG_SIG,
+        parse_image_header,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "png body"), (1, "gif body!"), (2, "bmp body!!")],
+        "doc_id long, text string",
+    )
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in binarize_docs(docs).collect()
+    }
+    png, gif, bmp = payloads[0], payloads[1], payloads[2]
+
+    assert png[:8] == PNG_SIG and png[12:16] == b"IHDR"
+    w, h = struct.unpack(">II", png[16:24])
+    assert (w, h) == (8 % 640 + 1, (8 * 7) % 480 + 1)
+    assert png[24:29] == b"\x08\x02\x00\x00\x00"  # 8-bit truecolor
+    crc = struct.unpack(">I", png[29:33])[0]
+    assert crc == zlib.crc32(png[12:29])  # CRC over chunk type+data
+    assert png[33:] == b"png body"
+
+    assert gif[:6] == b"GIF89a"
+    assert struct.unpack("<HH", gif[6:10]) == (9 % 640 + 1, (9 * 7) % 480 + 1)
+    assert gif[13:] == b"gif body!"
+
+    assert bmp[:2] == b"BM"
+    assert struct.unpack("<I", bmp[2:6])[0] == len(bmp)  # file size field
+    assert struct.unpack("<I", bmp[10:14])[0] == 54  # pixel data offset
+    assert struct.unpack("<I", bmp[14:18])[0] == 40  # BITMAPINFOHEADER
+    assert struct.unpack("<ii", bmp[18:26]) == (10 % 640 + 1, (10 * 7) % 480 + 1)
+    assert struct.unpack("<HH", bmp[26:30]) == (1, 24)  # planes, bpp
+    assert bmp[54:] == b"bmp body!!"
+
+    # the parser reads back exactly what the builder embedded
+    assert parse_image_header(png) == ("image/png", 9, 57, 33)
+    assert parse_image_header(gif) == ("image/gif", 10, 64, 13)
+    assert parse_image_header(bmp) == ("image/bmp", 11, 71, 54)
+    with pytest.raises(ValueError, match="unrecognized"):
+        parse_image_header(b"\x00\x01\x02\x03 not an image")
 
 
 def test_embedding_near_dups_planted_pairs(spark):
