@@ -449,27 +449,31 @@ FROM jac WHERE jaccard >= {threshold}"""
 # closure so that a chain a~b~c keeps ONE representative, not two.
 # ---------------------------------------------------------------------------
 
-CLUSTER_ROUNDS = 4  # covers diameter-4 near-dup chains (the synthetic
-# corpus builds pairs/triangles, diameter <= 2; real LSH graphs are
-# shallow too).  Rounds must be >= the pair-graph diameter for full
-# transitive closure — raise it (or run cc_star) for adversarially
-# chained corpora.  Fixed rounds keep the op deterministic and the
-# oracle unrollable, like cc_components.
+CLUSTER_ROUNDS = 6  # ORACLE unroll depth only: min-label propagation
+# is idempotent past the fixpoint, so an oracle unrolled to k levels
+# matches the convergent Spark loop whenever k >= the pair-graph
+# diameter (synthetic corpus: <= 2; real LSH graphs are shallow).
+MAX_CLUSTER_ROUNDS = 50  # convergence-loop safety cap
 
 
-def dedup_clusters(docs: DataFrame, rounds: int = CLUSTER_ROUNDS) -> DataFrame:
-    """(doc_id, canonical_id, is_canonical): every document mapped to
-    the min doc_id of its near-duplicate cluster (transitive closure of
-    :func:`near_dup_pipeline` pairs); docs in no pair map to themselves.
+def cluster_pairs(
+    docs: DataFrame, pairs: DataFrame, max_rounds: int = MAX_CLUSTER_ROUNDS
+) -> DataFrame:
+    """Transitive closure of an explicit near-dup pair relation to the
+    FIXPOINT: min-label propagation with a zero-changes stop rule (the
+    same stop rule as ``graph.connected_components_until``), so a chain
+    of ANY length collapses fully — no fixed round budget to outgrow.
 
     Scale shape: the pair graph is a tiny fraction of the corpus (only
     LSH-verified near-dups), so the min-label iteration runs on the
     pair-member subset; the full corpus only appears in the final left
     join that fills in singletons.  Per round: one join into the
-    (persisted) symmetric pair relation + one min-agg — same wide-op
-    budget as hash-min components on an O(|pairs|) relation.
+    (persisted) symmetric pair relation + one min-agg + one count
+    action on the O(|pair members|) label join for the stop test —
+    same wide-op budget as hash-min components on an O(|pairs|)
+    relation.
     """
-    pairs = near_dup_pipeline(docs).select("doc_a", "doc_b").persist()
+    pairs = pairs.select("doc_a", "doc_b").persist()
     # size the iteration's partitioning from the MEASURED pair count
     # (pairs is already persisted, so the count is one cheap action):
     # near-dup graphs are a sliver of the corpus, and iterating a
@@ -492,18 +496,35 @@ def dedup_clusters(docs: DataFrame, rounds: int = CLUSTER_ROUNDS) -> DataFrame:
         sym.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
+        .repartition(parts, "doc_id")
+        .persist()
     )
-    for _ in range(rounds):
+    labels.count()
+    for i in range(max_rounds):
         pulled = (
             sym.alias("e")
             .join(labels.alias("l"), F.col("e.doc_b") == F.col("l.doc_id"))
             .select(F.col("e.doc_a").alias("doc_id"), F.col("l.label").alias("label"))
         )
-        labels = (
+        new_labels = (
             labels.unionAll(pulled)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
         )
+        if (i + 1) % 5 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
     out = (
         docs.select("doc_id")
         .join(labels, "doc_id", "left")
@@ -516,10 +537,22 @@ def dedup_clusters(docs: DataFrame, rounds: int = CLUSTER_ROUNDS) -> DataFrame:
     return out
 
 
+def dedup_clusters(
+    docs: DataFrame, max_rounds: int = MAX_CLUSTER_ROUNDS
+) -> DataFrame:
+    """(doc_id, canonical_id, is_canonical): every document mapped to
+    the min doc_id of its near-duplicate cluster (transitive closure of
+    :func:`near_dup_pipeline` pairs, run to the fixpoint); docs in no
+    pair map to themselves."""
+    return cluster_pairs(docs, near_dup_pipeline(docs), max_rounds)
+
+
 def dedup_clusters_sql(docs_sql: str, rounds: int = CLUSTER_ROUNDS) -> str:
-    """Oracle: the identical min-label recurrence unrolled over the
-    near-dup pair CTE (MATERIALIZED — each level is referenced by the
-    next and by the final join)."""
+    """Oracle: the min-label recurrence unrolled ``rounds`` levels over
+    the near-dup pair CTE (MATERIALIZED — each level is referenced by
+    the next and by the final join).  Matches the convergent Spark loop
+    whenever ``rounds`` >= the pair-graph diameter: extra levels are
+    no-ops past the fixpoint (min-label is idempotent)."""
     nd = near_dup_sql(docs_sql)
     ctes = [
         f"nd AS MATERIALIZED ({nd})",

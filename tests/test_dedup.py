@@ -135,3 +135,25 @@ def test_dedup_clusters_transitive_closure(spark):
     assert got[4] == (4, True)
     assert got[5] == (5, True)
     assert len(got) == 5
+
+
+def test_cluster_pairs_long_chain_converges(spark):
+    """Adversarial chain longer than any fixed round budget: a 12-hop
+    pair chain 0~1~...~12 must fully collapse to canonical 0 — the
+    zero-changes stop rule iterates until the fixpoint, then stops
+    (min-label needs ~log2(d) doublings only if pointer-jumped; here
+    ~d rounds, all on the tiny pair relation)."""
+    from pagerank_using_mapreduce_spark.operators.dedup import cluster_pairs
+
+    n = 13
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(n + 2)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in cluster_pairs(docs, pairs).collect()}
+    assert all(got[i] == 0 for i in range(n)), got
+    # the two docs outside the chain stay singletons
+    assert got[n] == n and got[n + 1] == n + 1
