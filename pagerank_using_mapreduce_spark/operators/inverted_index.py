@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.sqltext import sql_quote
 from ..functions.textops import (
     extract_doc_id,
     extract_text_body,
@@ -182,7 +183,8 @@ def phrase_search_sql(phrase: list[str]) -> str:
       (x, i) -> {'p': i - 1, 't': x})) AS u
     FROM documents)"""
     legs = [
-        f"t{k} AS (SELECT doc_id, pos - {k} AS anchor FROM toks WHERE word = '{w}')"
+        f"t{k} AS (SELECT doc_id, pos - {k} AS anchor FROM toks "
+        f"WHERE word = {sql_quote(w)})"
         for k, w in enumerate(phrase)
     ]
     joins = " ".join(

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.sqltext import sql_quote
+
 HEX_DIGITS = 4
 _BUCKETS = 16**HEX_DIGITS
 
@@ -128,7 +130,8 @@ def stratified_sample_sql(
     """DuckDB WHERE-clause twin of :func:`stratified_sample`."""
     b = _bucket_hex_sql(key_expr, seed)
     arms = " ".join(
-        f"WHEN {strata_expr} = '{s}' THEN '{format(min(round(f * _BUCKETS), _BUCKETS), '05x')}'"
+        f"WHEN {strata_expr} = {sql_quote(s)} THEN "
+        f"'{format(min(round(f * _BUCKETS), _BUCKETS), '05x')}'"
         for s, f in fractions.items()
     )
     default_hex = format(min(round(default_fraction * _BUCKETS), _BUCKETS), "05x")
@@ -227,8 +230,12 @@ def weighted_mix_sql(
     snippet the caller embeds; returns the n_copies CASE expression."""
     arms, (db, dh) = _mix_arms(weights, default_weight)
     b = _bucket_hex_sql(key_expr, seed)
-    base_arms = " ".join(f"WHEN {strata_expr} = '{s}' THEN {a[0]}" for s, a in arms.items())
-    thr_arms = " ".join(f"WHEN {strata_expr} = '{s}' THEN '{a[1]}'" for s, a in arms.items())
+    base_arms = " ".join(
+        f"WHEN {strata_expr} = {sql_quote(s)} THEN {a[0]}" for s, a in arms.items()
+    )
+    thr_arms = " ".join(
+        f"WHEN {strata_expr} = {sql_quote(s)} THEN '{a[1]}'" for s, a in arms.items()
+    )
     return (
         f"(CASE {base_arms} ELSE {db} END"
         f" + CASE WHEN ('0' || {b}) < (CASE {thr_arms} ELSE '{dh}' END)"

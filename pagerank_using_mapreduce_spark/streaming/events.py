@@ -20,6 +20,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 # Historical note: events.ts has been written as TIMESTAMP(NANOS)
@@ -68,7 +69,24 @@ def read_event_stream(
     # which physical ts type this generation of files carries.
     from ..sources.tables import normalize_event_ts
 
-    peeked = spark.read.parquet(events_dir).schema
+    try:
+        peeked = spark.read.parquet(events_dir).schema
+    except Exception:
+        # Directory empty (files arrive later) or unreadable at stream
+        # definition time: fall back to the current testdata shape
+        # (native micros ts).  The adaptive peek still wins whenever a
+        # file is present, which is how the NANOS-era files get their
+        # long-typed ts.
+        peeked = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
     reader = spark.readStream.schema(peeked)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -110,3 +110,21 @@ def test_phrase_search_three_words(spark):
     got = {r["doc_id"]: r["n_matches"]
            for r in phrase_search(docs, ["fast", "key", "order"]).collect()}
     assert got == {1: 1}
+
+
+def test_phrase_search_sql_escapes_quotes():
+    """A phrase word containing a single quote must produce well-formed
+    SQL (doubled quote), not a syntax error / string break."""
+    import duckdb
+
+    from pagerank_using_mapreduce_spark.operators.inverted_index import (
+        phrase_search_sql,
+    )
+
+    sql = phrase_search_sql(["o'brien", "rules"])
+    assert "'o''brien'" in sql
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT 1 AS doc_id, 'no match here' AS text"
+    )
+    assert con.execute(sql).df().shape[0] == 0  # parses and runs

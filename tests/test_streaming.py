@@ -287,3 +287,20 @@ def test_session_window_exact_gap_boundary(spark):
     oracle = con.execute(E4_SQL).df()
     oracle_sessions = oracle.groupby("user_id").size().to_dict()
     assert oracle_sessions == spark_sessions
+
+
+def test_stream_defined_on_empty_dir_then_files_arrive(spark, tmp_path):
+    """A stream may be DEFINED before any file exists (the production
+    arrival order).  The schema peek falls back to the static micros
+    schema on an empty directory; files landing afterwards are read
+    normally."""
+    d = tmp_path / "late_events"
+    d.mkdir()
+    stream = read_event_stream(spark, str(d))  # must not raise
+    assert "ts" in stream.columns and dict(stream.dtypes)["ts"] == "timestamp"
+    shutil.copy(f"{SF}/events.parquet", d / "part-000.parquet")
+    counted = hourly_rollup_stream(stream)
+    got = run_available_now(counted, "t_late_arrival")
+    want = e2_hourly_rollup(spark, SF)
+    cols = ["hour_epoch", "event_type", "n", "sum_value_e2"]
+    assert _rows(got, cols) == _rows(want, cols)
