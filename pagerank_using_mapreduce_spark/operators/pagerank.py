@@ -89,12 +89,26 @@ def edges(pages: DataFrame) -> DataFrame:
     )
 
 
+def _truncate_lineage(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """S3 twin: eager lineage truncation.  Default is
+    ``localCheckpoint`` — executor-local blocks, fast, but lost with an
+    executor.  With ``checkpoint_dir`` set, a RELIABLE ``checkpoint()``
+    to that filesystem dir (HDFS/S3 on a cluster): iteration state
+    survives executor loss, which is the recipe SCALING.md prescribes
+    for 1000-executor runs — one knob, no code edit."""
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=True)
+
+
 def pagerank(
     pages: DataFrame,
     n: int | None = None,
     iterations: int = ITERATIONS,
     damping: float = DAMPING,
     checkpoint_every: int = 5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """I1 + J1/J2 + A4/A5: the full fixed-point loop → (title, rank).
 
@@ -161,11 +175,14 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
-            ranks = ranks.localCheckpoint(eager=True)  # S3: truncate lineage
+            ranks = _truncate_lineage(ranks, checkpoint_dir)  # S3
             if prev_persisted is not None:
                 prev_persisted.unpersist()
             prev_persisted = ranks
     return ranks
+
+
+SEED_ISIN_MAX = 64  # above this, seeds go cluster-side via broadcast join
 
 
 def personalized_pagerank(
@@ -174,6 +191,8 @@ def personalized_pagerank(
     iterations: int = ITERATIONS,
     damping: float = DAMPING,
     checkpoint_every: int = 5,
+    seed_isin_max: int = SEED_ISIN_MAX,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Personalized PageRank: teleport mass returns only to ``sources``
     (uniformly), not to every page — relevance ranking *relative to a
@@ -184,17 +203,34 @@ def personalized_pagerank(
 
     Same scale skeleton as :func:`pagerank` (static edge relation
     hash-partitioned once + persisted; only the small rank relation
-    moves per iteration; lineage truncated on a cadence).  The seed set
-    is a driver-side literal list folded into the plan (S4 channel) —
-    personalization sets are user queries, naturally small; for
-    million-seed use cases, swap the ``isin`` for a broadcast join.
+    moves per iteration; lineage truncated on a cadence).  Seed-set
+    channel by size: up to ``seed_isin_max`` seeds fold into the plan
+    as an ``isin`` literal (S4 channel — zero extra joins); above
+    that, the seeds become a DataFrame broadcast-joined onto the
+    static title relation ONCE before the loop (an is_seed flag column
+    rides the persisted relation, so the per-iteration plans are
+    identical either way and a million-seed set never serializes into
+    the query plan).
     """
     if not sources:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
     spark = pages.sparkSession
     shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     pages_c = pages.persist()
-    titles = pages_c.select("title").repartition(shuffle, "title").persist()
+    titles = pages_c.select("title")
+    if len(sources) <= seed_isin_max:
+        titles = titles.select(
+            "title", F.col("title").isin(*sources).alias("is_seed")
+        )
+    else:
+        seeds_df = spark.createDataFrame(
+            [(t,) for t in sources], "title string"
+        ).withColumn("is_seed", F.lit(True))
+        titles = (
+            titles.join(F.broadcast(seeds_df), "title", "left")
+            .select("title", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+        )
+    titles = titles.repartition(shuffle, "title").persist()
     e = edges(pages_c).repartition(shuffle, "src").persist()
     titles.count()
     e.count()
@@ -202,11 +238,9 @@ def personalized_pagerank(
 
     s = float(len(sources))
     teleport = F.when(
-        F.col("title").isin(*sources), F.lit((1.0 - damping) / s)
+        F.col("t.is_seed"), F.lit((1.0 - damping) / s)
     ).otherwise(F.lit(0.0))
-    init = F.when(F.col("title").isin(*sources), F.lit(1.0 / s)).otherwise(
-        F.lit(0.0)
-    )
+    init = F.when(F.col("is_seed"), F.lit(1.0 / s)).otherwise(F.lit(0.0))
     ranks = titles.select("title", init.alias("rank"))
     prev_persisted = None
     for i in range(iterations):
@@ -231,7 +265,7 @@ def personalized_pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = _truncate_lineage(ranks, checkpoint_dir)
             if prev_persisted is not None:
                 prev_persisted.unpersist()
             prev_persisted = ranks
@@ -244,6 +278,7 @@ def pagerank_until(
     max_iterations: int = 50,
     damping: float = DAMPING,
     checkpoint_every: int = 5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Convergence-terminated PageRank — an extension the reference
     deliberately lacks (fixed 10 rounds, README.md:70): iterate until
@@ -294,7 +329,7 @@ def pagerank_until(
             )
         )
         if (i + 1) % checkpoint_every == 0:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+            new_ranks = _truncate_lineage(new_ranks, checkpoint_dir)
         else:
             new_ranks = new_ranks.persist()
         delta = (

@@ -184,3 +184,60 @@ def test_personalized_pagerank_unreachable_is_zero(spark):
     assert got["a"] > 0 and got["b"] > 0
     with pytest.raises(ValueError):
         personalized_pagerank(g, [])
+
+
+def test_personalized_pagerank_broadcast_seed_path(spark):
+    """Above SEED_ISIN_MAX the seed set rides a broadcast join instead
+    of a plan literal: identical ranks to the isin path on the same
+    seeds, and the seed attach shows a broadcast in its plan."""
+    from pagerank_using_mapreduce_spark.operators.pagerank import (
+        parse_corpus,
+        personalized_pagerank,
+    )
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+    from pagerank_using_mapreduce_spark.sources.wikicorpus import wiki_corpus
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pages = parse_corpus(wiki_corpus(docs, docs.count())).persist()
+    seeds = [
+        r["title"]
+        for r in pages.select("title").orderBy("title").limit(100).collect()
+    ]
+    assert len(seeds) == 100  # > SEED_ISIN_MAX -> broadcast path
+    via_broadcast = personalized_pagerank(pages, seeds, iterations=3)
+    assert "BroadcastHashJoin" in via_broadcast._jdf.queryExecution().toString()
+    via_isin = personalized_pagerank(
+        pages, seeds, iterations=3, seed_isin_max=1000
+    )
+    got = {r["title"]: r["rank"] for r in via_broadcast.collect()}
+    want = {r["title"]: r["rank"] for r in via_isin.collect()}
+    assert got.keys() == want.keys()
+    assert all(abs(got[t] - want[t]) < 1e-12 for t in want)
+    pages.unpersist()
+
+
+def test_pagerank_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches localCheckpoint -> reliable checkpoint():
+    same ranks, and RDD checkpoint files actually land in the dir."""
+    import os
+
+    from pagerank_using_mapreduce_spark.operators.pagerank import (
+        pagerank,
+        parse_corpus,
+    )
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+    from pagerank_using_mapreduce_spark.sources.wikicorpus import wiki_corpus
+
+    ckpt = str(tmp_path / "ckpt")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pages = parse_corpus(wiki_corpus(docs, docs.count())).persist()
+    reliable = pagerank(pages, iterations=6, checkpoint_every=2,
+                        checkpoint_dir=ckpt)
+    got = {r["title"]: r["rank"] for r in reliable.collect()}
+    # checkpoint files were written under the dir
+    files = [os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs]
+    assert files, "no reliable checkpoint files written"
+    want = {r["title"]: r["rank"]
+            for r in pagerank(pages, iterations=6, checkpoint_every=2).collect()}
+    assert got == want
+    pages.unpersist()
