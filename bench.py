@@ -6,11 +6,21 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced end-to-end with the noop sink (computes every
 column, writes nothing) so Catalyst cannot prune the work away.
 
-Each query runs ``$SPARK_GRAFT_BENCH_REPS`` times (default 3) and the
-reported per-query number is the MEDIAN — single-run numbers produced
-phantom 40% "regressions" in round 2 (VERDICT r02: cc_components/x4/
-x13) that were pure measurement noise.  ``value`` is the sum of the
-medians; ``runs`` carries the raw per-rep timings for auditability.
+Robustness: each query runs ``$SPARK_GRAFT_BENCH_REPS`` times
+(default 5) and the reported per-query number is the MEDIAN; ``runs``
+carries the raw timings and ``spread`` the (max-min)/median ratio so
+a noisy machine is visible in the record instead of masquerading as a
+regression (single-run numbers produced phantom 40% "regressions" in
+round 2; 3-rep medians still let one 15 s outlier skew x35 in round
+3's log).
+
+Scaling trend: a second section runs the five headline ITERATIVE
+queries at a synthetic sf1 (10× sf0.1, dense doc_id replication —
+tools/make_scaled_sf.py, auto-generated on first use) and reports
+them under ``sf1_queries``.  The corpus link graph derives entirely
+from doc_id arithmetic, so this is a true 10× graph, not padded rows;
+comparing ``sf1_queries`` to ``queries`` shows the sublinear growth
+the partitioning strategy is designed for.
 """
 
 from __future__ import annotations
@@ -54,27 +64,74 @@ BENCH_QUERIES = [
     "x43_join_size_estimate",
 ]
 
+# The iterative/heavy queries whose scaling behavior matters most;
+# run again at the synthetic sf1 (documents-derived only — these five
+# read no other table).
+SF1_QUERIES = [
+    "i1_pagerank10",
+    "cc_star",
+    "o1_ranking",
+    "g5_bfs_depths",
+    "x33_dedup_clusters",
+]
+
+
+def _run(spark, name: str, sf_dir: str, reps: int) -> list[float]:
+    samples = []
+    for _ in range(reps):
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples.append(round(time.time() - t0, 3))
+    return samples
+
+
+def _sf1_dir() -> str | None:
+    """Locate (or build) the synthetic sf1; None if building fails."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    d = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR", os.path.join(repo, ".benchdata", "sf1")
+    )
+    if os.path.exists(os.path.join(d, "documents.parquet")):
+        return d
+    try:
+        from tools.make_scaled_sf import make_scaled
+
+        make_scaled("/root/testdata/sf0.1", d, 10)
+        return d
+    except Exception:
+        return None
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
+    sf1_reps = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_SF1_REPS", "1")))
     spark = get_spark(app_name="bench")
     # one trivial action so JVM/executor init is not billed to query #1
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    spread: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in QUERIES:
             continue
-        samples = []
-        for _ in range(reps):
-            t0 = time.time()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            samples.append(round(time.time() - t0, 3))
+        samples = _run(spark, name, sf_dir, reps)
         runs[name] = samples
-        timings[name] = round(statistics.median(samples), 3)
+        med = statistics.median(samples)
+        timings[name] = round(med, 3)
+        spread[name] = round((max(samples) - min(samples)) / med, 3) if med else 0.0
     total = round(sum(timings.values()), 3)
+
+    sf1_timings: dict[str, float] = {}
+    sf1_dir = _sf1_dir() if sf1_reps else None
+    if sf1_dir:
+        for name in SF1_QUERIES:
+            if name not in QUERIES:
+                continue
+            samples = _run(spark, name, sf1_dir, sf1_reps)
+            sf1_timings[name] = round(min(samples), 3)
+
     print(
         json.dumps(
             {
@@ -84,7 +141,14 @@ def main() -> None:
                 "queries": timings,
                 "reps": reps,
                 "runs": runs,
+                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf1_queries": sf1_timings,
+                "sf1_note": (
+                    "synthetic 10x sf0.1 documents (dense doc_id replication,"
+                    " tools/make_scaled_sf.py); min of"
+                    f" {sf1_reps} rep(s)"
+                ),
             }
         )
     )
