@@ -118,9 +118,12 @@ def main() -> None:
             continue
         samples = _run(spark, name, sf_dir, reps)
         runs[name] = samples
-        med = statistics.median(samples)
+        # rep 0 pays one-time costs (scan caching, codegen) — keep it
+        # in `runs` for auditability but exclude it from the stats
+        warm = samples[1:] if len(samples) >= 3 else samples
+        med = statistics.median(warm)
         timings[name] = round(med, 3)
-        spread[name] = round((max(samples) - min(samples)) / med, 3) if med else 0.0
+        spread[name] = round((max(warm) - min(warm)) / med, 3) if med else 0.0
     total = round(sum(timings.values()), 3)
 
     sf1_timings: dict[str, float] = {}

@@ -51,6 +51,7 @@ from ..operators.text_analysis import (
     token_count,
 )
 from ..operators.inverted_index import phrase_search_sql
+from ..operators.packing import pack_sequences, pack_sequences_sql
 from ..operators.pca import pc_projection_sql, top_pc_sql
 from ..operators.sketches import (
     bloom_join_audit_sql,
@@ -871,6 +872,13 @@ FROM canon
 GROUP BY 1"""
 
 
+def q_x45_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-then-chunk packing of documents into 4096-token
+    training sequences — distributed prefix sum (range partitions +
+    broadcast offsets), no single-partition global window."""
+    return pack_sequences(_docs(spark, sf_dir))
+
+
 EXTENSION_QUERIES = {
     "x1_exact_dedup": q_x1_exact_dedup,
     "x2_minhash_signatures": q_x2_minhash_signatures,
@@ -917,6 +925,7 @@ EXTENSION_QUERIES = {
     "x42_hll_by_source": q_x42_hll_by_source,
     "x43_join_size_estimate": q_x43_join_size_estimate,
     "x44_cms_heavy_hitters": q_x44_cms_heavy_hitters,
+    "x45_sequence_packing": q_x45_sequence_packing,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
@@ -991,6 +1000,7 @@ GROUP BY 1, 2""",
     "x41_phrase_search": phrase_search_sql(PHRASE),
     "x42_hll_by_source": hll_registers_sql("documents", "doc_id", by=["source"]),
     "x44_cms_heavy_hitters": cms_heavy_hitters_sql("lineitem", "l_suppkey"),
+    "x45_sequence_packing": pack_sequences_sql(),
     "x43_join_size_estimate": cms_join_size_estimate_sql(
         "lineitem",
         "l_orderkey",

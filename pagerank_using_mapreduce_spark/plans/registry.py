@@ -746,7 +746,8 @@ ORACLE_SQL: dict[str, str] = {
 # union then covers all 115.  Every query keeps its oracle either way;
 # this permutes presentation order only.
 _DRIVER_ROTATION: list[str] = [
-    # never driver-checked (r01-r03)
+    # never driver-checked (r01-r03; x45 is new in r04)
+    "x45_sequence_packing",
     "e4_session_windows", "e5_unpivot_activity", "w3_time_weighted",
     "d1_snapshot_diff", "d2_scd2_versions", "x14_simhash_near_dups",
     "x15_embedding_near_dups", "x16_salted_agg", "x17_resize",

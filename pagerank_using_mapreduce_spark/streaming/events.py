@@ -322,15 +322,21 @@ def sliding_rollup_stream(
 
 
 def enrich_stream(
-    events: DataFrame, dim: DataFrame, stream_key: str, dim_key: str
+    events: DataFrame,
+    dim: DataFrame,
+    stream_key: str,
+    dim_key: str,
+    broadcast_dim: bool = True,
 ) -> DataFrame:
     """Stream-static enrichment join: the dimension is a plain batch
-    DataFrame re-read (and auto-broadcast at dimension size) every
-    micro-batch — the standard pattern for slowly-changing lookup
-    tables; no state is kept for the static side."""
-    return events.join(
-        F.broadcast(dim), events[stream_key] == dim[dim_key], "inner"
-    )
+    DataFrame re-read every micro-batch — the standard pattern for
+    slowly-changing lookup tables; no state is kept for the static
+    side.  ``broadcast_dim`` hints the broadcast (right for the usual
+    small-dim case); pass ``False`` when the dimension is too large to
+    fit executor memory — Spark then plans a shuffled join per
+    micro-batch instead of OOMing on the build side."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(d, events[stream_key] == dim[dim_key], "inner")
 
 
 def hll_registers_stream(events: DataFrame, key: str = "user_id") -> DataFrame:
