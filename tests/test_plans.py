@@ -224,3 +224,20 @@ def test_q19_broadcasts_filtered_part_only(spark):
     for sub in subs:
         for lid in li_ids:
             assert f"({lid})" not in sub, "lineitem scan inside a broadcast"
+
+
+def test_driver_rotation_head_is_intact():
+    """The driver hash-checks only the first 50 queries() entries, so
+    the rotation head must stay exactly as planned and every rotated
+    name must exist with an oracle — an accidental re-order silently
+    drops hard-gate coverage."""
+    from pagerank_using_mapreduce_spark.plans.registry import (
+        _DRIVER_ROTATION,
+        ORACLE_SQL,
+        QUERIES,
+    )
+
+    names = list(QUERIES)
+    assert names[: len(_DRIVER_ROTATION)] == _DRIVER_ROTATION
+    assert list(ORACLE_SQL) == names  # oracle table mirrors query order
+    assert set(_DRIVER_ROTATION) <= set(ORACLE_SQL)
