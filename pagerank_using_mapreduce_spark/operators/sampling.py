@@ -241,3 +241,35 @@ def weighted_mix_sql(
         f" + CASE WHEN ('0' || {b}) < (CASE {thr_arms} ELSE '{dh}' END)"
         f" THEN 1 ELSE 0 END)"
     )
+
+
+def bottom_k_sample(
+    df: DataFrame, key_col: str, k: int, seed: str = "bk-0"
+) -> DataFrame:
+    """Deterministic FIXED-SIZE uniform sample: the ``k`` rows with the
+    smallest ``md5(seed|key)`` — the bottom-k-hash sketch.  Complements
+    the fixed-FRACTION samplers (:func:`hash_split`,
+    :func:`stratified_sample`): same retry/layout stability (pure
+    function of the key), but the output size is exactly ``k`` rows
+    regardless of input cardinality.
+
+    Scale shape: ``orderBy(hash).limit(k)`` compiles to
+    TakeOrderedAndProject — each partition keeps its local bottom-k and
+    the driver merges P·k candidate rows; the full input is never
+    globally sorted and never shuffled.  md5 makes ties impossible for
+    distinct keys, so the result is total-order unique."""
+    key = F.md5(
+        F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string"))
+    )
+    return df.withColumn("_bk", key).orderBy("_bk").limit(k).drop("_bk")
+
+
+def bottom_k_sample_sql(
+    select_cols: str, table: str, key_expr: str, k: int, seed: str = "bk-0"
+) -> str:
+    """DuckDB twin of :func:`bottom_k_sample`."""
+    return (
+        f"SELECT {select_cols} FROM {table} "
+        f"ORDER BY md5('{seed}' || '|' || CAST({key_expr} AS VARCHAR)) "
+        f"LIMIT {k}"
+    )

@@ -61,6 +61,8 @@ from ..operators.sketches import (
     hll_registers_sql,
 )
 from ..operators.sampling import (
+    bottom_k_sample,
+    bottom_k_sample_sql,
     hash_split,
     hash_split_sql,
     quantile_bins,
@@ -872,6 +874,15 @@ FROM canon
 GROUP BY 1"""
 
 
+def q_x46_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size deterministic uniform sample via bottom-k hash —
+    TakeOrderedAndProject (per-partition top-k + driver merge), never
+    a full sort/shuffle."""
+    return bottom_k_sample(_docs(spark, sf_dir), "doc_id", k=100).select(
+        "doc_id", "source"
+    )
+
+
 def q_x45_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenate-then-chunk packing of documents into 4096-token
     training sequences — distributed prefix sum (range partitions +
@@ -926,6 +937,7 @@ EXTENSION_QUERIES = {
     "x43_join_size_estimate": q_x43_join_size_estimate,
     "x44_cms_heavy_hitters": q_x44_cms_heavy_hitters,
     "x45_sequence_packing": q_x45_sequence_packing,
+    "x46_bottomk_sample": q_x46_bottomk_sample,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
@@ -1001,6 +1013,9 @@ GROUP BY 1, 2""",
     "x42_hll_by_source": hll_registers_sql("documents", "doc_id", by=["source"]),
     "x44_cms_heavy_hitters": cms_heavy_hitters_sql("lineitem", "l_suppkey"),
     "x45_sequence_packing": pack_sequences_sql(),
+    "x46_bottomk_sample": bottom_k_sample_sql(
+        "doc_id, source", "documents", "doc_id", 100
+    ),
     "x43_join_size_estimate": cms_join_size_estimate_sql(
         "lineitem",
         "l_orderkey",

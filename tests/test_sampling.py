@@ -139,3 +139,42 @@ def test_weighted_mix_default_weight_passthrough(spark):
     out = weighted_mix(df, "s", {"x": 3.0}, key_col="key")  # 'other' -> default 1.0
     assert out.count() == 100
     assert out.agg(F.max("copy")).first()[0] == 1
+
+
+def test_bottom_k_sample_fixed_size_deterministic(spark):
+    """Exactly k rows, identical across re-evaluations and partition
+    layouts, equal to the single-node bottom-k of the same hash."""
+    import hashlib
+
+    from pagerank_using_mapreduce_spark.operators.sampling import (
+        bottom_k_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        r["doc_id"] for r in bottom_k_sample(docs, "doc_id", k=25).collect()
+    )
+    assert len(got) == 25
+    rows = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    want = sorted(
+        sorted(
+            rows,
+            key=lambda d: hashlib.md5(f"bk-0|{d}".encode()).hexdigest(),
+        )[:25]
+    )
+    assert got == want
+    again = sorted(
+        r["doc_id"]
+        for r in bottom_k_sample(docs.repartition(7), "doc_id", k=25).collect()
+    )
+    assert again == got
+
+
+def test_bottom_k_sample_plan_is_take_ordered(spark):
+    from pagerank_using_mapreduce_spark.operators.sampling import (
+        bottom_k_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = bottom_k_sample(docs, "doc_id", k=25)._jdf.queryExecution().toString()
+    assert "TakeOrderedAndProject" in plan
