@@ -106,7 +106,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
-    sf1_reps = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_SF1_REPS", "1")))
+    sf1_reps = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_SF1_REPS", "2")))
     spark = get_spark(app_name="bench")
     # one trivial action so JVM/executor init is not billed to query #1
     spark.range(1_000_000).selectExpr("sum(id)").collect()
