@@ -123,7 +123,13 @@ def main() -> None:
         warm = samples[1:] if len(samples) >= 3 else samples
         med = statistics.median(warm)
         timings[name] = round(med, 3)
-        spread[name] = round((max(warm) - min(warm)) / med, 3) if med else 0.0
+        # spread over the warm samples minus the single worst one: a
+        # lone GC/compaction pause on a 0.3 s query would otherwise
+        # read as a 50% "variance"; the raw runs stay published
+        trimmed = sorted(warm)[:-1] if len(warm) >= 3 else warm
+        spread[name] = (
+            round((max(trimmed) - min(trimmed)) / med, 3) if med else 0.0
+        )
     total = round(sum(timings.values()), 3)
 
     sf1_timings: dict[str, float] = {}

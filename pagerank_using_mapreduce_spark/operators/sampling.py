@@ -273,3 +273,52 @@ def bottom_k_sample_sql(
         f"ORDER BY md5('{seed}' || '|' || CAST({key_expr} AS VARCHAR)) "
         f"LIMIT {k}"
     )
+
+
+def bottom_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    seed: str = "bkg-0",
+) -> DataFrame:
+    """Fixed-size deterministic sample PER GROUP: within each
+    ``group_col`` value, keep the ``k`` rows with the smallest
+    ``md5(seed|key)`` — balanced eval-set construction (equal-sized
+    slices per domain/language/source regardless of group skew).
+
+    Scale shape: one hash shuffle on the group key + a rank window
+    within each group — the window state is O(1) per row (streaming
+    row_number), and membership is a pure function of (seed, key), so
+    retries and different partition layouts agree row-for-row."""
+    from pyspark.sql import Window
+
+    key = F.md5(
+        F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(key.asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def bottom_k_per_group_sql(
+    select_cols: str,
+    table: str,
+    group_expr: str,
+    key_expr: str,
+    k: int,
+    seed: str = "bkg-0",
+) -> str:
+    """DuckDB twin of :func:`bottom_k_per_group`."""
+    return f"""
+SELECT {select_cols} FROM (
+  SELECT {select_cols},
+         row_number() OVER (
+           PARTITION BY {group_expr}
+           ORDER BY md5('{seed}' || '|' || CAST({key_expr} AS VARCHAR))
+         ) AS rn
+  FROM {table})
+WHERE rn <= {k}"""

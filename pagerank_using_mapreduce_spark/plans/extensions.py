@@ -61,6 +61,8 @@ from ..operators.sketches import (
     hll_registers_sql,
 )
 from ..operators.sampling import (
+    bottom_k_per_group,
+    bottom_k_per_group_sql,
     bottom_k_sample,
     bottom_k_sample_sql,
     hash_split,
@@ -883,6 +885,14 @@ def q_x46_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x47_groupwise_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-source sample: 20 deterministic docs per source —
+    one group shuffle + streaming rank window, skew-proof output size."""
+    return bottom_k_per_group(
+        _docs(spark, sf_dir), "source", "doc_id", k=20
+    ).select("source", "doc_id")
+
+
 def q_x45_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concatenate-then-chunk packing of documents into 4096-token
     training sequences — distributed prefix sum (range partitions +
@@ -938,6 +948,7 @@ EXTENSION_QUERIES = {
     "x44_cms_heavy_hitters": q_x44_cms_heavy_hitters,
     "x45_sequence_packing": q_x45_sequence_packing,
     "x46_bottomk_sample": q_x46_bottomk_sample,
+    "x47_groupwise_sample": q_x47_groupwise_sample,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z3_stream_stream_join": q_z3_stream_stream_join,
@@ -1015,6 +1026,9 @@ GROUP BY 1, 2""",
     "x45_sequence_packing": pack_sequences_sql(),
     "x46_bottomk_sample": bottom_k_sample_sql(
         "doc_id, source", "documents", "doc_id", 100
+    ),
+    "x47_groupwise_sample": bottom_k_per_group_sql(
+        "source, doc_id", "documents", "source", "doc_id", 20
     ),
     "x43_join_size_estimate": cms_join_size_estimate_sql(
         "lineitem",

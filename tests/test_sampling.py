@@ -178,3 +178,32 @@ def test_bottom_k_sample_plan_is_take_ordered(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = bottom_k_sample(docs, "doc_id", k=25)._jdf.queryExecution().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bottom_k_per_group_balanced_and_deterministic(spark):
+    """Exactly min(k, group size) rows per group; membership identical
+    to the single-node per-group bottom-k of the same hash."""
+    import hashlib
+    from collections import defaultdict
+
+    from pagerank_using_mapreduce_spark.operators.sampling import (
+        bottom_k_per_group,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    k = 7
+    got = defaultdict(set)
+    for r in bottom_k_per_group(docs, "source", "doc_id", k=k).collect():
+        got[r["source"]].add(r["doc_id"])
+    by_src = defaultdict(list)
+    for r in docs.select("source", "doc_id").collect():
+        by_src[r["source"]].append(r["doc_id"])
+    for src, ids in by_src.items():
+        want = set(
+            sorted(
+                ids,
+                key=lambda d: hashlib.md5(f"bkg-0|{d}".encode()).hexdigest(),
+            )[:k]
+        )
+        assert got[src] == want, src
+        assert len(got[src]) == min(k, len(ids))
