@@ -562,3 +562,92 @@ def kcore_sql(pages_ctes: str, sym_cte: str, k: int = KCORE_K,
 {sym_cte},
 {body}
 SELECT title FROM n{rounds}"""
+
+
+LPA_ROUNDS = 5
+
+
+def label_propagation(pages: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """(title, community): synchronous label propagation over the
+    undirected valid-edge graph — each round every node adopts its
+    neighbors' PLURALITY label (ties broken by smallest label); nodes
+    with no valid edges keep their own title as label.
+
+    Fully deterministic (plurality + min tiebreak, synchronous
+    updates), so the DuckDB oracle replays the identical trajectory —
+    including the oscillations classic sync LPA exhibits on bipartite
+    structures, which fixed rounds make reproducible rather than
+    data-race-y.
+
+    Scale shape: per round, one join of the (title, label) relation
+    into the cached symmetric adjacency + one count aggregate + one
+    min-struct argmax (no per-node sort window: argmax(count, min
+    label) = MIN over struct(-count, label)) + the singleton left
+    join.  The adjacency never re-shuffles; only labels move.
+    """
+    spark = pages.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    pages_c = pages.persist()
+    titles = pages_c.select("title").repartition(shuffle, "title").persist()
+    sym = undirected_edges(pages_c).repartition(shuffle, "dst").persist()
+    titles.count()
+    sym.count()
+    pages_c.unpersist()
+
+    labels = titles.select("title", F.col("title").alias("label"))
+    for i in range(rounds):
+        best = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.dst") == F.col("l.title"))
+            .groupBy(F.col("e.src").alias("title"), F.col("l.label"))
+            .agg(F.count("*").alias("c"))
+            .groupBy("title")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                )["label"].alias("new_label")
+            )
+        )
+        labels = (
+            labels.alias("l")
+            .join(best.alias("b"), "title", "left")
+            .select(
+                "title",
+                F.coalesce(F.col("b.new_label"), F.col("l.label")).alias(
+                    "label"
+                ),
+            )
+        )
+        if (i + 1) % 4 == 0 and (i + 1) < rounds:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select("title", F.col("label").alias("community"))
+
+
+def label_propagation_sql(
+    pages_ctes: str, sym_cte: str, rounds: int = LPA_ROUNDS
+) -> str:
+    """DuckDB twin: the plurality-min recurrence unrolled over the
+    symmetric edge CTE (``sym_cte`` must define ``sym(src, dst)``)."""
+    ctes = [
+        "l0 AS MATERIALIZED (SELECT title, title AS label FROM pages)"
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""l{r} AS MATERIALIZED (
+  SELECT p.title, COALESCE(b.label, p.label) AS label
+  FROM l{r - 1} p LEFT JOIN (
+    SELECT title, label FROM (
+      SELECT e.src AS title, x.label,
+             row_number() OVER (
+               PARTITION BY e.src
+               ORDER BY COUNT(*) DESC, x.label
+             ) AS rn
+      FROM sym e JOIN l{r - 1} x ON x.title = e.dst
+      GROUP BY e.src, x.label
+    ) WHERE rn = 1
+  ) b USING (title)
+)""")
+    body = ",\n".join(ctes)
+    return f"""WITH {pages_ctes},
+{sym_cte},
+{body}
+SELECT title, label AS community FROM l{rounds}"""

@@ -376,6 +376,15 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 BFS_SEEDS = 3  # lexicographically-first titles, same convention as PPR
 
 
+def q_g7_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous plurality label propagation (communities), 5 rounds
+    (operators/graph.py:label_propagation) — deterministic min-tiebreak
+    trajectory replayed exactly by the unrolled oracle."""
+    from ..operators.graph import label_propagation
+
+    return label_propagation(_pages(spark, sf_dir))
+
+
 def q_g6_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core survivors after 6 peeling rounds (integer-only
     recurrence; operators/graph.py:kcore_survivors)."""
@@ -417,6 +426,12 @@ _EV_CTE = (
     "ev AS MATERIALIZED (SELECT e.src, e.dst FROM edges e "
     "JOIN pages p ON p.title = e.dst)"
 )
+
+
+def _lpa_oracle() -> str:
+    from ..operators.graph import label_propagation_sql
+
+    return label_propagation_sql(_PAGES_CTES, _SYM_CTE)
 
 
 def _kcore_oracle() -> str:
@@ -506,6 +521,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g4_hits": q_g4_hits,
     "g5_bfs_depths": q_g5_bfs,
     "g6_kcore": q_g6_kcore,
+    "g7_label_prop": q_g7_label_prop,
     "deg_stats": q_deg_stats,
     "a6_inverted_index": q_a6_inverted_index,
     "a6_inverted_index_wiki": q_a6_inverted_index_wiki,
@@ -641,6 +657,7 @@ FROM pages""",
     "g4_hits": _hits_sql(),
     "g5_bfs_depths": _bfs_sql(),
     "g6_kcore": _kcore_oracle(),
+    "g7_label_prop": _lpa_oracle(),
     "g3_triangles": f"""WITH {_PAGES_CTES},
 {_SYM_CTE},
 und AS (SELECT src AS a, dst AS b FROM sym WHERE src < dst)
@@ -748,6 +765,7 @@ ORACLE_SQL: dict[str, str] = {
 _DRIVER_ROTATION: list[str] = [
     # never driver-checked (r01-r03; x45 is new in r04)
     "x45_sequence_packing", "x46_bottomk_sample", "x47_groupwise_sample",
+    "g7_label_prop",
     "e4_session_windows", "e5_unpivot_activity", "w3_time_weighted",
     "d1_snapshot_diff", "d2_scd2_versions", "x14_simhash_near_dups",
     "x15_embedding_near_dups", "x16_salted_agg", "x17_resize",

@@ -245,3 +245,38 @@ def test_kcore_empty_when_forest(spark):
         "title string, links array<string>",
     )
     assert kcore_survivors(pages).count() == 0
+
+
+def test_label_propagation_star_and_goldens(spark):
+    """Star graph: leaves adopt the hub's label in round 1; the hub
+    adopts the plurality (= any leaf label, tie -> min).  Subsequent
+    rounds replay deterministically; isolated nodes keep their own
+    label."""
+    from pagerank_using_mapreduce_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # hub h linked to leaves a,b,c (undirected via symmetric closure);
+    # z is isolated (no links, never a target)
+    pages = spark.createDataFrame(
+        [
+            ("h", ["a", "b", "c"]),
+            ("a", []),
+            ("b", []),
+            ("c", []),
+            ("z", []),
+        ],
+        "title string, links array<string>",
+    )
+    got1 = {
+        r["title"]: r["community"]
+        for r in label_propagation(pages, rounds=1).collect()
+    }
+    # round 1: leaves see only h; h sees {a,b,c} each once -> min "a"
+    assert got1 == {"h": "a", "a": "h", "b": "h", "c": "h", "z": "z"}
+    got2 = {
+        r["title"]: r["community"]
+        for r in label_propagation(pages, rounds=2).collect()
+    }
+    # round 2: leaves see h's new label "a"; h sees {h,h,h} -> "h"
+    assert got2 == {"h": "h", "a": "a", "b": "a", "c": "a", "z": "z"}
