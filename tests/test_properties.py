@@ -132,3 +132,64 @@ def test_triangle_count_matches_naive(spark, raw_edges):
     row = triangle_count(pages).first()
     assert row["n_triangles"] == naive
     assert row["n_edges"] == len(und)
+
+
+_doc_texts = st.lists(
+    st.text(
+        alphabet=st.characters(exclude_categories=("Cs",)),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(texts=_doc_texts, budget=st.integers(min_value=1, max_value=50))
+@_SETTINGS
+def test_pack_sequences_conserves_all_tokens(spark, texts, budget):
+    """For ANY corpus and budget: every doc lands in exactly one
+    sequence, token totals are conserved, and seq ids are the
+    contiguous chunk range."""
+    from pagerank_using_mapreduce_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = pack_sequences(docs, budget=budget).collect()
+    n_docs = sum(r["n_docs"] for r in rows)
+    assert n_docs == len(texts)
+    total = sum(r["n_tokens"] for r in rows)
+    # trim in Spark/DuckDB strips SPACES only (not \r\t etc.), and the
+    # split regex is ' +' — mirror that exactly, not Python's .strip()
+    import re
+
+    expect = sum(
+        len([t for t in re.split(" +", s.strip(" ").lower()) if t])
+        for s in texts
+    )
+    assert total == expect
+    seqs = sorted(r["seq_id"] for r in rows)
+    assert seqs == list(range(len(seqs)))  # contiguous chunks from 0
+
+
+@given(
+    n=st.integers(min_value=1, max_value=12),
+    k=st.integers(min_value=1, max_value=15),
+)
+@_SETTINGS
+def test_bottom_k_sample_size_and_subset(spark, n, k):
+    """|sample| == min(k, n) for ANY k/n, and the sample is a subset
+    of the input keys."""
+    from pagerank_using_mapreduce_spark.operators.sampling import (
+        bottom_k_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(n)], "doc_id long, text string"
+    )
+    got = [r["doc_id"] for r in bottom_k_sample(docs, "doc_id", k=k).collect()]
+    assert len(got) == min(k, n)
+    assert len(set(got)) == len(got)
+    assert set(got) <= set(range(n))
