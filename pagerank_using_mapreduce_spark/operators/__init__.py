@@ -1,5 +1,6 @@
 from .asof import asof_join
 from .dedup import (
+    cluster_pairs,
     dedup_clusters,
     exact_dedup,
     lsh_candidates,
@@ -11,6 +12,7 @@ from .dedup import (
 )
 from .graph import (
     bfs_depths,
+    label_propagation,
     kcore_survivors,
     connected_components,
     connected_components_star,
@@ -51,6 +53,7 @@ from .pca import (
     project_onto_top_pc,
     top_principal_component,
 )
+from .packing import pack_sequences
 from .ranking import with_global_position
 from .scale import read_bucketed, salted_agg, salted_join, write_bucketed
 from .similarity import (
@@ -62,7 +65,14 @@ from .similarity import (
     srp_lsh_near_dups,
     srp_lsh_near_dups_multiprobe,
 )
-from .sampling import hash_split, quantile_bins, stratified_sample, weighted_mix
+from .sampling import (
+    bottom_k_per_group,
+    bottom_k_sample,
+    hash_split,
+    quantile_bins,
+    stratified_sample,
+    weighted_mix,
+)
 from .sketches import (
     bloom_join_audit,
     bloom_positions,
@@ -110,13 +120,17 @@ __all__ = [
     "redact_numbers",
     "repetition_stats",
     "token_count",
-    # sampling / splits
+    # sampling / splits / packing
+    "bottom_k_per_group",
+    "bottom_k_sample",
     "hash_split",
+    "pack_sequences",
     "quantile_bins",
     "stratified_sample",
     "weighted_mix",
     # graph
     "bfs_depths",
+    "label_propagation",
     "connected_components",
     "connected_components_star",
     "connected_components_until",
@@ -126,6 +140,7 @@ __all__ = [
     "triangle_count",
     "undirected_edges",
     # dedup
+    "cluster_pairs",
     "dedup_clusters",
     "exact_dedup",
     "lsh_candidates",
