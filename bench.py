@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "x35_hll_registers",
     "x33_dedup_clusters",
     "x43_join_size_estimate",
+    "x45_sequence_packing",
+    "g7_label_prop",
 ]
 
 # The iterative/heavy queries whose scaling behavior matters most;
