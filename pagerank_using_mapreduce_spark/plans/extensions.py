@@ -487,6 +487,20 @@ def q_z1_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(stream, "drv_z1_rollup")
 
 
+def q_z9_stream_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-group bottom-k sample (mergeable min-k state) vs
+    the batch per-group bottom-k twin — same membership, any batching."""
+    from ..streaming.events import (
+        bottom_k_stream,
+        read_event_stream,
+        run_available_now,
+        stage_table_dir,
+    )
+
+    stream = bottom_k_stream(read_event_stream(spark, stage_table_dir(sf_dir)))
+    return run_available_now(stream, "drv_z9_bottomk", output_mode="update")
+
+
 def q_z2_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState sessionizer vs the batch lag+running-sum
     twin (e1) — custom stateful streaming state machine, same result."""
@@ -951,6 +965,7 @@ EXTENSION_QUERIES = {
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
+    "z9_stream_bottomk": q_z9_stream_bottomk,
     "z3_stream_stream_join": q_z3_stream_stream_join,
     "z4_sliding_rollup": q_z4_sliding_rollup,
     "z5_stream_enrich": q_z5_stream_enrich,
@@ -1040,6 +1055,9 @@ GROUP BY 1, 2""",
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,
+    "z9_stream_bottomk": bottom_k_per_group_sql(
+        "event_type, event_id", "events", "event_type", "event_id", 20
+    ),
     "z3_stream_stream_join": Z3_SQL,
     "z4_sliding_rollup": Z4_SQL,
     "z5_stream_enrich": Z5_SQL,

@@ -765,7 +765,7 @@ ORACLE_SQL: dict[str, str] = {
 _DRIVER_ROTATION: list[str] = [
     # never driver-checked (r01-r03; x45 is new in r04)
     "x45_sequence_packing", "x46_bottomk_sample", "x47_groupwise_sample",
-    "g7_label_prop",
+    "g7_label_prop", "z9_stream_bottomk",
     "e4_session_windows", "e5_unpivot_activity", "w3_time_weighted",
     "d1_snapshot_diff", "d2_scd2_versions", "x14_simhash_near_dups",
     "x15_embedding_near_dups", "x16_salted_agg", "x17_resize",

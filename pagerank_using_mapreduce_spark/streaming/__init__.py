@@ -1,4 +1,5 @@
 from .events import (
+    bottom_k_stream,
     click_purchase_join_stream,
     enrich_stream,
     hourly_rollup_stream,
@@ -11,6 +12,7 @@ from .events import (
 )
 
 __all__ = [
+    "bottom_k_stream",
     "click_purchase_join_stream",
     "enrich_stream",
     "hourly_rollup_stream",

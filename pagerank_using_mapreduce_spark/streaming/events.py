@@ -391,3 +391,58 @@ def cms_counts_stream(events: DataFrame, key: str = "user_id") -> DataFrame:
     from ..operators.sketches import cms_counts
 
     return cms_counts(events, key)
+
+
+BK_STREAM_K = 20
+_BK_OUT_SCHEMA = "event_type string, event_id long"
+_BK_STATE_SCHEMA = "hashes array<string>, ids array<long>"
+
+
+def bottom_k_stream(
+    events: DataFrame, k: int = BK_STREAM_K, seed: str = "bkg-0"
+) -> DataFrame:
+    """Streaming per-group bottom-k sample: for each ``event_type``,
+    maintain the ``k`` event_ids with the smallest ``md5(seed|id)``
+    across micro-batches — the streaming twin of
+    ``operators.sampling.bottom_k_per_group`` (z-series parity: the
+    batch SQL is the oracle).
+
+    The state is a MERGEABLE MONOTONE sketch: min-k of a union is
+    min-k of min-ks, so the fold is order-insensitive — any partition
+    of the events into micro-batches, in any order, converges to the
+    same membership a single batch would produce (the same argument as
+    the HLL register max-merge, z6).  State size is O(k) per group
+    regardless of stream length; duplicate ids collapse via the hash
+    key.  Each batch re-emits the group's full current membership
+    (update mode), so the final generation IS the sample.
+    """
+
+    def update(key: tuple, pdfs, state: GroupState):
+        import hashlib
+
+        if state.exists:
+            hashes, ids = state.get
+            pairs = dict(zip(list(hashes), list(ids)))
+        else:
+            pairs = {}
+        for pdf in pdfs:
+            for eid in pdf["event_id"]:
+                e = int(eid)
+                h = hashlib.md5(f"{seed}|{e}".encode()).hexdigest()
+                pairs[h] = e
+        best = sorted(pairs.items())[:k]
+        state.update(([h for h, _ in best], [i for _, i in best]))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(best),
+                "event_id": [i for _, i in best],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        _BK_OUT_SCHEMA,
+        _BK_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -304,3 +304,49 @@ def test_stream_defined_on_empty_dir_then_files_arrive(spark, tmp_path):
     want = e2_hourly_rollup(spark, SF)
     cols = ["hour_epoch", "event_type", "n", "sum_value_e2"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_bottom_k_matches_batch_and_batching_invariant(spark, tmp_path):
+    """The streaming min-k state is mergeable: multi-batch delivery
+    (2 files, 1 per trigger) converges to the same per-group
+    membership as the batch bottom_k_per_group twin."""
+    import pyarrow.parquet as pq
+
+    from pagerank_using_mapreduce_spark.operators.sampling import (
+        bottom_k_per_group,
+    )
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+    from pagerank_using_mapreduce_spark.streaming import events as se
+
+    # split the events file in two so maxFilesPerTrigger=1 forces
+    # two micro-batches
+    t = pq.read_table(f"{SF}/events.parquet")
+    d = tmp_path / "split_events"
+    d.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), d / "a.parquet")
+    pq.write_table(t.slice(half), d / "b.parquet")
+
+    latest: dict = {}
+
+    def collect(batch_df, _bid):
+        for r in batch_df.collect():
+            latest.setdefault(r["event_type"], set())
+        # each emission is the group's FULL current membership: replace
+        for et in {r["event_type"] for r in batch_df.collect()}:
+            latest[et] = {
+                r["event_id"]
+                for r in batch_df.collect()
+                if r["event_type"] == et
+            }
+
+    stream = se.bottom_k_stream(
+        se.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    )
+    se.run_foreach_batch(stream, collect, output_mode="update")
+
+    ev = load_table(spark, SF, "events")
+    want: dict = {}
+    for r in bottom_k_per_group(ev, "event_type", "event_id", k=20).collect():
+        want.setdefault(r["event_type"], set()).add(r["event_id"])
+    assert latest == want
