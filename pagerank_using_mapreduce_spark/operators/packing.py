@@ -104,3 +104,87 @@ SELECT CAST(cum_before // {budget} AS BIGINT) AS seq_id,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS n_tokens
 FROM c GROUP BY 1"""
+
+
+# --------------------------------------------------------------------------
+# Sliding-context chunking: the OTHER standard training-prep layout.
+# pack_sequences concatenates ACROSS documents; chunk_windows slides
+# WITHIN each document — overlapping max_len-token windows advancing
+# by `stride` tokens (stride < max_len gives the context-overlap used
+# for long-document fine-tuning sets).
+# --------------------------------------------------------------------------
+
+CHUNK_LEN = 128
+CHUNK_STRIDE = 96  # 32-token overlap between consecutive chunks
+
+
+def chunk_windows(
+    documents: DataFrame,
+    max_len: int = CHUNK_LEN,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """(doc_id, chunk_id, chunk_len, first_tok, last_tok): overlapping
+    token windows per document.  Chunk c covers tokens
+    [c*stride, c*stride + max_len); the last chunk starts at the last
+    stride boundary that still holds an uncovered token, so every token
+    belongs to >= 1 chunk and no chunk is empty.  Empty documents
+    produce no chunks.
+
+    Pure column expressions: tokenize once, compute the chunk count
+    with integer arithmetic, explode a `sequence` — the fan-out is
+    (n_tok/stride)x but each output row carries only ids and two
+    boundary tokens, never the text.  Per-document work, so it
+    partitions embarrassingly at any corpus size.
+    """
+    if stride <= 0 or max_len <= 0 or stride > max_len:
+        raise ValueError("need 0 < stride <= max_len")
+    toks = documents.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), " +").alias("tk")
+    ).select("doc_id", F.filter("tk", lambda t: t != "").alias("tk"))
+    n = F.size("tk")
+    # ceil((n - max_len) / stride) extra chunks past the first, clamped
+    # at 0 — integer-only so the SQL twin cannot diverge
+    extra = F.greatest(
+        F.lit(0), F.expr(f"(size(tk) - {max_len} + {stride} - 1) div {stride}")
+    )
+    start = F.col("chunk_id") * stride
+    chunk_len = F.least(F.lit(max_len), n - start)
+    return (
+        toks.where(n > 0)
+        .select(
+            "doc_id",
+            "tk",
+            F.explode(F.sequence(F.lit(0), extra)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            chunk_len.cast("long").alias("chunk_len"),
+            F.element_at("tk", (start + 1).cast("int")).alias("first_tok"),
+            F.element_at("tk", (start + chunk_len).cast("int")).alias("last_tok"),
+        )
+    )
+
+
+def chunk_windows_sql(max_len: int = CHUNK_LEN, stride: int = CHUNK_STRIDE) -> str:
+    """DuckDB twin over the identical tokenizer and integer chunk
+    arithmetic (1-based list indexing in both engines)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), ' +'),
+                     x -> x != '') AS tk
+  FROM documents),
+n AS (SELECT doc_id, tk, len(tk) AS n_tok FROM t WHERE len(tk) > 0),
+c AS (
+  SELECT doc_id, tk, n_tok,
+         UNNEST(range(1 + GREATEST(0, (n_tok - {max_len} + {stride} - 1) // {stride})))
+           AS chunk_id
+  FROM n)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(LEAST({max_len}, n_tok - chunk_id * {stride}) AS BIGINT) AS chunk_len,
+       tk[CAST(chunk_id * {stride} + 1 AS INT)] AS first_tok,
+       tk[CAST(chunk_id * {stride}
+               + LEAST({max_len}, n_tok - chunk_id * {stride}) AS INT)] AS last_tok
+FROM c"""

@@ -322,3 +322,89 @@ SELECT {select_cols} FROM (
          ) AS rn
   FROM {table})
 WHERE rn <= {k}"""
+
+
+# --------------------------------------------------------------------------
+# Curriculum / mixture ordering: the global TRAINING ORDER for a
+# weighted multi-source corpus.  weighted_mix decides how many copies
+# of each row exist; this decides WHEN each row is seen — sources are
+# interleaved proportionally to weight (weight-4 sources appear 4x as
+# often as weight-1 early on), the schedule every mixture-ratio
+# training run needs.
+# --------------------------------------------------------------------------
+
+# Fixed-point scale for the rational schedule key r/w.  Any integer
+# weight w produces key = (r * PREC) div w — exact when w divides PREC
+# (all of 1..10 do), deterministically floored otherwise.
+CURRICULUM_PREC = 2520  # lcm(1..10)
+
+
+def curriculum_order(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weight: Column,
+    seed: str = "cur-0",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(pos, source, id): a deterministic global training order that
+    interleaves sources proportionally to ``weight`` (an integer
+    column expression, e.g. a CASE over source names).
+
+    Mechanics: rows are ranked WITHIN their source by the md5 hash
+    family (deterministic, layout-independent); row r of a weight-w
+    source is scheduled at rational key r/w (fixed-point:
+    ``r * PREC div w``), so between any two consecutive appearances of
+    a weight-1 source, a weight-4 source appears four times.  The
+    global position over (key, source, rank) is assigned by the
+    range-partitioned parallel counter (``with_global_position``) —
+    one source-hash shuffle + one range shuffle, no single-partition
+    window anywhere.
+    """
+    from .ranking import with_global_position
+    from pyspark.sql import Window
+
+    w_rank = Window.partitionBy(source_col).orderBy(
+        _bucket_hex(F.col(id_col), seed), F.col(id_col)
+    )
+    ranked = df.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("id"),
+        F.row_number().over(w_rank).cast("long").alias("rnk"),
+        weight.cast("long").alias("w"),
+    ).select(
+        "source",
+        "id",
+        "rnk",
+        F.expr(f"(rnk * {CURRICULUM_PREC}) div w").alias("sched_key"),
+    )
+    return with_global_position(
+        ranked,
+        [F.asc("sched_key"), F.asc("source"), F.asc("rnk")],
+        pos_col="pos",
+        num_partitions=num_partitions,
+    ).select("pos", "source", "id")
+
+
+def curriculum_order_sql(
+    table: str,
+    source_expr: str,
+    id_expr: str,
+    weight_expr: str,
+    seed: str = "cur-0",
+) -> str:
+    """DuckDB twin: identical ranks, keys and tiebreaks via plain
+    window functions (single-node, any scale DuckDB can hold)."""
+    return f"""
+WITH r AS (
+  SELECT {source_expr} AS source, {id_expr} AS id,
+         CAST({weight_expr} AS BIGINT) AS w,
+         ROW_NUMBER() OVER (
+           PARTITION BY {source_expr}
+           ORDER BY {_bucket_hex_sql(id_expr, seed)}, {id_expr}
+         ) AS rnk
+  FROM {table})
+SELECT ROW_NUMBER() OVER (ORDER BY (rnk * {CURRICULUM_PREC}) // w, source, rnk)
+         AS pos,
+       source, id
+FROM r"""

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HLL_P = 8  # 2^8 = 256 registers; standard error 1.04/16 = 6.5%
@@ -489,3 +489,71 @@ est AS (
 )
 SELECT key, est_count FROM est
 ORDER BY est_count DESC, key ASC LIMIT {top_n}"""
+
+
+# --------------------------------------------------------------------------
+# Fixed-bin histogram sketch: the mergeable distribution summary.
+# HLL answers "how many distinct", CMS answers "how often", this
+# answers "how distributed" — per-bin counts are plain integer adds,
+# so shards merge by summing and a streaming twin would be additive
+# state.  Bin edges are fixed up front (lo/hi/nbins), giving bounded
+# O(nbins) state regardless of input size: the 100 TB path for
+# distribution monitoring, where exact percentiles (s2) need a full
+# sort and approx_percentile still tracks thousands of centroids.
+# --------------------------------------------------------------------------
+
+HIST_LO, HIST_HI, HIST_NBINS = 0.0, 500.0, 50
+
+
+def value_histogram(
+    df: DataFrame,
+    col: str,
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    nbins: int = HIST_NBINS,
+) -> DataFrame:
+    """(bin, lo_edge_e2, hi_edge_e2, cnt, cum_cnt): counts per fixed
+    bin, under/overflow clamped into the edge bins.  The cumulative
+    column (for quantile reads: smallest bin with cum >= q*total) is a
+    window over AT MOST ``nbins`` rows — bounded state, not a
+    scale-with-data sort.  Bin assignment is one floor over identical
+    IEEE doubles in both engines, so the sketch content is
+    hash-checkable, not just its estimates.
+    """
+    width = (hi - lo) / nbins
+    b = F.least(
+        F.lit(nbins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(col) - lo) / width)),
+    ).cast("long")
+    bins = df.select(b.alias("bin")).groupBy("bin").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    return bins.select(
+        "bin",
+        (F.col("bin") * int(width * 100)).alias("lo_edge_e2"),
+        ((F.col("bin") + 1) * int(width * 100)).alias("hi_edge_e2"),
+        "cnt",
+        F.sum("cnt").over(w).alias("cum_cnt"),
+    )
+
+
+def value_histogram_sql(
+    col: str = "value",
+    table: str = "events",
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    nbins: int = HIST_NBINS,
+) -> str:
+    width = (hi - lo) / nbins
+    return f"""
+WITH b AS (
+  SELECT CAST(LEAST({nbins - 1},
+                    GREATEST(0, FLOOR(({col} - {lo}) / {width}))) AS BIGINT) AS bin
+  FROM {table}),
+c AS (SELECT bin, COUNT(*) AS cnt FROM b GROUP BY bin)
+SELECT bin,
+       CAST(bin * {int(width * 100)} AS BIGINT) AS lo_edge_e2,
+       CAST((bin + 1) * {int(width * 100)} AS BIGINT) AS hi_edge_e2,
+       cnt,
+       CAST(SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_cnt
+FROM c"""

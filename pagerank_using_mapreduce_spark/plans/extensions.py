@@ -51,7 +51,12 @@ from ..operators.text_analysis import (
     token_count,
 )
 from ..operators.inverted_index import phrase_search_sql
-from ..operators.packing import pack_sequences, pack_sequences_sql
+from ..operators.packing import (
+    chunk_windows,
+    chunk_windows_sql,
+    pack_sequences,
+    pack_sequences_sql,
+)
 from ..operators.pca import pc_projection_sql, top_pc_sql
 from ..operators.sketches import (
     bloom_join_audit_sql,
@@ -65,6 +70,8 @@ from ..operators.sampling import (
     bottom_k_per_group_sql,
     bottom_k_sample,
     bottom_k_sample_sql,
+    curriculum_order,
+    curriculum_order_sql,
     hash_split,
     hash_split_sql,
     quantile_bins,
@@ -914,6 +921,35 @@ def q_x45_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir))
 
 
+def q_x48_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-context chunking: overlapping 128-token windows at
+    stride 96 per document — per-document column expressions only, so
+    the fan-out partitions embarrassingly at any corpus size."""
+    return chunk_windows(_docs(spark, sf_dir))
+
+
+def q_x49_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source interleave (the training-order
+    schedule for a mixture corpus): weights 1-4 derived from the
+    source id; positions via the range-partitioned parallel counter,
+    never a single-partition global window."""
+    return curriculum_order(
+        _docs(spark, sf_dir),
+        "source",
+        "doc_id",
+        weight=F.expr(f"CAST(substring(source, 4) AS INT) % 4 + 1"),
+    )
+
+
+def q_x50_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin mergeable histogram over events.value — bounded
+    O(nbins) state (the 100 TB distribution-monitoring path next to
+    exact-sort percentiles); sketch content hash-checked bin by bin."""
+    from ..operators.sketches import value_histogram
+
+    return value_histogram(load_table(spark, sf_dir, "events"), "value")
+
+
 EXTENSION_QUERIES = {
     "x1_exact_dedup": q_x1_exact_dedup,
     "x2_minhash_signatures": q_x2_minhash_signatures,
@@ -963,6 +999,9 @@ EXTENSION_QUERIES = {
     "x45_sequence_packing": q_x45_sequence_packing,
     "x46_bottomk_sample": q_x46_bottomk_sample,
     "x47_groupwise_sample": q_x47_groupwise_sample,
+    "x48_chunk_windows": q_x48_chunk_windows,
+    "x49_curriculum_order": q_x49_curriculum_order,
+    "x50_value_histogram": q_x50_value_histogram,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z9_stream_bottomk": q_z9_stream_bottomk,
@@ -973,6 +1012,12 @@ EXTENSION_QUERIES = {
     "z7_session_window_stream": q_z7_session_window_stream,
     "z8_stream_cms": q_z8_stream_cms,
 }
+
+def _value_histogram_oracle() -> str:
+    from ..operators.sketches import value_histogram_sql
+
+    return value_histogram_sql()
+
 
 EXTENSION_ORACLE = {
     "x1_exact_dedup": dd.exact_dedup_sql(dd.AUGMENT_SQL),
@@ -1045,6 +1090,14 @@ GROUP BY 1, 2""",
     "x47_groupwise_sample": bottom_k_per_group_sql(
         "source, doc_id", "documents", "source", "doc_id", 20
     ),
+    "x48_chunk_windows": chunk_windows_sql(),
+    "x49_curriculum_order": curriculum_order_sql(
+        "documents",
+        "source",
+        "doc_id",
+        "CAST(substring(source, 4) AS INT) % 4 + 1",
+    ),
+    "x50_value_histogram": _value_histogram_oracle(),
     "x43_join_size_estimate": cms_join_size_estimate_sql(
         "lineitem",
         "l_orderkey",

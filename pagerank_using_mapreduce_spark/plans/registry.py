@@ -736,16 +736,19 @@ FROM tf JOIN df USING (word)""",
 }
 
 from .extensions import EXTENSION_ORACLE, EXTENSION_QUERIES  # noqa: E402
+from .partsupp import PARTSUPP_ORACLE, PARTSUPP_QUERIES  # noqa: E402
 from .relational import RELATIONAL_ORACLE, RELATIONAL_QUERIES  # noqa: E402
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     **_CORE_QUERIES,
     **RELATIONAL_QUERIES,
+    **PARTSUPP_QUERIES,
     **EXTENSION_QUERIES,
 }
 ORACLE_SQL: dict[str, str] = {
     **_CORE_ORACLE,
     **RELATIONAL_ORACLE,
+    **PARTSUPP_ORACLE,
     **EXTENSION_ORACLE,
 }
 

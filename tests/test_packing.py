@@ -77,3 +77,70 @@ def test_pack_sequences_sql_twin_agrees(spark):
         for r in pack_sequences(docs).collect()
     }
     assert got == want
+
+
+def _reference_chunks(text, max_len, stride):
+    tk = [t for t in text.strip().lower().split(" ") if t]
+    n = len(tk)
+    if n == 0:
+        return []
+    n_chunks = 1 + max(0, -(-(n - max_len) // stride))
+    out = []
+    for c in range(n_chunks):
+        start = c * stride
+        clen = min(max_len, n - start)
+        out.append((c, clen, tk[start], tk[start + clen - 1]))
+    return out
+
+
+def test_chunk_windows_matches_reference(spark):
+    """Multi-chunk, boundary, and single-chunk docs against a pure
+    python reference; every token covered by >= 1 chunk."""
+    from pagerank_using_mapreduce_spark.operators.packing import chunk_windows
+
+    docs = [
+        ("long", " ".join(f"w{i}" for i in range(300))),   # 3 chunks
+        ("exact", " ".join(f"v{i}" for i in range(128))),  # 1 chunk exactly
+        ("plusone", " ".join(f"u{i}" for i in range(129))),  # straddles
+        ("short", "a b c"),
+        ("empty", "   "),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {}
+    for r in chunk_windows(df, max_len=128, stride=96).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_len"], r["first_tok"], r["last_tok"])
+        )
+    for doc_id, text in docs:
+        want = _reference_chunks(text, 128, 96)
+        assert sorted(got.get(doc_id, [])) == want, doc_id
+    # coverage: last chunk of 'long' reaches token 300
+    lc = max(got["long"])
+    assert lc[0] * 96 + lc[1] == 300
+    # 'plusone': second chunk holds tokens 97..129 (33 tokens)
+    assert got["plusone"][1][1] == 33
+
+
+def test_chunk_windows_sql_twin_agrees(spark):
+    import duckdb
+
+    from pagerank_using_mapreduce_spark.operators.packing import (
+        chunk_windows,
+        chunk_windows_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    # small max_len so real testdata docs produce multi-chunk fanouts
+    want = sorted(
+        (int(r.doc_id), int(r.chunk_id), int(r.chunk_len), r.first_tok, r.last_tok)
+        for _, r in con.execute(chunk_windows_sql(16, 10)).df().iterrows()
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_len"], r["first_tok"], r["last_tok"])
+        for r in chunk_windows(docs, max_len=16, stride=10).collect()
+    )
+    assert got == want and len(got) > 200  # genuinely multi-chunk

@@ -241,3 +241,27 @@ def test_driver_rotation_head_is_intact():
     assert names[: len(_DRIVER_ROTATION)] == _DRIVER_ROTATION
     assert list(ORACLE_SQL) == names  # oracle table mirrors query order
     assert set(_DRIVER_ROTATION) <= set(ORACLE_SQL)
+
+
+def test_partsupp_filter_precedes_explode(spark):
+    """q2's part-side filters are applied BEFORE the 4x partsupp
+    explode: the type/size predicates reach the part parquet scan as
+    pushed filters (an explode-then-filter plan would fan out every
+    part row first)."""
+    plan = _plan(QUERIES["q2_min_cost_supplier"](spark, SF))
+    part_scan = _scan_block(plan, "part")
+    pushed = [l for l in part_scan.splitlines() if "PushedFilters" in l]
+    assert pushed and "p_type" in pushed[0] and "p_size" in pushed[0], part_scan
+    assert "Generate" in plan  # the explode is present
+
+
+def test_q21_aggregates_instead_of_self_joining(spark):
+    """q21 collapses EXISTS/NOT-EXISTS into one per-order aggregation:
+    exactly one lineitem scan in the plan (the self-join formulation
+    would need two or three), and lineitem is never on a broadcast
+    build side."""
+    plan = _plan(QUERIES["q21_waiting_supplier"](spark, SF))
+    li_ids = _scan_ids(plan, "lineitem")
+    assert len(li_ids) == 1, f"expected one lineitem scan, got {li_ids}"
+    for sub in _broadcast_subtrees(plan):
+        assert f"({li_ids[0]})" not in sub, "lineitem scan inside a broadcast"

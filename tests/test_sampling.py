@@ -207,3 +207,59 @@ def test_bottom_k_per_group_balanced_and_deterministic(spark):
         )
         assert got[src] == want, src
         assert len(got[src]) == min(k, len(ids))
+
+
+def test_curriculum_order_interleaves_by_weight(spark):
+    """With sources of weight 1 and 4, the first appearances follow the
+    rational schedule r/w: among the earliest 2*(4+1) scheduled rows,
+    the weight-4 source supplies ~4x the rows of the weight-1 source;
+    positions are a 1..N permutation; result is partition-invariant."""
+    from pyspark.sql import functions as F
+
+    from pagerank_using_mapreduce_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    rows = [(f"d{i}", "heavy" if i % 2 == 0 else "light") for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "source"])
+    w = F.when(F.col("source") == "heavy", 4).otherwise(1)
+    out = curriculum_order(df, "source", "id", weight=w).collect()
+    assert sorted(r["pos"] for r in out) == list(range(1, 201))
+    head = [r["source"] for r in sorted(out, key=lambda r: r["pos"])[:10]]
+    assert head.count("heavy") == 8 and head.count("light") == 2
+    # partition invariance
+    out2 = curriculum_order(df, "source", "id", weight=w, num_partitions=3).collect()
+    assert {tuple(r) for r in out} == {tuple(r) for r in out2}
+
+
+def test_curriculum_order_sql_twin_agrees(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from pagerank_using_mapreduce_spark.operators.sampling import (
+        curriculum_order,
+        curriculum_order_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = sorted(
+        (int(r.pos), r.source, int(r.id))
+        for _, r in con.execute(
+            curriculum_order_sql(
+                "documents", "source", "doc_id",
+                "CAST(substring(source, 4) AS INT) % 4 + 1",
+            )
+        ).df().iterrows()
+    )
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = sorted(
+        (r["pos"], r["source"], r["id"])
+        for r in curriculum_order(
+            docs, "source", "doc_id",
+            weight=F.expr("CAST(substring(source, 4) AS INT) % 4 + 1"),
+        ).collect()
+    )
+    assert got == want

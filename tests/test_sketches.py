@@ -155,3 +155,30 @@ def test_cms_heavy_hitters_contains_true_top(spark):
             assert k in picked, (k, n, cutoff)
     for k, e in got:
         assert e >= exact[k]
+
+
+def test_value_histogram_mass_edges_and_merge(spark):
+    """Counts sum to the input size, cum is monotone ending at the
+    total, clamping puts out-of-range values in the edge bins, and the
+    sketch is mergeable (sharded counts sum to the global counts)."""
+    from pagerank_using_mapreduce_spark.operators.sketches import (
+        value_histogram,
+    )
+
+    vals = [(-5.0,), (0.0,), (9.99,), (10.0,), (250.0,), (499.9,), (777.0,)]
+    df = spark.createDataFrame(vals, ["value"])
+    rows = {r["bin"]: r for r in value_histogram(df, "value").collect()}
+    assert sum(r["cnt"] for r in rows.values()) == len(vals)
+    assert rows[0]["cnt"] == 3  # -5 clamped, 0.0, 9.99
+    assert rows[49]["cnt"] == 2  # 499.9 and 777 clamped
+    assert rows[1]["cnt"] == 1 and rows[25]["cnt"] == 1
+    cums = [r["cum_cnt"] for r in sorted(rows.values(), key=lambda r: r["bin"])]
+    assert cums == sorted(cums) and cums[-1] == len(vals)
+    assert rows[1]["lo_edge_e2"] == 1000 and rows[1]["hi_edge_e2"] == 2000
+    # mergeability: per-shard bin counts add to the global histogram
+    a = value_histogram(df.limit(3), "value").collect()
+    b = value_histogram(df.subtract(df.limit(3)), "value").collect()
+    merged = {}
+    for r in list(a) + list(b):
+        merged[r["bin"]] = merged.get(r["bin"], 0) + r["cnt"]
+    assert merged == {b_: r["cnt"] for b_, r in rows.items()}
