@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "x43_join_size_estimate",
     "x45_sequence_packing",
     "g7_label_prop",
+    "q21_waiting_supplier",
+    "x48_chunk_windows",
+    "x49_curriculum_order",
+    "x51_bpe_merges",
 ]
 
 # The iterative/heavy queries whose scaling behavior matters most;

@@ -1,4 +1,5 @@
 from .asof import asof_join
+from .bpe import bpe_merges, word_freqs
 from .dedup import (
     cluster_pairs,
     dedup_clusters,
@@ -125,6 +126,7 @@ __all__ = [
     # sampling / splits / packing
     "bottom_k_per_group",
     "bottom_k_sample",
+    "bpe_merges",
     "chunk_windows",
     "curriculum_order",
     "hash_split",
@@ -132,6 +134,7 @@ __all__ = [
     "quantile_bins",
     "stratified_sample",
     "weighted_mix",
+    "word_freqs",
     # graph
     "bfs_depths",
     "label_propagation",

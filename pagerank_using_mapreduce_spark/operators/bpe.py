@@ -1,0 +1,209 @@
+"""Byte-pair-encoding merge training — learning a subword tokenizer's
+merge table from the corpus, on-cluster (extension surface; the
+reference tokenizes by whitespace only, InvertedIndex.java:102-105).
+
+The algorithm (Sennrich et al. 2016, the standard LLM tokenizer
+bootstrap): start from characters, repeatedly find the most frequent
+ADJACENT symbol pair across the corpus and fuse it into one symbol;
+the ordered list of fused pairs IS the tokenizer's merge table.
+
+Design for 100 TB:
+
+- **Train on the vocabulary, not the corpus.**  The first step
+  aggregates the corpus to ``(word, freq)`` — one groupBy, after which
+  every merge round touches only the distinct-word relation (Heaps'
+  law: millions of rows for a 100 TB corpus, not trillions).  This is
+  the same corpus→vocab compression every production BPE trainer does.
+- **One bounded aggregation + one driver scalar per round.**  Pair
+  counting is a groupBy over the vocab with map-side partial sums; the
+  argmax crosses cluster→driver as a single collected row (the S4/S5
+  scalar-channel pattern, reference PageRankAlgorithm.java:77-78,88),
+  then folds into the next round's merge expression as literals.
+- **The merge itself is a column-expression fold** (``F.aggregate``)
+  over each word's symbol array — greedy left-to-right, the exact
+  semantics reference BPE implementations use ("aaa" + merge (a,a)
+  -> ["aa","a"]).  No Python touches any row.
+
+Determinism: counts are integer sums; argmax ties break on the
+lexicographically smallest (left, right) pair, so the trajectory —
+and therefore the oracle replay — is unique.
+
+The symbol-array fold accumulates a UNIT-SEPARATED STRING rather than
+an array so the DuckDB twin (``list_reduce``, whose accumulator must
+be element-typed) can express the identical fold; '\\x1f' cannot occur
+in [a-z]+ symbols, so the encoding is unambiguous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.textops import strip_non_alpha, tokens
+
+N_MERGES = 8
+SEP = "\x1f"
+
+
+def word_freqs(documents: DataFrame) -> DataFrame:
+    """(word, freq): the alpha-only lowercased vocabulary with corpus
+    frequencies — the inverted-index tokenization (P6-P8)."""
+    return (
+        documents.select(
+            F.explode(tokens(strip_non_alpha(F.col("text")))).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _chars(word):
+    return F.expr(f"transform(sequence(1, length({word})), i -> substring({word}, i, 1))")
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """(left, right, cnt): adjacent-pair frequencies over the vocab,
+    weighted by word frequency.  zip_with over two slices — no
+    self-join, no explode of anything bigger than the symbol arrays."""
+    n = F.size("syms")
+    pairs = F.zip_with(
+        F.slice("syms", 1, n - 1),
+        F.expr("slice(syms, 2, size(syms) - 1)"),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        vocab.where(n >= 2)
+        .select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(F.col("p.l").alias("left"), F.col("p.r").alias("right"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def _merge_expr(left: str, right: str):
+    """Greedy left-to-right fusion of the (left, right) pair inside
+    each word's symbol array, as a fold accumulating a SEP-joined
+    string.  After a fusion the new last symbol is left+right != left,
+    so overlapping runs merge exactly like reference BPE."""
+    l, r, lr = F.lit(left), F.lit(right), F.lit(left + right)
+    sep = F.lit(SEP)
+
+    def step(acc, x):
+        at_head = acc == l
+        at_tail = acc.endswith(F.concat(sep, l))
+        fuse = (x == r) & (at_head | at_tail)
+        fused = F.concat(
+            F.substring(acc, 1, F.length(acc) - F.length(l)).cast("string"), lr
+        )
+        return (
+            F.when(acc == "", x)
+            .when(fuse, fused)
+            .otherwise(F.concat(acc, sep, x))
+        )
+
+    folded = F.aggregate("syms", F.lit(""), step)
+    return F.split(folded, SEP)
+
+
+def bpe_merges(
+    documents: DataFrame, n_merges: int = N_MERGES
+) -> DataFrame:
+    """(merge_idx, left, right, pair_count): the learned merge table,
+    in training order.  Stops early if the vocabulary runs out of
+    adjacent pairs."""
+    spark = documents.sparkSession
+    vocab = (
+        word_freqs(documents)
+        .select(_chars("word").alias("syms"), "freq")
+        .persist()
+    )
+    out: list[tuple[int, str, str, int]] = []
+    try:
+        for i in range(n_merges):
+            best = (
+                _pair_counts(vocab)
+                .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            left, right, cnt = best[0]["left"], best[0]["right"], best[0]["cnt"]
+            out.append((i, left, right, cnt))
+            nxt = vocab.select(
+                _merge_expr(left, right).alias("syms"), "freq"
+            ).persist()
+            # vocab stays small; eager materialize keeps the plan flat
+            # across rounds (same reasoning as the pagerank loop's
+            # localCheckpoint, without needing lineage truncation at
+            # this relation size)
+            nxt.count()
+            vocab.unpersist()
+            vocab = nxt
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        out, "merge_idx long, left string, right string, pair_count long"
+    )
+
+
+def bpe_merges_sql(n_merges: int = N_MERGES) -> str:
+    """DuckDB twin: unrolled per-round CTE chain replaying the exact
+    trajectory — vocab_k -> pair counts -> 1-row best_k (same
+    tiebreak) -> vocab_{k+1} via the identical list_reduce fold.
+    MATERIALIZED per round (each vocab is referenced by both the pair
+    count and the next round; inlining would re-derive exponentially).
+    """
+    ctes = [
+        """wf AS MATERIALIZED (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(list_filter(
+             string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+             t -> t != '')) AS word
+    FROM documents)
+  WHERE word != '' GROUP BY word
+),
+v0 AS MATERIALIZED (
+  SELECT list_transform(range(1, length(word) + 1),
+                        i -> substr(word, CAST(i AS INT), 1)) AS syms,
+         freq
+  FROM wf
+)"""
+    ]
+    for k in range(n_merges):
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT element1 AS lft, element2 AS rgt, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)]),
+                  recursive := true), freq
+    FROM v{k} WHERE len(syms) >= 2)
+  GROUP BY element1, element2
+),
+b{k} AS MATERIALIZED (
+  SELECT lft, rgt, cnt FROM p{k}
+  ORDER BY cnt DESC, lft ASC, rgt ASC LIMIT 1
+),
+v{k + 1} AS MATERIALIZED (
+  -- lft/rgt captured as row columns via the 1-row CROSS JOIN (DuckDB
+  -- lambdas cannot contain subqueries)
+  SELECT string_split(
+           list_reduce(
+             list_prepend('', syms),
+             (acc, x) -> CASE
+               WHEN acc = '' THEN x
+               WHEN x = rgt AND (acc = lft OR ends_with(acc, chr(31) || lft))
+                 THEN substr(acc, 1, length(acc) - length(lft)) || lft || rgt
+               ELSE acc || chr(31) || x
+             END),
+           chr(31)) AS syms,
+         freq
+  FROM v{k} CROSS JOIN b{k}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f'SELECT CAST({k} AS BIGINT) AS merge_idx, lft AS "left", rgt AS "right", cnt AS pair_count'
+        f" FROM b{k}"
+        for k in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union

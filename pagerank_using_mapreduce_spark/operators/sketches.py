@@ -505,6 +505,40 @@ ORDER BY est_count DESC, key ASC LIMIT {top_n}"""
 HIST_LO, HIST_HI, HIST_NBINS = 0.0, 500.0, 50
 
 
+def histogram_bins(
+    df: DataFrame,
+    col: str,
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    nbins: int = HIST_NBINS,
+) -> DataFrame:
+    """(bin, cnt): the raw mergeable per-bin counts — one bounded
+    aggregate, usable as-is in a streaming complete-mode sink (counts
+    are additive state; the cum window below is batch-only)."""
+    width = (hi - lo) / nbins
+    b = F.least(
+        F.lit(nbins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(col) - lo) / width)),
+    ).cast("long")
+    return df.select(b.alias("bin")).groupBy("bin").agg(F.count("*").alias("cnt"))
+
+
+def histogram_bins_sql(
+    col: str = "value",
+    table: str = "events",
+    lo: float = HIST_LO,
+    hi: float = HIST_HI,
+    nbins: int = HIST_NBINS,
+) -> str:
+    width = (hi - lo) / nbins
+    return f"""
+SELECT CAST(LEAST({nbins - 1},
+                  GREATEST(0, FLOOR(({col} - {lo}) / {width}))) AS BIGINT) AS bin,
+       COUNT(*) AS cnt
+FROM {table}
+GROUP BY bin"""
+
+
 def value_histogram(
     df: DataFrame,
     col: str,
@@ -521,11 +555,7 @@ def value_histogram(
     hash-checkable, not just its estimates.
     """
     width = (hi - lo) / nbins
-    b = F.least(
-        F.lit(nbins - 1),
-        F.greatest(F.lit(0), F.floor((F.col(col) - lo) / width)),
-    ).cast("long")
-    bins = df.select(b.alias("bin")).groupBy("bin").agg(F.count("*").alias("cnt"))
+    bins = histogram_bins(df, col, lo, hi, nbins)
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     return bins.select(
         "bin",

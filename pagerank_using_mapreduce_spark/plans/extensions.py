@@ -477,6 +477,32 @@ def q_z8_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(stream, "t_z8_cms", output_mode="complete")
 
 
+def q_x51_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table training over documents (8 merges): corpus
+    compressed to the (word, freq) vocabulary first, then each round
+    is one bounded pair-count aggregate + a single driver-scalar
+    argmax — the tokenizer-bootstrap path that never re-touches the
+    corpus after the first groupBy."""
+    from ..operators.bpe import bpe_merges
+
+    return bpe_merges(_docs(spark, sf_dir))
+
+
+def q_z10_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming fixed-bin histogram over events.value drained with
+    AvailableNow — additive per-bin counts, identical to the batch
+    sketch (oracle: the batch bins SQL)."""
+    from ..streaming.events import (
+        read_event_stream,
+        run_available_now,
+        stage_table_dir,
+        value_histogram_stream,
+    )
+
+    stream = value_histogram_stream(read_event_stream(spark, stage_table_dir(sf_dir)))
+    return run_available_now(stream, "t_z10_hist", output_mode="complete")
+
+
 def q_z1_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming rollup drained with AvailableNow — the
     oracle is the BATCH rollup SQL (e2), i.e. the hash check proves
@@ -1002,6 +1028,7 @@ EXTENSION_QUERIES = {
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
     "x50_value_histogram": q_x50_value_histogram,
+    "x51_bpe_merges": q_x51_bpe_merges,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z9_stream_bottomk": q_z9_stream_bottomk,
@@ -1011,12 +1038,25 @@ EXTENSION_QUERIES = {
     "z6_stream_hll": q_z6_stream_hll,
     "z7_session_window_stream": q_z7_session_window_stream,
     "z8_stream_cms": q_z8_stream_cms,
+    "z10_stream_histogram": q_z10_stream_histogram,
 }
 
 def _value_histogram_oracle() -> str:
     from ..operators.sketches import value_histogram_sql
 
     return value_histogram_sql()
+
+
+def _histogram_bins_oracle() -> str:
+    from ..operators.sketches import histogram_bins_sql
+
+    return histogram_bins_sql()
+
+
+def _bpe_merges_oracle() -> str:
+    from ..operators.bpe import bpe_merges_sql
+
+    return bpe_merges_sql()
 
 
 EXTENSION_ORACLE = {
@@ -1098,6 +1138,7 @@ GROUP BY 1, 2""",
         "CAST(substring(source, 4) AS INT) % 4 + 1",
     ),
     "x50_value_histogram": _value_histogram_oracle(),
+    "x51_bpe_merges": _bpe_merges_oracle(),
     "x43_join_size_estimate": cms_join_size_estimate_sql(
         "lineitem",
         "l_orderkey",
@@ -1117,4 +1158,5 @@ GROUP BY 1, 2""",
     "z6_stream_hll": hll_registers_sql("events", "user_id"),
     "z7_session_window_stream": _E4_BATCH_SQL,
     "z8_stream_cms": cms_counts_sql("events", "user_id"),
+    "z10_stream_histogram": _histogram_bins_oracle(),
 }

@@ -159,6 +159,30 @@ def q_a1_count_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pages(spark, sf_dir).agg(F.count("*").alias("n"))
 
 
+def q_a7_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per link target — the IR view of the
+    link markup the reference deliberately keeps whole (piped links
+    '[[Target|alias]]' survive P5 unresolved, README.md:57-60).  This
+    extension SPLITS them: target = text before the first '|', anchor
+    = displayed text after the last '|' (plain links anchor to their
+    own target).  Per target: reference count, distinct-anchor count,
+    lexicographic min anchor (deterministic representative)."""
+    links = _pages(spark, sf_dir).select(F.explode("links").alias("link"))
+    parts = F.split(F.col("link"), r"\|")
+    return (
+        links.select(
+            F.element_at(parts, 1).alias("target"),
+            F.element_at(parts, -1).alias("anchor"),
+        )
+        .groupBy("target")
+        .agg(
+            F.count("*").alias("n_refs"),
+            F.countDistinct("anchor").alias("n_anchor_variants"),
+            F.min("anchor").alias("min_anchor"),
+        )
+    )
+
+
 def q_a23_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2+A3: adjacency + initial rank.  Links joined with the reference's
     '@#@' separator (PageRankAlgorithm.java:31-32) in extraction order
@@ -505,6 +529,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p3_doc_ids": q_p3_doc_ids,
     "p45_links": q_p45_links,
     "a1_count_n": q_a1_count_n,
+    "a7_anchor_stats": q_a7_anchor_stats,
     "a23_linkgraph": q_a23_linkgraph,
     "j2_contributions": q_j2_contributions,
     "p9_codec_roundtrip": q_p9_codec_roundtrip,
@@ -634,6 +659,16 @@ SELECT doc_id, regexp_extract(raw, '<id>(.*?)</id>', 1) AS extracted_id FROM cor
     "p45_links": f"""WITH {_PAGES_CTES}
 SELECT title, unnest(links) AS link FROM pages WHERE len(links) > 0""",
     "a1_count_n": f"WITH {_PAGES_CTES} SELECT COUNT(*) AS n FROM pages",
+    "a7_anchor_stats": f"""WITH {_PAGES_CTES},
+lk AS (SELECT unnest(links) AS link FROM pages),
+an AS (SELECT string_split(link, '|')[1] AS target,
+              string_split(link, '|')[-1] AS anchor
+       FROM lk)
+SELECT target,
+       COUNT(*) AS n_refs,
+       CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_anchor_variants,
+       MIN(anchor) AS min_anchor
+FROM an GROUP BY target""",
     "a23_linkgraph": f"""WITH {_PAGES_CTES}
 SELECT title,
        {_sql_e6('1.0 / (SELECT n FROM np)')} AS rank_e6,

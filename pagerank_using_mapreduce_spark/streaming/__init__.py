@@ -9,6 +9,7 @@ from .events import (
     sessionize_stream,
     sliding_rollup_stream,
     stream_dedup,
+    value_histogram_stream,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "sessionize_stream",
     "sliding_rollup_stream",
     "stream_dedup",
+    "value_histogram_stream",
 ]

@@ -351,6 +351,20 @@ def hll_registers_stream(events: DataFrame, key: str = "user_id") -> DataFrame:
     return hll_registers(events, key)
 
 
+def value_histogram_stream(events: DataFrame, col: str = "value") -> DataFrame:
+    """Streaming fixed-bin histogram over ``col`` — the incremental
+    twin of :func:`..operators.sketches.value_histogram`.  Per-bin
+    counts are ADDITIVE, so complete-mode state is at most ``nbins``
+    rows and the drained counts equal the batch sketch on the same
+    input (oracle = the batch bins SQL).  The batch operator's
+    cumulative column is deliberately absent: a non-time window after
+    a streaming aggregate is unsupported, and cum is a cheap batch
+    post-pass over <= nbins rows anyway."""
+    from ..operators.sketches import histogram_bins
+
+    return histogram_bins(events, col)
+
+
 def session_window_stream(
     events: DataFrame, gap_s: int = SESSION_GAP_S, watermark: str = "2 hours"
 ) -> DataFrame:

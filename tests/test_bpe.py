@@ -1,0 +1,58 @@
+"""BPE merge training: hand-computed golden trajectory, greedy-overlap
+fold semantics, early stop, and Spark/DuckDB twin agreement."""
+
+from __future__ import annotations
+
+from pagerank_using_mapreduce_spark.operators.bpe import bpe_merges
+
+
+def _run(spark, texts, n_merges=8):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    return [
+        (r["merge_idx"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_merges(df, n_merges=n_merges)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+
+
+def test_bpe_golden_low_lower_lowest(spark):
+    """The textbook corpus: ties break on the lexicographically
+    smallest pair, and training stops when no pairs remain."""
+    got = _run(spark, ["low low low lower lowest"])
+    assert got == [
+        (0, "l", "o", 5),   # (l,o) and (o,w) tie at 5 -> lex min
+        (1, "lo", "w", 5),
+        (2, "low", "e", 2),
+        (3, "lowe", "r", 1),  # three 1-ties -> min (left, right)
+        (4, "lowe", "s", 1),
+        (5, "lowes", "t", 1),
+    ]  # vocabulary fully fused after 6 merges -> early stop
+
+
+def test_bpe_greedy_overlap(spark):
+    """'aaaa' under merge (a,a) fuses left-to-right into aa|aa — the
+    fused symbol cannot re-pair with the next raw 'a'."""
+    got = _run(spark, ["aaaa aaaa b"], n_merges=2)
+    assert got[0] == (0, "a", "a", 6)  # 3 adjacent pairs per word x2
+    assert got[1] == (1, "aa", "aa", 2)
+
+
+def test_bpe_sql_twin_agrees(spark):
+    import duckdb
+
+    from pagerank_using_mapreduce_spark.operators.bpe import bpe_merges_sql
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = [
+        (int(r.merge_idx), r.left, r.right, int(r.pair_count))
+        for _, r in con.execute(bpe_merges_sql(4)).df().iterrows()
+    ]
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = [
+        (r["merge_idx"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_merges(docs, n_merges=4).orderBy("merge_idx").collect()
+    ]
+    assert got == sorted(want) and len(got) == 4
