@@ -362,3 +362,114 @@ SELECT d.doc_id,
                         THEN CAST(p.top_c AS DOUBLE) / p.n_tokens
                         ELSE 0.0 END) * 1e6 + 0.5000001) AS BIGINT) AS top_share_e6
 FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+
+
+# --------------------------------------------------------------------------
+# Character-bigram language-model quality score: the model-based
+# filter of the curation toolbox.  The corpus FITS its own bigram LM
+# (P(c2|c1) from pair counts over normalized [a-z ] text), then each
+# document is scored by its total log-probability — low scores flag
+# gibberish / repetitive / off-distribution documents, the same signal
+# perplexity filters use, with a model small enough to broadcast.
+#
+# Scale shape: the corpus is exploded to per-doc pair counts ONCE and
+# that relation serves both phases — the model is an aggregate of it
+# (<= alphabet^2 = 729 rows, broadcast back), the scores a join with
+# it.  Determinism: log-probs are quantized to e6 integers PER DISTINCT
+# BIGRAM (exact-operand division + ln on identical doubles, the tfidf
+# precedent), so each doc's total is an integer sum — order-independent.
+# --------------------------------------------------------------------------
+
+
+def char_lm_scores(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_pairs, total_logp_e6, avg_logp_e6): per-document
+    char-bigram log-likelihood under the corpus's own bigram model.
+    Documents with fewer than 2 normalized characters are dropped
+    (no pairs to score)."""
+    normed = documents.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(F.lower(strip_non_alpha(F.col("text"))), " +", " ")
+        ).alias("_norm"),
+    )
+    chars = F.expr("transform(sequence(1, length(_norm)), i -> substring(_norm, i, 1))")
+    pairs = F.zip_with(
+        F.expr("slice(ch, 1, size(ch) - 1)"),
+        F.expr("slice(ch, 2, size(ch) - 1)"),
+        lambda a, b: F.concat(a, b),
+    )
+    doc_pairs = (
+        normed.where(F.length("_norm") >= 2)
+        .select("doc_id", chars.alias("ch"))
+        .select("doc_id", F.explode(pairs).alias("pair"))
+        .groupBy("doc_id", "pair")
+        .agg(F.count("*").alias("cnt"))
+        .persist()  # serves both the model fit and the scoring join
+    )
+    bigram = doc_pairs.groupBy("pair").agg(F.sum("cnt").alias("c_pair"))
+    ctx = bigram.groupBy(F.substring("pair", 1, 1).alias("c1")).agg(
+        F.sum("c_pair").alias("c_ctx")
+    )
+    logp = bigram.join(ctx, F.substring(bigram.pair, 1, 1) == ctx.c1).select(
+        "pair",
+        F.floor(
+            F.log(F.col("c_pair").cast("double") / F.col("c_ctx")) * 1e6
+            + F.lit(0.5000001)
+        )
+        .cast("long")
+        .alias("logp_e6"),
+    )
+    return (
+        doc_pairs.join(F.broadcast(logp), "pair")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_pairs"),
+            F.sum(F.col("cnt") * F.col("logp_e6")).alias("total_logp_e6"),
+        )
+        .select(
+            "doc_id",
+            "n_pairs",
+            "total_logp_e6",
+            # floor over an exact-operand double division: identical in
+            # both engines even for negative totals (integer `div`
+            # truncates toward zero in Spark but floors in DuckDB, so
+            # it cannot be used here)
+            F.floor(F.col("total_logp_e6").cast("double") / F.col("n_pairs"))
+            .cast("long")
+            .alias("avg_logp_e6"),
+        )
+    )
+
+
+CHAR_LM_SQL = """
+WITH normed AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g')),
+                             ' +', ' ', 'g')) AS s
+  FROM documents
+),
+doc_pairs AS MATERIALIZED (
+  SELECT doc_id, pair, COUNT(*) AS cnt FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, length(s)),
+                                 i -> substr(s, CAST(i AS INT), 2))) AS pair
+    FROM normed WHERE length(s) >= 2)
+  GROUP BY doc_id, pair
+),
+bigram AS (SELECT pair, CAST(SUM(cnt) AS BIGINT) AS c_pair
+           FROM doc_pairs GROUP BY pair),
+ctx AS (SELECT substr(pair, 1, 1) AS c1, CAST(SUM(c_pair) AS BIGINT) AS c_ctx
+        FROM bigram GROUP BY 1),
+logp AS (
+  SELECT pair,
+         CAST(FLOOR(ln(CAST(c_pair AS DOUBLE) / c_ctx) * 1e6 + 0.5000001)
+              AS BIGINT) AS logp_e6
+  FROM bigram JOIN ctx ON substr(pair, 1, 1) = c1
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_pairs,
+       CAST(SUM(cnt * logp_e6) AS BIGINT) AS total_logp_e6,
+       CAST(FLOOR(CAST(SUM(cnt * logp_e6) AS DOUBLE) / SUM(cnt)) AS BIGINT)
+         AS avg_logp_e6
+FROM doc_pairs JOIN logp USING (pair)
+GROUP BY doc_id"""

@@ -488,6 +488,16 @@ def q_x51_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(_docs(spark, sf_dir))
 
 
+def q_x52_char_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-bigram LM self-scoring (model-based quality filter): the
+    corpus fits its own <=729-row bigram model, broadcast back to
+    score every document; per-bigram log-probs are e6-quantized so
+    doc totals are order-independent integer sums."""
+    from ..operators.text_analysis import char_lm_scores
+
+    return char_lm_scores(_docs(spark, sf_dir))
+
+
 def q_z10_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming fixed-bin histogram over events.value drained with
     AvailableNow — additive per-bin counts, identical to the batch
@@ -1029,6 +1039,7 @@ EXTENSION_QUERIES = {
     "x49_curriculum_order": q_x49_curriculum_order,
     "x50_value_histogram": q_x50_value_histogram,
     "x51_bpe_merges": q_x51_bpe_merges,
+    "x52_char_lm_scores": q_x52_char_lm_scores,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z9_stream_bottomk": q_z9_stream_bottomk,
@@ -1057,6 +1068,12 @@ def _bpe_merges_oracle() -> str:
     from ..operators.bpe import bpe_merges_sql
 
     return bpe_merges_sql()
+
+
+def _char_lm_oracle() -> str:
+    from ..operators.text_analysis import CHAR_LM_SQL
+
+    return CHAR_LM_SQL
 
 
 EXTENSION_ORACLE = {
@@ -1139,6 +1156,7 @@ GROUP BY 1, 2""",
     ),
     "x50_value_histogram": _value_histogram_oracle(),
     "x51_bpe_merges": _bpe_merges_oracle(),
+    "x52_char_lm_scores": _char_lm_oracle(),
     "x43_join_size_estimate": cms_join_size_estimate_sql(
         "lineitem",
         "l_orderkey",

@@ -1531,6 +1531,55 @@ FROM lineitem GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------------
+# Funnel analysis (product-analytics shape): strictly-ordered
+# first-occurrence conversion view -> click -> purchase per user.
+# A user reaches step k if the FIRST occurrence of each step is
+# strictly later than the previous step's first occurrence.  One
+# conditional-min aggregation per user (timestamps as integer micros —
+# exact comparisons), then one global roll-up: no joins, no windows,
+# two shuffles total regardless of event volume.
+# --------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def e6_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, ts_us)).alias(f"t{i}")
+            for i, s in enumerate(FUNNEL_STEPS)
+        ]
+    )
+    s0 = F.col("t0").isNotNull()
+    s1 = s0 & (F.col("t1") > F.col("t0"))
+    s2 = s1 & (F.col("t2") > F.col("t1"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(s0.cast("long")).alias("n_step1"),
+        F.sum(s1.cast("long")).alias("n_step2"),
+        F.sum(s2.cast("long")).alias("n_step3"),
+    )
+
+
+E6_SQL = f"""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN epoch_us(ts) END) AS t0,
+         MIN(CASE WHEN event_type = '{FUNNEL_STEPS[1]}' THEN epoch_us(ts) END) AS t1,
+         MIN(CASE WHEN event_type = '{FUNNEL_STEPS[2]}' THEN epoch_us(ts) END) AS t2
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_step1,
+       CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 > t0 THEN 1 ELSE 0 END) AS BIGINT) AS n_step2,
+       CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 > t0 AND t2 > t1 THEN 1 ELSE 0 END) AS BIGINT) AS n_step3
+FROM firsts
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1559,6 +1608,7 @@ RELATIONAL_QUERIES = {
     "e3_pivot_activity": e3_pivot_activity,
     "e4_session_windows": e4_session_windows,
     "e5_unpivot_activity": e5_unpivot_activity,
+    "e6_funnel_steps": e6_funnel_steps,
     "w3_time_weighted": w3_time_weighted,
     "g1_rollup": g1_rollup,
     "g2_cube": g2_cube,
@@ -1598,6 +1648,7 @@ RELATIONAL_ORACLE = {
     "e3_pivot_activity": E3_SQL,
     "e4_session_windows": E4_SQL,
     "e5_unpivot_activity": E5_SQL,
+    "e6_funnel_steps": E6_SQL,
     "w3_time_weighted": W3_SQL,
     "g1_rollup": G1_SQL,
     "g2_cube": G2_SQL,

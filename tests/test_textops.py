@@ -88,3 +88,56 @@ def test_approx_count_distinct_within_tolerance(spark):
         F.approx_count_distinct("user_id", rsd=0.02).alias("a")
     ).first()["a"]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_char_lm_flags_gibberish(spark):
+    """Under the corpus's own bigram model, a document made of rare
+    bigrams scores a strictly lower average log-prob than the common
+    documents; totals are integer and reproducible."""
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        char_lm_scores,
+    )
+
+    docs = [(i, "the cat sat on the mat") for i in range(9)] + [(9, "zq xv qj")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in char_lm_scores(df).collect()}
+    assert len(rows) == 10
+    common_avg = rows[0]["avg_logp_e6"]
+    assert all(rows[i]["avg_logp_e6"] == common_avg for i in range(9))
+    assert rows[9]["avg_logp_e6"] < common_avg
+    assert all(r["total_logp_e6"] < 0 for r in rows.values())
+    # determinism under re-evaluation
+    again = {r["doc_id"]: r["total_logp_e6"] for r in char_lm_scores(df).collect()}
+    assert again == {d: r["total_logp_e6"] for d, r in rows.items()}
+
+
+def test_funnel_strict_first_occurrence_order(spark):
+    """Golden funnel: u1 converts fully in order; u2 clicked before
+    viewing (not counted past step 1); u3 never purchased; u4 has a
+    view only; u5 tied timestamps don't advance (strict >)."""
+    import datetime as dt
+
+    from pagerank_using_mapreduce_spark.plans.relational import e6_funnel_steps
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, typ, s):
+        return (uid, typ, t0 + dt.timedelta(seconds=s))
+
+    rows = [
+        ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20),
+        ev(2, "click", 0), ev(2, "view", 10), ev(2, "purchase", 20),
+        ev(3, "view", 0), ev(3, "click", 5),
+        ev(4, "view", 0),
+        ev(5, "view", 0), ev(5, "click", 0), ev(5, "purchase", 1),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+
+    import pagerank_using_mapreduce_spark.plans.relational as rel
+    from unittest import mock
+
+    with mock.patch.object(rel, "load_table", lambda s, d, n: df):
+        out = e6_funnel_steps(spark, "unused").collect()[0]
+    assert (out["n_users"], out["n_step1"], out["n_step2"], out["n_step3"]) == (
+        5, 5, 2, 1,
+    )
