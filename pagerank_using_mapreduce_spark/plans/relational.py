@@ -1580,6 +1580,101 @@ FROM firsts
 """
 
 
+# --------------------------------------------------------------------------
+# Retention cohort matrix: users grouped by FIRST-ACTIVITY week
+# (cohort), counted as active per week offset — the standard retention
+# triangle.  Weeks are integer days-since-epoch div 7 (exact in both
+# engines); one min-aggregate per user + one join back + one
+# count-distinct roll-up.
+# --------------------------------------------------------------------------
+
+
+def _week(ts_col) -> F.Column:
+    return F.expr(f"(unix_micros({ts_col}) div 86400000000) div 7")
+
+
+def e7_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", _week("ts").alias("week")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+E7_SQL = """
+WITH wk AS (
+  SELECT user_id, (epoch_us(ts) // 86400000000) // 7 AS week FROM events
+),
+firsts AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       CAST(COUNT(DISTINCT wk.user_id) AS BIGINT) AS n_active
+FROM wk JOIN firsts USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-user EWMA (exponential smoothing): the sequential recurrence
+# s_t = a*x_t + (1-a)*s_{t-1}, s_0 = x_0 — inherently order-dependent
+# state, expressed WITHOUT a UDF as a column-expression fold over the
+# per-user event sequence (collect -> sort_array for a deterministic
+# order -> aggregate()).  Both engines run the identical IEEE fold in
+# the identical order, so the final state is bit-identical before the
+# e6 quantization.  Per-user sequences are bounded (one user's
+# history), so the collected arrays are group-local state — the same
+# budget a streaming stateful operator would hold.
+# --------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.25
+
+
+def w4_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.unix_micros(F.col("ts")).alias("ts_us"),
+                F.col("event_id").alias("event_id"),
+                F.col("value").alias("v"),
+            )
+        )
+    )
+    a = EWMA_ALPHA
+    fold = F.aggregate(
+        F.transform("seq", lambda s: s["v"]),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(a * x + (1 - a) * acc),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            F.size("seq").cast("long").alias("n_events"),
+            _q(fold, 6).alias("ewma_e6"),
+        )
+    )
+
+
+_EWMA_REDUCE = (
+    f"list_reduce(vals, (acc, x) -> {EWMA_ALPHA} * x + {1 - EWMA_ALPHA} * acc)"
+)
+
+W4_SQL = f"""
+SELECT user_id,
+       CAST(len(vals) AS BIGINT) AS n_events,
+       {_sq(_EWMA_REDUCE, 6)} AS ewma_e6
+FROM (
+  SELECT user_id,
+         array_agg(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id)
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1609,6 +1704,8 @@ RELATIONAL_QUERIES = {
     "e4_session_windows": e4_session_windows,
     "e5_unpivot_activity": e5_unpivot_activity,
     "e6_funnel_steps": e6_funnel_steps,
+    "e7_retention_cohorts": e7_retention_cohorts,
+    "w4_ewma": w4_ewma,
     "w3_time_weighted": w3_time_weighted,
     "g1_rollup": g1_rollup,
     "g2_cube": g2_cube,
@@ -1649,6 +1746,8 @@ RELATIONAL_ORACLE = {
     "e4_session_windows": E4_SQL,
     "e5_unpivot_activity": E5_SQL,
     "e6_funnel_steps": E6_SQL,
+    "e7_retention_cohorts": E7_SQL,
+    "w4_ewma": W4_SQL,
     "w3_time_weighted": W3_SQL,
     "g1_rollup": G1_SQL,
     "g2_cube": G2_SQL,

@@ -141,3 +141,35 @@ def test_funnel_strict_first_occurrence_order(spark):
     assert (out["n_users"], out["n_step1"], out["n_step2"], out["n_step3"]) == (
         5, 5, 2, 1,
     )
+
+
+def test_ewma_fold_golden_and_cohorts(spark):
+    """EWMA recurrence golden (alpha=0.25, values 1,2,3 in time order
+    -> 1.6875) and cohort matrix golden on a 2-user fixture."""
+    import datetime as dt
+
+    from unittest import mock
+
+    import pagerank_using_mapreduce_spark.plans.relational as rel
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: values 1,2,3 at t0, +7d, +14d (3 distinct weeks)
+        (1, 1, t0, 1.0),
+        (2, 1, t0 + dt.timedelta(days=7), 2.0),
+        (3, 1, t0 + dt.timedelta(days=14), 3.0),
+        # user 2: one event in user 1's second week
+        (4, 2, t0 + dt.timedelta(days=7), 10.0),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    with mock.patch.object(rel, "load_table", lambda s, d, n: df):
+        ew = {r["user_id"]: r for r in rel.w4_ewma(spark, "x").collect()}
+        co = {
+            (r["cohort_week"], r["week_offset"]): r["n_active"]
+            for r in rel.e7_retention_cohorts(spark, "x").collect()
+        }
+    assert ew[1]["n_events"] == 3 and ew[1]["ewma_e6"] == 1687500
+    assert ew[2]["ewma_e6"] == 10000000
+    # user1 cohort week w: offsets 0,1,2; user2 cohort w+1: offset 0
+    offsets = sorted((k[1], v) for k, v in co.items())
+    assert offsets == [(0, 1), (0, 1), (1, 1), (2, 1)]
