@@ -651,3 +651,70 @@ def label_propagation_sql(
 {sym_cte},
 {body}
 SELECT title, label AS community FROM l{rounds}"""
+
+
+# --------------------------------------------------------------------------
+# Weighted single-source(-set) shortest paths: the min-plus semiring
+# generalization of bfs_depths — per round, distances relax through
+# the persisted adjacency (dist + edge weight) and min-merge.  Edge
+# weights are a deterministic integer function of the target title
+# (the testdata graph carries no weight column), so both engines and
+# the unrolled oracle derive the identical weighted graph.
+# --------------------------------------------------------------------------
+
+SSSP_ITERATIONS = 8
+
+
+def edge_weight(dst) -> F.Column:
+    """Deterministic integer weight in 1..5 derived from the target."""
+    return (F.length(dst) % 5 + 1).cast("long")
+
+
+def sssp_dists(
+    pages: DataFrame, sources: list[str], iterations: int = SSSP_ITERATIONS
+) -> DataFrame:
+    """(title, dist): minimum weighted distance from any source within
+    ``iterations`` relaxation rounds (Bellman-Ford on the min-plus
+    semiring; exact for all paths of <= ``iterations`` edges).
+    Unreached pages are absent, so the output is the reachable set.
+
+    Same two-wide-op round shape as bfs_depths: one join into the
+    persisted edge relation + one min-groupBy; only the (title, dist)
+    relation moves between rounds.
+    """
+    if not sources:
+        raise ValueError("sssp_dists needs a non-empty source set")
+    spark = pages.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    pages_c = pages.persist()
+    e = (
+        valid_edges(pages_c)
+        .select("src", "dst", edge_weight(F.col("dst")).alias("w"))
+        .repartition(shuffle, "src")
+        .persist()
+    )
+    seeds = (
+        pages_c.select("title")
+        .where(F.col("title").isin(*sources))
+        .select("title", F.lit(0).cast("long").alias("dist"))
+    )
+    e.count()
+    dists = seeds
+    for i in range(iterations):
+        relaxed = (
+            e.alias("e")
+            .join(dists.alias("d"), F.col("e.src") == F.col("d.title"))
+            .select(
+                F.col("e.dst").alias("title"),
+                (F.col("d.dist") + F.col("e.w")).alias("dist"),
+            )
+        )
+        dists = (
+            dists.unionAll(relaxed)
+            .groupBy("title")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (i + 1) % 4 == 0 and (i + 1) < iterations:
+            dists = dists.localCheckpoint(eager=True)
+    pages_c.unpersist()
+    return dists

@@ -446,6 +446,20 @@ def q_g5_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_depths(pages, seeds, iterations=8)
 
 
+def q_g8_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (min-plus relaxation, 8 rounds) from
+    the 3 lexicographically-first titles; integer edge weights derived
+    from the target title identically in both engines."""
+    from ..operators.graph import sssp_dists
+
+    pages = _pages(spark, sf_dir)
+    seeds = [
+        r["title"]
+        for r in pages.select("title").orderBy("title").limit(BFS_SEEDS).collect()
+    ]
+    return sssp_dists(pages, seeds, iterations=8)
+
+
 _EV_CTE = (
     "ev AS MATERIALIZED (SELECT e.src, e.dst FROM edges e "
     "JOIN pages p ON p.title = e.dst)"
@@ -501,6 +515,28 @@ LEFT JOIN hfin h ON h.title = p.title
 LEFT JOIN a{iterations} a ON a.title = p.title"""
 
 
+def _sssp_sql(iterations: int = 8, k_seeds: int = BFS_SEEDS) -> str:
+    """Weighted SSSP unrolled: the bfs recurrence on the min-plus
+    semiring with the same derived integer edge weights."""
+    ctes = [
+        f"s0 AS MATERIALIZED (SELECT title, 0 AS dist FROM "
+        f"(SELECT title FROM pages ORDER BY title LIMIT {k_seeds}))"
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""s{k} AS MATERIALIZED (
+  SELECT title, MIN(dist) AS dist FROM (
+    SELECT title, dist FROM s{k - 1}
+    UNION ALL
+    SELECT e.dst AS title, d.dist + (length(e.dst) % 5 + 1) AS dist
+    FROM ev e JOIN s{k - 1} d ON d.title = e.src
+  ) GROUP BY title)""")
+    body = ",\n".join(ctes)
+    return f"""WITH {_PAGES_CTES},
+{_EV_CTE},
+{body}
+SELECT title, CAST(dist AS BIGINT) AS dist FROM s{iterations}"""
+
+
 def _bfs_sql(iterations: int = 8, k_seeds: int = BFS_SEEDS) -> str:
     """BFS depths unrolled: d{k} = min-merge of d{k-1} with its
     out-neighbors at depth+1 — identical recurrence to the operator."""
@@ -545,6 +581,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g3_triangles": q_g3_triangles,
     "g4_hits": q_g4_hits,
     "g5_bfs_depths": q_g5_bfs,
+    "g8_sssp_dists": q_g8_sssp,
     "g6_kcore": q_g6_kcore,
     "g7_label_prop": q_g7_label_prop,
     "deg_stats": q_deg_stats,
@@ -691,6 +728,7 @@ FROM pages""",
     "cc_star": _cc_converged_sql(kmax=25, with_iterations=False),
     "g4_hits": _hits_sql(),
     "g5_bfs_depths": _bfs_sql(),
+    "g8_sssp_dists": _sssp_sql(),
     "g6_kcore": _kcore_oracle(),
     "g7_label_prop": _lpa_oracle(),
     "g3_triangles": f"""WITH {_PAGES_CTES},

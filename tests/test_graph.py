@@ -280,3 +280,24 @@ def test_label_propagation_star_and_goldens(spark):
     }
     # round 2: leaves see h's new label "a"; h sees {h,h,h} -> "h"
     assert got2 == {"h": "h", "a": "a", "b": "a", "c": "a", "z": "z"}
+
+
+def test_sssp_weighted_min_plus(spark):
+    """Weighted relaxation golden: weight(dst) = len(dst)%5+1, so
+    a->bb costs 3, ->ccc costs 4, ->dddd costs 5, ->eeeee costs 1.
+    The min over alternative paths wins (min-plus, not hop count)."""
+    from pagerank_using_mapreduce_spark.operators.graph import sssp_dists
+
+    pages = spark.createDataFrame(
+        [
+            ("a", ["bb", "ccc", "eeeee"]),
+            ("bb", ["dddd"]),
+            ("ccc", ["dddd"]),
+            ("eeeee", ["ccc"]),
+            ("dddd", []),
+        ],
+        "title string, links array<string>",
+    )
+    got = {r["title"]: r["dist"] for r in sssp_dists(pages, ["a"]).collect()}
+    # ccc: direct 4 beats eeeee-route 1+4=5; dddd: via bb 3+5=8 beats 4+5=9
+    assert got == {"a": 0, "bb": 3, "ccc": 4, "eeeee": 1, "dddd": 8}
