@@ -511,16 +511,25 @@ def histogram_bins(
     lo: float = HIST_LO,
     hi: float = HIST_HI,
     nbins: int = HIST_NBINS,
+    by: list[str] | None = None,
 ) -> DataFrame:
-    """(bin, cnt): the raw mergeable per-bin counts — one bounded
-    aggregate, usable as-is in a streaming complete-mode sink (counts
-    are additive state; the cum window below is batch-only)."""
+    """(bin, cnt) — or (*by, bin, cnt) with ``by``: the raw mergeable
+    per-bin counts, optionally one histogram per group (per-source /
+    per-type distribution monitoring).  One bounded aggregate — at
+    most |groups|*nbins rows shuffle per upstream partition — usable
+    as-is in a streaming complete-mode sink (counts are additive
+    state; the cum window below is batch-only)."""
     width = (hi - lo) / nbins
     b = F.least(
         F.lit(nbins - 1),
         F.greatest(F.lit(0), F.floor((F.col(col) - lo) / width)),
     ).cast("long")
-    return df.select(b.alias("bin")).groupBy("bin").agg(F.count("*").alias("cnt"))
+    by = by or []
+    return (
+        df.select(*by, b.alias("bin"))
+        .groupBy(*by, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
 
 
 def histogram_bins_sql(
@@ -529,14 +538,16 @@ def histogram_bins_sql(
     lo: float = HIST_LO,
     hi: float = HIST_HI,
     nbins: int = HIST_NBINS,
+    by: list[str] | None = None,
 ) -> str:
     width = (hi - lo) / nbins
+    by_cols = ", ".join(by) + ", " if by else ""
     return f"""
-SELECT CAST(LEAST({nbins - 1},
+SELECT {by_cols}CAST(LEAST({nbins - 1},
                   GREATEST(0, FLOOR(({col} - {lo}) / {width}))) AS BIGINT) AS bin,
        COUNT(*) AS cnt
 FROM {table}
-GROUP BY bin"""
+GROUP BY {by_cols}bin"""
 
 
 def value_histogram(

@@ -498,6 +498,17 @@ def q_x52_char_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_lm_scores(_docs(spark, sf_dir))
 
 
+def q_x53_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type value histograms (one fixed-bin sketch per
+    group): at most |groups|*nbins aggregate rows — per-segment
+    distribution monitoring at any input volume."""
+    from ..operators.sketches import histogram_bins
+
+    return histogram_bins(
+        load_table(spark, sf_dir, "events"), "value", by=["event_type"]
+    )
+
+
 def q_z10_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming fixed-bin histogram over events.value drained with
     AvailableNow — additive per-bin counts, identical to the batch
@@ -1040,6 +1051,7 @@ EXTENSION_QUERIES = {
     "x50_value_histogram": q_x50_value_histogram,
     "x51_bpe_merges": q_x51_bpe_merges,
     "x52_char_lm_scores": q_x52_char_lm_scores,
+    "x53_histogram_by_type": q_x53_histogram_by_type,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z9_stream_bottomk": q_z9_stream_bottomk,
@@ -1062,6 +1074,12 @@ def _histogram_bins_oracle() -> str:
     from ..operators.sketches import histogram_bins_sql
 
     return histogram_bins_sql()
+
+
+def _histogram_by_type_oracle() -> str:
+    from ..operators.sketches import histogram_bins_sql
+
+    return histogram_bins_sql(by=["event_type"])
 
 
 def _bpe_merges_oracle() -> str:
@@ -1157,6 +1175,7 @@ GROUP BY 1, 2""",
     "x50_value_histogram": _value_histogram_oracle(),
     "x51_bpe_merges": _bpe_merges_oracle(),
     "x52_char_lm_scores": _char_lm_oracle(),
+    "x53_histogram_by_type": _histogram_by_type_oracle(),
     "x43_join_size_estimate": cms_join_size_estimate_sql(
         "lineitem",
         "l_orderkey",
