@@ -79,6 +79,9 @@ SF1_QUERIES = [
     "o1_ranking",
     "g5_bfs_depths",
     "x33_dedup_clusters",
+    "g8_sssp_dists",
+    "x51_bpe_merges",  # corpus 10x, vocab constant: the corpus->vocab
+    #                    compression should make this near-flat
 ]
 
 

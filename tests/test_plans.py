@@ -265,3 +265,17 @@ def test_q21_aggregates_instead_of_self_joining(spark):
     assert len(li_ids) == 1, f"expected one lineitem scan, got {li_ids}"
     for sub in _broadcast_subtrees(plan):
         assert f"({li_ids[0]})" not in sub, "lineitem scan inside a broadcast"
+
+
+def test_global_position_ops_avoid_single_partition(spark):
+    """The distributed-prefix-sum family (packing, curriculum order,
+    quantile bins) must never compile to an Exchange SinglePartition —
+    that would be the naive global window (the reference's 1-reducer
+    sort reborn), the exact bottleneck these operators exist to avoid."""
+    for name in (
+        "x45_sequence_packing",
+        "x49_curriculum_order",
+        "x29_quantile_bins",
+    ):
+        plan = _plan(QUERIES[name](spark, SF))
+        assert "Exchange SinglePartition" not in plan, name

@@ -193,3 +193,44 @@ def test_bottom_k_sample_size_and_subset(spark, n, k):
     assert len(got) == min(k, n)
     assert len(set(got)) == len(got)
     assert set(got) <= set(range(n))
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=400), min_size=1, max_size=6
+    ),
+    max_len=st.integers(min_value=2, max_value=20),
+    stride_frac=st.integers(min_value=1, max_value=20),
+)
+@_SETTINGS
+def test_chunk_windows_covers_every_token(spark, texts, max_len, stride_frac):
+    """For ANY corpus and any 0 < stride <= max_len: the chunks of a
+    document tile [0, n) exactly — chunk c starts at c*stride, the
+    last chunk ends at n, every chunk is non-empty and <= max_len,
+    and consecutive chunks overlap by exactly max_len - stride
+    (except the final chunk, which may overlap more)."""
+    from pagerank_using_mapreduce_spark.operators.packing import chunk_windows
+
+    stride = max(1, min(max_len, stride_frac))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    out = {}
+    for r in chunk_windows(df, max_len=max_len, stride=stride).collect():
+        out.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_len"]))
+    for i, t in enumerate(texts):
+        n = len([w for w in t.strip().lower().split(" ") if w])
+        chunks = sorted(out.get(i, []))
+        if n == 0:
+            assert chunks == []
+            continue
+        # contiguous ids 0..k-1; every chunk non-empty and bounded
+        assert [c for c, _ in chunks] == list(range(len(chunks)))
+        assert all(1 <= ln <= max_len for _, ln in chunks)
+        # full coverage: last chunk reaches n; every start is covered
+        last_id, last_len = chunks[-1]
+        assert last_id * stride + last_len == n
+        # all but the last chunk are full-length (start+max_len <= n
+        # implies another stride fits or the next chunk covers the rest)
+        for c, ln in chunks[:-1]:
+            assert ln == max_len
