@@ -226,7 +226,16 @@ def ngram_counts(documents: DataFrame, n: int = 2) -> DataFrame:
     only distinct n-grams per partition."""
     if n < 2:
         raise ValueError("use token counts for n=1")
-    toks = _toks()
+    return (
+        documents.select(F.explode(_gram_windows(_toks(), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _gram_windows(toks: Column, n: int) -> Column:
+    """Array of space-joined word n-grams via zip_with over slice
+    offsets (no posexplode self-join, no Python)."""
     grams = F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     for k in range(1, n):
         grams = F.zip_with(
@@ -234,11 +243,7 @@ def ngram_counts(documents: DataFrame, n: int = 2) -> DataFrame:
             F.slice(toks, k + 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
             lambda a, b: F.concat_ws(" ", a, b),
         )
-    return (
-        documents.select(F.explode(grams).alias("ngram"))
-        .groupBy("ngram")
-        .agg(F.count("*").alias("cnt"))
-    )
+    return grams
 
 
 def ngram_counts_sql(n: int = 2) -> str:
@@ -472,4 +477,82 @@ SELECT doc_id,
        CAST(FLOOR(CAST(SUM(cnt * logp_e6) AS DOUBLE) / SUM(cnt)) AS BIGINT)
          AS avg_logp_e6
 FROM doc_pairs JOIN logp USING (pair)
+GROUP BY doc_id"""
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram decontamination: the eval-leakage screen used by
+# production pretraining pipelines (flag TRAIN documents sharing any
+# exact word n-gram with the EVAL split).  Complements the MinHash
+# contamination audit (x38): LSH finds near-duplicate documents,
+# this finds verbatim PHRASE overlap — the "benchmark answer string
+# leaked into a training page" case near-dup similarity misses.
+#
+# Scale shape: one explode to (doc, gram), one distinct per side, one
+# semi-join keyed on the gram — uniform text keys, map-side partial
+# distinct, no all-pairs anything.  The eval side is typically tiny
+# (a benchmark), so at production scale the distinct eval-gram
+# relation broadcasts and the train side never shuffles.
+# --------------------------------------------------------------------------
+
+CONTAM_N = 5
+
+
+def ngram_contamination(
+    documents: DataFrame,
+    n: int = CONTAM_N,
+    key_col: str = "doc_id",
+    seed: str = "split-0",
+    train_split: str = "train",
+    eval_split: str = "test",
+) -> DataFrame:
+    """(doc_id, n_shared): train-split documents sharing at least one
+    exact word ``n``-gram with the eval split (splits via the standard
+    md5 ``hash_split`` convention), with the count of distinct shared
+    grams.  Clean documents are absent — the output is the
+    contamination list, not a per-doc report."""
+    from .sampling import hash_split
+
+    grams = hash_split(documents, key_col, seed=seed).select(
+        key_col, "split", F.explode(_gram_windows(_toks(), n)).alias("gram")
+    )
+    eval_grams = (
+        grams.where(F.col("split") == eval_split).select("gram").distinct()
+    )
+    train_grams = (
+        grams.where(F.col("split") == train_split)
+        .select(key_col, "gram")
+        .distinct()
+    )
+    return (
+        train_grams.join(eval_grams, "gram", "left_semi")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+def ngram_contamination_sql(
+    n: int = CONTAM_N,
+    seed: str = "split-0",
+) -> str:
+    from .sampling import hash_split_sql
+
+    joined = " || ' ' || ".join(f"t[i+{k}]" for k in range(n))
+    split_case = hash_split_sql("doc_id", seed=seed)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {split_case} AS split,
+         list_filter(string_split_regex(
+           lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, split,
+         unnest(list_transform(generate_series(1, len(t) - {n - 1}),
+                               i -> {joined})) AS gram
+  FROM toks),
+ev AS (SELECT DISTINCT gram FROM g WHERE split = 'test'),
+tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE split = 'train')
+SELECT doc_id, COUNT(*) AS n_shared
+FROM tr WHERE gram IN (SELECT gram FROM ev)
 GROUP BY doc_id"""

@@ -498,6 +498,16 @@ def q_x52_char_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_lm_scores(_docs(spark, sf_dir))
 
 
+def q_x54_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram decontamination: train-split documents sharing a
+    verbatim word 5-gram with the test split (md5 hash-split
+    convention) — the phrase-leak screen that complements the MinHash
+    contamination audit (x38)."""
+    from ..operators.text_analysis import ngram_contamination
+
+    return ngram_contamination(_docs(spark, sf_dir))
+
+
 def q_x53_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type value histograms (one fixed-bin sketch per
     group): at most |groups|*nbins aggregate rows — per-segment
@@ -1052,6 +1062,7 @@ EXTENSION_QUERIES = {
     "x51_bpe_merges": q_x51_bpe_merges,
     "x52_char_lm_scores": q_x52_char_lm_scores,
     "x53_histogram_by_type": q_x53_histogram_by_type,
+    "x54_ngram_contamination": q_x54_ngram_contamination,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z9_stream_bottomk": q_z9_stream_bottomk,
@@ -1080,6 +1091,12 @@ def _histogram_by_type_oracle() -> str:
     from ..operators.sketches import histogram_bins_sql
 
     return histogram_bins_sql(by=["event_type"])
+
+
+def _ngram_contamination_oracle() -> str:
+    from ..operators.text_analysis import ngram_contamination_sql
+
+    return ngram_contamination_sql()
 
 
 def _bpe_merges_oracle() -> str:
@@ -1176,6 +1193,7 @@ GROUP BY 1, 2""",
     "x51_bpe_merges": _bpe_merges_oracle(),
     "x52_char_lm_scores": _char_lm_oracle(),
     "x53_histogram_by_type": _histogram_by_type_oracle(),
+    "x54_ngram_contamination": _ngram_contamination_oracle(),
     "x43_join_size_estimate": cms_join_size_estimate_sql(
         "lineitem",
         "l_orderkey",

@@ -173,3 +173,39 @@ def test_ewma_fold_golden_and_cohorts(spark):
     # user1 cohort week w: offsets 0,1,2; user2 cohort w+1: offset 0
     offsets = sorted((k[1], v) for k, v in co.items())
     assert offsets == [(0, 1), (0, 1), (1, 1), (2, 1)]
+
+
+def test_ngram_contamination_flags_planted_phrase(spark):
+    """Plant one exact 5-gram shared between a train doc and a test
+    doc: exactly that train doc is flagged with n_shared == 1; clean
+    train docs are absent from the output."""
+    from pagerank_using_mapreduce_spark.operators.sampling import hash_split
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        ngram_contamination,
+    )
+
+    ids = list(range(40))
+    base = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    splits = {
+        r["doc_id"]: r["split"] for r in hash_split(base, "doc_id").collect()
+    }
+    train_ids = [i for i in ids if splits[i] == "train"]
+    test_ids = [i for i in ids if splits[i] == "test"]
+    assert train_ids and test_ids  # 40 ids always yield both at 80/10/10
+    leaked_train, leak_src = train_ids[0], test_ids[0]
+    phrase = "alpha bravo charlie delta echo"
+
+    def alpha(n):  # digits would be stripped by the tokenizer
+        return "".join("abcdefghij"[int(c)] for c in str(n))
+
+    rows = []
+    for i in ids:
+        if i == leaked_train or i == leak_src:
+            rows.append((i, f"pre{alpha(i)} " + phrase + f" tail{alpha(i)}"))
+        else:
+            rows.append((i, " ".join(f"w{alpha(i)}q{alpha(k)}" for k in range(8))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["n_shared"] for r in ngram_contamination(df).collect()
+    }
+    assert got == {leaked_train: 1}
