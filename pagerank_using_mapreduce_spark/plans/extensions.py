@@ -519,6 +519,21 @@ def q_x53_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_z11_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user funnel state machine drained with
+    AvailableNow — min-merge state (three longs per user), stage
+    identical to the batch per-user funnel (oracle: E6_STAGE_SQL)."""
+    from ..streaming.events import (
+        funnel_stream,
+        read_event_stream,
+        run_available_now,
+        stage_table_dir,
+    )
+
+    stream = funnel_stream(read_event_stream(spark, stage_table_dir(sf_dir)))
+    return run_available_now(stream, "t_z11_funnel", output_mode="update")
+
+
 def q_z10_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming fixed-bin histogram over events.value drained with
     AvailableNow — additive per-bin counts, identical to the batch
@@ -1073,6 +1088,7 @@ EXTENSION_QUERIES = {
     "z7_session_window_stream": q_z7_session_window_stream,
     "z8_stream_cms": q_z8_stream_cms,
     "z10_stream_histogram": q_z10_stream_histogram,
+    "z11_stream_funnel": q_z11_stream_funnel,
 }
 
 def _value_histogram_oracle() -> str:
@@ -1097,6 +1113,12 @@ def _ngram_contamination_oracle() -> str:
     from ..operators.text_analysis import ngram_contamination_sql
 
     return ngram_contamination_sql()
+
+
+def _funnel_stage_oracle() -> str:
+    from .relational import E6_STAGE_SQL
+
+    return E6_STAGE_SQL
 
 
 def _bpe_merges_oracle() -> str:
@@ -1214,4 +1236,5 @@ GROUP BY 1, 2""",
     "z7_session_window_stream": _E4_BATCH_SQL,
     "z8_stream_cms": cms_counts_sql("events", "user_id"),
     "z10_stream_histogram": _histogram_bins_oracle(),
+    "z11_stream_funnel": _funnel_stage_oracle(),
 }

@@ -1675,6 +1675,25 @@ FROM (
 """
 
 
+# Per-user funnel stage (0-3) — the row-grain view of e6, and the
+# batch twin of the streaming funnel state machine (z11).
+E6_STAGE_SQL = f"""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = '{FUNNEL_STEPS[0]}' THEN epoch_us(ts) END) AS t0,
+         MIN(CASE WHEN event_type = '{FUNNEL_STEPS[1]}' THEN epoch_us(ts) END) AS t1,
+         MIN(CASE WHEN event_type = '{FUNNEL_STEPS[2]}' THEN epoch_us(ts) END) AS t2
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(CASE WHEN t0 IS NULL THEN 0
+                 WHEN t1 IS NULL OR t1 <= t0 THEN 1
+                 WHEN t2 IS NULL OR t2 <= t1 THEN 2
+                 ELSE 3 END AS BIGINT) AS stage
+FROM firsts
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,

@@ -1,5 +1,6 @@
 from .events import (
     bottom_k_stream,
+    funnel_stream,
     click_purchase_join_stream,
     enrich_stream,
     hourly_rollup_stream,
@@ -14,6 +15,7 @@ from .events import (
 
 __all__ = [
     "bottom_k_stream",
+    "funnel_stream",
     "click_purchase_join_stream",
     "enrich_stream",
     "hourly_rollup_stream",

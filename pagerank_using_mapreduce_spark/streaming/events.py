@@ -351,6 +351,56 @@ def hll_registers_stream(events: DataFrame, key: str = "user_id") -> DataFrame:
     return hll_registers(events, key)
 
 
+_FUNNEL_OUT_SCHEMA = "user_id long, stage long"
+_FUNNEL_STATE_SCHEMA = "t0 long, t1 long, t2 long"
+_FUNNEL_INF = 1 << 62  # "not seen yet" — min-merge identity
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user funnel STATE MACHINE — the
+    streaming twin of the batch funnel (plans.relational.e6 /
+    E6_STAGE_SQL).  Emits each user's strict first-occurrence stage
+    (0-3) through view -> click -> purchase.
+
+    Cross-batch ordering: state is the per-step MINIMUM first-seen
+    timestamp, and min-merge is an order-insensitive monotone fold
+    (the same parity argument as the HLL register max-merge, z6) — any
+    partition of the events into micro-batches, in any order,
+    converges to the stage a single sorted batch would produce.
+    State is three longs per user, O(1) regardless of event volume.
+    """
+    from ..plans.relational import FUNNEL_STEPS
+
+    def update(key: tuple, pdfs, state: GroupState):
+        t = list(state.get) if state.exists else [_FUNNEL_INF] * 3
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            us = pdf["ts"].astype("int64").to_numpy() // 1000
+            et = pdf["event_type"].to_numpy()
+            for i, step in enumerate(FUNNEL_STEPS):
+                hit = us[et == step]
+                if len(hit):
+                    t[i] = min(t[i], int(hit.min()))
+        state.update(tuple(t))
+        stage = 0
+        if t[0] < _FUNNEL_INF:
+            stage = 1
+            if t[1] < _FUNNEL_INF and t[1] > t[0]:
+                stage = 2
+                if t[2] < _FUNNEL_INF and t[2] > t[1]:
+                    stage = 3
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        _FUNNEL_OUT_SCHEMA,
+        _FUNNEL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def value_histogram_stream(events: DataFrame, col: str = "value") -> DataFrame:
     """Streaming fixed-bin histogram over ``col`` — the incremental
     twin of :func:`..operators.sketches.value_histogram`.  Per-bin

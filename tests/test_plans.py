@@ -37,6 +37,7 @@ PYTHON_OK = {
     "x24_frame_sample",  # sampling over the mapInPandas decode output
     "z1_stream_rollup",
     "z2_stream_sessions",
+    "z11_stream_funnel",  # applyInPandasWithState state machine
 }
 
 

@@ -350,3 +350,41 @@ def test_stream_bottom_k_matches_batch_and_batching_invariant(spark, tmp_path):
     for r in bottom_k_per_group(ev, "event_type", "event_id", k=20).collect():
         want.setdefault(r["event_type"], set()).add(r["event_id"])
     assert latest == want
+
+
+def test_stream_funnel_matches_batch_across_batches(spark, tmp_path):
+    """The funnel state machine's min-merge state is order-insensitive:
+    two micro-batches (1 file per trigger) converge to the same
+    per-user stage as the batch per-user funnel."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from pagerank_using_mapreduce_spark.streaming import events as se
+
+    t = pq.read_table(f"{SF}/events.parquet")
+    d = tmp_path / "split_funnel"
+    d.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), d / "a.parquet")
+    pq.write_table(t.slice(half), d / "b.parquet")
+
+    latest: dict = {}
+
+    def collect(batch_df, _bid):
+        for r in batch_df.collect():
+            latest[r["user_id"]] = r["stage"]  # update-mode: last wins
+
+    stream = se.funnel_stream(
+        se.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    )
+    se.run_foreach_batch(stream, collect, output_mode="update")
+
+    from pagerank_using_mapreduce_spark.plans.relational import E6_STAGE_SQL
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    want = {
+        int(r.user_id): int(r.stage)
+        for _, r in con.execute(E6_STAGE_SQL).df().iterrows()
+    }
+    assert latest == want and len(want) > 0
