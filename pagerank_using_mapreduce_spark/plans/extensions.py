@@ -508,6 +508,59 @@ def q_x54_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(_docs(spark, sf_dir))
 
 
+def q_x55_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup clusters: transitive closure of the
+    embedding-cosine near-dup pairs (x15) via the same convergent
+    min-label machinery the text-LSH clusters use (x33) — the
+    composition that turns pairwise near-dup evidence into one
+    canonical representative per semantic group."""
+    from ..operators.dedup import cluster_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dups(emb).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    # the cluster universe is the same augmented set the pair relation
+    # is defined over (x15) — clustering the raw table against pairs
+    # that reference augmented ids would silently drop cluster members
+    from ..operators.similarity import augment_embeddings
+
+    docs = augment_embeddings(emb).select(F.col("vec_id").alias("doc_id"))
+    return cluster_pairs(docs, pairs).select(
+        F.col("doc_id").alias("vec_id"), "canonical_id", "is_canonical"
+    )
+
+
+def _x55_sql(rounds: int = 8) -> str:
+    """Min-label unroll over the x15 pair relation (idempotent past
+    the fixpoint, valid while rounds >= pair-graph diameter — planted
+    near-dup groups are small)."""
+    from ..operators.similarity import AUGMENT_EMB_SQL
+
+    ctes = [
+        f"universe AS MATERIALIZED (SELECT vec_id FROM ({AUGMENT_EMB_SQL}))",
+        f"nd AS MATERIALIZED ({EMBEDDING_NEAR_DUP_SQL})",
+        "sym AS MATERIALIZED (SELECT vec_a AS doc_a, vec_b AS doc_b FROM nd "
+        "UNION ALL SELECT vec_b AS doc_a, vec_a AS doc_b FROM nd)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT doc_a AS doc_id, doc_a AS label FROM sym)",
+    ]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""l{k} AS MATERIALIZED (
+  SELECT doc_id, MIN(label) AS label FROM (
+    SELECT doc_id, label FROM l{k - 1}
+    UNION ALL
+    SELECT e.doc_a AS doc_id, l.label
+    FROM sym e JOIN l{k - 1} l ON l.doc_id = e.doc_b
+  ) GROUP BY doc_id)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT u.vec_id,
+       COALESCE(l.label, u.vec_id) AS canonical_id,
+       u.vec_id = COALESCE(l.label, u.vec_id) AS is_canonical
+FROM universe u LEFT JOIN l{rounds} l ON l.doc_id = u.vec_id"""
+
+
 def q_x53_histogram_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type value histograms (one fixed-bin sketch per
     group): at most |groups|*nbins aggregate rows — per-segment
@@ -1078,6 +1131,7 @@ EXTENSION_QUERIES = {
     "x52_char_lm_scores": q_x52_char_lm_scores,
     "x53_histogram_by_type": q_x53_histogram_by_type,
     "x54_ngram_contamination": q_x54_ngram_contamination,
+    "x55_semantic_clusters": q_x55_semantic_clusters,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z9_stream_bottomk": q_z9_stream_bottomk,
@@ -1216,6 +1270,7 @@ GROUP BY 1, 2""",
     "x52_char_lm_scores": _char_lm_oracle(),
     "x53_histogram_by_type": _histogram_by_type_oracle(),
     "x54_ngram_contamination": _ngram_contamination_oracle(),
+    "x55_semantic_clusters": _x55_sql(),
     "x43_join_size_estimate": cms_join_size_estimate_sql(
         "lineitem",
         "l_orderkey",

@@ -305,3 +305,33 @@ def test_srp_multiprobe_recall_at_least_single_probe(spark):
     assert single <= multi <= exhaustive
     assert len(multi) / len(exhaustive) >= len(single) / len(exhaustive)
     assert len(multi) / len(exhaustive) >= 0.5  # recall floor with probing
+
+
+def test_semantic_clusters_consistent_with_pairs(spark):
+    """Every embedding near-dup pair lands in the same cluster, the
+    canonical is the cluster min, and non-pair members are singletons."""
+    from pyspark.sql import functions as F
+
+    from pagerank_using_mapreduce_spark.operators.dedup import cluster_pairs
+    from pagerank_using_mapreduce_spark.operators.similarity import (
+        augment_embeddings,
+        embedding_near_dups,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = embedding_near_dups(emb).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    out = cluster_pairs(
+        augment_embeddings(emb).select(F.col("vec_id").alias("doc_id")), pairs
+    )
+    canon = {r["doc_id"]: r["canonical_id"] for r in out.collect()}
+    pr = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert pr, "expected planted near-dup pairs in testdata"
+    for a, b in pr:
+        assert canon[a] == canon[b]
+        assert canon[a] <= min(a, b)
+    members = {a for p in pr for a in p}
+    for d, c in canon.items():
+        if d not in members:
+            assert c == d  # singleton
