@@ -146,10 +146,12 @@ def minhash_signatures_sql(shingles_query: str, n_hashes: int = N_HASHES) -> str
 # ---------------------------------------------------------------------------
 
 
-def lsh_candidates(
+def band_table(
     sigs: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
 ) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs sharing at least one band bucket."""
+    """(doc_id, band, bucket): the LSH band-bucket relation — the
+    reusable 'dedup index' an incremental pipeline persists and joins
+    every incoming batch against."""
     rows = n_hashes // n_bands
     bands = []
     for b in range(n_bands):
@@ -164,6 +166,14 @@ def lsh_candidates(
     allb = bands[0]
     for b in bands[1:]:
         allb = allb.unionAll(b)
+    return allb
+
+
+def lsh_candidates(
+    sigs: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs sharing at least one band bucket."""
+    allb = band_table(sigs, n_bands, n_hashes)
     a = allb.alias("a")
     b_ = allb.alias("b")
     return (
@@ -439,6 +449,97 @@ jac AS (
   JOIN sizes nb ON nb.doc_id = i.doc_b
 )
 SELECT doc_a, doc_b,
+       CAST(FLOOR(jaccard * 1e6 + 0.5000001) AS BIGINT) AS jaccard_e6
+FROM jac WHERE jaccard >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a NEW batch screened against the EXISTING corpus.
+# The production ingest shape — the full-corpus self-join (x4) re-pays
+# the whole pairwise cost every run, while here the existing side's
+# band table is the persisted dedup INDEX and each incoming batch only
+# joins against it: candidate generation is new x existing, never
+# new x new or existing x existing.
+# ---------------------------------------------------------------------------
+
+
+def incremental_near_dups(
+    existing: DataFrame,
+    new: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """(new_doc, existing_doc, jaccard_e6): new-batch documents that
+    near-duplicate some existing document.  Same shingle/minhash/band
+    parameters as the batch pipeline, so a doc flagged here is exactly
+    a doc the full self-join would have paired across the boundary."""
+    sh_e, sh_n = shingles(existing), shingles(new)
+    be = band_table(minhash_signatures(sh_e))
+    bn = band_table(minhash_signatures(sh_n))
+    cand = (
+        bn.alias("n")
+        .join(
+            be.alias("e"),
+            (F.col("n.band") == F.col("e.band"))
+            & (F.col("n.bucket") == F.col("e.bucket")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_a"), F.col("e.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return verified_near_dups(sh_n.unionAll(sh_e), cand, threshold).select(
+        F.col("doc_a").alias("new_doc"),
+        F.col("doc_b").alias("existing_doc"),
+        "jaccard_e6",
+    )
+
+
+def incremental_near_dups_sql(
+    existing_sql: str, new_sql: str, threshold: float = JACCARD_THRESHOLD
+) -> str:
+    """DuckDB twin: identical band keys per side, new x existing join,
+    identical Jaccard verification."""
+    rows = N_HASHES // N_BANDS
+
+    def bands_q(sig_alias: str) -> str:
+        selects = []
+        for b in range(N_BANDS):
+            cols = " || '|' || ".join(
+                f"sig_{b * rows + r}" for r in range(rows)
+            )
+            selects.append(
+                f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM {sig_alias}"
+            )
+        return " UNION ALL ".join(selects)
+
+    return f"""
+WITH she AS ({shingles_sql(existing_sql)}),
+shn AS ({shingles_sql(new_sql)}),
+sige AS ({minhash_signatures_sql("SELECT * FROM she")}),
+sign AS ({minhash_signatures_sql("SELECT * FROM shn")}),
+be AS ({bands_q("sige")}),
+bn AS ({bands_q("sign")}),
+cand AS (
+  SELECT DISTINCT n.doc_id AS doc_a, e.doc_id AS doc_b
+  FROM bn n JOIN be e ON n.band = e.band AND n.bucket = e.bucket
+),
+sh AS (SELECT * FROM shn UNION ALL SELECT * FROM she),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc_a
+  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+jac AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.n_inter) AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+)
+SELECT doc_a AS new_doc, doc_b AS existing_doc,
        CAST(FLOOR(jaccard * 1e6 + 0.5000001) AS BIGINT) AS jaccard_e6
 FROM jac WHERE jaccard >= {threshold}"""
 

@@ -508,6 +508,24 @@ def q_x54_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(_docs(spark, sf_dir))
 
 
+def q_x56_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: the synthetic dup batch (augmented
+    ids) screened against the existing corpus — candidates are
+    new x existing band matches only, never a full self-join; the
+    existing band table is the persisted index at production scale."""
+    aug = dd.augment_docs(_docs(spark, sf_dir))
+    new = aug.where(F.col("doc_id") >= dd.NEAR_DUP_OFFSET)
+    existing = aug.where(F.col("doc_id") < dd.NEAR_DUP_OFFSET)
+    return dd.incremental_near_dups(existing, new)
+
+
+def _x56_sql() -> str:
+    return dd.incremental_near_dups_sql(
+        f"SELECT * FROM ({dd.AUGMENT_SQL}) WHERE doc_id < {dd.NEAR_DUP_OFFSET}",
+        f"SELECT * FROM ({dd.AUGMENT_SQL}) WHERE doc_id >= {dd.NEAR_DUP_OFFSET}",
+    )
+
+
 def q_x55_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup clusters: transitive closure of the
     embedding-cosine near-dup pairs (x15) via the same convergent
@@ -1132,6 +1150,7 @@ EXTENSION_QUERIES = {
     "x53_histogram_by_type": q_x53_histogram_by_type,
     "x54_ngram_contamination": q_x54_ngram_contamination,
     "x55_semantic_clusters": q_x55_semantic_clusters,
+    "x56_incremental_dedup": q_x56_incremental_dedup,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z9_stream_bottomk": q_z9_stream_bottomk,
@@ -1271,6 +1290,7 @@ GROUP BY 1, 2""",
     "x53_histogram_by_type": _histogram_by_type_oracle(),
     "x54_ngram_contamination": _ngram_contamination_oracle(),
     "x55_semantic_clusters": _x55_sql(),
+    "x56_incremental_dedup": _x56_sql(),
     "x43_join_size_estimate": cms_join_size_estimate_sql(
         "lineitem",
         "l_orderkey",

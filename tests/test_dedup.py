@@ -157,3 +157,28 @@ def test_cluster_pairs_long_chain_converges(spark):
     assert all(got[i] == 0 for i in range(n)), got
     # the two docs outside the chain stay singletons
     assert got[n] == n and got[n + 1] == n + 1
+
+
+def test_incremental_dedup_matches_cross_boundary_pairs(spark):
+    """Incremental screening of the synthetic batch against the
+    existing corpus finds exactly the cross-boundary subset of the
+    full self-join's verified pairs (same shingle/band parameters)."""
+    from pyspark.sql import functions as F
+
+    from pagerank_using_mapreduce_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    aug = dd.augment_docs(docs)
+    new = aug.where(F.col("doc_id") >= dd.NEAR_DUP_OFFSET)
+    existing = aug.where(F.col("doc_id") < dd.NEAR_DUP_OFFSET)
+    got = {
+        (r["new_doc"], r["existing_doc"], r["jaccard_e6"])
+        for r in dd.incremental_near_dups(existing, new).collect()
+    }
+    full = {
+        (max(r["doc_a"], r["doc_b"]), min(r["doc_a"], r["doc_b"]), r["jaccard_e6"])
+        for r in dd.near_dup_pipeline(aug).collect()
+        # cross-boundary = exactly one side in the synthetic batch
+        if (r["doc_a"] >= dd.NEAR_DUP_OFFSET) != (r["doc_b"] >= dd.NEAR_DUP_OFFSET)
+    }
+    assert got == full and len(got) > 0
