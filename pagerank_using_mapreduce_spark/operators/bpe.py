@@ -207,3 +207,64 @@ v{k + 1} AS MATERIALIZED (
         for k in range(n_merges)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + union
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate: given a top-K frequency vocabulary,
+# what fraction of corpus tokens would be out-of-vocabulary — the
+# metric that sizes a tokenizer's word list.  Rides the same
+# corpus->vocab compression as the BPE trainer: everything after the
+# first groupBy runs on the distinct-word relation.
+# --------------------------------------------------------------------------
+
+VOCAB_K = 20
+
+
+def vocab_coverage(documents: DataFrame, k: int = VOCAB_K) -> DataFrame:
+    """One row: (vocab_k, n_distinct_words, total_tokens,
+    covered_tokens, oov_e6) for the top-``k``-by-frequency vocabulary
+    (ties broken alphabetically — deterministic cut)."""
+    wf = word_freqs(documents).persist()
+    top = wf.orderBy(F.desc("freq"), F.asc("word")).limit(k)
+    totals = wf.agg(
+        F.count("*").alias("n_distinct_words"),
+        F.sum("freq").alias("total_tokens"),
+    )
+    covered = top.agg(F.sum("freq").alias("covered_tokens"))
+    return (
+        totals.crossJoin(covered)
+        .select(
+            F.lit(k).cast("long").alias("vocab_k"),
+            "n_distinct_words",
+            "total_tokens",
+            "covered_tokens",
+            F.floor(
+                (1.0 - F.col("covered_tokens").cast("double") / F.col("total_tokens"))
+                * 1e6
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("oov_e6"),
+        )
+    )
+
+
+def vocab_coverage_sql(k: int = VOCAB_K) -> str:
+    return f"""
+WITH wf AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(list_filter(
+             string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+             t -> t != '')) AS word
+    FROM documents)
+  WHERE word != '' GROUP BY word
+),
+top AS (SELECT freq FROM wf ORDER BY freq DESC, word ASC LIMIT {k})
+SELECT CAST({k} AS BIGINT) AS vocab_k,
+       (SELECT COUNT(*) FROM wf) AS n_distinct_words,
+       (SELECT CAST(SUM(freq) AS BIGINT) FROM wf) AS total_tokens,
+       (SELECT CAST(SUM(freq) AS BIGINT) FROM top) AS covered_tokens,
+       CAST(FLOOR(
+         (1.0 - CAST((SELECT SUM(freq) FROM top) AS DOUBLE)
+                / (SELECT SUM(freq) FROM wf)) * 1e6 + 0.5000001) AS BIGINT)
+         AS oov_e6"""

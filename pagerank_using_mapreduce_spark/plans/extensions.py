@@ -508,6 +508,21 @@ def q_x54_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(_docs(spark, sf_dir))
 
 
+def q_x57_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV-rate metric for a top-20 frequency vocabulary — the
+    tokenizer-sizing statistic; runs on the distinct-word relation
+    after one corpus groupBy."""
+    from ..operators.bpe import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir))
+
+
+def _x57_sql() -> str:
+    from ..operators.bpe import vocab_coverage_sql
+
+    return vocab_coverage_sql()
+
+
 def q_x56_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest dedup: the synthetic dup batch (augmented
     ids) screened against the existing corpus — candidates are
@@ -1151,6 +1166,7 @@ EXTENSION_QUERIES = {
     "x54_ngram_contamination": q_x54_ngram_contamination,
     "x55_semantic_clusters": q_x55_semantic_clusters,
     "x56_incremental_dedup": q_x56_incremental_dedup,
+    "x57_vocab_coverage": q_x57_vocab_coverage,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z9_stream_bottomk": q_z9_stream_bottomk,
@@ -1291,6 +1307,7 @@ GROUP BY 1, 2""",
     "x54_ngram_contamination": _ngram_contamination_oracle(),
     "x55_semantic_clusters": _x55_sql(),
     "x56_incremental_dedup": _x56_sql(),
+    "x57_vocab_coverage": _x57_sql(),
     "x43_join_size_estimate": cms_join_size_estimate_sql(
         "lineitem",
         "l_orderkey",
