@@ -234,3 +234,63 @@ def test_chunk_windows_covers_every_token(spark, texts, max_len, stride_frac):
         # implies another stride fits or the next chunk covers the rest)
         for c, ln in chunks[:-1]:
             assert ln == max_len
+
+
+def _ref_bpe(texts, n_merges):
+    """Pure-python BPE reference: same tokenization, greedy fusion,
+    count-then-lex-min tiebreak."""
+    import collections
+    import re
+
+    vocab = collections.Counter()
+    for t in texts:
+        for w in re.sub(r"[^a-zA-Z]+", " ", t).strip().lower().split(" "):
+            if w:
+                vocab[w] += 1
+    syms = {w: list(w) for w in vocab}
+    out = []
+    for i in range(n_merges):
+        counts = collections.Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        out.append((i, l, r, c))
+        for w in vocab:
+            s, ns = syms[w], []
+            for x in s:
+                if ns and ns[-1] == l and x == r:
+                    ns[-1] = l + r
+                else:
+                    ns.append(x)
+            syms[w] = ns
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc d", min_size=0, max_size=60),
+        min_size=1,
+        max_size=5,
+    ),
+    n_merges=st.integers(min_value=1, max_value=4),
+)
+@_SETTINGS
+def test_bpe_matches_python_reference(spark, texts, n_merges):
+    """For ANY corpus, the distributed trainer reproduces the exact
+    merge trajectory of a sequential reference implementation —
+    pair counts, tiebreaks, greedy fusion and early stop included."""
+    from pagerank_using_mapreduce_spark.operators.bpe import bpe_merges
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = [
+        (r["merge_idx"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_merges(df, n_merges=n_merges).orderBy("merge_idx").collect()
+    ]
+    assert got == _ref_bpe(texts, n_merges)
