@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "x48_chunk_windows",
     "x49_curriculum_order",
     "x51_bpe_merges",
+    "x54_ngram_contamination",
+    "x56_incremental_dedup",
 ]
 
 # The iterative/heavy queries whose scaling behavior matters most;

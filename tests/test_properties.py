@@ -294,3 +294,46 @@ def test_bpe_matches_python_reference(spark, texts, n_merges):
         for r in bpe_merges(df, n_merges=n_merges).orderBy("merge_idx").collect()
     ]
     assert got == _ref_bpe(texts, n_merges)
+
+
+@given(
+    n_heavy=st.integers(min_value=4, max_value=40),
+    n_light=st.integers(min_value=4, max_value=40),
+    w_heavy=st.integers(min_value=2, max_value=5),
+)
+@_SETTINGS
+def test_curriculum_prefix_proportionality(spark, n_heavy, n_light, w_heavy):
+    """For ANY two-source corpus with weights (w, 1): in every prefix
+    of the schedule that still has both sources unexhausted, the
+    heavy source's count stays within one interleave period of
+    w x the light source's count — the defining property of the
+    rational r/w schedule."""
+    from pyspark.sql import functions as F
+
+    from pagerank_using_mapreduce_spark.operators.sampling import (
+        curriculum_order,
+    )
+
+    rows = [(f"h{i}", "heavy") for i in range(n_heavy)] + [
+        (f"l{i}", "light") for i in range(n_light)
+    ]
+    df = spark.createDataFrame(rows, ["id", "source"])
+    w = F.when(F.col("source") == "heavy", w_heavy).otherwise(1)
+    ordered = [
+        r["source"]
+        for r in sorted(
+            curriculum_order(df, "source", "id", weight=w).collect(),
+            key=lambda r: r["pos"],
+        )
+    ]
+    assert sorted(ordered) == sorted(r[1] for r in rows)  # permutation
+    h = l = 0
+    for s in ordered:
+        if s == "heavy":
+            h += 1
+        else:
+            l += 1
+        if h < n_heavy and l < n_light:
+            # heavy rank r appears at key ~r/w, light rank q at ~q:
+            # within any prefix, h/w and l differ by at most 1 period
+            assert abs(h / w_heavy - l) <= w_heavy + 1, (h, l, ordered)
