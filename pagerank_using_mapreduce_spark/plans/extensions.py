@@ -508,6 +508,21 @@ def q_x54_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(_docs(spark, sf_dir))
 
 
+def q_x58_fuzzy_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-2 vocabulary pairs via symmetric-delete blocking
+    (SymSpell) + built-in levenshtein verify — fuzzy joins without a
+    quadratic cross join, on the distinct-word relation."""
+    from ..operators.fuzzy import fuzzy_word_pairs
+
+    return fuzzy_word_pairs(_docs(spark, sf_dir))
+
+
+def _x58_sql() -> str:
+    from ..operators.fuzzy import fuzzy_word_pairs_sql
+
+    return fuzzy_word_pairs_sql()
+
+
 def q_x57_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OOV-rate metric for a top-20 frequency vocabulary — the
     tokenizer-sizing statistic; runs on the distinct-word relation
@@ -1167,6 +1182,7 @@ EXTENSION_QUERIES = {
     "x55_semantic_clusters": q_x55_semantic_clusters,
     "x56_incremental_dedup": q_x56_incremental_dedup,
     "x57_vocab_coverage": q_x57_vocab_coverage,
+    "x58_fuzzy_word_pairs": q_x58_fuzzy_word_pairs,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z9_stream_bottomk": q_z9_stream_bottomk,
@@ -1308,6 +1324,7 @@ GROUP BY 1, 2""",
     "x55_semantic_clusters": _x55_sql(),
     "x56_incremental_dedup": _x56_sql(),
     "x57_vocab_coverage": _x57_sql(),
+    "x58_fuzzy_word_pairs": _x58_sql(),
     "x43_join_size_estimate": cms_join_size_estimate_sql(
         "lineitem",
         "l_orderkey",

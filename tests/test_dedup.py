@@ -182,3 +182,46 @@ def test_incremental_dedup_matches_cross_boundary_pairs(spark):
         if (r["doc_a"] >= dd.NEAR_DUP_OFFSET) != (r["doc_b"] >= dd.NEAR_DUP_OFFSET)
     }
     assert got == full and len(got) > 0
+
+
+def test_fuzzy_word_pairs_complete_vs_brute_force(spark):
+    """SymSpell depth-2 blocking finds EVERY pair within Levenshtein
+    distance 2 — verified against a brute-force all-pairs check on a
+    vocabulary exercising substitution, insertion, deletion and
+    transposition."""
+    from pagerank_using_mapreduce_spark.operators.fuzzy import fuzzy_word_pairs
+
+    text = "cat bat cart ca act dog carts zebra zebro"
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    got = {
+        (r["word_a"], r["word_b"]): r["dist"]
+        for r in fuzzy_word_pairs(df).collect()
+    }
+
+    def lev(a, b):
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def d(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(
+                d(i - 1, j) + 1,
+                d(i, j - 1) + 1,
+                d(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+
+        return d(len(a), len(b))
+
+    words = sorted(set(text.split()))
+    want = {
+        (a, b): lev(a, b)
+        for i, a in enumerate(words)
+        for b in words[i + 1 :]
+        if lev(a, b) <= 2
+    }
+    assert got == want
+    assert ("act", "cat") in got and got[("act", "cat")] == 2  # transposition
+    assert ("cat", "dog") not in got  # distance 3 excluded
