@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "x51_bpe_merges",
     "x54_ngram_contamination",
     "x56_incremental_dedup",
+    "g8_sssp_dists",
+    "x55_semantic_clusters",
 ]
 
 # The iterative/heavy queries whose scaling behavior matters most;
