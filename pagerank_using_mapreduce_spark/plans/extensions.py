@@ -508,6 +508,71 @@ def q_x54_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(_docs(spark, sf_dir))
 
 
+C2_MIN_TOKENS = 40  # admits most of the batch, rejects short docs
+
+
+def q_c2_ingest_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-side composition (the ingest twin of c1): an incoming
+    batch — genuinely new documents (every 7th original) MIXED with
+    re-crawled duplicates (the synthetic dup set) — is token-count
+    gated, screened against the EXISTING corpus's LSH band index
+    (x56 — never a self-join), and the admitted docs are split, with
+    per-split accounting.  One plan; the gate runs BEFORE the dedup
+    screen so rejected docs never pay shingling; duplicates of
+    existing content are dropped while the genuinely new docs pass."""
+    from ..functions.textops import strip_non_alpha, tokens
+
+    aug = dd.augment_docs(_docs(spark, sf_dir))
+    in_batch = (F.col("doc_id") % 7 == 3) | (
+        F.col("doc_id") >= dd.NEAR_DUP_OFFSET
+    )
+    new = aug.where(in_batch)
+    existing = aug.where(~in_batch)
+    gated = new.where(
+        F.size(tokens(strip_non_alpha(F.col("text")))) >= C2_MIN_TOKENS
+    )
+    dups = (
+        dd.incremental_near_dups(existing, gated)
+        .select(F.col("new_doc").alias("doc_id"))
+        .distinct()
+    )
+    admitted = gated.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    ).join(dups, "doc_id", "left_anti")
+    return (
+        hash_split(admitted, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def _c2_sql() -> str:
+    in_batch = f"(doc_id % 7 = 3 OR doc_id >= {dd.NEAR_DUP_OFFSET})"
+    gated_new = f"""
+  SELECT doc_id, text FROM ({dd.AUGMENT_SQL})
+  WHERE {in_batch}
+    AND len(list_filter(string_split_regex(
+          lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+          t -> t != '')) >= {C2_MIN_TOKENS}"""
+    existing = f"SELECT * FROM ({dd.AUGMENT_SQL}) WHERE NOT {in_batch}"
+    inc = dd.incremental_near_dups_sql(existing, gated_new)
+    return f"""
+WITH dups AS (SELECT DISTINCT new_doc AS doc_id FROM ({inc})),
+admitted AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+  FROM ({gated_new})
+  WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+)
+SELECT {hash_split_sql("doc_id")} AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM admitted
+GROUP BY 1"""
+
+
 def q_x58_fuzzy_word_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance-2 vocabulary pairs via symmetric-delete blocking
     (SymSpell) + built-in levenshtein verify — fuzzy joins without a
@@ -1183,6 +1248,7 @@ EXTENSION_QUERIES = {
     "x56_incremental_dedup": q_x56_incremental_dedup,
     "x57_vocab_coverage": q_x57_vocab_coverage,
     "x58_fuzzy_word_pairs": q_x58_fuzzy_word_pairs,
+    "c2_ingest_curation": q_c2_ingest_curation,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z9_stream_bottomk": q_z9_stream_bottomk,
@@ -1325,6 +1391,7 @@ GROUP BY 1, 2""",
     "x56_incremental_dedup": _x56_sql(),
     "x57_vocab_coverage": _x57_sql(),
     "x58_fuzzy_word_pairs": _x58_sql(),
+    "c2_ingest_curation": _c2_sql(),
     "x43_join_size_estimate": cms_join_size_estimate_sql(
         "lineitem",
         "l_orderkey",
