@@ -43,15 +43,21 @@ PYTHON_OK = {
 
 def test_no_python_in_batch_query_plans(spark):
     """Every batch query compiles to pure JVM operators — no
-    row-at-a-time or Arrow Python evaluation anywhere in the hot path."""
-    offenders = []
+    row-at-a-time or Arrow Python evaluation anywhere in the hot path —
+    and NO plan anywhere contains a CartesianProduct (a non-broadcast
+    cross join replicates both sides; every pairwise operator must go
+    through blocking keys or a broadcast nested loop instead)."""
+    offenders, cartesian = [], []
     for name, fn in QUERIES.items():
-        if name in PYTHON_OK:
-            continue
         plan = _plan(fn(spark, SF))
-        if "EvalPython" in plan or "MapInPandas" in plan:
+        if name not in PYTHON_OK and (
+            "EvalPython" in plan or "MapInPandas" in plan
+        ):
             offenders.append(name)
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
     assert not offenders, f"Python in plans of: {offenders}"
+    assert not cartesian, f"CartesianProduct in plans of: {cartesian}"
 
 
 def test_token_counts_prunes_to_text_column(spark):
