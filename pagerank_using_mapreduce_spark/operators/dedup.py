@@ -677,3 +677,102 @@ SELECT d.doc_id,
        COALESCE(l.label, d.doc_id) AS canonical_id,
        d.doc_id = COALESCE(l.label, d.doc_id) AS is_canonical
 FROM docs d LEFT JOIN l{rounds} l USING (doc_id)"""
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (CCNet-style): dedup at sub-document
+# grain, keeping each distinct paragraph only at its globally-first
+# occurrence.  Catches boilerplate repeated ACROSS documents that
+# whole-doc dedup (x1) can never see.  Documents in this corpus are
+# unpunctuated word streams, so "paragraph" = non-overlapping
+# PARA_WORDS-token window (the grain is a parameter; on real corpora
+# it would be the newline split).
+# ---------------------------------------------------------------------------
+
+PARA_WORDS = 10
+
+
+def paragraphs(docs: DataFrame, win: int = PARA_WORDS) -> DataFrame:
+    """(doc_id, para_idx, para_hash): md5 of each non-overlapping
+    ``win``-token window, in document order.  Hashing BEFORE the
+    shuffle means the wide stages move 32-byte digests, never text —
+    the thing that makes this viable when paragraphs are kilobytes."""
+    toked = docs.select(
+        "doc_id", tokens(strip_non_alpha("text")).alias("toks")
+    )
+    paras = F.when(
+        F.size("toks") > 0,
+        F.expr(
+            f"transform(sequence(0, (size(toks) - 1) div {win}), "
+            f"i -> struct(CAST(i AS BIGINT) AS para_idx, "
+            f"md5(concat_ws(' ', slice(toks, i * {win} + 1, {win}))) AS para_hash))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<struct<para_idx: bigint, para_hash: string>>)"))
+    return toked.select("doc_id", F.explode(paras).alias("p")).select(
+        "doc_id", "p.para_idx", "p.para_hash"
+    )
+
+
+def paragraph_dedup(docs: DataFrame, win: int = PARA_WORDS) -> DataFrame:
+    """(doc_id, n_paras, n_kept, n_dropped): global first-occurrence
+    paragraph dedup — a paragraph survives only in the document where
+    it first appears (min (doc_id, para_idx) over its hash group).
+
+    Shuffle budget: one groupBy + one join, both keyed on the uniform
+    md5 ``para_hash`` (skew-free by construction), then one doc_id
+    aggregate.  Nothing in the wide stages carries text."""
+    p = paragraphs(docs, win)
+    winners = p.groupBy("para_hash").agg(
+        F.min(F.struct("doc_id", "para_idx")).alias("w")
+    )
+    flagged = p.join(winners, "para_hash").select(
+        "doc_id",
+        (
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("para_idx") == F.col("w.para_idx"))
+        )
+        .cast("long")
+        .alias("kept"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum("kept").alias("n_kept"),
+        (F.count("*") - F.sum("kept")).alias("n_dropped"),
+    )
+
+
+def paragraph_dedup_sql(docs_sql: str, win: int = PARA_WORDS) -> str:
+    """DuckDB twin: identical windows (1-based inclusive list slice ==
+    Spark's ``slice(toks, start, len)``), first-occurrence via a
+    ROW_NUMBER window (equivalent to the min-struct group)."""
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+           lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '') AS toks
+  FROM ({docs_sql})
+),
+p AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) > 0
+    THEN list_transform(range(0, (len(toks) - 1) // {win} + 1),
+           i -> struct_pack(
+             para_idx := CAST(i AS BIGINT),
+             para_hash := md5(array_to_string(
+               toks[(i * {win} + 1):(i * {win} + {win})], ' '))))
+    ELSE [] END, recursive := true)
+  FROM toked
+),
+flagged AS (
+  SELECT doc_id,
+         CASE WHEN ROW_NUMBER() OVER (
+             PARTITION BY para_hash ORDER BY doc_id, para_idx) = 1
+           THEN 1 ELSE 0 END AS kept
+  FROM p
+)
+SELECT doc_id,
+       COUNT(*) AS n_paras,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped
+FROM flagged
+GROUP BY doc_id"""

@@ -408,3 +408,114 @@ SELECT ROW_NUMBER() OVER (ORDER BY (rnk * {CURRICULUM_PREC}) // w, source, rnk)
          AS pos,
        source, id
 FROM r"""
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture rebalancing: the multilingual-corpus
+# resampler (p_g ∝ n_g^α).  With α < 1 the head group (e.g. English)
+# is downsampled toward the tail groups — the standard knob for
+# balancing a training mixture without upsampling anything.
+# ---------------------------------------------------------------------------
+
+TEMP_SEED = "temp-0"
+
+
+def _temp_rates(df: DataFrame, group_col: str) -> DataFrame:
+    """(group, n_before, thr): per-group admission thresholds for
+    α = 0.5 temperature sampling, computed declaratively (no driver
+    round-trip).  The keep-rate that turns counts n_g into targets
+    ∝ n_g^α is r_g = (min_n / n_g)^(1-α); α = 0.5 makes that a single
+    ``sqrt`` — IEEE-correctly-rounded in both engines, so the floor'd
+    threshold is cross-engine deterministic (general ``pow`` is exp/ln
+    and is NOT).  The smallest group keeps everything (r = 1).
+
+    Scale: the rate relation is |groups| rows (languages/sources — tiny
+    forever); the min is a 1-row broadcast."""
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_before")
+    )
+    mn = counts.agg(F.min("n_before").alias("min_n"))
+    return counts.crossJoin(F.broadcast(mn)).select(
+        "grp",
+        "n_before",
+        F.floor(
+            F.sqrt(F.col("min_n").cast("double") / F.col("n_before")) * _BUCKETS
+        )
+        .cast("long")
+        .alias("thr"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    seed: str = TEMP_SEED,
+) -> DataFrame:
+    """Rows of ``df`` admitted by α = 0.5 temperature sampling over
+    ``group_col``: row survives iff its md5 bucket clears its group's
+    data-derived threshold.  Per-row membership stays a pure function
+    of (seed, key, the group's count) — retry/layout-stable like every
+    sampler here; the only addition over :func:`stratified_sample` is
+    that the fractions come FROM the data (one tiny aggregate,
+    broadcast back).  The threshold is compared in 5-hex-digit space so
+    thr = 65536 ('10000') keeps every row of the smallest group."""
+    rates = _temp_rates(df, group_col).select(
+        F.col("grp").alias("__tm_grp"), F.col("thr").alias("__tm_thr")
+    )
+    bucket = F.concat(F.lit("0"), _bucket_hex(F.col(key_col), seed))
+    return (
+        df.join(F.broadcast(rates), df[group_col] == rates["__tm_grp"])
+        .where(bucket < F.format_string("%05x", F.col("__tm_thr")))
+        .drop("__tm_grp", "__tm_thr")
+    )
+
+
+def temperature_mix_summary(
+    df: DataFrame, group_col: str, key_col: str, seed: str = TEMP_SEED
+) -> DataFrame:
+    """(grp, n_before, thr, n_after): the audit view of
+    :func:`temperature_mix` — what each group's keep-threshold was and
+    how many rows cleared it."""
+    admitted = (
+        temperature_mix(df, group_col, key_col, seed)
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(F.count("*").alias("n_after"))
+    )
+    return (
+        _temp_rates(df, group_col)
+        .join(admitted, "grp", "left")
+        .select(
+            "grp",
+            "n_before",
+            "thr",
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+        )
+    )
+
+
+def temperature_mix_summary_sql(
+    table: str, group_expr: str, key_expr: str, seed: str = TEMP_SEED
+) -> str:
+    """DuckDB twin of :func:`temperature_mix_summary` (identical rate
+    arithmetic: BIGINT counts → DOUBLE divide → sqrt → floor)."""
+    b = _bucket_hex_sql(key_expr, seed)
+    return f"""
+WITH c AS (
+  SELECT {group_expr} AS grp, COUNT(*) AS n_before FROM {table} GROUP BY 1
+),
+m AS (SELECT MIN(n_before) AS min_n FROM c),
+r AS (
+  SELECT grp, n_before,
+         CAST(FLOOR(SQRT(CAST(min_n AS DOUBLE) / n_before) * {_BUCKETS})
+              AS BIGINT) AS thr
+  FROM c CROSS JOIN m
+),
+a AS (
+  SELECT {group_expr} AS grp, COUNT(*) AS n_after
+  FROM {table} t JOIN r ON {group_expr} = r.grp
+  WHERE ('0' || {b}) < printf('%05x', thr)
+  GROUP BY 1
+)
+SELECT r.grp, r.n_before, r.thr, COALESCE(a.n_after, 0) AS n_after
+FROM r LEFT JOIN a ON r.grp = a.grp"""

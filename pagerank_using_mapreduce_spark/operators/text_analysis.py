@@ -556,3 +556,116 @@ tr AS (SELECT DISTINCT doc_id, gram FROM g WHERE split = 'train')
 SELECT doc_id, COUNT(*) AS n_shared
 FROM tr WHERE gram IN (SELECT gram FROM ev)
 GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: bigram lift (observed / expected-under-
+# independence — the monotone core of PMI without the cross-engine
+# hazard of log(), which is not IEEE-correctly-rounded).  Surfaces the
+# corpus's multi-word expressions; a training pipeline uses the top of
+# this list for tokenizer phrase candidates and template detection.
+# ---------------------------------------------------------------------------
+
+LIFT_MIN_COUNT = 5
+LIFT_TOP_K = 50
+
+
+def bigram_lift(
+    documents: DataFrame,
+    min_count: int = LIFT_MIN_COUNT,
+    top_k: int = LIFT_TOP_K,
+) -> DataFrame:
+    """(left, right, pair_cnt, lift_e6): the ``top_k`` adjacent word
+    pairs by lift = P(l,r) / (P(l)·P(r)), pairs below ``min_count``
+    dropped (rare-pair lift is noise).
+
+    Scale shape: two vocabulary-sized aggregates (unigrams, bigrams —
+    both with map-side partial agg), two joins keyed on single words
+    (uniform Zipf head is fine: the join carries the DISTINCT pair
+    relation, not token occurrences), two 1-row total broadcasts, and a
+    TakeOrdered top-k — no full sort.  All arithmetic after the integer
+    counts is a fixed-association double expression, identical text in
+    the oracle, so e6 quantization is cross-engine stable."""
+    uni = (
+        documents.select(F.explode(_toks()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("ucnt"))
+    )
+    n_uni = uni.agg(F.sum("ucnt").cast("double").alias("n_tok"))
+    bi = (
+        ngram_counts(documents, 2)
+        .where(F.col("cnt") >= min_count)
+        .select(
+            F.split("ngram", " ")[0].alias("left"),
+            F.split("ngram", " ")[1].alias("right"),
+            F.col("cnt").alias("pair_cnt"),
+        )
+    )
+    n_bi = (
+        ngram_counts(documents, 2)
+        .agg(F.sum("cnt").cast("double").alias("n_pair"))
+    )
+    lu = uni.select(F.col("word").alias("left"), F.col("ucnt").alias("lcnt"))
+    ru = uni.select(F.col("word").alias("right"), F.col("ucnt").alias("rcnt"))
+    lift = (F.col("pair_cnt").cast("double") / F.col("n_pair")) / (
+        (F.col("lcnt").cast("double") / F.col("n_tok"))
+        * (F.col("rcnt").cast("double") / F.col("n_tok"))
+    )
+    return (
+        bi.join(lu, "left")
+        .join(ru, "right")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "left",
+            "right",
+            "pair_cnt",
+            F.floor(lift * 1e6 + F.lit(0.5000001)).cast("long").alias("lift_e6"),
+        )
+        .orderBy(F.desc("lift_e6"), F.asc("left"), F.asc("right"))
+        .limit(top_k)
+    )
+
+
+def bigram_lift_sql(
+    min_count: int = LIFT_MIN_COUNT, top_k: int = LIFT_TOP_K
+) -> str:
+    """DuckDB twin of :func:`bigram_lift` — identical fixed-association
+    double arithmetic, identical tiebreak."""
+    return f"""
+WITH toked AS (
+  SELECT list_filter(string_split_regex(
+           lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT word, COUNT(*) AS ucnt
+  FROM (SELECT unnest(t) AS word FROM toked)
+  GROUP BY word
+),
+bi_all AS (
+  SELECT lft, rgt, COUNT(*) AS pair_cnt
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i])) AS lft,
+           unnest(list_transform(generate_series(1, len(t) - 1), i -> t[i+1])) AS rgt
+    FROM toked WHERE len(t) >= 2)
+  GROUP BY lft, rgt
+),
+tot AS (
+  SELECT CAST((SELECT SUM(ucnt) FROM uni) AS DOUBLE) AS n_tok,
+         CAST((SELECT SUM(pair_cnt) FROM bi_all) AS DOUBLE) AS n_pair
+)
+SELECT b.lft AS "left", b.rgt AS "right", b.pair_cnt,
+       CAST(FLOOR(
+         ((CAST(b.pair_cnt AS DOUBLE) / n_pair)
+          / ((CAST(l.ucnt AS DOUBLE) / n_tok)
+             * (CAST(r.ucnt AS DOUBLE) / n_tok))) * 1e6 + 0.5000001)
+         AS BIGINT) AS lift_e6
+FROM bi_all b
+JOIN uni l ON b.lft = l.word
+JOIN uni r ON b.rgt = r.word
+CROSS JOIN tot
+WHERE b.pair_cnt >= {min_count}
+ORDER BY lift_e6 DESC, "left" ASC, "right" ASC
+LIMIT {top_k}"""

@@ -1188,6 +1188,33 @@ def q_x50_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(load_table(spark, sf_dir, "events"), "value")
 
 
+def q_x59_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by lift (observed / expected-under-
+    independence): two vocab-sized aggregates + word-keyed joins +
+    TakeOrdered top-k — the tokenizer-phrase-candidate miner."""
+    from ..operators.text_analysis import bigram_lift
+
+    return bigram_lift(_docs(spark, sf_dir))
+
+
+def q_x60_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-grain) exact dedup over the augmented
+    corpus: every distinct 10-token window survives only at its
+    globally-first occurrence.  Wide stages move md5 digests, not
+    text."""
+    return dd.paragraph_dedup(dd.augment_docs(_docs(spark, sf_dir)))
+
+
+def q_x61_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alpha = 0.5 temperature rebalancing of the language mixture
+    (head language downsampled toward the tail): data-derived
+    per-group keep-thresholds, md5-deterministic membership.  Audit
+    view: (grp, n_before, thr, n_after)."""
+    from ..operators.sampling import temperature_mix_summary
+
+    return temperature_mix_summary(_docs(spark, sf_dir), "lang", "doc_id")
+
+
 EXTENSION_QUERIES = {
     "x1_exact_dedup": q_x1_exact_dedup,
     "x2_minhash_signatures": q_x2_minhash_signatures,
@@ -1249,6 +1276,9 @@ EXTENSION_QUERIES = {
     "x57_vocab_coverage": q_x57_vocab_coverage,
     "x58_fuzzy_word_pairs": q_x58_fuzzy_word_pairs,
     "c2_ingest_curation": q_c2_ingest_curation,
+    "x59_bigram_lift": q_x59_bigram_lift,
+    "x60_paragraph_dedup": q_x60_paragraph_dedup,
+    "x61_temperature_mix": q_x61_temperature_mix,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z9_stream_bottomk": q_z9_stream_bottomk,
@@ -1302,6 +1332,22 @@ def _char_lm_oracle() -> str:
     from ..operators.text_analysis import CHAR_LM_SQL
 
     return CHAR_LM_SQL
+
+
+def _x59_sql() -> str:
+    from ..operators.text_analysis import bigram_lift_sql
+
+    return bigram_lift_sql()
+
+
+def _x60_sql() -> str:
+    return dd.paragraph_dedup_sql(dd.AUGMENT_SQL)
+
+
+def _x61_sql() -> str:
+    from ..operators.sampling import temperature_mix_summary_sql
+
+    return temperature_mix_summary_sql("documents", "lang", "doc_id")
 
 
 EXTENSION_ORACLE = {
@@ -1392,6 +1438,9 @@ GROUP BY 1, 2""",
     "x57_vocab_coverage": _x57_sql(),
     "x58_fuzzy_word_pairs": _x58_sql(),
     "c2_ingest_curation": _c2_sql(),
+    "x59_bigram_lift": _x59_sql(),
+    "x60_paragraph_dedup": _x60_sql(),
+    "x61_temperature_mix": _x61_sql(),
     "x43_join_size_estimate": cms_join_size_estimate_sql(
         "lineitem",
         "l_orderkey",

@@ -1694,6 +1694,73 @@ FROM firsts
 """
 
 
+# --------------------------------------------------------------------------
+# Per-user outlier flagging (data-quality shape): purchases whose value
+# deviates from the user's own mean by more than 2 population standard
+# deviations.  All moments are computed over e3-quantized integer
+# values, so every sum is order-independent BIGINT arithmetic and the
+# 2σ comparison is the EXACT integer inequality
+#   (n·v − S)² > 4·(n·SS − S²)      [× n² both sides]
+# — no float in the decision, hence bit-identical across engines.
+# One user-keyed window (single shuffle); the fleet-wide alternative
+# (groupBy + join back) costs a second shuffle for no benefit here.
+# Bounds: v3 ≤ 5·10⁵ (value ≤ 500), so n·SS ≤ 10⁴·2.5·10¹¹ — int64-safe
+# with 10⁶ headroom even at 100× the per-user event count.
+# --------------------------------------------------------------------------
+
+OUTLIER_MIN_EVENTS = 5
+
+
+def e8_purchase_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    v3 = F.floor(F.col("value") * 1000 + F.lit(0.5000001)).cast("long")
+    w = Window.partitionBy("user_id")
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        v3.alias("v3"),
+    ).select(
+        "event_id",
+        "user_id",
+        "v3",
+        F.count("*").over(w).alias("n"),
+        F.sum("v3").over(w).alias("s"),
+        F.sum(F.col("v3") * F.col("v3")).over(w).alias("ss"),
+    )
+    dev = F.col("n") * F.col("v3") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        scored.where(
+            (F.col("n") >= OUTLIER_MIN_EVENTS) & (dev * dev > 4 * var_n2)
+        )
+        .select("event_id", "user_id", "v3", "n")
+        .orderBy("event_id")
+    )
+
+
+E8_SQL = f"""
+WITH p AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(value * 1000 + 0.5000001) AS BIGINT) AS v3
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT event_id, user_id, v3,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         SUM(v3) OVER (PARTITION BY user_id) AS s,
+         SUM(v3 * v3) OVER (PARTITION BY user_id) AS ss
+  FROM p
+)
+SELECT event_id, user_id, v3, n
+FROM m
+WHERE n >= {OUTLIER_MIN_EVENTS}
+  AND (n * v3 - s) * (n * v3 - s) > 4 * (n * ss - s * s)
+ORDER BY event_id
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1725,6 +1792,7 @@ RELATIONAL_QUERIES = {
     "e6_funnel_steps": e6_funnel_steps,
     "e7_retention_cohorts": e7_retention_cohorts,
     "w4_ewma": w4_ewma,
+    "e8_purchase_outliers": e8_purchase_outliers,
     "w3_time_weighted": w3_time_weighted,
     "g1_rollup": g1_rollup,
     "g2_cube": g2_cube,
@@ -1767,6 +1835,7 @@ RELATIONAL_ORACLE = {
     "e6_funnel_steps": E6_SQL,
     "e7_retention_cohorts": E7_SQL,
     "w4_ewma": W4_SQL,
+    "e8_purchase_outliers": E8_SQL,
     "w3_time_weighted": W3_SQL,
     "g1_rollup": G1_SQL,
     "g2_cube": G2_SQL,

@@ -263,3 +263,126 @@ def test_curriculum_order_sql_twin_agrees(spark):
         ).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture rebalancing
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_smallest_group_keeps_all(spark):
+    from pagerank_using_mapreduce_spark.operators.sampling import (
+        temperature_mix,
+        temperature_mix_summary,
+    )
+
+    rows = [(i, "big") for i in range(900)] + [
+        (i + 10_000, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "key long, grp string")
+    summ = {
+        r["grp"]: r for r in temperature_mix_summary(df, "grp", "key").collect()
+    }
+    assert summ["small"]["n_after"] == 100  # thr = 65536 keeps every row
+    assert summ["small"]["thr"] == 65536
+    # big group's keep-rate ~ sqrt(100/900) = 1/3
+    assert summ["big"]["thr"] == int((100 / 900) ** 0.5 * 65536)
+    assert 230 <= summ["big"]["n_after"] <= 370  # ±4σ around 300
+    # membership is deterministic
+    a = sorted(r["key"] for r in temperature_mix(df, "grp", "key").collect())
+    b = sorted(r["key"] for r in temperature_mix(df, "grp", "key").collect())
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-grain exact dedup
+# ---------------------------------------------------------------------------
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from pagerank_using_mapreduce_spark.operators.dedup import paragraph_dedup
+
+    para_a = " ".join(["alpha"] * 10)
+    para_b = " ".join(["beta"] * 10)
+    para_c = " ".join(["gamma"] * 10)
+    docs = spark.createDataFrame(
+        [
+            (1, f"{para_a} {para_b}"),     # both kept (first occurrence)
+            (2, f"{para_b} {para_c}"),     # para_b dropped, para_c kept
+            (3, para_a),                   # dropped entirely
+            (4, "tail words only"),        # short partial window, kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs).collect()}
+    assert (out[1]["n_paras"], out[1]["n_kept"], out[1]["n_dropped"]) == (2, 2, 0)
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 1)
+    assert (out[3]["n_kept"], out[3]["n_dropped"]) == (0, 1)
+    assert (out[4]["n_paras"], out[4]["n_kept"]) == (1, 1)
+
+
+def test_paragraph_dedup_within_doc_repeats(spark):
+    from pagerank_using_mapreduce_spark.operators.dedup import paragraph_dedup
+
+    para = " ".join(["rep"] * 10)
+    docs = spark.createDataFrame(
+        [(7, f"{para} {para} {para}")], "doc_id long, text string"
+    )
+    row = paragraph_dedup(docs).collect()[0]
+    # the doc repeats its own paragraph: only the first window survives
+    assert (row["n_paras"], row["n_kept"], row["n_dropped"]) == (3, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Bigram lift (collocation mining)
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lift_golden(spark):
+    from pagerank_using_mapreduce_spark.operators.text_analysis import bigram_lift
+
+    # "new york" always adjacent (5x); filler words never repeat a pair
+    text = "new york " * 5 + "a b c d e f g h i j"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = bigram_lift(docs, min_count=5, top_k=10).collect()
+    assert out, "collocation must survive the min_count filter"
+    top = out[0]
+    assert (top["left"], top["right"]) == ("new", "york")
+    # N = 20 tokens, B = 19 bigrams, cnt(new,york)=5, cnt(new)=cnt(york)=5:
+    # lift = (5/19) / ((5/20)*(5/20)) = 4.2105...
+    assert top["lift_e6"] == int((5 / 19) / ((5 / 20) * (5 / 20)) * 1e6 + 0.5000001)
+
+
+# ---------------------------------------------------------------------------
+# Per-user purchase outliers (integer-exact 2-sigma rule)
+# ---------------------------------------------------------------------------
+
+
+def test_purchase_outliers_golden(spark):
+    from pagerank_using_mapreduce_spark.plans.relational import (
+        e8_purchase_outliers,
+    )
+    import datetime as dt
+    import tempfile
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: five 10.0s and one 100.0 -> the 100 is > 2 sigma out
+    # (with only FOUR 10s the extreme lands exactly ON the 2-sigma
+    # boundary — dev^2 == 4*var — and the strict > excludes it)
+    for i, v in enumerate([10.0, 10.0, 10.0, 10.0, 10.0, 100.0]):
+        rows.append((i, t0, 1, "purchase", v, "{}"))
+    # user 2: uniform values, never an outlier
+    for i, v in enumerate([5.0, 5.0, 5.0, 5.0, 5.0]):
+        rows.append((100 + i, t0, 2, "purchase", v, "{}"))
+    # user 3: too few purchases for the rule to fire
+    rows.append((200, t0, 3, "purchase", 999.0, "{}"))
+    # non-purchase events are ignored even when extreme
+    rows.append((300, t0, 1, "view", 1e6, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        out = e8_purchase_outliers(spark, d).collect()
+    assert [(r["event_id"], r["user_id"]) for r in out] == [(5, 1)]
