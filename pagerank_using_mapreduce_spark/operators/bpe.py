@@ -105,6 +105,43 @@ def _merge_expr(left: str, right: str):
     return F.split(folded, SEP)
 
 
+def _train(
+    documents: DataFrame, n_merges: int = N_MERGES
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the merge-training loop; returns (merge table rows, final
+    vocab as (word, syms, freq)).  The vocab keeps the original word as
+    the join key so encoding (applying the learned merges back to the
+    corpus) is a plain word join — the trainer itself ignores it."""
+    vocab = (
+        word_freqs(documents)
+        .select("word", _chars("word").alias("syms"), "freq")
+        .persist()
+    )
+    out: list[tuple[int, str, str, int]] = []
+    for i in range(n_merges):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, cnt = best[0]["left"], best[0]["right"], best[0]["cnt"]
+        out.append((i, left, right, cnt))
+        nxt = vocab.select(
+            "word", _merge_expr(left, right).alias("syms"), "freq"
+        ).persist()
+        # vocab stays small; eager materialize keeps the plan flat
+        # across rounds (same reasoning as the pagerank loop's
+        # localCheckpoint, without needing lineage truncation at
+        # this relation size)
+        nxt.count()
+        vocab.unpersist()
+        vocab = nxt
+    return out, vocab
+
+
 def bpe_merges(
     documents: DataFrame, n_merges: int = N_MERGES
 ) -> DataFrame:
@@ -112,48 +149,50 @@ def bpe_merges(
     in training order.  Stops early if the vocabulary runs out of
     adjacent pairs."""
     spark = documents.sparkSession
-    vocab = (
-        word_freqs(documents)
-        .select(_chars("word").alias("syms"), "freq")
-        .persist()
-    )
-    out: list[tuple[int, str, str, int]] = []
-    try:
-        for i in range(n_merges):
-            best = (
-                _pair_counts(vocab)
-                .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
-                .limit(1)
-                .collect()
-            )
-            if not best:
-                break
-            left, right, cnt = best[0]["left"], best[0]["right"], best[0]["cnt"]
-            out.append((i, left, right, cnt))
-            nxt = vocab.select(
-                _merge_expr(left, right).alias("syms"), "freq"
-            ).persist()
-            # vocab stays small; eager materialize keeps the plan flat
-            # across rounds (same reasoning as the pagerank loop's
-            # localCheckpoint, without needing lineage truncation at
-            # this relation size)
-            nxt.count()
-            vocab.unpersist()
-            vocab = nxt
-    finally:
-        vocab.unpersist()
+    out, vocab = _train(documents, n_merges)
+    vocab.unpersist()
     return spark.createDataFrame(
         out, "merge_idx long, left string, right string, pair_count long"
     )
 
 
-def bpe_merges_sql(n_merges: int = N_MERGES) -> str:
-    """DuckDB twin: unrolled per-round CTE chain replaying the exact
-    trajectory — vocab_k -> pair counts -> 1-row best_k (same
-    tiebreak) -> vocab_{k+1} via the identical list_reduce fold.
-    MATERIALIZED per round (each vocab is referenced by both the pair
-    count and the next round; inlining would re-derive exponentially).
-    """
+def bpe_encode_counts(
+    documents: DataFrame, n_merges: int = N_MERGES
+) -> DataFrame:
+    """(doc_id, n_tokens, n_subwords): tokenize the corpus with the
+    merge table just trained on it — the per-document subword budget a
+    packing/pricing pass needs.
+
+    Scale shape: the fold already happened per DISTINCT word during
+    training (corpus→vocab compression), so encoding is one explode of
+    doc tokens + one word-keyed join against the ≤vocab-sized
+    (word → subword count) relation + one doc aggregate.  No per-token
+    Python, no re-fold over the full corpus."""
+    _, vocab = _train(documents, n_merges)
+    enc = vocab.select("word", F.size("syms").cast("long").alias("ns"))
+    doc_words = documents.select(
+        "doc_id",
+        F.explode(tokens(strip_non_alpha(F.col("text")))).alias("word"),
+    ).where(F.col("word") != "")
+    out = (
+        doc_words.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("ns").alias("n_subwords"),
+        )
+    )
+    return out
+
+
+def _trajectory_ctes(n_merges: int = N_MERGES) -> list[str]:
+    """The unrolled per-round CTE chain replaying the exact training
+    trajectory — vocab_k -> pair counts -> 1-row best_k (same tiebreak)
+    -> vocab_{k+1} via the identical list_reduce fold.  MATERIALIZED
+    per round (each vocab is referenced by both the pair count and the
+    next round; inlining would re-derive exponentially).  The v-chain
+    carries ``word`` so the final vocab doubles as the encoder's
+    (word → syms) map; the trainer's aggregates ignore it."""
     ctes = [
         """wf AS MATERIALIZED (
   SELECT word, COUNT(*) AS freq FROM (
@@ -164,7 +203,8 @@ def bpe_merges_sql(n_merges: int = N_MERGES) -> str:
   WHERE word != '' GROUP BY word
 ),
 v0 AS MATERIALIZED (
-  SELECT list_transform(range(1, length(word) + 1),
+  SELECT word,
+         list_transform(range(1, length(word) + 1),
                         i -> substr(word, CAST(i AS INT), 1)) AS syms,
          freq
   FROM wf
@@ -187,7 +227,8 @@ b{k} AS MATERIALIZED (
 v{k + 1} AS MATERIALIZED (
   -- lft/rgt captured as row columns via the 1-row CROSS JOIN (DuckDB
   -- lambdas cannot contain subqueries)
-  SELECT string_split(
+  SELECT word,
+         string_split(
            list_reduce(
              list_prepend('', syms),
              (acc, x) -> CASE
@@ -201,12 +242,46 @@ v{k + 1} AS MATERIALIZED (
   FROM v{k} CROSS JOIN b{k}
 )"""
         )
+    return ctes
+
+
+def bpe_merges_sql(n_merges: int = N_MERGES) -> str:
+    """DuckDB twin of :func:`bpe_merges` over the trajectory CTEs."""
     union = "\nUNION ALL\n".join(
         f'SELECT CAST({k} AS BIGINT) AS merge_idx, lft AS "left", rgt AS "right", cnt AS pair_count'
         f" FROM b{k}"
         for k in range(n_merges)
     )
-    return "WITH " + ",\n".join(ctes) + "\n" + union
+    return "WITH " + ",\n".join(_trajectory_ctes(n_merges)) + "\n" + union
+
+
+def bpe_encode_sql(n_merges: int = N_MERGES) -> str:
+    """DuckDB twin of :func:`bpe_encode_counts`: replay the training
+    trajectory, then join each document's token stream against the
+    final (word → subword count) vocabulary."""
+    ctes = _trajectory_ctes(n_merges)
+    ctes.append(
+        f"""enc AS MATERIALIZED (
+  SELECT word, CAST(len(syms) AS BIGINT) AS ns FROM v{n_merges}
+),
+docw AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '')) AS word
+  FROM documents
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(ns) AS BIGINT) AS n_subwords
+FROM docw JOIN enc USING (word)
+WHERE word != ''
+GROUP BY doc_id"""
+    )
 
 
 # --------------------------------------------------------------------------

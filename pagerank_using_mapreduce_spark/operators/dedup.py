@@ -776,3 +776,134 @@ SELECT doc_id,
        CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped
 FROM flagged
 GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Containment screen: |A∩B| / min(|A|, |B|) over shingle sets, on the
+# LSH candidate pairs.  Asymmetric near-duplication — a short document
+# quoted wholesale inside a long one — sits at containment ≈ 1 while
+# its Jaccard can fall arbitrarily far below the x4 threshold, so this
+# is the screen that catches subset-duplication Jaccard misses.
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def containment_pairs(
+    sh: DataFrame,
+    candidates: DataFrame,
+    threshold: float = CONTAINMENT_THRESHOLD,
+) -> DataFrame:
+    """(doc_a, doc_b, containment_e6): exact containment of the
+    SMALLER shingle set within the pair's intersection, candidates
+    only — same candidate-bounded cost envelope as
+    :func:`verified_near_dups` (never all-pairs)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    s1 = sh.alias("s1")
+    s2 = sh.alias("s2")
+    inter = (
+        candidates.alias("c")
+        .join(s1, F.col("s1.doc_id") == F.col("c.doc_a"))
+        .join(
+            s2,
+            (F.col("s2.doc_id") == F.col("c.doc_b"))
+            & (F.col("s2.shingle") == F.col("s1.shingle")),
+        )
+        .groupBy("c.doc_a", "c.doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    cont = (
+        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
+        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / F.least(F.col("na.n_sh"), F.col("nb.n_sh"))
+            ).alias("containment"),
+        )
+    )
+    return cont.where(F.col("containment") >= threshold).select(
+        "doc_a",
+        "doc_b",
+        F.floor(F.col("containment") * 1e6 + F.lit(0.5000001))
+        .cast("long")
+        .alias("containment_e6"),
+    )
+
+
+RARE_SHINGLE_CAP = 5
+
+
+def rare_shingle_candidates(
+    sh: DataFrame, cap: int = RARE_SHINGLE_CAP
+) -> DataFrame:
+    """(doc_a < doc_b) pairs sharing at least one RARE shingle (one
+    appearing in ≤ ``cap`` documents).  Minhash-LSH candidates are the
+    WRONG blocking for containment: they fire at high Jaccard, and the
+    pairs containment exists to catch (short doc swallowed by a long
+    one) have Jaccard ≈ |A|/|B| — arbitrarily low.  A contained
+    document keeps its rare shingles verbatim, so rare-feature
+    blocking recalls them; the df-cap bounds the self-join fan-out at
+    C(cap, 2) pairs per shingle regardless of corpus size (common
+    shingles — the skew — generate nothing)."""
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    rare = df_counts.where(F.col("df") <= cap).select("shingle")
+    rsh = sh.join(rare, "shingle")
+    a = rsh.alias("a")
+    b = rsh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def containment_pipeline(docs: DataFrame) -> DataFrame:
+    """shingle → rare-shingle blocking → containment verify."""
+    sh = shingles(docs)
+    return containment_pairs(sh, rare_shingle_candidates(sh))
+
+
+def containment_sql(
+    docs_sql: str, threshold: float = CONTAINMENT_THRESHOLD
+) -> str:
+    sh_q = shingles_sql(docs_sql)
+    return f"""
+WITH sh AS ({sh_q}),
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {RARE_SHINGLE_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN rare USING (shingle)
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc_a
+  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+cont AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.n_inter AS DOUBLE) / LEAST(na.n_sh, nb.n_sh) AS containment
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(FLOOR(containment * 1e6 + 0.5000001) AS BIGINT) AS containment_e6
+FROM cont WHERE containment >= {threshold}"""

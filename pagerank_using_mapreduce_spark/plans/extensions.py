@@ -1205,6 +1205,23 @@ def q_x60_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.paragraph_dedup(dd.augment_docs(_docs(spark, sf_dir)))
 
 
+def q_x62_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the corpus-trained BPE merge table back to the corpus:
+    per-document token and subword totals.  The fold happens once per
+    DISTINCT word during training; encoding is a word-keyed join."""
+    from ..operators.bpe import bpe_encode_counts
+
+    return bpe_encode_counts(_docs(spark, sf_dir))
+
+
+def q_x63_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment screen (|A∩B| / min set size) over rare-shingle
+    blocked candidates: catches subset-duplication whose Jaccard —
+    and therefore whose minhash-LSH hit rate — is arbitrarily low
+    (the quoted-wholesale case)."""
+    return dd.containment_pipeline(dd.augment_docs(_docs(spark, sf_dir)))
+
+
 def q_x61_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """alpha = 0.5 temperature rebalancing of the language mixture
     (head language downsampled toward the tail): data-derived
@@ -1279,6 +1296,8 @@ EXTENSION_QUERIES = {
     "x59_bigram_lift": q_x59_bigram_lift,
     "x60_paragraph_dedup": q_x60_paragraph_dedup,
     "x61_temperature_mix": q_x61_temperature_mix,
+    "x62_bpe_encode": q_x62_bpe_encode,
+    "x63_containment": q_x63_containment,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z9_stream_bottomk": q_z9_stream_bottomk,
@@ -1342,6 +1361,16 @@ def _x59_sql() -> str:
 
 def _x60_sql() -> str:
     return dd.paragraph_dedup_sql(dd.AUGMENT_SQL)
+
+
+def _x62_sql() -> str:
+    from ..operators.bpe import bpe_encode_sql
+
+    return bpe_encode_sql()
+
+
+def _x63_sql() -> str:
+    return dd.containment_sql(dd.AUGMENT_SQL)
 
 
 def _x61_sql() -> str:
@@ -1441,6 +1470,8 @@ GROUP BY 1, 2""",
     "x59_bigram_lift": _x59_sql(),
     "x60_paragraph_dedup": _x60_sql(),
     "x61_temperature_mix": _x61_sql(),
+    "x62_bpe_encode": _x62_sql(),
+    "x63_containment": _x63_sql(),
     "x43_join_size_estimate": cms_join_size_estimate_sql(
         "lineitem",
         "l_orderkey",

@@ -460,10 +460,49 @@ def q_g8_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp_dists(pages, seeds, iterations=8)
 
 
+def q_g9_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-weighted PageRank (rank split ∝ edge weight, not 1/outdeg)
+    — 10 iterations of the same un-normalized recurrence with the g8
+    weight derivation; oracle unrolls the weighted recurrence."""
+    from ..operators.pagerank import weighted_pagerank
+
+    ranks = weighted_pagerank(_pages(spark, sf_dir), iterations=10)
+    return ranks.select("title", _e6(F.col("rank")).alias("rank_e6"))
+
+
 _EV_CTE = (
     "ev AS MATERIALIZED (SELECT e.src, e.dst FROM edges e "
     "JOIN pages p ON p.title = e.dst)"
 )
+
+
+def _wpr_sql(iterations: int = 10) -> str:
+    """Weighted PageRank unrolled: _rank_ctes with the uniform
+    1/outdeg split replaced by w/Σw (per-source weight totals ride a
+    window over the static edge relation — computed once, like the
+    operator's pre-loop aggregate)."""
+    ctes = [
+        """we AS MATERIALIZED (
+  SELECT src, dst, (length(dst) % 5 + 1) AS w,
+         CAST(SUM(length(dst) % 5 + 1) OVER (PARTITION BY src) AS BIGINT)
+           AS wout
+  FROM edges)""",
+        "wr0 AS (SELECT title, 1.0 / (SELECT n FROM np) AS rank FROM pages)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""wr{k} AS MATERIALIZED (
+  SELECT p.title, 0.15 + 0.85 * COALESCE(c.mass, 0.0) AS rank
+  FROM pages p
+  LEFT JOIN (
+    SELECT e.dst AS title, SUM(r.rank * e.w / e.wout) AS mass
+    FROM we e JOIN wr{k - 1} r ON r.title = e.src
+    GROUP BY e.dst
+  ) c USING (title)
+)""")
+    body = ",\n".join(ctes)
+    return f"""WITH {_PAGES_CTES},
+{body}
+SELECT title, {_sql_e6("rank")} AS rank_e6 FROM wr{iterations}"""
 
 
 def _lpa_oracle() -> str:
@@ -582,6 +621,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g4_hits": q_g4_hits,
     "g5_bfs_depths": q_g5_bfs,
     "g8_sssp_dists": q_g8_sssp,
+    "g9_weighted_pagerank": q_g9_weighted_pagerank,
     "g6_kcore": q_g6_kcore,
     "g7_label_prop": q_g7_label_prop,
     "deg_stats": q_deg_stats,
@@ -729,6 +769,7 @@ FROM pages""",
     "g4_hits": _hits_sql(),
     "g5_bfs_depths": _bfs_sql(),
     "g8_sssp_dists": _sssp_sql(),
+    "g9_weighted_pagerank": _wpr_sql(),
     "g6_kcore": _kcore_oracle(),
     "g7_label_prop": _lpa_oracle(),
     "g3_triangles": f"""WITH {_PAGES_CTES},

@@ -56,3 +56,22 @@ def test_bpe_sql_twin_agrees(spark):
         for r in bpe_merges(docs, n_merges=4).orderBy("merge_idx").collect()
     ]
     assert got == sorted(want) and len(got) == 4
+
+
+def test_bpe_encode_counts_golden(spark):
+    """Encoding with the just-trained table: the textbook corpus fully
+    fuses every word after 6 merges (1 subword each); truncating to 2
+    merges leaves only the 'low' prefix fused."""
+    from pagerank_using_mapreduce_spark.operators.bpe import bpe_encode_counts
+
+    df = spark.createDataFrame(
+        [(0, "low low low lower lowest")], ["doc_id", "text"]
+    )
+    full = bpe_encode_counts(df, n_merges=8).collect()[0]
+    assert (full["n_tokens"], full["n_subwords"]) == (5, 5)
+    two = bpe_encode_counts(df, n_merges=2).collect()[0]
+    # low -> [low] x3; lower -> [low,e,r]; lowest -> [low,e,s,t]
+    assert (two["n_tokens"], two["n_subwords"]) == (5, 10)
+    zero = bpe_encode_counts(df, n_merges=0).collect()[0]
+    # no merges: one subword per character (3*3 + 5 + 6 = 20)
+    assert (zero["n_tokens"], zero["n_subwords"]) == (5, 20)

@@ -225,3 +225,25 @@ def test_fuzzy_word_pairs_complete_vs_brute_force(spark):
     assert got == want
     assert ("act", "cat") in got and got[("act", "cat")] == 2  # transposition
     assert ("cat", "dog") not in got  # distance 3 excluded
+
+
+def test_containment_catches_low_jaccard_subset(spark):
+    """A short doc quoted wholesale inside a long one: Jaccard is far
+    below the near-dup threshold (so x4 misses the pair by design),
+    but containment = 1.0 and rare-shingle blocking recalls it."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        containment_pipeline,
+        near_dup_pipeline,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, f"{short} {filler}"), (3, filler + " zeta")],
+        "doc_id long, text string",
+    )
+    cont = {(r["doc_a"], r["doc_b"]): r["containment_e6"]
+            for r in containment_pipeline(docs).collect()}
+    assert cont[(1, 2)] == 1_000_000  # fully contained
+    near = {(r["doc_a"], r["doc_b"]) for r in near_dup_pipeline(docs).collect()}
+    assert (1, 2) not in near  # Jaccard 3/41 — invisible to the x4 screen

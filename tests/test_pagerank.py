@@ -241,3 +241,48 @@ def test_pagerank_reliable_checkpoint_dir(spark, tmp_path):
             for r in pagerank(pages, iterations=6, checkpoint_every=2).collect()}
     assert got == want
     pages.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Edge-weighted PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_pagerank_golden_one_iteration(spark):
+    """a links to 'b' (len 1 -> w=2) and 'ccc' (len 3 -> w=4), wout=6:
+    b = 0.15 + 0.85*(1/3 * 2/6);  ccc = 0.15 + 0.85*(1/3 * 4/6)."""
+    from pagerank_using_mapreduce_spark.operators.pagerank import (
+        weighted_pagerank,
+    )
+
+    g = spark.createDataFrame(
+        [("a", ["b", "ccc"]), ("b", []), ("ccc", [])],
+        "title string, links array<string>",
+    )
+    out = {r["title"]: r["rank"] for r in weighted_pagerank(g, iterations=1).collect()}
+    assert out["a"] == pytest.approx(0.15)
+    assert out["b"] == pytest.approx(0.15 + 0.85 * (1 / 3) * (2 / 6))
+    assert out["ccc"] == pytest.approx(0.15 + 0.85 * (1 / 3) * (4 / 6))
+
+
+def test_weighted_pagerank_equal_weights_match_plain(spark):
+    """When every link target has the same derived weight (all one
+    char -> w=2, no phantoms — the golden corpus's 'Ghost' is len 5,
+    weight 1, so it would NOT qualify), the weighted split collapses
+    to 1/outdeg and the result must equal plain pagerank."""
+    from pagerank_using_mapreduce_spark.operators.pagerank import (
+        weighted_pagerank,
+    )
+
+    g = spark.createDataFrame(
+        [("a", ["b", "c"]), ("b", ["a"]), ("c", ["c", "a"])],
+        "title string, links array<string>",
+    )
+    want = {r["title"]: r["rank"] for r in pagerank(g, iterations=5).collect()}
+    got = {
+        r["title"]: r["rank"]
+        for r in weighted_pagerank(g, iterations=5).collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t] == pytest.approx(want[t], rel=1e-12), t
