@@ -446,6 +446,23 @@ def q_z6_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(stream, "t_z6_hll", output_mode="complete")
 
 
+def q_z12_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user purchase moments (n, Σv3, Σv3²) drained with
+    AvailableNow — additive integer merges, so the drain is
+    bit-identical to the batch aggregation (oracle: batch SQL)."""
+    from ..streaming.events import (
+        read_event_stream,
+        run_available_now,
+        stage_table_dir,
+        user_moments_stream,
+    )
+
+    stream = user_moments_stream(
+        read_event_stream(spark, stage_table_dir(sf_dir))
+    )
+    return run_available_now(stream, "t_z12_moments", output_mode="complete")
+
+
 def q_z7_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming session_window drained with AvailableNow —
     oracle is the batch e4 SQL (engine-managed session state parity)."""
@@ -1298,6 +1315,7 @@ EXTENSION_QUERIES = {
     "x61_temperature_mix": q_x61_temperature_mix,
     "x62_bpe_encode": q_x62_bpe_encode,
     "x63_containment": q_x63_containment,
+    "z12_stream_moments": q_z12_stream_moments,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z9_stream_bottomk": q_z9_stream_bottomk,
@@ -1493,4 +1511,11 @@ GROUP BY 1, 2""",
     "z8_stream_cms": cms_counts_sql("events", "user_id"),
     "z10_stream_histogram": _histogram_bins_oracle(),
     "z11_stream_funnel": _funnel_stage_oracle(),
+    "z12_stream_moments": """
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(v3) AS BIGINT) AS s,
+       CAST(SUM(v3 * v3) AS BIGINT) AS ss
+FROM (SELECT user_id, CAST(FLOOR(value * 1000 + 0.5000001) AS BIGINT) AS v3
+      FROM events WHERE event_type = 'purchase')
+GROUP BY user_id""",
 }

@@ -1761,6 +1761,101 @@ ORDER BY event_id
 """
 
 
+# --------------------------------------------------------------------------
+# Daily new-user counts + running cumulative (growth-accounting shape).
+# Exact running distinct-count is O(users) state; the standard scalable
+# decomposition is first-occurrence flagging: one user-keyed aggregate
+# finds each user's first active day, one day-keyed count, then a
+# cumulative window over the DAY relation — which is bounded (365
+# rows/year) no matter how many events feed it, so the single-partition
+# running-sum window is safe at any scale.
+# --------------------------------------------------------------------------
+
+
+def w5_running_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("day").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
+W5_SQL = """
+WITH firsts AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT first_day AS day, COUNT(*) AS new_users FROM firsts GROUP BY first_day
+)
+SELECT CAST(day AS VARCHAR) AS day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM daily
+"""
+
+
+# --------------------------------------------------------------------------
+# Last-touch attribution: each purchase credits the user's most recent
+# click within the preceding 30 minutes.  Pure reuse of the as-of join
+# operator (backward + tolerance — operators/asof.py): one user-keyed
+# shuffle + per-key sort, no range explosion.  Tie semantics (same-
+# timestamp clicks -> largest event_id) match the oracle's ORDER BY
+# DESC LIMIT 1 by the operator's documented contract.
+# --------------------------------------------------------------------------
+
+ATTRIBUTION_WINDOW_S = 1800
+
+
+def e9_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        left_on="user_id",
+        right_on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["click_id"],
+        how="left",
+        tolerance_s=ATTRIBUTION_WINDOW_S,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce("r_click_id", F.lit(-1)).alias("attributed_click_id"),
+    )
+
+
+E9_SQL = f"""
+SELECT p.event_id, p.user_id,
+       COALESCE((
+         SELECT c.event_id FROM events c
+         WHERE c.event_type = 'click' AND c.user_id = p.user_id
+           AND epoch_us(c.ts) <= epoch_us(p.ts)
+           AND epoch_us(p.ts) - epoch_us(c.ts) <= {ATTRIBUTION_WINDOW_S} * 1000000
+         ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+       ), -1) AS attributed_click_id
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1793,6 +1888,8 @@ RELATIONAL_QUERIES = {
     "e7_retention_cohorts": e7_retention_cohorts,
     "w4_ewma": w4_ewma,
     "e8_purchase_outliers": e8_purchase_outliers,
+    "e9_attribution": e9_attribution,
+    "w5_running_actives": w5_running_actives,
     "w3_time_weighted": w3_time_weighted,
     "g1_rollup": g1_rollup,
     "g2_cube": g2_cube,
@@ -1836,6 +1933,8 @@ RELATIONAL_ORACLE = {
     "e7_retention_cohorts": E7_SQL,
     "w4_ewma": W4_SQL,
     "e8_purchase_outliers": E8_SQL,
+    "e9_attribution": E9_SQL,
+    "w5_running_actives": W5_SQL,
     "w3_time_weighted": W3_SQL,
     "g1_rollup": G1_SQL,
     "g2_cube": G2_SQL,

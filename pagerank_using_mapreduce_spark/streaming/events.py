@@ -510,3 +510,27 @@ def bottom_k_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def user_moments_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-user purchase moments: (user_id, n, s, ss) over
+    e3-quantized values — the state a live 2σ outlier monitor needs
+    (plans.relational.e8 evaluates the flag from exactly these sums).
+
+    Parity argument (the z-series pattern): count/sum/sum-of-squares
+    are ADDITIVE integer merges, so complete-mode state is 3 longs per
+    user and the drained result is bit-identical to the batch
+    aggregation however the stream is micro-batched.  Integer e3
+    quantization happens BEFORE the sums — no float accumulation
+    order to diverge."""
+    v3 = F.floor(F.col("value") * 1000 + F.lit(0.5000001)).cast("long")
+    return (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", v3.alias("v3"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v3").alias("s"),
+            F.sum(F.col("v3") * F.col("v3")).alias("ss"),
+        )
+    )

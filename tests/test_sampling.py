@@ -386,3 +386,61 @@ def test_purchase_outliers_golden(spark):
         ev.write.parquet(f"{d}/events.parquet")
         out = e8_purchase_outliers(spark, d).collect()
     assert [(r["event_id"], r["user_id"]) for r in out] == [(5, 1)]
+
+
+def test_attribution_golden(spark):
+    """Last-touch attribution: nearest click at-or-before within 30
+    min wins; same-timestamp clicks break ties to the LARGEST click
+    id; clicks outside the window or after the purchase never match."""
+    from pagerank_using_mapreduce_spark.plans.relational import e9_attribution
+    import datetime as dt
+    import tempfile
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, m)
+    rows = [
+        # user 1: click 10 min before -> attributed
+        (1, t(0), 1, "click", 0.0, "{}"),
+        (2, t(10), 1, "purchase", 5.0, "{}"),
+        # user 2: only click is 40 min before -> outside window
+        (3, t(0), 2, "click", 0.0, "{}"),
+        (4, t(40), 2, "purchase", 5.0, "{}"),
+        # user 3: two clicks at the same instant as the purchase -> max id
+        (5, t(5), 3, "click", 0.0, "{}"),
+        (6, t(5), 3, "click", 0.0, "{}"),
+        (7, t(5), 3, "purchase", 5.0, "{}"),
+        # user 4: click strictly after the purchase -> no match
+        (8, t(20), 4, "purchase", 5.0, "{}"),
+        (9, t(25), 4, "click", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        out = {r["event_id"]: r["attributed_click_id"]
+               for r in e9_attribution(spark, d).collect()}
+    assert out == {2: 1, 4: -1, 7: 6, 8: -1}
+
+
+def test_running_actives_golden(spark):
+    """Cumulative new-user curve: users counted on their FIRST day only."""
+    from pagerank_using_mapreduce_spark.plans.relational import w5_running_actives
+    import datetime as dt
+    import tempfile
+
+    d1, d2, d3 = (dt.datetime(2024, 1, k, 10) for k in (1, 2, 3))
+    rows = [
+        (1, d1, 10, "view", 0.0, "{}"),
+        (2, d1, 11, "view", 0.0, "{}"),
+        (3, d2, 10, "view", 0.0, "{}"),   # returning, not new
+        (4, d2, 12, "view", 0.0, "{}"),
+        (5, d3, 13, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        out = [(r["day"], r["new_users"], r["cum_users"])
+               for r in w5_running_actives(spark, d).orderBy("day").collect()]
+    assert out == [("2024-01-01", 2, 2), ("2024-01-02", 1, 3), ("2024-01-03", 1, 4)]

@@ -388,3 +388,46 @@ def test_stream_funnel_matches_batch_across_batches(spark, tmp_path):
         for _, r in con.execute(E6_STAGE_SQL).df().iterrows()
     }
     assert latest == want and len(want) > 0
+
+
+def test_stream_moments_match_batch_across_batches(spark, tmp_path):
+    """Per-user purchase moments are additive integer merges: 2-file
+    delivery (one per trigger, complete mode) drains to exactly the
+    batch aggregation."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+    from pagerank_using_mapreduce_spark.streaming import events as se
+
+    t = pq.read_table(f"{SF}/events.parquet")
+    d = tmp_path / "split_events_m"
+    d.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), d / "a.parquet")
+    pq.write_table(t.slice(half), d / "b.parquet")
+
+    stream = se.user_moments_stream(
+        se.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    )
+    got = {
+        r["user_id"]: (r["n"], r["s"], r["ss"])
+        for r in se.run_available_now(
+            stream, "t_test_moments", output_mode="complete"
+        ).collect()
+    }
+
+    ev = load_table(spark, SF, "events").where(F.col("event_type") == "purchase")
+    v3 = F.floor(F.col("value") * 1000 + F.lit(0.5000001)).cast("long")
+    want = {
+        r["user_id"]: (r["n"], r["s"], r["ss"])
+        for r in ev.select("user_id", v3.alias("v3"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v3").alias("s"),
+            F.sum(F.col("v3") * F.col("v3")).alias("ss"),
+        )
+        .collect()
+    }
+    assert got == want
