@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     "x56_incremental_dedup",
     "g8_sssp_dists",
     "x55_semantic_clusters",
+    "x60_paragraph_dedup",
+    "x62_bpe_encode",
+    "x63_containment",
+    "g9_weighted_pagerank",
+    "e9_attribution",
 ]
 
 # The iterative/heavy queries whose scaling behavior matters most;
@@ -86,6 +91,8 @@ SF1_QUERIES = [
     "g8_sssp_dists",
     "x51_bpe_merges",  # corpus 10x, vocab constant: the corpus->vocab
     #                    compression should make this near-flat
+    "g9_weighted_pagerank",
+    "x60_paragraph_dedup",
 ]
 
 

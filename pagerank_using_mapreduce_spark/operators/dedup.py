@@ -907,3 +907,94 @@ cont AS (
 SELECT doc_a, doc_b,
        CAST(FLOOR(containment * 1e6 + 0.5000001) AS BIGINT) AS containment_e6
 FROM cont WHERE containment >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator audit: estimated Jaccard (matching signature
+# components / K) vs the exact Jaccard, per candidate pair.  The x43
+# pattern applied to dedup: quantify the sketch's error ON THIS CORPUS
+# before trusting it to replace the exact verify stage at scale.
+# ---------------------------------------------------------------------------
+
+
+def minhash_jaccard_audit(
+    sh: DataFrame, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """(doc_a, doc_b, est_e6, exact_e6, abs_err_e6) for every LSH
+    candidate pair.  est = #{j : sig_j(A) = sig_j(B)} / K — unbiased
+    for Jaccard because each independent minhash collides with
+    probability J(A,B).  Costs one signature pass + the same
+    candidate-bounded intersection joins as the verify stage."""
+    sigs = minhash_signatures(sh, n_hashes)
+    cands = lsh_candidates(sigs, n_hashes=n_hashes)
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    matches = sum(
+        (F.col(f"sa.sig_{j}") == F.col(f"sb.sig_{j}")).cast("int")
+        for j in range(n_hashes)
+    )
+    est = (
+        cands.alias("c")
+        .join(sa, F.col("sa.doc_id") == F.col("c.doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("c.doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(
+                matches.cast("double") / n_hashes * 1e6 + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("est_e6"),
+        )
+    )
+    exact = verified_near_dups(sh, cands, threshold=0.0).select(
+        "doc_a", "doc_b", F.col("jaccard_e6").alias("exact_e6")
+    )
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_e6",
+        "exact_e6",
+        F.abs(F.col("est_e6") - F.col("exact_e6")).alias("abs_err_e6"),
+    )
+
+
+def minhash_jaccard_audit_sql(docs_sql: str, n_hashes: int = N_HASHES) -> str:
+    sh_q = shingles_sql(docs_sql)
+    sig_q = minhash_signatures_sql(sh_q, n_hashes)
+    cand_q = lsh_candidates_sql(sig_q, n_hashes=n_hashes)
+    match_sum = " + ".join(
+        f"CASE WHEN sa.sig_{j} = sb.sig_{j} THEN 1 ELSE 0 END"
+        for j in range(n_hashes)
+    )
+    return f"""
+WITH sh AS ({sh_q}),
+sigt AS ({sig_q.replace(f'({sh_q})', 'sh')}),
+cand AS ({cand_q}),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(FLOOR(CAST({match_sum} AS DOUBLE) / {n_hashes} * 1e6 + 0.5000001)
+              AS BIGINT) AS est_e6
+  FROM cand c
+  JOIN sigt sa ON sa.doc_id = c.doc_a
+  JOIN sigt sb ON sb.doc_id = c.doc_b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh s1 ON s1.doc_id = c.doc_a
+  JOIN sh s2 ON s2.doc_id = c.doc_b AND s2.shingle = s1.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+exact AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(FLOOR(CAST(i.n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.n_inter)
+                    * 1e6 + 0.5000001) AS BIGINT) AS exact_e6
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.est_e6, x.exact_e6,
+       ABS(e.est_e6 - x.exact_e6) AS abs_err_e6
+FROM est e JOIN exact x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b"""

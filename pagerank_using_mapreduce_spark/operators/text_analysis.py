@@ -669,3 +669,101 @@ CROSS JOIN tot
 WHERE b.pair_cnt >= {min_count}
 ORDER BY lift_e6 DESC, "left" ASC, "right" ASC
 LIMIT {top_k}"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source distinctive keywords: each source's top words by rate
+# lift (in-source frequency / corpus frequency — the c-TF-IDF idea
+# with the same log-free ratio scoring as bigram_lift).  The corpus-
+# profiling view a curation pipeline uses to see what each source is
+# actually about (and to spot template/boilerplate sources).
+# ---------------------------------------------------------------------------
+
+KEYWORDS_PER_SOURCE = 5
+KEYWORD_MIN_COUNT = 5
+
+
+def source_keywords(
+    documents: DataFrame,
+    per_source: int = KEYWORDS_PER_SOURCE,
+    min_count: int = KEYWORD_MIN_COUNT,
+) -> DataFrame:
+    """(source, word, cnt, lift_e6, rnk): the ``per_source`` most
+    over-represented words per source (rate in source / rate in
+    corpus), rare words dropped.
+
+    Scale shape: one (source, word) aggregate with map-side combine —
+    bounded by |sources|·vocab, not token volume; corpus totals are a
+    word-keyed join against the vocab relation plus two 1-row
+    broadcasts; per-source ranks are a window partitioned by source
+    over the (source, word) relation (sharded by the key)."""
+    sw = (
+        documents.select("source", F.explode(_toks()).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    src_tot = sw.groupBy("source").agg(F.sum("cnt").alias("src_toks"))
+    word_tot = sw.groupBy("word").agg(F.sum("cnt").alias("word_cnt"))
+    all_tot = sw.agg(F.sum("cnt").cast("double").alias("n_tok"))
+    lift = (F.col("cnt").cast("double") / F.col("src_toks")) / (
+        F.col("word_cnt").cast("double") / F.col("n_tok")
+    )
+    scored = (
+        sw.where(F.col("cnt") >= min_count)
+        .join(src_tot, "source")
+        .join(word_tot, "word")
+        .crossJoin(F.broadcast(all_tot))
+        .select(
+            "source",
+            "word",
+            "cnt",
+            F.floor(lift * 1e6 + F.lit(0.5000001)).cast("long").alias("lift_e6"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.desc("lift_e6"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= per_source)
+    )
+
+
+def source_keywords_sql(
+    per_source: int = KEYWORDS_PER_SOURCE, min_count: int = KEYWORD_MIN_COUNT
+) -> str:
+    """DuckDB twin of :func:`source_keywords` (identical ratio
+    association and tiebreak)."""
+    return f"""
+WITH sw AS (
+  SELECT source, word, COUNT(*) AS cnt FROM (
+    SELECT source, unnest(list_filter(
+             string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+             t -> t != '')) AS word
+    FROM documents)
+  GROUP BY source, word
+),
+src_tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS src_toks FROM sw GROUP BY source),
+word_tot AS (SELECT word, CAST(SUM(cnt) AS BIGINT) AS word_cnt FROM sw GROUP BY word),
+all_tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_tok FROM sw),
+scored AS (
+  SELECT sw.source, sw.word, sw.cnt,
+         CAST(FLOOR(
+           ((CAST(sw.cnt AS DOUBLE) / s.src_toks)
+            / (CAST(w.word_cnt AS DOUBLE) / n_tok)) * 1e6 + 0.5000001)
+           AS BIGINT) AS lift_e6
+  FROM sw
+  JOIN src_tot s ON sw.source = s.source
+  JOIN word_tot w ON sw.word = w.word
+  CROSS JOIN all_tot
+  WHERE sw.cnt >= {min_count}
+)
+SELECT source, word, cnt, lift_e6,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY lift_e6 DESC, word ASC) AS rnk
+  FROM scored)
+WHERE rnk <= {per_source}"""

@@ -446,6 +446,23 @@ def q_z6_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(stream, "t_z6_hll", output_mode="complete")
 
 
+def q_x64_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator audit: estimated vs exact Jaccard per LSH
+    candidate pair (sketch-error methodology, the x43 pattern applied
+    to dedup)."""
+    return dd.minhash_jaccard_audit(
+        dd.shingles(dd.augment_docs(_docs(spark, sf_dir)))
+    )
+
+
+def q_x66_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive keywords by rate lift (c-TF-IDF idea,
+    log-free) — corpus profiling for curation."""
+    from ..operators.text_analysis import source_keywords
+
+    return source_keywords(_docs(spark, sf_dir))
+
+
 def q_z12_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user purchase moments (n, Σv3, Σv3²) drained with
     AvailableNow — additive integer merges, so the drain is
@@ -1315,6 +1332,8 @@ EXTENSION_QUERIES = {
     "x61_temperature_mix": q_x61_temperature_mix,
     "x62_bpe_encode": q_x62_bpe_encode,
     "x63_containment": q_x63_containment,
+    "x64_minhash_audit": q_x64_minhash_audit,
+    "x66_source_keywords": q_x66_source_keywords,
     "z12_stream_moments": q_z12_stream_moments,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
@@ -1389,6 +1408,16 @@ def _x62_sql() -> str:
 
 def _x63_sql() -> str:
     return dd.containment_sql(dd.AUGMENT_SQL)
+
+
+def _x64_sql() -> str:
+    return dd.minhash_jaccard_audit_sql(dd.AUGMENT_SQL)
+
+
+def _x66_sql() -> str:
+    from ..operators.text_analysis import source_keywords_sql
+
+    return source_keywords_sql()
 
 
 def _x61_sql() -> str:
@@ -1490,6 +1519,8 @@ GROUP BY 1, 2""",
     "x61_temperature_mix": _x61_sql(),
     "x62_bpe_encode": _x62_sql(),
     "x63_containment": _x63_sql(),
+    "x64_minhash_audit": _x64_sql(),
+    "x66_source_keywords": _x66_sql(),
     "x43_join_size_estimate": cms_join_size_estimate_sql(
         "lineitem",
         "l_orderkey",

@@ -1856,6 +1856,95 @@ FROM events p WHERE p.event_type = 'purchase'
 """
 
 
+# --------------------------------------------------------------------------
+# CDC MERGE / upsert-apply (SCD type-1): apply a change batch (upserts
+# + deletes, each with a sequence number) onto a keyed base table,
+# latest-change-wins.  Completes the ETL trio: d1 diffs two snapshots,
+# d2 builds SCD2 version history, d3 APPLIES changes.  The change set
+# is derived deterministically from the orders table (URGENT orders
+# act as the feed: key = o_custkey, seq = o_orderkey, delete when
+# o_orderkey % 10 >= 8) so both engines compute the identical batch.
+# Shape: one change-key window (latest per key) + one full-outer join
+# with the base — the exact plan a Delta/Iceberg MERGE lowers to.
+# --------------------------------------------------------------------------
+
+
+def d3_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5000001))
+        .cast("long")
+        .alias("bal_c2"),
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    changes = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 10 >= 8, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5000001))
+        .cast("long")
+        .alias("new_bal_c2"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("seq"))
+    latest = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    merged = cust.alias("b").join(
+        latest.alias("ch"), "c_custkey", "full_outer"
+    )
+    return (
+        merged.select(
+            "c_custkey",
+            F.when(F.col("ch.op") == "upsert", F.col("ch.new_bal_c2"))
+            .otherwise(F.col("b.bal_c2"))
+            .alias("bal_c2"),
+            F.when(F.col("ch.op") == "delete", F.lit("deleted"))
+            .when(
+                (F.col("ch.op") == "upsert") & F.col("b.bal_c2").isNotNull(),
+                F.lit("updated"),
+            )
+            .when(F.col("ch.op") == "upsert", F.lit("inserted"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+        )
+        .where(F.col("status") != "deleted")
+    )
+
+
+D3_SQL = """
+WITH base AS (
+  SELECT c_custkey, CAST(FLOOR(c_acctbal * 100 + 0.5000001) AS BIGINT) AS bal_c2 FROM customer
+),
+changes AS (
+  SELECT o_custkey AS c_custkey, o_orderkey AS seq,
+         CASE WHEN o_orderkey % 10 >= 8 THEN 'delete' ELSE 'upsert' END AS op,
+         CAST(FLOOR(o_totalprice * 100 + 0.5000001) AS BIGINT) AS new_bal_c2
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+    FROM changes) WHERE rn = 1
+),
+merged AS (
+  SELECT COALESCE(b.c_custkey, ch.c_custkey) AS c_custkey,
+         CASE WHEN ch.op = 'upsert' THEN ch.new_bal_c2 ELSE b.bal_c2 END AS bal_c2,
+         CASE WHEN ch.op = 'delete' THEN 'deleted'
+              WHEN ch.op = 'upsert' AND b.bal_c2 IS NOT NULL THEN 'updated'
+              WHEN ch.op = 'upsert' THEN 'inserted'
+              ELSE 'kept' END AS status
+  FROM base b FULL OUTER JOIN latest ch ON b.c_custkey = ch.c_custkey
+)
+SELECT c_custkey, bal_c2, status FROM merged WHERE status != 'deleted'
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1890,6 +1979,7 @@ RELATIONAL_QUERIES = {
     "e8_purchase_outliers": e8_purchase_outliers,
     "e9_attribution": e9_attribution,
     "w5_running_actives": w5_running_actives,
+    "d3_merge_upsert": d3_merge_upsert,
     "w3_time_weighted": w3_time_weighted,
     "g1_rollup": g1_rollup,
     "g2_cube": g2_cube,
@@ -1935,6 +2025,7 @@ RELATIONAL_ORACLE = {
     "e8_purchase_outliers": E8_SQL,
     "e9_attribution": E9_SQL,
     "w5_running_actives": W5_SQL,
+    "d3_merge_upsert": D3_SQL,
     "w3_time_weighted": W3_SQL,
     "g1_rollup": G1_SQL,
     "g2_cube": G2_SQL,

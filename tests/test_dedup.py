@@ -247,3 +247,33 @@ def test_containment_catches_low_jaccard_subset(spark):
     assert cont[(1, 2)] == 1_000_000  # fully contained
     near = {(r["doc_a"], r["doc_b"]) for r in near_dup_pipeline(docs).collect()}
     assert (1, 2) not in near  # Jaccard 3/41 — invisible to the x4 screen
+
+
+def test_minhash_audit_exact_dup_and_error_bound(spark):
+    """Exact-dup pairs estimate Jaccard 1.0 with zero error; every
+    estimate stays within a coarse K=12 sampling bound of the exact
+    value on the augmented corpus."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        augment_docs,
+        minhash_jaccard_audit,
+        shingles,
+        EXACT_DUP_OFFSET,
+    )
+
+    docs = augment_docs(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    rows = minhash_jaccard_audit(shingles(docs)).collect()
+    assert rows
+    exact_pairs = [
+        r for r in rows if r["doc_b"] - r["doc_a"] == EXACT_DUP_OFFSET
+    ]
+    assert exact_pairs, "exact-dup copies must appear as candidates"
+    for r in exact_pairs:
+        assert (r["est_e6"], r["exact_e6"], r["abs_err_e6"]) == (
+            1_000_000,
+            1_000_000,
+            0,
+        )
+    # K=12 signature: binomial std <= 1/(2*sqrt(12)) ~ 0.145; allow 4 sigma
+    assert all(r["abs_err_e6"] <= 600_000 for r in rows)

@@ -444,3 +444,61 @@ def test_running_actives_golden(spark):
         out = [(r["day"], r["new_users"], r["cum_users"])
                for r in w5_running_actives(spark, d).orderBy("day").collect()]
     assert out == [("2024-01-01", 2, 2), ("2024-01-02", 1, 3), ("2024-01-03", 1, 4)]
+
+
+def test_merge_upsert_golden(spark):
+    """CDC apply: latest-seq change wins; deletes drop the row;
+    upserts on unseen keys insert; untouched keys survive as 'kept'."""
+    from pagerank_using_mapreduce_spark.plans.relational import d3_merge_upsert
+    import tempfile
+
+    cust = spark.createDataFrame(
+        [(1, "n", "a", 1, "p", 10.0, "s", "c"),
+         (2, "n", "a", 1, "p", 20.0, "s", "c"),
+         (3, "n", "a", 1, "p", 30.0, "s", "c")],
+        "c_custkey long, c_name string, c_address string, c_nationkey long, "
+        "c_phone string, c_acctbal double, c_mktsegment string, c_comment string",
+    )
+    # urgent orders: custkey 1 gets two upserts (seq 11 then 21 wins),
+    # custkey 2 a delete (seq 18, %10>=8), custkey 9 an insert (seq 31)
+    orders = spark.createDataFrame(
+        [(11, 1, "O", 111.0, "1994-01-01", "1-URGENT", "c", 0, "x"),
+         (21, 1, "O", 222.0, "1994-01-02", "1-URGENT", "c", 0, "x"),
+         (18, 2, "O", 999.0, "1994-01-03", "1-URGENT", "c", 0, "x"),
+         (31, 9, "O", 333.0, "1994-01-04", "1-URGENT", "c", 0, "x"),
+         (41, 3, "O", 444.0, "1994-01-05", "3-MEDIUM", "c", 0, "x")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, "
+        "o_orderdate string, o_orderpriority string, o_clerk string, "
+        "o_shippriority long, o_comment string",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        cust.write.parquet(f"{d}/customer.parquet")
+        orders.write.parquet(f"{d}/orders.parquet")
+        out = {r["c_custkey"]: (r["bal_c2"], r["status"])
+               for r in d3_merge_upsert(spark, d).collect()}
+    assert out == {
+        1: (22200, "updated"),   # seq 21 wins over seq 11
+        3: (3000, "kept"),       # MEDIUM order is not in the feed
+        9: (33300, "inserted"),
+    }  # custkey 2 deleted
+
+
+def test_source_keywords_golden(spark):
+    """A word concentrated in one source tops that source's list with
+    lift > 1; per-source lists are capped and ranked deterministically."""
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        source_keywords,
+    )
+
+    common = "the and of to in " * 4   # shared background
+    docs = spark.createDataFrame(
+        [(1, common + "quantum quantum quantum quantum quantum", "s1"),
+         (2, common + "banana banana banana banana banana", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = [(r["source"], r["word"], r["rnk"], r["lift_e6"])
+           for r in source_keywords(docs, per_source=2, min_count=5).collect()]
+    top = {s: w for s, w, r, _ in out if r == 1}
+    assert top == {"s1": "quantum", "s2": "banana"}
+    assert all(l > 1_000_000 for s, w, r, l in out if r == 1)
+    assert max(r for _, _, r, _ in out) <= 2
