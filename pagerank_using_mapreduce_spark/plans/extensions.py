@@ -463,6 +463,27 @@ def q_x66_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_keywords(_docs(spark, sf_dir))
 
 
+def q_x65_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-content audit: cross-tabulate the declared ``lang``
+    column against the n-gram lang_id guess.  The curation check that
+    catches mislabeled or machine-mixed sources before a language
+    filter trusts the metadata.  One doc-keyed join + one tiny
+    cross-tab aggregate on top of x7's scoring."""
+    docs = _docs(spark, sf_dir)
+    guesses = lang_id(docs).select("doc_id", "lang_guess")
+    return (
+        docs.select("doc_id", "lang")
+        .join(guesses, "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("lang") == F.col("lang_guess")).cast("long")).alias(
+                "n_agree"
+            ),
+        )
+    )
+
+
 def q_z12_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user purchase moments (n, Σv3, Σv3²) drained with
     AvailableNow — additive integer merges, so the drain is
@@ -1333,6 +1354,7 @@ EXTENSION_QUERIES = {
     "x62_bpe_encode": q_x62_bpe_encode,
     "x63_containment": q_x63_containment,
     "x64_minhash_audit": q_x64_minhash_audit,
+    "x65_lang_consistency": q_x65_lang_consistency,
     "x66_source_keywords": q_x66_source_keywords,
     "z12_stream_moments": q_z12_stream_moments,
     "z1_stream_rollup": q_z1_stream_rollup,
@@ -1418,6 +1440,16 @@ def _x66_sql() -> str:
     from ..operators.text_analysis import source_keywords_sql
 
     return source_keywords_sql()
+
+
+def _x65_sql() -> str:
+    return f"""
+WITH guesses AS ({LANG_ID_SQL})
+SELECT d.lang, g.lang_guess, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN d.lang = g.lang_guess THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree
+FROM documents d JOIN guesses g USING (doc_id)
+GROUP BY d.lang, g.lang_guess"""
 
 
 def _x61_sql() -> str:
@@ -1520,6 +1552,7 @@ GROUP BY 1, 2""",
     "x62_bpe_encode": _x62_sql(),
     "x63_containment": _x63_sql(),
     "x64_minhash_audit": _x64_sql(),
+    "x65_lang_consistency": _x65_sql(),
     "x66_source_keywords": _x66_sql(),
     "x43_join_size_estimate": cms_join_size_estimate_sql(
         "lineitem",

@@ -470,6 +470,41 @@ def q_g9_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("title", _e6(F.col("rank")).alias("rank_e6"))
 
 
+def q_a9_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph reciprocity: the fraction of distinct non-self valid
+    edges whose reverse edge also exists — the mutual-linking statistic
+    (one self-join of the distinct edge relation on the swapped key
+    pair; both sides valid-gated like ev)."""
+    from ..operators.pagerank import edges
+
+    pages = _pages(spark, sf_dir)
+    titles = pages.select("title")
+    de = (
+        edges(pages)
+        .join(titles.withColumnRenamed("title", "dst"), "dst")
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    recip = de.alias("a").join(
+        de.alias("b"),
+        (F.col("a.src") == F.col("b.dst")) & (F.col("a.dst") == F.col("b.src")),
+        "left_semi",
+    )
+    n_e = de.agg(F.count("*").alias("n_edges"))
+    n_r = recip.agg(F.count("*").alias("n_reciprocal"))
+    return n_e.crossJoin(n_r).select(
+        "n_edges",
+        "n_reciprocal",
+        F.floor(
+            F.col("n_reciprocal").cast("double") / F.col("n_edges") * 1e6
+            + F.lit(0.5000001)
+        )
+        .cast("long")
+        .alias("reciprocity_e6"),
+    )
+
+
 _EV_CTE = (
     "ev AS MATERIALIZED (SELECT e.src, e.dst FROM edges e "
     "JOIN pages p ON p.title = e.dst)"
@@ -503,6 +538,23 @@ def _wpr_sql(iterations: int = 10) -> str:
     return f"""WITH {_PAGES_CTES},
 {body}
 SELECT title, {_sql_e6("rank")} AS rank_e6 FROM wr{iterations}"""
+
+
+_A9_SQL_BODY = """
+de AS (
+  SELECT DISTINCT e.src, e.dst FROM edges e
+  JOIN pages p ON p.title = e.dst
+  WHERE e.src != e.dst
+),
+r AS (
+  SELECT COUNT(*) AS n_reciprocal FROM de a
+  WHERE EXISTS (SELECT 1 FROM de b WHERE b.src = a.dst AND b.dst = a.src)
+)
+SELECT (SELECT COUNT(*) FROM de) AS n_edges,
+       r.n_reciprocal,
+       CAST(FLOOR(CAST(r.n_reciprocal AS DOUBLE) / (SELECT COUNT(*) FROM de)
+                  * 1e6 + 0.5000001) AS BIGINT) AS reciprocity_e6
+FROM r"""
 
 
 def _lpa_oracle() -> str:
@@ -622,6 +674,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g5_bfs_depths": q_g5_bfs,
     "g8_sssp_dists": q_g8_sssp,
     "g9_weighted_pagerank": q_g9_weighted_pagerank,
+    "a9_reciprocity": q_a9_reciprocity,
     "g6_kcore": q_g6_kcore,
     "g7_label_prop": q_g7_label_prop,
     "deg_stats": q_deg_stats,
@@ -770,6 +823,7 @@ FROM pages""",
     "g5_bfs_depths": _bfs_sql(),
     "g8_sssp_dists": _sssp_sql(),
     "g9_weighted_pagerank": _wpr_sql(),
+    "a9_reciprocity": f"WITH {_PAGES_CTES},\n{_A9_SQL_BODY}",
     "g6_kcore": _kcore_oracle(),
     "g7_label_prop": _lpa_oracle(),
     "g3_triangles": f"""WITH {_PAGES_CTES},

@@ -1945,6 +1945,55 @@ SELECT c_custkey, bal_c2, status FROM merged WHERE status != 'deleted'
 """
 
 
+# --------------------------------------------------------------------------
+# Hourly OHLC-style buckets (time-series candle shape): per event type
+# and hour, the first/last/min/max of value.  first/last are argmin/
+# argmax over integer-microsecond timestamps with event_id tiebreaks —
+# expressed as MIN/MAX over a (ts, event_id, value_e3) struct, i.e. an
+# ordinary aggregate with map-side partial merge (NOT a per-bucket
+# sort window): one shuffle at any volume, mergeable across shards.
+# --------------------------------------------------------------------------
+
+
+def w6_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v3 = F.floor(F.col("value") * 1000 + F.lit(0.5000001)).cast("long")
+    ts_us = F.unix_micros(F.col("ts"))
+    keyed = ev.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+        F.struct(
+            ts_us.alias("t"), F.col("event_id").alias("e"), v3.alias("v")
+        ).alias("o"),
+        v3.alias("v3"),
+    )
+    return keyed.groupBy("event_type", "hour").agg(
+        F.min("o").getField("v").alias("open_v3"),
+        F.max("o").getField("v").alias("close_v3"),
+        F.min("v3").alias("low_v3"),
+        F.max("v3").alias("high_v3"),
+        F.count("*").alias("n"),
+    )
+
+
+W6_SQL = """
+WITH k AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+         epoch_us(ts) AS t, event_id AS e,
+         CAST(FLOOR(value * 1000 + 0.5000001) AS BIGINT) AS v3
+  FROM events
+)
+SELECT event_type, hour,
+       MIN(struct_pack(t := t, e := e, v := v3)).v AS open_v3,
+       MAX(struct_pack(t := t, e := e, v := v3)).v AS close_v3,
+       MIN(v3) AS low_v3,
+       MAX(v3) AS high_v3,
+       COUNT(*) AS n
+FROM k GROUP BY event_type, hour
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -1980,6 +2029,7 @@ RELATIONAL_QUERIES = {
     "e9_attribution": e9_attribution,
     "w5_running_actives": w5_running_actives,
     "d3_merge_upsert": d3_merge_upsert,
+    "w6_hourly_ohlc": w6_hourly_ohlc,
     "w3_time_weighted": w3_time_weighted,
     "g1_rollup": g1_rollup,
     "g2_cube": g2_cube,
@@ -2026,6 +2076,7 @@ RELATIONAL_ORACLE = {
     "e9_attribution": E9_SQL,
     "w5_running_actives": W5_SQL,
     "d3_merge_upsert": D3_SQL,
+    "w6_hourly_ohlc": W6_SQL,
     "w3_time_weighted": W3_SQL,
     "g1_rollup": G1_SQL,
     "g2_cube": G2_SQL,

@@ -301,3 +301,31 @@ def test_sssp_weighted_min_plus(spark):
     got = {r["title"]: r["dist"] for r in sssp_dists(pages, ["a"]).collect()}
     # ccc: direct 4 beats eeeee-route 1+4=5; dddd: via bb 3+5=8 beats 4+5=9
     assert got == {"a": 0, "bb": 3, "ccc": 4, "eeeee": 1, "dddd": 8}
+
+
+def test_reciprocity_golden(spark):
+    """a<->b mutual, a->c one-way, self-loop ignored: 2 of 3 edges
+    reciprocal (the q_a9_reciprocity edge/semi-join construction on a
+    hand-built pages graph)."""
+    from pagerank_using_mapreduce_spark.operators.pagerank import edges
+    from pyspark.sql import functions as F
+
+    pages = spark.createDataFrame(
+        [("a", ["b", "c", "a"]), ("b", ["a"]), ("c", [])],
+        "title string, links array<string>",
+    )
+    titles = pages.select("title")
+    de = (
+        edges(pages)
+        .join(titles.withColumnRenamed("title", "dst"), "dst")
+        .select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    recip = de.alias("x").join(
+        de.alias("y"),
+        (F.col("x.src") == F.col("y.dst")) & (F.col("x.dst") == F.col("y.src")),
+        "left_semi",
+    )
+    assert de.count() == 3
+    assert recip.count() == 2

@@ -502,3 +502,34 @@ def test_source_keywords_golden(spark):
     assert top == {"s1": "quantum", "s2": "banana"}
     assert all(l > 1_000_000 for s, w, r, l in out if r == 1)
     assert max(r for _, _, r, _ in out) <= 2
+
+
+def test_hourly_ohlc_golden(spark):
+    """open = value of the earliest event in the bucket, close = the
+    latest (event_id breaks timestamp ties); low/high independent."""
+    from pagerank_using_mapreduce_spark.plans.relational import w6_hourly_ohlc
+    import datetime as dt
+    import tempfile
+
+    t = lambda m, s=0: dt.datetime(2024, 1, 1, 9, m, s)
+    rows = [
+        (1, t(5), 1, "click", 30.0, "{}"),
+        (2, t(1), 1, "click", 10.0, "{}"),   # earliest -> open
+        (3, t(59), 1, "click", 20.0, "{}"),  # latest -> close
+        (4, t(30), 1, "click", 99.0, "{}"),  # high
+        # same-timestamp tie: larger event_id wins close
+        (5, t(59), 1, "view", 1.0, "{}"),
+        (6, t(59), 1, "view", 2.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        out = {r["event_type"]: r for r in w6_hourly_ohlc(spark, d).collect()}
+    c = out["click"]
+    assert (c["open_v3"], c["close_v3"], c["low_v3"], c["high_v3"], c["n"]) == (
+        10000, 20000, 10000, 99000, 4
+    )
+    v = out["view"]
+    assert (v["open_v3"], v["close_v3"]) == (1000, 2000)
