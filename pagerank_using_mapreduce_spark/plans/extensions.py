@@ -84,6 +84,7 @@ from ..sources.tables import load_table
 from .relational import E1_SQL as _E1_BATCH_SQL
 from .relational import E4_SQL as _E4_BATCH_SQL
 from .relational import E2_SQL as _E2_BATCH_SQL
+from .relational import W6_SQL as _W6_BATCH_SQL
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,6 +483,53 @@ def q_x65_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def q_x67_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source roundtrip (Spark's other native columnar
+    format): the quantized events subset is written hive-partitioned
+    ORC, read back, and aggregated; the oracle recomputes the
+    aggregate straight from parquet, so identical numbers prove the
+    roundtrip lossless.  Partitioned write + schema-carrying columnar
+    read — the x23 text-format check's columnar sibling."""
+    import os
+    import tempfile
+
+    from ..sources.tables import read_table, write_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5000001))
+        .cast("long")
+        .alias("v_e2"),
+    )
+    d = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    write_table(
+        ev, os.path.join(d, "orc"), fmt="orc", partition_by=["event_type"]
+    )
+    back = read_table(spark, os.path.join(d, "orc"), fmt="orc")
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v_e2").alias("sum_v_e2"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+def q_z13_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC candles drained with AvailableNow — monotone
+    min/max merges over integer state, bit-identical to the batch w6
+    (oracle: the batch SQL)."""
+    from ..streaming.events import (
+        hourly_ohlc_stream,
+        read_event_stream,
+        run_available_now,
+        stage_table_dir,
+    )
+
+    stream = hourly_ohlc_stream(read_event_stream(spark, stage_table_dir(sf_dir)))
+    return run_available_now(stream, "t_z13_ohlc", output_mode="complete")
 
 
 def q_z12_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1357,6 +1405,8 @@ EXTENSION_QUERIES = {
     "x65_lang_consistency": q_x65_lang_consistency,
     "x66_source_keywords": q_x66_source_keywords,
     "z12_stream_moments": q_z12_stream_moments,
+    "x67_orc_roundtrip": q_x67_orc_roundtrip,
+    "z13_stream_ohlc": q_z13_stream_ohlc,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
     "z9_stream_bottomk": q_z9_stream_bottomk,
@@ -1553,6 +1603,12 @@ GROUP BY 1, 2""",
     "x63_containment": _x63_sql(),
     "x64_minhash_audit": _x64_sql(),
     "x65_lang_consistency": _x65_sql(),
+    "x67_orc_roundtrip": """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS BIGINT)
+         AS sum_v_e2,
+       MIN(event_id) AS min_id, MAX(event_id) AS max_id
+FROM events GROUP BY event_type""",
     "x66_source_keywords": _x66_sql(),
     "x43_join_size_estimate": cms_join_size_estimate_sql(
         "lineitem",
@@ -1575,6 +1631,7 @@ GROUP BY 1, 2""",
     "z8_stream_cms": cms_counts_sql("events", "user_id"),
     "z10_stream_histogram": _histogram_bins_oracle(),
     "z11_stream_funnel": _funnel_stage_oracle(),
+    "z13_stream_ohlc": _W6_BATCH_SQL,
     "z12_stream_moments": """
 SELECT user_id, COUNT(*) AS n,
        CAST(SUM(v3) AS BIGINT) AS s,

@@ -534,3 +534,30 @@ def user_moments_stream(events: DataFrame) -> DataFrame:
             F.sum(F.col("v3") * F.col("v3")).alias("ss"),
         )
     )
+
+
+def hourly_ohlc_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch OHLC candles
+    (plans.relational.w6_hourly_ohlc): per (event_type, hour), open/
+    close as MIN/MAX over (ts, event_id, value_e3) structs plus plain
+    low/high.  Every aggregate is a monotone min/max merge over
+    integer-quantized state, so complete-mode drain is bit-identical
+    to the batch query at any micro-batch partitioning — the candle
+    chart that updates live without a nightly recompute."""
+    v3 = F.floor(F.col("value") * 1000 + F.lit(0.5000001)).cast("long")
+    ts_us = F.unix_micros(F.col("ts"))
+    keyed = events.select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"),
+        F.struct(
+            ts_us.alias("t"), F.col("event_id").alias("e"), v3.alias("v")
+        ).alias("o"),
+        v3.alias("v3"),
+    )
+    return keyed.groupBy("event_type", "hour").agg(
+        F.min("o").getField("v").alias("open_v3"),
+        F.max("o").getField("v").alias("close_v3"),
+        F.min("v3").alias("low_v3"),
+        F.max("v3").alias("high_v3"),
+        F.count("*").alias("n"),
+    )

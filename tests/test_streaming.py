@@ -431,3 +431,38 @@ def test_stream_moments_match_batch_across_batches(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_ohlc_matches_batch_across_batches(spark, tmp_path):
+    """OHLC aggregates are monotone min/max merges: 2-file delivery
+    drains to exactly the batch w6 answer."""
+    import pyarrow.parquet as pq
+
+    from pagerank_using_mapreduce_spark.plans.relational import w6_hourly_ohlc
+    from pagerank_using_mapreduce_spark.streaming import events as se
+
+    t = pq.read_table(f"{SF}/events.parquet")
+    d = tmp_path / "split_events_o"
+    d.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), d / "a.parquet")
+    pq.write_table(t.slice(half), d / "b.parquet")
+
+    stream = se.hourly_ohlc_stream(
+        se.read_event_stream(spark, str(d), max_files_per_trigger=1)
+    )
+    got = {
+        (r["event_type"], r["hour"]): (
+            r["open_v3"], r["close_v3"], r["low_v3"], r["high_v3"], r["n"]
+        )
+        for r in se.run_available_now(
+            stream, "t_test_ohlc", output_mode="complete"
+        ).collect()
+    }
+    want = {
+        (r["event_type"], r["hour"]): (
+            r["open_v3"], r["close_v3"], r["low_v3"], r["high_v3"], r["n"]
+        )
+        for r in w6_hourly_ohlc(spark, SF).collect()
+    }
+    assert got == want

@@ -151,3 +151,30 @@ def test_partitioned_write_prunes(spark):
         plan = back._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [isnotnull(event_type" in plan
         assert back.count() == ev.where(F.col("event_type") == "click").count()
+
+
+def test_orc_roundtrip_identity_and_pruning(spark, tmp_path):
+    """ORC sink/source: row-identical roundtrip, and a partition
+    filter on the hive layout prunes to the one matching directory."""
+    from pyspark.sql import functions as F
+
+    from pagerank_using_mapreduce_spark.sources.tables import (
+        read_table,
+        write_table,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"t{i % 3}", i * 10) for i in range(60)],
+        "id long, part string, v long",
+    )
+    d = str(tmp_path / "orc_tbl")
+    write_table(df, d, fmt="orc", partition_by=["part"])
+    back = read_table(spark, d, fmt="orc")
+    assert sorted((r["id"], r["part"], r["v"]) for r in back.collect()) == sorted(
+        (r["id"], r["part"], r["v"]) for r in df.collect()
+    )
+    pruned = back.where(F.col("part") == "t1")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == 20
+    # partition filter must reach the scan, not a post-scan Filter
+    assert "PartitionFilters: [isnotnull(part" in plan or "part#" in plan.split("PartitionFilters")[1][:80]
