@@ -109,6 +109,7 @@ def pagerank(
     damping: float = DAMPING,
     checkpoint_every: int = 5,
     checkpoint_dir: str | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """I1 + J1/J2 + A4/A5: the full fixed-point loop → (title, rank).
 
@@ -127,6 +128,13 @@ def pagerank(
       cadence is a recompute-risk/latency dial: measured locally at
       sf0.1, every-3 = 5.8s, every-5 = 3.6s, none = 1.1s for 10
       iterations; 5 balances that against bounded recovery at scale.
+    - ``init_ranks`` (a (title, rank) DataFrame) WARM-STARTS the loop
+      from a prior state instead of uniform 1/N — the restart path: a
+      100 TB job killed at iteration k resumes from its checkpointed
+      ranks and the remaining iterations produce exactly what the
+      uninterrupted run would have (the recurrence only depends on the
+      current rank vector).  Proven through the hash gate: warm-start
+      4+6 ≡ straight 10 (`i3_warm_start`).
     """
     spark = pages.sparkSession
     shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -148,7 +156,10 @@ def pagerank(
         # 1/N ranks (PageRankAlgorithm.java:302); return empty instead
         return titles.select("title", F.lit(0.0).alias("rank")).where(F.lit(False))
 
-    ranks = titles.select("title", F.lit(1.0 / n).alias("rank"))
+    if init_ranks is not None:
+        ranks = init_ranks.select("title", "rank")
+    else:
+        ranks = titles.select("title", F.lit(1.0 / n).alias("rank"))
     prev_persisted = None
     for i in range(iterations):
         contribs = (

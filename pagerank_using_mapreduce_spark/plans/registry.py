@@ -460,6 +460,20 @@ def q_g8_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sssp_dists(pages, seeds, iterations=8)
 
 
+def q_i3_warm_start(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm-start restartability proof: 4 iterations, then resume the
+    loop from those ranks for 6 more — must hash-match the straight
+    10-iteration unroll (the oracle is _rank_ctes(10) verbatim).  This
+    is the property that makes the reliable-checkpoint recipe
+    (`checkpoint_dir=`) a real resume path at 100 TB, not a rerun."""
+    from ..operators.pagerank import pagerank as pr
+
+    pages = _pages(spark, sf_dir)
+    prior = pr(pages, iterations=4)
+    out = pr(pages, iterations=6, init_ranks=prior)
+    return out.select("title", _e6(F.col("rank")).alias("rank_e6"))
+
+
 def q_g9_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-weighted PageRank (rank split ∝ edge weight, not 1/outdeg)
     — 10 iterations of the same un-normalized recurrence with the g8
@@ -675,6 +689,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g8_sssp_dists": q_g8_sssp,
     "g9_weighted_pagerank": q_g9_weighted_pagerank,
     "a9_reciprocity": q_a9_reciprocity,
+    "i3_warm_start": q_i3_warm_start,
     "g6_kcore": q_g6_kcore,
     "g7_label_prop": q_g7_label_prop,
     "deg_stats": q_deg_stats,
@@ -815,6 +830,7 @@ SELECT title,
 FROM pages""",
     "i1_pagerank2": _rank_sql(2),
     "i1_pagerank10": _rank_sql(10),
+    "i3_warm_start": _rank_sql(10),
     "i1_pagerank_converged": _rank_converged_sql(tol=2e-3, kmax=25),
     "i2_personalized_pagerank": _ppr_sql(),
     "cc_converged": _cc_converged_sql(kmax=25),

@@ -286,3 +286,19 @@ def test_weighted_pagerank_equal_weights_match_plain(spark):
     assert set(got) == set(want)
     for t in want:
         assert got[t] == pytest.approx(want[t], rel=1e-12), t
+
+
+def test_warm_start_equals_straight_run(pages):
+    """Resuming from iteration-k ranks reproduces the uninterrupted
+    run: warm-start 2+3 == straight 5, exactly (same float ops)."""
+    prior = pagerank(pages, iterations=2)
+    resumed = {
+        r["title"]: r["rank"]
+        for r in pagerank(pages, iterations=3, init_ranks=prior).collect()
+    }
+    straight = {
+        r["title"]: r["rank"] for r in pagerank(pages, iterations=5).collect()
+    }
+    assert set(resumed) == set(straight)
+    for t in straight:
+        assert resumed[t] == pytest.approx(straight[t], rel=1e-12), t
