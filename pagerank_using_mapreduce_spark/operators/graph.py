@@ -504,6 +504,66 @@ def bfs_depths(
     return depths
 
 
+def bfs_depths_frontier(
+    pages: DataFrame, sources: list[str], max_iterations: int = 64
+) -> DataFrame:
+    """(title, depth): the frontier-delta BFS — the diameter-scale
+    alternative :func:`bfs_depths` documents.  Each round expands ONLY
+    the rows discovered last round (the frontier), anti-joins away
+    already-settled titles, and stops when the frontier is empty.
+
+    Trade-off vs the dense form: per round the join input is the
+    frontier (which shrinks to zero), not the whole depth relation,
+    at the cost of one extra wide op (the settled anti-join) and a
+    driver count per round (the S5 stop-rule channel, same as
+    pagerank_until).  On a diameter-D graph this does D rounds of
+    frontier-sized work instead of k rounds of reachable-set-sized
+    work — the right shape when D is large and the budget form's fixed
+    k would either truncate or overpay.
+
+    BFS invariant (first discovery = minimum depth) makes the
+    anti-join sufficient: a title reached again later can never
+    improve, so settled rows are final — no min-merge needed.
+    """
+    if not sources:
+        raise ValueError("bfs_depths_frontier needs a non-empty source set")
+    spark = pages.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    pages_c = pages.persist()
+    e = valid_edges(pages_c).repartition(shuffle, "src").persist()
+    e.count()
+    settled = (
+        pages_c.select("title")
+        .where(F.col("title").isin(*sources))
+        .select("title", F.lit(0).cast("long").alias("depth"))
+        .persist()
+    )
+    frontier = settled
+    depth = 0
+    while depth < max_iterations:
+        depth += 1
+        nxt = (
+            e.alias("e")
+            .join(frontier.alias("f"), F.col("e.src") == F.col("f.title"))
+            .select(F.col("e.dst").alias("title"))
+            .distinct()
+            .join(settled.select("title"), "title", "left_anti")
+            .select("title", F.lit(depth).cast("long").alias("depth"))
+            .persist()
+        )
+        if nxt.count() == 0:  # S5 stop rule: frontier exhausted
+            nxt.unpersist()
+            break
+        new_settled = settled.unionAll(nxt).localCheckpoint(eager=True)
+        settled.unpersist()
+        if frontier is not settled:
+            frontier.unpersist()
+        settled = new_settled
+        frontier = nxt
+    pages_c.unpersist()
+    return settled
+
+
 KCORE_K = 2
 KCORE_ROUNDS = 6
 

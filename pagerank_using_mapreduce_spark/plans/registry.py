@@ -474,6 +474,23 @@ def q_i3_warm_start(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("title", _e6(F.col("rank")).alias("rank_e6"))
 
 
+def q_g10_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-delta BFS (the diameter-scale path): expands only the
+    newly-discovered frontier per round with an anti-join against the
+    settled set, stopping when the frontier empties.  Capped at the
+    same 8 hops as g5 so the 8-round min-merge unroll is its oracle —
+    proving both formulations compute the same depths through the
+    hash gate."""
+    from ..operators.graph import bfs_depths_frontier
+
+    pages = _pages(spark, sf_dir)
+    seeds = [
+        r["title"]
+        for r in pages.select("title").orderBy("title").limit(BFS_SEEDS).collect()
+    ]
+    return bfs_depths_frontier(pages, seeds, max_iterations=8)
+
+
 def q_g9_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-weighted PageRank (rank split ∝ edge weight, not 1/outdeg)
     — 10 iterations of the same un-normalized recurrence with the g8
@@ -690,6 +707,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g9_weighted_pagerank": q_g9_weighted_pagerank,
     "a9_reciprocity": q_a9_reciprocity,
     "i3_warm_start": q_i3_warm_start,
+    "g10_bfs_frontier": q_g10_bfs_frontier,
     "g6_kcore": q_g6_kcore,
     "g7_label_prop": q_g7_label_prop,
     "deg_stats": q_deg_stats,
@@ -838,6 +856,7 @@ FROM pages""",
     "g4_hits": _hits_sql(),
     "g5_bfs_depths": _bfs_sql(),
     "g8_sssp_dists": _sssp_sql(),
+    "g10_bfs_frontier": _bfs_sql(),
     "g9_weighted_pagerank": _wpr_sql(),
     "a9_reciprocity": f"WITH {_PAGES_CTES},\n{_A9_SQL_BODY}",
     "g6_kcore": _kcore_oracle(),

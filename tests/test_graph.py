@@ -329,3 +329,26 @@ def test_reciprocity_golden(spark):
     )
     assert de.count() == 3
     assert recip.count() == 2
+
+
+def test_bfs_frontier_matches_dense_and_goes_deeper(spark):
+    """Frontier-delta BFS equals the dense min-merge form at the same
+    hop budget, and — unlike the fixed-k form — runs to exhaustion on
+    a chain deeper than the budget."""
+    from pagerank_using_mapreduce_spark.operators.graph import (
+        bfs_depths,
+        bfs_depths_frontier,
+    )
+
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", [f"n{i + 1:02d}"]) for i in range(12)] + [("n12", [])],
+        "title string, links array<string>",
+    )
+    dense = {r["title"]: r["depth"]
+             for r in bfs_depths(chain, ["n00"], iterations=5).collect()}
+    frontier5 = {r["title"]: r["depth"]
+                 for r in bfs_depths_frontier(chain, ["n00"], max_iterations=5).collect()}
+    assert frontier5 == dense  # identical at the same budget
+    full = {r["title"]: r["depth"]
+            for r in bfs_depths_frontier(chain, ["n00"]).collect()}
+    assert full == {f"n{i:02d}": i for i in range(13)}  # exhausts the chain
