@@ -532,6 +532,71 @@ def q_z13_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(stream, "t_z13_ohlc", output_mode="complete")
 
 
+def q_x68_dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset datasheet: ONE row summarizing the corpus — sizes,
+    vocabulary, language/source diversity, mean quality, top-20-vocab
+    OOV rate.  Every number a data card needs before training, in one
+    fused query (three corpus scans: metadata, tokens, quality).  All
+    ratios are floor+nudge-quantized over exact integer sums, so the
+    row is hash-checkable cross-engine."""
+    from ..operators.bpe import word_freqs
+    from ..operators.text_analysis import quality_score
+
+    docs = _docs(spark, sf_dir)
+    meta = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
+    )
+    wf = word_freqs(docs)
+    vocab = wf.agg(
+        F.sum("freq").alias("total_tokens"),
+        F.count("*").alias("distinct_words"),
+    )
+    top20 = wf.orderBy(F.desc("freq"), F.asc("word")).limit(20).agg(
+        F.sum("freq").alias("top20_tokens")
+    )
+    qual = quality_score(docs).agg(F.sum("quality_e6").alias("q_sum"))
+    return (
+        meta.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(top20))
+        .crossJoin(F.broadcast(qual))
+        .select(
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            "distinct_words",
+            "n_langs",
+            "n_sources",
+            F.floor(
+                F.col("n_en").cast("double") / F.col("n_docs") * 1e6
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("pct_en_e6"),
+            F.floor(
+                F.col("q_sum").cast("double") / F.col("n_docs")
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("mean_quality_e6"),
+            F.floor(
+                (
+                    1.0
+                    - F.col("top20_tokens").cast("double")
+                    / F.col("total_tokens")
+                )
+                * 1e6
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("oov20_e6"),
+        )
+    )
+
+
 def q_z12_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user purchase moments (n, Σv3, Σv3²) drained with
     AvailableNow — additive integer merges, so the drain is
@@ -1406,6 +1471,7 @@ EXTENSION_QUERIES = {
     "x66_source_keywords": q_x66_source_keywords,
     "z12_stream_moments": q_z12_stream_moments,
     "x67_orc_roundtrip": q_x67_orc_roundtrip,
+    "x68_dataset_profile": q_x68_dataset_profile,
     "z13_stream_ohlc": q_z13_stream_ohlc,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
@@ -1500,6 +1566,37 @@ SELECT d.lang, g.lang_guess, COUNT(*) AS n,
          AS n_agree
 FROM documents d JOIN guesses g USING (doc_id)
 GROUP BY d.lang, g.lang_guess"""
+
+
+def _x68_sql() -> str:
+    return f"""
+WITH wf AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(list_filter(
+             string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+             t -> t != '')) AS word
+    FROM documents)
+  WHERE word != '' GROUP BY word
+),
+q AS ({QUALITY_SQL}),
+m AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         COUNT(DISTINCT lang) AS n_langs, COUNT(DISTINCT source) AS n_sources,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+  FROM documents
+),
+v AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens, COUNT(*) AS distinct_words FROM wf),
+t AS (SELECT CAST(SUM(freq) AS BIGINT) AS top20_tokens
+      FROM (SELECT freq FROM wf ORDER BY freq DESC, word ASC LIMIT 20)),
+qq AS (SELECT CAST(SUM(quality_e6) AS BIGINT) AS q_sum FROM q)
+SELECT n_docs, total_chars, total_tokens, distinct_words, n_langs, n_sources,
+       CAST(FLOOR(CAST(n_en AS DOUBLE) / n_docs * 1e6 + 0.5000001) AS BIGINT)
+         AS pct_en_e6,
+       CAST(FLOOR(CAST(q_sum AS DOUBLE) / n_docs + 0.5000001) AS BIGINT)
+         AS mean_quality_e6,
+       CAST(FLOOR((1.0 - CAST(top20_tokens AS DOUBLE) / total_tokens) * 1e6
+                  + 0.5000001) AS BIGINT) AS oov20_e6
+FROM m CROSS JOIN v CROSS JOIN t CROSS JOIN qq"""
 
 
 def _x61_sql() -> str:
@@ -1603,6 +1700,7 @@ GROUP BY 1, 2""",
     "x63_containment": _x63_sql(),
     "x64_minhash_audit": _x64_sql(),
     "x65_lang_consistency": _x65_sql(),
+    "x68_dataset_profile": _x68_sql(),
     "x67_orc_roundtrip": """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS BIGINT)

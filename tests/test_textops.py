@@ -209,3 +209,21 @@ def test_ngram_contamination_flags_planted_phrase(spark):
         r["doc_id"]: r["n_shared"] for r in ngram_contamination(df).collect()
     }
     assert got == {leaked_train: 1}
+
+
+def test_dataset_profile_invariants(spark):
+    """The one-row datasheet: totals positive, ratios in [0, 1e6],
+    pct_en equals the direct metadata count."""
+    from pagerank_using_mapreduce_spark.plans.extensions import (
+        q_x68_dataset_profile,
+    )
+
+    r = q_x68_dataset_profile(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_docs"] == 500 and r["total_chars"] > 0
+    assert 0 < r["distinct_words"] < r["total_tokens"]
+    assert r["n_langs"] == 5 and r["n_sources"] == 20
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_en = docs.where("lang = 'en'").count()
+    assert r["pct_en_e6"] == int(n_en / 500 * 1e6 + 0.5000001)
+    assert 0 < r["mean_quality_e6"] < 1_000_000
+    assert 0 < r["oov20_e6"] < 1_000_000
