@@ -337,3 +337,68 @@ def test_curriculum_prefix_proportionality(spark, n_heavy, n_light, w_heavy):
             # heavy rank r appears at key ~r/w, light rank q at ~q:
             # within any prefix, h/w and l differ by at most 1 period
             assert abs(h / w_heavy - l) <= w_heavy + 1, (h, l, ordered)
+
+
+_para_texts = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=25
+    ).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=_para_texts)
+@_SETTINGS
+def test_paragraph_dedup_accounting_property(spark, texts):
+    """For ANY corpus: kept + dropped == paragraphs per doc, and the
+    total kept count equals the number of DISTINCT paragraphs (each
+    survives exactly once, somewhere)."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        PARA_WORDS,
+        paragraph_dedup,
+        paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = paragraph_dedup(docs).collect()
+    assert all(r["n_kept"] + r["n_dropped"] == r["n_paras"] for r in rows)
+    total_kept = sum(r["n_kept"] for r in rows)
+    n_distinct = (
+        paragraphs(docs, PARA_WORDS).select("para_hash").distinct().count()
+    )
+    assert total_kept == n_distinct
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=40), min_size=2, max_size=4),
+    seed=st.sampled_from(["t0", "t1"]),
+)
+@_SETTINGS
+def test_temperature_mix_property(spark, sizes, seed):
+    """For ANY group-size profile: admitted <= before per group, the
+    smallest group keeps everything, and membership is layout-stable."""
+    from pagerank_using_mapreduce_spark.operators.sampling import (
+        temperature_mix,
+        temperature_mix_summary,
+    )
+
+    rows = [
+        (g * 1000 + i, f"g{g}") for g, n in enumerate(sizes) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "key long, lang string")
+    summ = {r["grp"]: r for r in temperature_mix_summary(df, "lang", "key", seed).collect()}
+    mn = min(sizes)
+    for g, n in enumerate(sizes):
+        r = summ[f"g{g}"]
+        assert r["n_after"] <= r["n_before"] == n
+        if n == mn:
+            assert r["thr"] == 65536 and r["n_after"] == n
+    a = sorted(r["key"] for r in temperature_mix(df, "lang", "key", seed).collect())
+    b = sorted(
+        r["key"]
+        for r in temperature_mix(df.repartition(5), "lang", "key", seed).collect()
+    )
+    assert a == b
