@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "x63_containment",
     "g9_weighted_pagerank",
     "e9_attribution",
+    "x68_dataset_profile",
+    "g10_bfs_frontier",
 ]
 
 # The iterative/heavy queries whose scaling behavior matters most;

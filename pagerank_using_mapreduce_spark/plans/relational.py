@@ -1994,6 +1994,52 @@ FROM k GROUP BY event_type, hour
 """
 
 
+# --------------------------------------------------------------------------
+# Debounce (recency dedup): keep an event only if the PREVIOUS event
+# of the same (user, type) is more than DEBOUNCE_GAP_S older (or there
+# is none) — the duplicate-click / repeated-webhook suppressor.  One
+# key-partitioned LAG window (single shuffle); ties on the timestamp
+# are ordered by event_id so the decision is deterministic.  Distinct
+# from session dedup: a long burst of sub-gap events keeps ONLY rows
+# that follow a real gap, measured against the immediately preceding
+# event, kept or not.
+# --------------------------------------------------------------------------
+
+DEBOUNCE_GAP_S = 600
+
+
+def e10_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("t"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("t"), F.col("event_id")
+    )
+    return (
+        ev.withColumn("prev_t", F.lag("t").over(w))
+        .where(
+            F.col("prev_t").isNull()
+            | (F.col("t") - F.col("prev_t") > DEBOUNCE_GAP_S * 1_000_000)
+        )
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+E10_SQL = f"""
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS t,
+         LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type
+           ORDER BY epoch_us(ts), event_id) AS prev_t
+  FROM events
+)
+WHERE prev_t IS NULL OR t - prev_t > {DEBOUNCE_GAP_S} * 1000000
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2030,6 +2076,7 @@ RELATIONAL_QUERIES = {
     "w5_running_actives": w5_running_actives,
     "d3_merge_upsert": d3_merge_upsert,
     "w6_hourly_ohlc": w6_hourly_ohlc,
+    "e10_debounce": e10_debounce,
     "w3_time_weighted": w3_time_weighted,
     "g1_rollup": g1_rollup,
     "g2_cube": g2_cube,
@@ -2077,6 +2124,7 @@ RELATIONAL_ORACLE = {
     "w5_running_actives": W5_SQL,
     "d3_merge_upsert": D3_SQL,
     "w6_hourly_ohlc": W6_SQL,
+    "e10_debounce": E10_SQL,
     "w3_time_weighted": W3_SQL,
     "g1_rollup": G1_SQL,
     "g2_cube": G2_SQL,

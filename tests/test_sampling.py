@@ -533,3 +533,29 @@ def test_hourly_ohlc_golden(spark):
     )
     v = out["view"]
     assert (v["open_v3"], v["close_v3"]) == (1000, 2000)
+
+
+def test_debounce_golden(spark):
+    """Bursts within the gap are suppressed relative to the immediately
+    PRECEDING event (kept or not); a real gap re-admits; other keys
+    unaffected."""
+    from pagerank_using_mapreduce_spark.plans.relational import e10_debounce
+    import datetime as dt
+    import tempfile
+
+    t = lambda m: dt.datetime(2024, 1, 1, 9, m)
+    rows = [
+        (1, t(0), 1, "click", 0.0, "{}"),    # kept (first)
+        (2, t(5), 1, "click", 0.0, "{}"),    # 5 min after #1 -> dropped
+        (3, t(11), 1, "click", 0.0, "{}"),   # 6 min after #2 -> dropped
+        (4, t(30), 1, "click", 0.0, "{}"),   # 19 min after #3 -> kept
+        (5, t(2), 1, "view", 0.0, "{}"),     # different type -> kept
+        (6, t(3), 2, "click", 0.0, "{}"),    # different user -> kept
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.parquet(f"{d}/events.parquet")
+        kept = sorted(r["event_id"] for r in e10_debounce(spark, d).collect())
+    assert kept == [1, 4, 5, 6]
