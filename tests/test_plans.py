@@ -286,3 +286,25 @@ def test_global_position_ops_avoid_single_partition(spark):
     ):
         plan = _plan(QUERIES[name](spark, SF))
         assert "Exchange SinglePartition" not in plan, name
+
+
+def test_paragraph_dedup_shuffles_on_digest_not_text(spark):
+    """x60's scale claim, asserted: every hash-partitioned exchange in
+    the plan is keyed on para_hash / doc_id — the text column never
+    appears in any Exchange's output schema."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        augment_docs,
+        paragraph_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        paragraph_dedup(augment_docs(docs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(para_hash" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
