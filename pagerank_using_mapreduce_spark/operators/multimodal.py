@@ -8,11 +8,15 @@ GIF89a (logical screen descriptor), or BMP (BITMAPFILEHEADER +
 BITMAPINFOHEADER) entirely with JVM-side column expressions, with the
 document text bytes as the payload body.  ``decode_images`` then
 performs genuine header parsing — magic-byte sniffing + struct-unpack
-of the actual width/height fields — inside ``mapInPandas``.  Only the
-*pixel* codec (full raster decode, resampling) is out of scope: the
-container ships no image library, so ``resize_meta`` computes the
-exact integer dimension math a resampler would use and stops before
-touching pixels.
+of the actual width/height fields — inside ``mapInPandas``.
+
+Pixel decode IS real where no codec is required: uncompressed 24-bpp
+BMP (``binarize_raster`` + ``decode_pixels`` below) — complete files
+with padded rasters, decoded by walking the actual bytes with numpy.
+Only COMPRESSED raster decode (PNG inflate, GIF LZW, resampling)
+remains out of scope: the container ships no image library, so
+``resize_meta`` computes the exact integer dimension math a resampler
+would use and stops before touching compressed pixels.
 
 At 100 TB the pattern holds: binaries stay in columnar storage,
 ``mapInPandas`` streams Arrow batches through the Python worker pool
@@ -260,3 +264,116 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS width,
        CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS height
 FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel decode: uncompressed 24-bpp BMP needs no codec — the
+# raster is raw BGR bytes with 4-byte row padding.  binarize_raster
+# assembles COMPLETE little BMP files (header + padded raster, every
+# pixel value a deterministic function of (x, row, doc_id)) entirely
+# with JVM column expressions; decode_pixels then walks the actual
+# raster bytes with numpy — frombuffer, strip the row padding, sum
+# channels.  The oracle replays the generative formula over (x, y)
+# ranges, so assembly, padding layout, AND the byte-walk must all be
+# right for the integer channel sums to hash-match.
+# ---------------------------------------------------------------------------
+
+RASTER_MAX_W = 8  # tiny rasters: the check is the byte-walk, not volume
+RASTER_MAX_H = 6
+
+PIXEL_SCHEMA = (
+    "doc_id long, width long, height long, n_px long,"
+    " sum_r long, sum_g long, sum_b long"
+)
+
+
+def binarize_raster(documents: DataFrame) -> DataFrame:
+    """(doc_id, payload): a complete, valid 24-bpp BMP per document —
+    dims seeded from the text byte length, raster rows padded to
+    4-byte boundaries (the classic BMP gotcha the decoder must
+    handle).  Stored row r, column x carries
+    B=(x·31+r·17+id)%256, G=(x·13+r·29+id·7)%256, R=(x·7+r·11+id·3)%256.
+    """
+    blen = F.length(F.encode(F.col("text"), "UTF-8"))
+    w = blen % RASTER_MAX_W + 1
+    h = (blen * 7) % RASTER_MAX_H + 1
+    rowsize = F.expr(f"((3 * (octet_length(encode(text, 'UTF-8')) % {RASTER_MAX_W} + 1) + 3) div 4) * 4")
+    raster = F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, CAST((octet_length(encode(text, 'UTF-8')) * 7) % {RASTER_MAX_H} AS INT)), r ->
+            concat(
+              aggregate(
+                transform(sequence(0, CAST(octet_length(encode(text, 'UTF-8')) % {RASTER_MAX_W} AS INT)), x ->
+                  concat(
+                    unhex(lpad(hex((x * 31 + r * 17 + doc_id) % 256), 2, '0')),
+                    unhex(lpad(hex((x * 13 + r * 29 + doc_id * 7) % 256), 2, '0')),
+                    unhex(lpad(hex((x * 7 + r * 11 + doc_id * 3) % 256), 2, '0')))),
+                CAST('' AS BINARY), (a, b) -> concat(a, b)),
+              unhex(repeat('00',
+                ((3 * (octet_length(encode(text, 'UTF-8')) % {RASTER_MAX_W} + 1) + 3) div 4) * 4
+                - 3 * (octet_length(encode(text, 'UTF-8')) % {RASTER_MAX_W} + 1))))),
+          CAST('' AS BINARY), (a, b) -> concat(a, b))
+        """
+    )
+    payload = F.concat(
+        F.lit(b"BM"),
+        _le(h * rowsize + 54, 4),
+        F.lit(b"\x00\x00\x00\x006\x00\x00\x00(\x00\x00\x00"),
+        _le(w, 4),
+        _le(h, 4),
+        F.lit(b"\x01\x00\x18\x00" + b"\x00" * 24),
+        raster,
+    )
+    return documents.select("doc_id", payload.alias("payload"))
+
+
+def decode_pixels(binaries: DataFrame) -> DataFrame:
+    """mapInPandas PIXEL decode: parse the BMP header from the actual
+    bytes, frombuffer the raster, strip per-row padding, and sum the
+    R/G/B channels — genuine raster decoding (uncompressed BMP), not
+    metadata trust.  Integer channel sums, so the output is exact."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "n_px", "sum_r", "sum_g", "sum_b"
+            )}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, w, h, hlen = parse_image_header(bytes(b))
+                assert fmt == "image/bmp"
+                rowsize = (3 * w + 3) // 4 * 4
+                arr = np.frombuffer(bytes(b), dtype=np.uint8, count=h * rowsize,
+                                    offset=hlen).reshape(h, rowsize)
+                pix = arr[:, : 3 * w].reshape(h, w, 3).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(w * h)
+                out["sum_b"].append(int(pix[:, :, 0].sum()))
+                out["sum_g"].append(int(pix[:, :, 1].sum()))
+                out["sum_r"].append(int(pix[:, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return binaries.mapInPandas(decode, schema=PIXEL_SCHEMA)
+
+
+PIXEL_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         octet_length(CAST(text AS BLOB)) % {RASTER_MAX_W} + 1 AS w,
+         (octet_length(CAST(text AS BLOB)) * 7) % {RASTER_MAX_H} + 1 AS h
+  FROM documents
+),
+xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS r FROM xs)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM((x * 7 + r * 11 + doc_id * 3) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((x * 13 + r * 29 + doc_id * 7) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((x * 31 + r * 17 + doc_id) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w, h
+"""

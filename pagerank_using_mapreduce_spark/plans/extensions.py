@@ -597,6 +597,17 @@ def q_x68_dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x69_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode: complete 24-bpp BMPs assembled JVM-side
+    (padded raster, generative pixel values), then numpy walks the
+    actual raster bytes per Arrow batch and sums channels.  The oracle
+    replays the pixel generator over (x, row) ranges — integer-exact
+    both sides."""
+    from ..operators.multimodal import binarize_raster, decode_pixels
+
+    return decode_pixels(binarize_raster(_docs(spark, sf_dir)))
+
+
 def q_z12_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user purchase moments (n, Σv3, Σv3²) drained with
     AvailableNow — additive integer merges, so the drain is
@@ -1472,6 +1483,7 @@ EXTENSION_QUERIES = {
     "z12_stream_moments": q_z12_stream_moments,
     "x67_orc_roundtrip": q_x67_orc_roundtrip,
     "x68_dataset_profile": q_x68_dataset_profile,
+    "x69_pixel_decode": q_x69_pixel_decode,
     "z13_stream_ohlc": q_z13_stream_ohlc,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
@@ -1599,6 +1611,12 @@ SELECT n_docs, total_chars, total_tokens, distinct_words, n_langs, n_sources,
 FROM m CROSS JOIN v CROSS JOIN t CROSS JOIN qq"""
 
 
+def _x69_sql() -> str:
+    from ..operators.multimodal import PIXEL_SQL
+
+    return PIXEL_SQL
+
+
 def _x61_sql() -> str:
     from ..operators.sampling import temperature_mix_summary_sql
 
@@ -1701,6 +1719,7 @@ GROUP BY 1, 2""",
     "x64_minhash_audit": _x64_sql(),
     "x65_lang_consistency": _x65_sql(),
     "x68_dataset_profile": _x68_sql(),
+    "x69_pixel_decode": _x69_sql(),
     "x67_orc_roundtrip": """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS BIGINT)

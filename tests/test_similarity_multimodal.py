@@ -335,3 +335,33 @@ def test_semantic_clusters_consistent_with_pairs(spark):
     for d, c in canon.items():
         if d not in members:
             assert c == d  # singleton
+
+
+def test_raster_bmps_are_real_files(spark):
+    """binarize_raster emits byte-valid BMPs: the header's file-size
+    field equals the actual byte count, the raster length matches
+    h x padded-rowsize, and a hand-computed pixel sits at its exact
+    offset (bottom-row-first storage, BGR order, row padding)."""
+    import struct
+
+    from pagerank_using_mapreduce_spark.operators.multimodal import (
+        binarize_raster,
+        decode_pixels,
+    )
+
+    docs = spark.createDataFrame([(5, "abcdefghij")], "doc_id long, text string")
+    b = bytes(binarize_raster(docs).collect()[0]["payload"])
+    # blen=10 -> w = 10%8+1 = 3, h = 70%6+1 = 5, rowsize = ceil(9/4)*4 = 12
+    assert b[:2] == b"BM"
+    assert struct.unpack("<I", b[2:6])[0] == len(b) == 54 + 5 * 12
+    w, h = struct.unpack("<ii", b[18:26])
+    assert (w, h) == (3, 5)
+    # stored row r=1, x=2: B=(2*31+1*17+5)%256=84, G=(2*13+1*29+35)%256=90,
+    # R=(2*7+1*11+15)%256=40 at offset 54 + 1*12 + 2*3
+    off = 54 + 12 + 6
+    assert b[off:off + 3] == bytes([84, 90, 40])
+    row = decode_pixels(binarize_raster(docs)).collect()[0]
+    assert (row["width"], row["height"], row["n_px"]) == (3, 5, 15)
+    # exact channel sums against the generator
+    sr = sum((x * 7 + r * 11 + 15) % 256 for x in range(3) for r in range(5))
+    assert row["sum_r"] == sr
