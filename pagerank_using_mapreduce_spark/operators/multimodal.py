@@ -377,3 +377,88 @@ SELECT doc_id,
        CAST(SUM((x * 31 + r * 17 + doc_id) % 256) AS BIGINT) AS sum_b
 FROM px GROUP BY doc_id, w, h
 """
+
+
+RESIZE_PIX_MAX_DIM = 4
+
+RESIZE_PIX_SCHEMA = (
+    "doc_id long, width long, height long, out_w long, out_h long,"
+    " sum_r long, sum_g long, sum_b long"
+)
+
+
+def resize_pixels(
+    binaries: DataFrame, max_dim: int = RESIZE_PIX_MAX_DIM
+) -> DataFrame:
+    """REAL resampling on real pixels: nearest-neighbor fit of each
+    decoded BMP raster into ``max_dim``×``max_dim`` (the resize_meta
+    dimension math, now actually applied to bytes).  Out pixel (i, j)
+    takes source pixel (i·h div out_h, j·w div out_w) — integer index
+    math, so the resampled channel sums are exact and the oracle can
+    replay the generator at exactly the sampled coordinates."""
+    import numpy as np
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "out_w", "out_h",
+                "sum_r", "sum_g", "sum_b",
+            )}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, w, h, hlen = parse_image_header(bytes(b))
+                assert fmt == "image/bmp"
+                rowsize = (3 * w + 3) // 4 * 4
+                arr = np.frombuffer(bytes(b), dtype=np.uint8, count=h * rowsize,
+                                    offset=hlen).reshape(h, rowsize)
+                pix = arr[:, : 3 * w].reshape(h, w, 3).astype(np.int64)
+                long_side = max(w, h)
+                if long_side > max_dim:
+                    ow = max(1, w * max_dim // long_side)
+                    oh = max(1, h * max_dim // long_side)
+                else:
+                    ow, oh = w, h
+                rows = (np.arange(oh) * h) // oh
+                cols = (np.arange(ow) * w) // ow
+                small = pix[rows][:, cols]
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+                out["sum_b"].append(int(small[:, :, 0].sum()))
+                out["sum_g"].append(int(small[:, :, 1].sum()))
+                out["sum_r"].append(int(small[:, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return binaries.mapInPandas(resize, schema=RESIZE_PIX_SCHEMA)
+
+
+RESIZE_PIX_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         octet_length(CAST(text AS BLOB)) % {RASTER_MAX_W} + 1 AS w,
+         (octet_length(CAST(text AS BLOB)) * 7) % {RASTER_MAX_H} + 1 AS h
+  FROM documents
+),
+fit AS (
+  SELECT doc_id, w, h,
+         CASE WHEN GREATEST(w, h) > {RESIZE_PIX_MAX_DIM}
+              THEN GREATEST(1, w * {RESIZE_PIX_MAX_DIM} // GREATEST(w, h))
+              ELSE w END AS ow,
+         CASE WHEN GREATEST(w, h) > {RESIZE_PIX_MAX_DIM}
+              THEN GREATEST(1, h * {RESIZE_PIX_MAX_DIM} // GREATEST(w, h))
+              ELSE h END AS oh
+  FROM dims
+),
+js AS (SELECT doc_id, w, h, ow, oh, unnest(range(0, ow)) AS j FROM fit),
+px AS (SELECT doc_id, w, h, ow, oh, (j * w) // ow AS x,
+              (unnest(range(0, oh)) * h) // oh AS r
+       FROM js)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(ow AS BIGINT) AS out_w, CAST(oh AS BIGINT) AS out_h,
+       CAST(SUM((x * 7 + r * 11 + doc_id * 3) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((x * 13 + r * 29 + doc_id * 7) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((x * 31 + r * 17 + doc_id) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY doc_id, w, h, ow, oh
+"""

@@ -608,6 +608,15 @@ def q_x69_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_pixels(binarize_raster(_docs(spark, sf_dir)))
 
 
+def q_x70_pixel_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resample on REAL decoded pixels (x69's rasters
+    through the resize_meta fit math, applied to actual bytes); oracle
+    replays the generator at exactly the sampled coordinates."""
+    from ..operators.multimodal import binarize_raster, resize_pixels
+
+    return resize_pixels(binarize_raster(_docs(spark, sf_dir)))
+
+
 def q_z12_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user purchase moments (n, Σv3, Σv3²) drained with
     AvailableNow — additive integer merges, so the drain is
@@ -1484,6 +1493,7 @@ EXTENSION_QUERIES = {
     "x67_orc_roundtrip": q_x67_orc_roundtrip,
     "x68_dataset_profile": q_x68_dataset_profile,
     "x69_pixel_decode": q_x69_pixel_decode,
+    "x70_pixel_resize": q_x70_pixel_resize,
     "z13_stream_ohlc": q_z13_stream_ohlc,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
@@ -1617,6 +1627,12 @@ def _x69_sql() -> str:
     return PIXEL_SQL
 
 
+def _x70_sql() -> str:
+    from ..operators.multimodal import RESIZE_PIX_SQL
+
+    return RESIZE_PIX_SQL
+
+
 def _x61_sql() -> str:
     from ..operators.sampling import temperature_mix_summary_sql
 
@@ -1720,6 +1736,7 @@ GROUP BY 1, 2""",
     "x65_lang_consistency": _x65_sql(),
     "x68_dataset_profile": _x68_sql(),
     "x69_pixel_decode": _x69_sql(),
+    "x70_pixel_resize": _x70_sql(),
     "x67_orc_roundtrip": """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS BIGINT)

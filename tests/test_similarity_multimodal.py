@@ -365,3 +365,28 @@ def test_raster_bmps_are_real_files(spark):
     # exact channel sums against the generator
     sr = sum((x * 7 + r * 11 + 15) % 256 for x in range(3) for r in range(5))
     assert row["sum_r"] == sr
+
+
+def test_pixel_resize_identity_and_subsample(spark):
+    """Small images pass through unresized (sums equal the full
+    decode); larger-than-max images subsample exactly the nearest-
+    neighbor index set."""
+    from pagerank_using_mapreduce_spark.operators.multimodal import (
+        binarize_raster,
+        decode_pixels,
+        resize_pixels,
+    )
+
+    # blen=2 -> w=3, h=3 (<= max_dim 4): identity
+    # blen=12 -> w=5, h=1 -> fit to 4x1: cols j*5//4 = 0,1,2,3
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, "abcdefghijkl")], "doc_id long, text string"
+    )
+    full = {r["doc_id"]: r for r in decode_pixels(binarize_raster(docs)).collect()}
+    rs = {r["doc_id"]: r for r in resize_pixels(binarize_raster(docs)).collect()}
+    assert (rs[1]["out_w"], rs[1]["out_h"]) == (3, 3)
+    assert all(rs[1][c] == full[1][c] for c in ("sum_r", "sum_g", "sum_b"))
+    assert (rs[2]["out_w"], rs[2]["out_h"]) == (4, 1)
+    # hand-replay: sampled x in {0,1,2,3}, r=0, doc_id=2
+    want_r = sum((x * 7 + 0 + 6) % 256 for x in (0, 1, 2, 3))
+    assert rs[2]["sum_r"] == want_r
