@@ -462,3 +462,111 @@ SELECT doc_id,
        CAST(SUM((x * 31 + r * 17 + doc_id) % 256) AS BIGINT) AS sum_b
 FROM px GROUP BY doc_id, w, h, ow, oh
 """
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode: 16-bit PCM WAV is uncompressed — RIFF/fmt/data
+# chunks then raw little-endian int16 samples.  binarize_audio builds
+# complete, valid WAV files JVM-side (generative samples); decode_audio
+# parses the chunk layout from the actual bytes and frombuffers the
+# samples.  Mirrors the BMP pixel path: the oracle replays the sample
+# generator, so header assembly, chunk offsets, and the int16
+# byte-walk must all agree.
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+WAV_MAX_SAMPLES = 32
+
+AUDIO_SCHEMA = (
+    "doc_id long, sample_rate long, n_samples long, sum_abs long, max_abs long"
+)
+
+
+def binarize_audio(documents: DataFrame) -> DataFrame:
+    """(doc_id, payload): a complete mono 16-bit PCM WAV per document
+    — n = blen % WAV_MAX_SAMPLES + 1 samples, sample i =
+    ((i·37 + id·11) % 65536) − 32768, little-endian int16.  Entirely
+    JVM column expressions; RIFF and data sizes are computed from n so
+    the file is byte-valid."""
+    blen = F.length(F.encode(F.col("text"), "UTF-8"))
+    n = blen % WAV_MAX_SAMPLES + 1
+    data_len = n * 2
+    # sample value in 0..65535 (two's-complement int16 bytes)
+    samples = F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, CAST(octet_length(encode(text, 'UTF-8')) % {WAV_MAX_SAMPLES} AS INT)), i ->
+            concat(
+              unhex(lpad(hex(((i * 37 + doc_id * 11) % 65536) % 256), 2, '0')),
+              unhex(lpad(hex(((i * 37 + doc_id * 11) % 65536) div 256), 2, '0')))),
+          CAST('' AS BINARY), (a, b) -> concat(a, b))
+        """
+    )
+    fmt_chunk = (
+        b"fmt \x10\x00\x00\x00"      # chunk size 16
+        + b"\x01\x00\x01\x00"         # PCM, mono
+        + struct.pack("<I", WAV_RATE)
+        + struct.pack("<I", WAV_RATE * 2)  # byte rate
+        + b"\x02\x00\x10\x00"         # block align 2, bits 16
+    )
+    payload = F.concat(
+        F.lit(b"RIFF"),
+        _le(36 + data_len, 4),
+        F.lit(b"WAVE"),
+        F.lit(fmt_chunk),
+        F.lit(b"data"),
+        _le(data_len, 4),
+        samples,
+    )
+    return documents.select("doc_id", payload.alias("payload"))
+
+
+def decode_audio(binaries: DataFrame) -> DataFrame:
+    """mapInPandas WAV decode: validate RIFF/WAVE magics, read the fmt
+    chunk's sample rate, locate the data chunk, and frombuffer the
+    int16 samples — summing |s| and max |s| exactly (integers)."""
+    import numpy as np
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples", "sum_abs", "max_abs"
+            )}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+                assert b[12:16] == b"fmt "
+                rate = struct.unpack("<I", b[24:28])[0]
+                assert b[36:40] == b"data"
+                dlen = struct.unpack("<I", b[40:44])[0]
+                s = np.frombuffer(b, dtype="<i2", count=dlen // 2, offset=44)
+                a = np.abs(s.astype(np.int64))
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(s))
+                out["sum_abs"].append(int(a.sum()))
+                out["max_abs"].append(int(a.max()))
+            yield pd.DataFrame(out)
+
+    return binaries.mapInPandas(decode, schema=AUDIO_SCHEMA)
+
+
+AUDIO_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         octet_length(CAST(text AS BLOB)) % {WAV_MAX_SAMPLES} + 1 AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n,
+         (unnest(range(0, n)) * 37 + doc_id * 11) % 65536 AS u
+  FROM dims
+),
+v AS (SELECT doc_id, n, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS val FROM s)
+SELECT doc_id,
+       CAST({WAV_RATE} AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(SUM(ABS(val)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(val)) AS BIGINT) AS max_abs
+FROM v GROUP BY doc_id, n
+"""

@@ -617,6 +617,16 @@ def q_x70_pixel_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_pixels(binarize_raster(_docs(spark, sf_dir)))
 
 
+def q_x71_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: complete 16-bit PCM WAV files assembled
+    JVM-side, chunk layout parsed and int16 samples frombuffered per
+    Arrow batch; oracle replays the sample generator (integer-exact
+    |s| sums)."""
+    from ..operators.multimodal import binarize_audio, decode_audio
+
+    return decode_audio(binarize_audio(_docs(spark, sf_dir)))
+
+
 def q_z12_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user purchase moments (n, Σv3, Σv3²) drained with
     AvailableNow — additive integer merges, so the drain is
@@ -1494,6 +1504,7 @@ EXTENSION_QUERIES = {
     "x68_dataset_profile": q_x68_dataset_profile,
     "x69_pixel_decode": q_x69_pixel_decode,
     "x70_pixel_resize": q_x70_pixel_resize,
+    "x71_wav_decode": q_x71_wav_decode,
     "z13_stream_ohlc": q_z13_stream_ohlc,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
@@ -1633,6 +1644,12 @@ def _x70_sql() -> str:
     return RESIZE_PIX_SQL
 
 
+def _x71_sql() -> str:
+    from ..operators.multimodal import AUDIO_SQL
+
+    return AUDIO_SQL
+
+
 def _x61_sql() -> str:
     from ..operators.sampling import temperature_mix_summary_sql
 
@@ -1737,6 +1754,7 @@ GROUP BY 1, 2""",
     "x68_dataset_profile": _x68_sql(),
     "x69_pixel_decode": _x69_sql(),
     "x70_pixel_resize": _x70_sql(),
+    "x71_wav_decode": _x71_sql(),
     "x67_orc_roundtrip": """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS BIGINT)
