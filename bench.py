@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     "e9_attribution",
     "x68_dataset_profile",
     "g10_bfs_frontier",
+    "x69_pixel_decode",
+    "x71_wav_decode",
+    "e10_debounce",
 ]
 
 # The iterative/heavy queries whose scaling behavior matters most;

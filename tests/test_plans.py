@@ -35,6 +35,9 @@ PYTHON_OK = {
     "x17_resize",
     "x18_features",
     "x24_frame_sample",  # sampling over the mapInPandas decode output
+    "x69_pixel_decode",  # real raster byte-walk (numpy per Arrow batch)
+    "x70_pixel_resize",  # real nearest-neighbor resample on raster bytes
+    "x71_wav_decode",    # real PCM sample byte-walk
     "z1_stream_rollup",
     "z2_stream_sessions",
     "z11_stream_funnel",  # applyInPandasWithState state machine
