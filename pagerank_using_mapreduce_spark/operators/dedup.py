@@ -998,3 +998,49 @@ exact AS (
 SELECT e.doc_a, e.doc_b, e.est_e6, x.exact_e6,
        ABS(e.est_e6 - x.exact_e6) AS abs_err_e6
 FROM est e JOIN exact x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup-method agreement audit: MinHash-Jaccard (x4) vs SimHash (x14)
+# pair sets, full-outer compared.  The method-selection evidence a
+# curation team needs: how much do the two screens agree on THIS
+# corpus, and what does each find that the other misses?
+# ---------------------------------------------------------------------------
+
+
+def dedup_method_audit(docs: DataFrame) -> DataFrame:
+    """(verdict, n_pairs): 'both' / 'jaccard_only' / 'simhash_only'
+    counts over the union of the two screens' pair sets.  Runs the two
+    existing pipelines (each candidate-bounded) plus one pair-keyed
+    full-outer join — no new quadratic surface."""
+    jac = near_dup_pipeline(docs).select("doc_a", "doc_b")
+    sim = simhash_near_dups(simhash(docs)).select("doc_a", "doc_b")
+    joined = jac.withColumn("in_j", F.lit(1)).join(
+        sim.withColumn("in_s", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    verdict = (
+        F.when(F.col("in_j").isNotNull() & F.col("in_s").isNotNull(), "both")
+        .when(F.col("in_j").isNotNull(), "jaccard_only")
+        .otherwise("simhash_only")
+    )
+    return (
+        joined.select(verdict.alias("verdict"))
+        .groupBy("verdict")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def dedup_method_audit_sql(docs_sql: str) -> str:
+    jac_q = near_dup_sql(docs_sql)
+    sim_q = simhash_near_dups_sql(simhash_sql(docs_sql))
+    return f"""
+WITH jac AS ({jac_q}),
+sim AS ({sim_q}),
+joined AS (
+  SELECT CASE WHEN j.doc_a IS NOT NULL AND s.doc_a IS NOT NULL THEN 'both'
+              WHEN j.doc_a IS NOT NULL THEN 'jaccard_only'
+              ELSE 'simhash_only' END AS verdict
+  FROM jac j FULL OUTER JOIN sim s
+    ON j.doc_a = s.doc_a AND j.doc_b = s.doc_b
+)
+SELECT verdict, COUNT(*) AS n_pairs FROM joined GROUP BY verdict"""

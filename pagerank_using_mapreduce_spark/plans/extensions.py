@@ -627,6 +627,13 @@ def q_x71_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio(binarize_audio(_docs(spark, sf_dir)))
 
 
+def q_x72_dedup_method_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-selection evidence: MinHash-Jaccard vs SimHash pair-set
+    agreement on the augmented corpus (both / jaccard_only /
+    simhash_only counts)."""
+    return dd.dedup_method_audit(dd.augment_docs(_docs(spark, sf_dir)))
+
+
 def q_z12_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user purchase moments (n, Σv3, Σv3²) drained with
     AvailableNow — additive integer merges, so the drain is
@@ -1505,6 +1512,7 @@ EXTENSION_QUERIES = {
     "x69_pixel_decode": q_x69_pixel_decode,
     "x70_pixel_resize": q_x70_pixel_resize,
     "x71_wav_decode": q_x71_wav_decode,
+    "x72_dedup_method_audit": q_x72_dedup_method_audit,
     "z13_stream_ohlc": q_z13_stream_ohlc,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
@@ -1650,6 +1658,10 @@ def _x71_sql() -> str:
     return AUDIO_SQL
 
 
+def _x72_sql() -> str:
+    return dd.dedup_method_audit_sql(dd.AUGMENT_SQL)
+
+
 def _x61_sql() -> str:
     from ..operators.sampling import temperature_mix_summary_sql
 
@@ -1755,6 +1767,7 @@ GROUP BY 1, 2""",
     "x69_pixel_decode": _x69_sql(),
     "x70_pixel_resize": _x70_sql(),
     "x71_wav_decode": _x71_sql(),
+    "x72_dedup_method_audit": _x72_sql(),
     "x67_orc_roundtrip": """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS BIGINT)

@@ -277,3 +277,27 @@ def test_minhash_audit_exact_dup_and_error_bound(spark):
         )
     # K=12 signature: binomial std <= 1/(2*sqrt(12)) ~ 0.145; allow 4 sigma
     assert all(r["abs_err_e6"] <= 600_000 for r in rows)
+
+
+def test_dedup_method_audit_planted_pairs_in_both(spark):
+    """On the augmented corpus both screens must find the planted
+    copies, so 'both' dominates and all three verdicts sum to the
+    union of the two pair sets."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        augment_docs,
+        dedup_method_audit,
+        near_dup_pipeline,
+        simhash,
+        simhash_near_dups,
+    )
+
+    docs = augment_docs(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    audit = {r["verdict"]: r["n_pairs"] for r in dedup_method_audit(docs).collect()}
+    jac = {(r["doc_a"], r["doc_b"]) for r in near_dup_pipeline(docs).collect()}
+    sim = {(r["doc_a"], r["doc_b"])
+           for r in simhash_near_dups(simhash(docs)).collect()}
+    assert audit.get("both", 0) == len(jac & sim) > 0
+    assert audit.get("jaccard_only", 0) == len(jac - sim)
+    assert audit.get("simhash_only", 0) == len(sim - jac)
