@@ -634,6 +634,34 @@ def q_x72_dedup_method_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_method_audit(dd.augment_docs(_docs(spark, sf_dir)))
 
 
+def q_c3_model_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based curation gate: score every document under the
+    corpus-fit char-bigram LM (x52), drop the bottom DECILE by average
+    log-prob (equi-depth bins via the parallel global-position
+    operator — no single-partition window), and account the survivors
+    per language.  The composition that makes the trained LM a
+    production filter, not just a metric."""
+    from ..operators.sampling import quantile_bins
+    from ..operators.text_analysis import char_lm_scores
+
+    docs = _docs(spark, sf_dir)
+    scored = char_lm_scores(docs).select("doc_id", "avg_logp_e6")
+    binned = quantile_bins(
+        scored, [F.asc("avg_logp_e6"), F.asc("doc_id")], 10
+    )
+    kept = binned.where(F.col("bin") > 1).select("doc_id")
+    return (
+        docs.select("doc_id", "lang")
+        .join(scored.select("doc_id"), "doc_id")
+        .join(kept.withColumn("kept", F.lit(1)), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_scored"),
+            F.sum(F.coalesce("kept", F.lit(0))).alias("n_kept"),
+        )
+    )
+
+
 def q_z12_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user purchase moments (n, Σv3, Σv3²) drained with
     AvailableNow — additive integer merges, so the drain is
@@ -1513,6 +1541,7 @@ EXTENSION_QUERIES = {
     "x70_pixel_resize": q_x70_pixel_resize,
     "x71_wav_decode": q_x71_wav_decode,
     "x72_dedup_method_audit": q_x72_dedup_method_audit,
+    "c3_model_gate": q_c3_model_gate,
     "z13_stream_ohlc": q_z13_stream_ohlc,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
@@ -1662,6 +1691,29 @@ def _x72_sql() -> str:
     return dd.dedup_method_audit_sql(dd.AUGMENT_SQL)
 
 
+def _c3_sql() -> str:
+    from ..operators.text_analysis import CHAR_LM_SQL
+
+    return f"""
+WITH scored AS (SELECT doc_id, avg_logp_e6 FROM ({CHAR_LM_SQL})),
+n AS (SELECT COUNT(*) AS n FROM scored),
+pos AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY avg_logp_e6 ASC, doc_id ASC) AS pos
+  FROM scored
+),
+binned AS (
+  SELECT doc_id, (pos - 1) * 10 // (SELECT n FROM n) + 1 AS bin FROM pos
+)
+SELECT d.lang,
+       COUNT(*) AS n_scored,
+       CAST(SUM(CASE WHEN b.bin > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents d
+JOIN scored s ON d.doc_id = s.doc_id
+JOIN binned b ON d.doc_id = b.doc_id
+GROUP BY d.lang"""
+
+
 def _x61_sql() -> str:
     from ..operators.sampling import temperature_mix_summary_sql
 
@@ -1768,6 +1820,7 @@ GROUP BY 1, 2""",
     "x70_pixel_resize": _x70_sql(),
     "x71_wav_decode": _x71_sql(),
     "x72_dedup_method_audit": _x72_sql(),
+    "c3_model_gate": _c3_sql(),
     "x67_orc_roundtrip": """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS BIGINT)
