@@ -598,3 +598,14 @@ SELECT bin,
        CAST(SUM(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT)
          AS cum_cnt
 FROM c"""
+
+
+def hll_merge(parts: list[DataFrame]) -> DataFrame:
+    """Merge HLL register tables from independent shards: elementwise
+    max per register — the property that lets 1000 executors (or 1000
+    daily partitions) sketch independently and combine for free.
+    Input/output schema: (register, max_rho)."""
+    merged = parts[0]
+    for p_ in parts[1:]:
+        merged = merged.unionAll(p_)
+    return merged.groupBy("register").agg(F.max("max_rho").alias("max_rho"))

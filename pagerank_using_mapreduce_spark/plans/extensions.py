@@ -662,6 +662,20 @@ def q_c3_model_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x73_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-merge proof as a driver-checked query: sketch the even-
+    and odd-keyed halves of lineitem INDEPENDENTLY, merge by
+    elementwise register max, and the result must hash-match the
+    whole-table sketch (the oracle) — the distributed-combine law that
+    makes HLL the 100 TB cardinality path."""
+    from ..operators.sketches import hll_merge, hll_registers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    even = hll_registers(li.where(F.col("l_orderkey") % 2 == 0), "l_orderkey")
+    odd = hll_registers(li.where(F.col("l_orderkey") % 2 == 1), "l_orderkey")
+    return hll_merge([even, odd])
+
+
 def q_z12_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user purchase moments (n, Σv3, Σv3²) drained with
     AvailableNow — additive integer merges, so the drain is
@@ -1542,6 +1556,7 @@ EXTENSION_QUERIES = {
     "x71_wav_decode": q_x71_wav_decode,
     "x72_dedup_method_audit": q_x72_dedup_method_audit,
     "c3_model_gate": q_c3_model_gate,
+    "x73_hll_shard_merge": q_x73_hll_shard_merge,
     "z13_stream_ohlc": q_z13_stream_ohlc,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
@@ -1821,6 +1836,7 @@ GROUP BY 1, 2""",
     "x71_wav_decode": _x71_sql(),
     "x72_dedup_method_audit": _x72_sql(),
     "c3_model_gate": _c3_sql(),
+    "x73_hll_shard_merge": hll_registers_sql("lineitem", "l_orderkey"),
     "x67_orc_roundtrip": """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS BIGINT)
