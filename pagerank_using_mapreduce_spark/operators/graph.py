@@ -605,6 +605,54 @@ def kcore_survivors(
     return nodes
 
 
+KCORE_MAX_ROUNDS = 50  # convergence-loop safety cap
+
+
+def kcore_until(
+    pages: DataFrame, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS
+) -> DataFrame:
+    """(title,): the TRUE k-core — peel to the fixpoint with a
+    zero-removals stop rule instead of :func:`kcore_survivors`' fixed
+    budget (the same fixed→converged upgrade as
+    ``connected_components_until``).  Survivor counts are strictly
+    decreasing until the fixpoint, so one driver count per round (the
+    S5 scalar channel) doubles as the stop test; peeling is idempotent
+    past the fixpoint, which is what lets the oracle use a fixed
+    upper-bound unroll."""
+    spark = pages.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    sym = undirected_edges(pages).repartition(shuffle, "src").persist()
+    sym.count()
+    nodes = sym.select(F.col("src").alias("title")).distinct().persist()
+    n_prev = nodes.count()
+    for i in range(max_rounds):
+        alive_a = nodes.select(F.col("title").alias("src"))
+        alive_b = nodes.select(F.col("title").alias("dst"))
+        # nodes appears TWICE per round (both endpoints), so lineage
+        # would double per round — an eager checkpoint EVERY round
+        # keeps the plan flat (unlike cc_until's single-reference
+        # recurrence, where a cadence of 5 suffices).  The survivor
+        # relation shrinks monotonically, so each materialization is
+        # cheaper than the last.
+        nxt = (
+            sym.join(alive_a, "src", "left_semi")
+            .join(alive_b, "dst", "left_semi")
+            .groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select(F.col("src").alias("title"))
+            .localCheckpoint(eager=True)
+        )
+        n_now = nxt.count()
+        nodes.unpersist()
+        nodes = nxt
+        if n_now == n_prev:  # zero removals: fixpoint reached
+            break
+        n_prev = n_now
+    sym.unpersist()
+    return nodes
+
+
 def kcore_sql(pages_ctes: str, sym_cte: str, k: int = KCORE_K,
               rounds: int = KCORE_ROUNDS) -> str:
     """DuckDB twin: the peeling recurrence unrolled over the symmetric

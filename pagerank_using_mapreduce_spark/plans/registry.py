@@ -491,6 +491,16 @@ def q_g10_bfs_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_depths_frontier(pages, seeds, max_iterations=8)
 
 
+def q_g11_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRUE 2-core (peel to fixpoint with a zero-removals stop
+    rule); oracle unrolls 24 peeling rounds — valid because peeling is
+    idempotent past the fixpoint, the same upper-bound argument as
+    cc_converged."""
+    from ..operators.graph import kcore_until
+
+    return kcore_until(_pages(spark, sf_dir))
+
+
 def q_g9_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-weighted PageRank (rank split ∝ edge weight, not 1/outdeg)
     — 10 iterations of the same un-normalized recurrence with the g8
@@ -592,6 +602,12 @@ def _lpa_oracle() -> str:
     from ..operators.graph import label_propagation_sql
 
     return label_propagation_sql(_PAGES_CTES, _SYM_CTE)
+
+
+def _kcore_converged_oracle() -> str:
+    from ..operators.graph import kcore_sql
+
+    return kcore_sql(_PAGES_CTES, _SYM_CTE, rounds=24)
 
 
 def _kcore_oracle() -> str:
@@ -708,6 +724,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a9_reciprocity": q_a9_reciprocity,
     "i3_warm_start": q_i3_warm_start,
     "g10_bfs_frontier": q_g10_bfs_frontier,
+    "g11_kcore_converged": q_g11_kcore_converged,
     "g6_kcore": q_g6_kcore,
     "g7_label_prop": q_g7_label_prop,
     "deg_stats": q_deg_stats,
@@ -857,6 +874,7 @@ FROM pages""",
     "g5_bfs_depths": _bfs_sql(),
     "g8_sssp_dists": _sssp_sql(),
     "g10_bfs_frontier": _bfs_sql(),
+    "g11_kcore_converged": _kcore_converged_oracle(),
     "g9_weighted_pagerank": _wpr_sql(),
     "a9_reciprocity": f"WITH {_PAGES_CTES},\n{_A9_SQL_BODY}",
     "g6_kcore": _kcore_oracle(),

@@ -352,3 +352,24 @@ def test_bfs_frontier_matches_dense_and_goes_deeper(spark):
     full = {r["title"]: r["depth"]
             for r in bfs_depths_frontier(chain, ["n00"]).collect()}
     assert full == {f"n{i:02d}": i for i in range(13)}  # exhausts the chain
+
+
+def test_kcore_until_peels_deeper_than_fixed_budget(spark):
+    """A long tail hanging off a triangle: fixed 6-round peeling
+    leaves part of the tail, the convergent variant strips it all the
+    way down to the triangle (the true 2-core)."""
+    from pagerank_using_mapreduce_spark.operators.graph import (
+        kcore_survivors,
+        kcore_until,
+    )
+
+    # triangle a-b-c plus a 10-node path hanging off c
+    rows = [("a", ["b", "c"]), ("b", ["c"])]
+    rows.append(("c", ["t0"]))
+    for i in range(10):
+        rows.append((f"t{i}", [f"t{i + 1}"] if i < 9 else []))
+    g = spark.createDataFrame(rows, "title string, links array<string>")
+    fixed = {r["title"] for r in kcore_survivors(g, k=2, rounds=6).collect()}
+    assert any(t.startswith("t") for t in fixed)  # budget too small
+    conv = {r["title"] for r in kcore_until(g, k=2).collect()}
+    assert conv == {"a", "b", "c"}  # the true 2-core
