@@ -676,6 +676,52 @@ def q_x73_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_merge([even, odd])
 
 
+def q_x74_composition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition matrix: token counts pivoted source × lang
+    (the mixture table a training-data report leads with).  One
+    (source, lang) aggregate then a conditional-sum pivot — bounded by
+    |sources| rows × |langs| columns regardless of corpus size."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "source", "lang", F.size(_toks_col()).alias("n_toks")
+    )
+    langs = ["de", "en", "es", "fr", "zh"]
+    return toks.groupBy("source").agg(
+        *[
+            F.sum(F.when(F.col("lang") == l, F.col("n_toks")).otherwise(0))
+            .alias(f"toks_{l}")
+            for l in langs
+        ],
+        F.sum("n_toks").alias("toks_total"),
+    )
+
+
+def _toks_col():
+    from ..operators.text_analysis import _toks
+
+    return _toks()
+
+
+def q_x75_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the Heaps-law view): distinct words
+    within the first 20/40/60/80/100% of documents (by doc_id order —
+    deterministic prefixes).  One explode + one agg with five
+    conditional DISTINCT counts; the curve a tokenizer-sizing decision
+    reads."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()  # S5 scalar channel — the prefix thresholds
+    words = docs.select("doc_id", F.explode(_toks_col()).alias("word"))
+    cuts = [(pct, (n * pct) // 100) for pct in (20, 40, 60, 80, 100)]
+    return words.agg(
+        *[
+            F.countDistinct(
+                F.when(F.col("doc_id") < thr, F.col("word"))
+            ).alias(f"vocab_p{pct}")
+            for pct, thr in cuts
+        ]
+    )
+
+
 def q_z12_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-user purchase moments (n, Σv3, Σv3²) drained with
     AvailableNow — additive integer merges, so the drain is
@@ -1557,6 +1603,8 @@ EXTENSION_QUERIES = {
     "x72_dedup_method_audit": q_x72_dedup_method_audit,
     "c3_model_gate": q_c3_model_gate,
     "x73_hll_shard_merge": q_x73_hll_shard_merge,
+    "x74_composition_matrix": q_x74_composition_matrix,
+    "x75_vocab_growth": q_x75_vocab_growth,
     "z13_stream_ohlc": q_z13_stream_ohlc,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
@@ -1729,6 +1777,38 @@ JOIN binned b ON d.doc_id = b.doc_id
 GROUP BY d.lang"""
 
 
+_TOKS_SQL = ("list_filter(string_split_regex("
+             "lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),"
+             " t -> t != '')")
+
+
+def _x74_sql() -> str:
+    langs = ["de", "en", "es", "fr", "zh"]
+    arms = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN lang = '{l}' THEN n_toks ELSE 0 END) AS BIGINT)"
+        f" AS toks_{l}"
+        for l in langs
+    )
+    return f"""
+WITH t AS (SELECT source, lang, len({_TOKS_SQL}) AS n_toks FROM documents)
+SELECT source,
+       {arms},
+       CAST(SUM(n_toks) AS BIGINT) AS toks_total
+FROM t GROUP BY source"""
+
+
+def _x75_sql() -> str:
+    cuts = ",\n       ".join(
+        f"COUNT(DISTINCT CASE WHEN doc_id < (SELECT COUNT(*) FROM documents) * {pct} // 100"
+        f" THEN word END) AS vocab_p{pct}"
+        for pct in (20, 40, 60, 80, 100)
+    )
+    return f"""
+WITH w AS (SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents)
+SELECT {cuts}
+FROM w"""
+
+
 def _x61_sql() -> str:
     from ..operators.sampling import temperature_mix_summary_sql
 
@@ -1837,6 +1917,8 @@ GROUP BY 1, 2""",
     "x72_dedup_method_audit": _x72_sql(),
     "c3_model_gate": _c3_sql(),
     "x73_hll_shard_merge": hll_registers_sql("lineitem", "l_orderkey"),
+    "x74_composition_matrix": _x74_sql(),
+    "x75_vocab_growth": _x75_sql(),
     "x67_orc_roundtrip": """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS BIGINT)

@@ -227,3 +227,36 @@ def test_dataset_profile_invariants(spark):
     assert r["pct_en_e6"] == int(n_en / 500 * 1e6 + 0.5000001)
     assert 0 < r["mean_quality_e6"] < 1_000_000
     assert 0 < r["oov20_e6"] < 1_000_000
+
+
+def test_composition_matrix_row_sums(spark):
+    """Per-source lang columns sum to the source total, and the grand
+    total equals the corpus token count."""
+    from pagerank_using_mapreduce_spark.plans.extensions import (
+        q_x74_composition_matrix,
+    )
+    from pagerank_using_mapreduce_spark.operators.bpe import word_freqs
+
+    rows = q_x74_composition_matrix(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    for r in rows:
+        langs_sum = sum(r[f"toks_{l}"] for l in ("de", "en", "es", "fr", "zh"))
+        assert langs_sum == r["toks_total"]
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    total = word_freqs(docs).groupBy().sum("freq").collect()[0][0]
+    assert sum(r["toks_total"] for r in rows) == total
+
+
+def test_vocab_growth_monotone(spark):
+    """The growth curve is monotone non-decreasing and ends at the
+    full-corpus distinct-word count."""
+    from pagerank_using_mapreduce_spark.plans.extensions import (
+        q_x75_vocab_growth,
+    )
+    from pagerank_using_mapreduce_spark.operators.bpe import word_freqs
+
+    r = q_x75_vocab_growth(spark, "/root/testdata/sf0.001").collect()[0]
+    curve = [r[f"vocab_p{p}"] for p in (20, 40, 60, 80, 100)]
+    assert curve == sorted(curve) and curve[0] > 0
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert curve[-1] == word_freqs(docs).count()
