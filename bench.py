@@ -7,12 +7,18 @@ Each query is forced end-to-end with the noop sink (computes every
 column, writes nothing) so Catalyst cannot prune the work away.
 
 Robustness: each query runs ``$SPARK_GRAFT_BENCH_REPS`` times
-(default 5) and the reported per-query number is the MEDIAN; ``runs``
-carries the raw timings and ``spread`` the (max-min)/median ratio so
-a noisy machine is visible in the record instead of masquerading as a
-regression (single-run numbers produced phantom 40% "regressions" in
-round 2; 3-rep medians still let one 15 s outlier skew x35 in round
-3's log).
+(default 5) and the reported per-query number is the MEDIAN; the raw
+timings (``runs``) and the (max-min)/median ``spread`` are written to
+``BENCH_DETAIL.json`` next to this script so a noisy machine is
+visible in the record instead of masquerading as a regression
+(single-run numbers produced phantom 40% "regressions" in round 2;
+3-rep medians still let one 15 s outlier skew x35 in round 3's log).
+
+The stdout line stays COMPACT on purpose: the driver captures only a
+bounded tail of output and parses the last line as JSON — round 4's
+line (43 queries x 5 raw reps + spread inline) overflowed that buffer
+and recorded ``parsed: null``.  Per-rep detail goes in the sidecar;
+the final line carries medians only.
 
 Scaling trend: a second section runs the five headline ITERATIVE
 queries at a synthetic sf1 (10× sf0.1, dense doc_id replication —
@@ -138,8 +144,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     spread: dict[str, float] = {}
+    only = {
+        n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if n
+    }
     for name in BENCH_QUERIES:
-        if name not in QUERIES:
+        if name not in QUERIES or (only and name not in only):
             continue
         samples = _run(spark, name, sf_dir, reps)
         runs[name] = samples
@@ -166,6 +175,26 @@ def main() -> None:
             samples = _run(spark, name, sf1_dir, sf1_reps)
             sf1_timings[name] = round(min(samples), 3)
 
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "reps": reps,
+                "runs": runs,
+                "spread": spread,
+                "sf1_queries": sf1_timings,
+                "sf1_note": (
+                    "synthetic 10x sf0.1 documents (dense doc_id replication,"
+                    " tools/make_scaled_sf.py); min of"
+                    f" {sf1_reps} rep(s)"
+                ),
+            },
+            f,
+            indent=1,
+        )
+    print(f"per-rep runs/spread + sf1 detail -> {detail_path}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -174,15 +203,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "reps": reps,
-                "runs": runs,
-                "spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "sf1_queries": sf1_timings,
-                "sf1_note": (
-                    "synthetic 10x sf0.1 documents (dense doc_id replication,"
-                    " tools/make_scaled_sf.py); min of"
-                    f" {sf1_reps} rep(s)"
-                ),
             }
         )
     )

@@ -950,12 +950,28 @@ def minhash_jaccard_audit(
     exact = verified_near_dups(sh, cands, threshold=0.0).select(
         "doc_a", "doc_b", F.col("jaccard_e6").alias("exact_e6")
     )
-    return est.join(exact, ["doc_a", "doc_b"]).select(
-        "doc_a",
-        "doc_b",
-        "est_e6",
-        "exact_e6",
-        F.abs(F.col("est_e6") - F.col("exact_e6")).alias("abs_err_e6"),
+    # LEFT join + coalesce-to-0: the exact side's intersection join
+    # only produces pairs sharing >= 1 shingle, so an inner join here
+    # would silently drop zero-overlap LSH candidates — exactly the
+    # pairs where the estimator's error is LARGEST (est > 0, exact =
+    # 0), hiding the worst case from the audit.
+    return (
+        est.join(exact, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_e6",
+            F.coalesce(F.col("exact_e6"), F.lit(0).cast("long")).alias(
+                "exact_e6"
+            ),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_e6",
+            "exact_e6",
+            F.abs(F.col("est_e6") - F.col("exact_e6")).alias("abs_err_e6"),
+        )
     )
 
 
@@ -995,9 +1011,10 @@ exact AS (
   JOIN sizes na ON na.doc_id = i.doc_a
   JOIN sizes nb ON nb.doc_id = i.doc_b
 )
-SELECT e.doc_a, e.doc_b, e.est_e6, x.exact_e6,
-       ABS(e.est_e6 - x.exact_e6) AS abs_err_e6
-FROM est e JOIN exact x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b"""
+SELECT e.doc_a, e.doc_b, e.est_e6,
+       CAST(COALESCE(x.exact_e6, 0) AS BIGINT) AS exact_e6,
+       ABS(e.est_e6 - CAST(COALESCE(x.exact_e6, 0) AS BIGINT)) AS abs_err_e6
+FROM est e LEFT JOIN exact x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b"""
 
 
 # ---------------------------------------------------------------------------

@@ -561,6 +561,11 @@ def bfs_depths_frontier(
         settled = new_settled
         frontier = nxt
     pages_c.unpersist()
+    e.unpersist()
+    # loop may exit via max_iterations with the last frontier still
+    # cached; settled itself is the returned relation, leave it alone
+    if frontier is not settled:
+        frontier.unpersist()
     return settled
 
 

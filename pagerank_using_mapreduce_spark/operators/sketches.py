@@ -605,6 +605,8 @@ def hll_merge(parts: list[DataFrame]) -> DataFrame:
     max per register — the property that lets 1000 executors (or 1000
     daily partitions) sketch independently and combine for free.
     Input/output schema: (register, max_rho)."""
+    if not parts:
+        raise ValueError("hll_merge needs at least one shard")
     merged = parts[0]
     for p_ in parts[1:]:
         merged = merged.unionAll(p_)

@@ -91,6 +91,31 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _roundtrip_dir(tag: str) -> str:
+    """Per-process scratch dir for the write/read-back roundtrip
+    queries.  The returned DataFrame is LAZY — the read happens when
+    the caller executes it — so the dir cannot be rmtree'd before
+    returning; a fresh mkdtemp per call therefore leaked one table
+    copy per sweep/bench rep.  Instead: one deterministic dir per
+    (pid, tag), wiped on first acquisition in this process (so reps
+    overwrite, not accumulate) and registered for atexit removal."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"spark_roundtrip_{os.getpid()}_{tag}")
+    if tag not in _roundtrip_dir._claimed:  # type: ignore[attr-defined]
+        shutil.rmtree(d, ignore_errors=True)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _roundtrip_dir._claimed.add(tag)  # type: ignore[attr-defined]
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+_roundtrip_dir._claimed = set()  # type: ignore[attr-defined]
+
+
 def q_x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(dd.augment_docs(_docs(spark, sf_dir)))
 
@@ -264,7 +289,6 @@ def q_x23_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     straight from the parquet table: identical numbers prove both
     roundtrips were lossless."""
     import os
-    import tempfile
 
     from ..sources.tables import read_table, write_table
 
@@ -275,7 +299,7 @@ def q_x23_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v_e2"),
     )
-    d = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    d = _roundtrip_dir("fmt")
     write_table(ev, os.path.join(d, "csv"), fmt="csv", partition_by=["event_type"])
     write_table(ev, os.path.join(d, "json"), fmt="json")
     schema = "event_id long, v_e2 long, event_type string"
@@ -493,7 +517,6 @@ def q_x67_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     roundtrip lossless.  Partitioned write + schema-carrying columnar
     read — the x23 text-format check's columnar sibling."""
     import os
-    import tempfile
 
     from ..sources.tables import read_table, write_table
 
@@ -504,7 +527,7 @@ def q_x67_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v_e2"),
     )
-    d = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    d = _roundtrip_dir("orc")
     write_table(
         ev, os.path.join(d, "orc"), fmt="orc", partition_by=["event_type"]
     )

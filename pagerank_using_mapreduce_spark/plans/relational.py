@@ -1704,8 +1704,15 @@ FROM firsts
 # — no float in the decision, hence bit-identical across engines.
 # One user-keyed window (single shuffle); the fleet-wide alternative
 # (groupBy + join back) costs a second shuffle for no benefit here.
-# Bounds: v3 ≤ 5·10⁵ (value ≤ 500), so n·SS ≤ 10⁴·2.5·10¹¹ — int64-safe
-# with 10⁶ headroom even at 100× the per-user event count.
+# Bounds: v3 ≤ 5·10⁵ (value ≤ 500).  The LINEAR moments are int64-safe
+# (SS ≤ n·v3max² = 2.5·10¹⁵ at n = 10⁴), but the QUADRATIC decision
+# terms are not: S² and (n·v3 − S)² reach ~2.5·10¹⁹ at n = 10⁴ — past
+# int64 max, where non-ANSI Spark wraps silently while DuckDB errors
+# (bigint-safe only up to n ≈ 6·10³ max-value purchases per user).  So
+# the decision inequality is evaluated in EXACT wide integer types on
+# both engines — decimal(38,0) in Spark, HUGEINT (int128) in DuckDB,
+# both exact to well past 10³⁸ ≫ the ~10²⁰ worst case at n = 10⁶ —
+# keeping the comparison bit-identical at any realistic per-user count.
 # --------------------------------------------------------------------------
 
 OUTLIER_MIN_EVENTS = 5
@@ -1729,8 +1736,12 @@ def e8_purchase_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v3").over(w).alias("s"),
         F.sum(F.col("v3") * F.col("v3")).over(w).alias("ss"),
     )
-    dev = F.col("n") * F.col("v3") - F.col("s")
-    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    # quadratic terms in decimal(38,0): exact, overflow-proof (see above)
+    wide = "decimal(38,0)"
+    n_w = F.col("n").cast(wide)
+    s_w = F.col("s").cast(wide)
+    dev = n_w * F.col("v3").cast(wide) - s_w
+    var_n2 = n_w * F.col("ss").cast(wide) - s_w * s_w
     return (
         scored.where(
             (F.col("n") >= OUTLIER_MIN_EVENTS) & (dev * dev > 4 * var_n2)
@@ -1756,7 +1767,8 @@ m AS (
 SELECT event_id, user_id, v3, n
 FROM m
 WHERE n >= {OUTLIER_MIN_EVENTS}
-  AND (n * v3 - s) * (n * v3 - s) > 4 * (n * ss - s * s)
+  AND CAST(n * v3 - s AS HUGEINT) * CAST(n * v3 - s AS HUGEINT)
+      > 4 * (CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
 ORDER BY event_id
 """
 
