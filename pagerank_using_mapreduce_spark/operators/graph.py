@@ -532,13 +532,27 @@ def bfs_depths_frontier(
     pages_c = pages.persist()
     e = valid_edges(pages_c).repartition(shuffle, "src").persist()
     e.count()
-    settled = (
+    frontier = (
         pages_c.select("title")
         .where(F.col("title").isin(*sources))
         .select("title", F.lit(0).cast("long").alias("depth"))
-        .persist()
     )
-    frontier = settled
+    # settled = union of per-depth frontier parts, each part an
+    # eagerly-localCheckpoint'd O(1)-plan leaf.  Checkpointing the
+    # FRONTIER (small, shrinking) instead of the whole settled union
+    # avoids rewriting the full settled set every round — that was
+    # O(rounds x |settled|), the reference's 13-HDFS-materializations
+    # anti-pattern (SURVEY §2 S3) reborn.  The checkpoint is load-
+    # bearing for the PLAN, not just the data: each next frontier's
+    # plan embeds the previous frontier's AND the settled union's, so
+    # without per-part truncation the logical plan doubles per round
+    # (a 2 GB plan string + analyzer OOM by round 8 at sf0.1 — same
+    # hazard the g11 k-core notes document).  With it, round d's plan
+    # is a join against one leaf plus an anti-join against d leaves:
+    # linear, bounded.
+    frontier = frontier.localCheckpoint(eager=True)
+    parts = [frontier]
+    settled = frontier
     depth = 0
     while depth < max_iterations:
         depth += 1
@@ -549,23 +563,17 @@ def bfs_depths_frontier(
             .distinct()
             .join(settled.select("title"), "title", "left_anti")
             .select("title", F.lit(depth).cast("long").alias("depth"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         if nxt.count() == 0:  # S5 stop rule: frontier exhausted
-            nxt.unpersist()
             break
-        new_settled = settled.unionAll(nxt).localCheckpoint(eager=True)
-        settled.unpersist()
-        if frontier is not settled:
-            frontier.unpersist()
-        settled = new_settled
+        parts.append(nxt)
+        settled = settled.unionAll(nxt)
         frontier = nxt
     pages_c.unpersist()
     e.unpersist()
-    # loop may exit via max_iterations with the last frontier still
-    # cached; settled itself is the returned relation, leave it alone
-    if frontier is not settled:
-        frontier.unpersist()
+    # the returned union reads the checkpointed frontier blocks
+    # directly; they are freed with the RDDs when the frame is dropped
     return settled
 
 
