@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     "x69_pixel_decode",
     "x71_wav_decode",
     "e10_debounce",
+    "x76_kmv_distinct",
+    "x77_epoch_shuffle",
+    "w7_concurrency",
+    "rj2_interval_overlap",
 ]
 
 # The iterative/heavy queries whose scaling behavior matters most;

@@ -22,7 +22,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.sqltext import sql_quote
@@ -519,3 +519,91 @@ a AS (
 )
 SELECT r.grp, r.n_before, r.thr, COALESCE(a.n_after, 0) AS n_after
 FROM r LEFT JOIN a ON r.grp = a.grp"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-epoch shuffle
+# ---------------------------------------------------------------------------
+
+EPOCH_SHARDS = 8
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = EPOCH_SHARDS,
+    epochs: int = 2,
+) -> DataFrame:
+    """(epoch, shard, pos, key): a fresh deterministic permutation of
+    the dataset per training epoch, materialized as shard assignments
+    with within-shard positions — the "global shuffle" a data loader
+    needs, WITHOUT a global sort.
+
+    Mechanics per epoch e: h = md5('epoch<e>|key'); shard = first 4
+    hex digits mod n_shards (uniform, so shards balance to ~n/shards
+    rows regardless of key skew); pos = rank of h within the shard.
+    Reading shards in order of (shard, pos) yields a uniform random
+    permutation that is a PURE FUNCTION of (epoch, key): retry-stable,
+    layout-independent, reproducible from the epoch number alone, and
+    uncorrelated across epochs (independent hash prefixes).
+
+    Scale shape: one projection + one window per epoch, partitioned by
+    (epoch, shard) — n_shards * epochs independent sort groups, each
+    ~n/n_shards rows; nothing ever passes through a single partition.
+    At the 100 TB grain n_shards is the loader's file-shard count
+    (thousands), keeping each sort group worker-sized."""
+    parts = []
+    for e in range(1, epochs + 1):
+        h = F.md5(
+            F.concat_ws("|", F.lit(f"epoch{e}"), F.col(key_col).cast("string"))
+        )
+        parts.append(
+            df.select(
+                F.lit(e).cast("long").alias("epoch"),
+                (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % n_shards).alias(
+                    "shard"
+                ),
+                h.alias("_h"),
+                F.col(key_col).alias("key"),
+            )
+        )
+    un = parts[0]
+    for p_ in parts[1:]:
+        un = un.unionAll(p_)
+    w = Window.partitionBy("epoch", "shard").orderBy("_h")
+    return un.select(
+        "epoch",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+        "key",
+    )
+
+
+def epoch_shuffle_sql(
+    table: str,
+    key_expr: str,
+    n_shards: int = EPOCH_SHARDS,
+    epochs: int = 2,
+) -> str:
+    """DuckDB twin of :func:`epoch_shuffle`."""
+    digits = "0123456789abcdef"
+    selects = []
+    for e in range(1, epochs + 1):
+        h = f"md5('epoch{e}' || '|' || CAST({key_expr} AS VARCHAR))"
+        shard_terms = " + ".join(
+            f"(strpos('{digits}', substr({h}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+            for i in range(4)
+        )
+        selects.append(
+            f"SELECT {e} AS epoch, ({shard_terms}) % {n_shards} AS shard,"
+            f" {h} AS _h, {key_expr} AS key FROM {table}"
+        )
+    body = "\n  UNION ALL ".join(selects)
+    return f"""
+WITH hashed AS (
+  {body}
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
+       ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY _h) AS pos,
+       key
+FROM hashed"""

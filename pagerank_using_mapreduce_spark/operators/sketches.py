@@ -611,3 +611,117 @@ def hll_merge(parts: list[DataFrame]) -> DataFrame:
     for p_ in parts[1:]:
         merged = merged.unionAll(p_)
     return merged.groupBy("register").agg(F.max("max_rho").alias("max_rho"))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch
+# ---------------------------------------------------------------------------
+# The third cardinality tool next to exact COUNT(DISTINCT) and HLL:
+# keep the k smallest hash values per group; the kth smallest pins
+# down the sampled fraction of hash space, so D ≈ (k-1)/F(h_k).
+# Standard error ~ 1/sqrt(k-2) — tighter than HLL at equal sketch
+# rows — and, unlike HLL, the sketch doubles as a uniform sample of
+# the distinct keys (the bottom-k-by-hash sample, x46's idea applied
+# to the DISTINCT domain).  Mergeable by construction: the global
+# k-minimum set of a union is contained in the union of per-shard
+# k-minimum sets, so merged-shard estimates equal whole-table
+# estimates EXACTLY (not just approximately — asserted in tests).
+#
+# Determinism: hashes are md5 hex (lexicographic order == numeric
+# order), the estimate numerator (k-1)·16^12 has 7 significant bits
+# and the kth value is 48 bits — both exact in a double, so the one
+# division is a single correctly-rounded IEEE op identical in any
+# engine, and the floored estimate survives the hash gate.
+
+KMV_K = 128
+_KMV_HEX = 12  # 48 bits of estimate material: exact in a double
+_KMV_SPACE = 16 ** _KMV_HEX
+
+
+def kmv_sketch(df: DataFrame, key: str, group_col: str, k: int = KMV_K) -> DataFrame:
+    """(grp, pos, h): the ``k`` smallest md5 values of the DISTINCT
+    ``key`` values per group.  One distinct aggregate (map-side
+    partial, dedups before anything ranks) + one per-group window over
+    distinct hashes only — never the raw rows."""
+    h = F.md5(F.concat_ws("|", F.lit("kmv"), F.col(key).cast("string")))
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        df.select(F.col(group_col).alias("grp"), h.alias("h"))
+        .distinct()
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .where(F.col("pos") <= k)
+    )
+
+
+def kmv_estimates(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(grp, n_kept, est_distinct) per group from a :func:`kmv_sketch`
+    table.  A group with fewer than ``k`` distinct keys is EXACT (the
+    sketch saw every key); otherwise (k-1)·16^12 / value(h_k)."""
+    v = F.conv(F.substring(F.col("h"), 1, _KMV_HEX), 16, 10).cast("long")
+    kth = sketch.groupBy("grp").agg(
+        F.count("*").alias("n_kept"),
+        F.max(F.when(F.col("pos") == k, v)).alias("v_k"),
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        F.lit(float((k - 1) * _KMV_SPACE)) / F.col("v_k").cast("double")
+    )
+    return kth.select(
+        "grp",
+        "n_kept",
+        F.floor(est).cast("long").alias("est_distinct"),
+    )
+
+
+def kmv_merge(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """One merged sketch (grp='__ALL__') from per-group sketches: the
+    global k-minimum over the union of parts (dedup first — the same
+    key hashes identically in every group).  The window is global but
+    its input is <= n_groups * k rows, never the corpus."""
+    w = Window.orderBy("h")
+    return (
+        sketch.select("h")
+        .distinct()
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .where(F.col("pos") <= k)
+        # column order matches kmv_sketch (grp, h, pos): positional
+        # unionAll with sketch parts must not swap h and pos
+        .select(F.lit("__ALL__").alias("grp"), "h", "pos")
+    )
+
+
+def _kmv_hex_to_int_sql(expr: str) -> str:
+    digits = "0123456789abcdef"
+    return " + ".join(
+        f"(strpos('{digits}', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (_KMV_HEX - 1 - i)}"
+        for i in range(_KMV_HEX)
+    )
+
+
+def kmv_estimates_sql(pairs_sql: str, k: int = KMV_K) -> str:
+    """DuckDB twin: per-group + merged '__ALL__' KMV estimates over a
+    (grp, key) relation given by ``pairs_sql``."""
+    num = (k - 1) * _KMV_SPACE
+    v = _kmv_hex_to_int_sql(f"substr(h, 1, {_KMV_HEX})")
+    return f"""
+WITH pairs AS ({pairs_sql}),
+dw AS (SELECT DISTINCT grp, md5('kmv' || '|' || CAST(key AS VARCHAR)) AS h
+       FROM pairs),
+sk AS (SELECT grp, h,
+              ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS pos
+       FROM dw),
+kept AS (SELECT * FROM sk WHERE pos <= {k}),
+mh AS (SELECT DISTINCT h FROM kept),
+msk AS (SELECT '__ALL__' AS grp, h,
+               ROW_NUMBER() OVER (ORDER BY h) AS pos
+        FROM mh),
+allk AS (SELECT * FROM kept UNION ALL SELECT * FROM msk WHERE pos <= {k}),
+est AS (
+  SELECT grp, COUNT(*) AS n_kept,
+         MAX(CASE WHEN pos = {k} THEN {v} END) AS v_k
+  FROM allk GROUP BY grp
+)
+SELECT grp, n_kept,
+       CAST(FLOOR(CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+                       ELSE {num} / CAST(v_k AS DOUBLE) END) AS BIGINT)
+         AS est_distinct
+FROM est"""

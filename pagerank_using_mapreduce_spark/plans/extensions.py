@@ -1548,6 +1548,142 @@ def q_x61_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mix_summary(_docs(spark, sf_dir), "lang", "doc_id")
 
 
+def q_x76_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary cardinality via the KMV bottom-k-hash
+    sketch, plus the merged '__ALL__' row built ONLY from the
+    per-source sketches — the distributed-combine law (x73's HLL
+    shard-merge story) for the third cardinality tool.  The window
+    ranks distinct hashes, never corpus rows; the merge input is
+    <= n_sources * k rows.  A source with < k distinct words is
+    exact by construction."""
+    from ..functions.textops import strip_non_alpha, tokens
+    from ..operators.sketches import kmv_estimates, kmv_merge, kmv_sketch
+
+    words = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.explode(tokens(strip_non_alpha(F.col("text")))).alias("word"),
+        )
+        .where(F.col("word") != "")
+    )
+    sk = kmv_sketch(words, key="word", group_col="source").persist()
+    out = kmv_estimates(sk.unionAll(kmv_merge(sk))).select(
+        F.col("grp").alias("source"), "n_kept", "est_distinct"
+    )
+    return out
+
+
+def _x76_sql() -> str:
+    from ..operators.sketches import kmv_estimates_sql
+
+    pairs = """
+SELECT source AS grp,
+       unnest(list_filter(
+         string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+         t -> t != '')) AS key
+FROM documents"""
+    return (
+        f"SELECT grp AS source, n_kept, est_distinct FROM ("
+        f"{kmv_estimates_sql(pairs)})"
+    )
+
+
+def q_z14_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under REAL duplication: the staged events
+    directory is read by TWO file-source streams unioned (every
+    event_id arrives twice), `dropDuplicatesWithinWatermark` keeps one
+    copy with watermark-bounded state, and the drained per-type counts
+    must equal the single-copy batch counts — proving the dedup state
+    works, not that the input was accidentally unique."""
+    from ..streaming.events import (
+        read_event_stream,
+        run_available_now,
+        stage_table_dir,
+        stream_dedup,
+    )
+
+    d = stage_table_dir(sf_dir)
+    doubled = read_event_stream(spark, d).union(read_event_stream(spark, d))
+    stream = stream_dedup(doubled).select("event_id", "event_type")
+    drained = run_available_now(stream, "t_z14_dedup", output_mode="append")
+    return drained.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+
+Z14_SQL = """
+SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+"""
+
+
+def q_x78_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF-pruned search (x6) against the exact
+    brute-force top-k (x5), per query — the x43/x64 audit pattern
+    applied to ANN: measure the pruned index's miss rate ON THIS
+    corpus before trusting nprobe at production scale.  Both sides
+    are the existing candidate-bounded pipelines; the audit itself is
+    one (query_id, vec_id)-keyed left join on two k-row-per-query
+    relations."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk(emb).select("query_id", "vec_id")
+    approx = ivf_topk(emb).select("query_id", "vec_id").withColumn(
+        "_hit", F.lit(1)
+    )
+    return (
+        exact.join(approx, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+            F.count("*").alias("k"),
+        )
+        .select(
+            "query_id",
+            "n_hit",
+            F.floor(
+                F.col("n_hit").cast("double") / F.col("k") * 1e6
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("recall_e6"),
+        )
+    )
+
+
+def _x78_sql() -> str:
+    from ..operators.similarity import COSINE_TOPK_SQL, IVF_TOPK_SQL
+
+    return f"""
+WITH exact AS MATERIALIZED ({COSINE_TOPK_SQL}),
+approx AS MATERIALIZED ({IVF_TOPK_SQL})
+SELECT e.query_id,
+       CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit,
+       CAST(FLOOR(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                       AS DOUBLE) / COUNT(*) * 1e6 + 0.5000001) AS BIGINT)
+         AS recall_e6
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY e.query_id"""
+
+
+def q_x77_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two training epochs of the corpus as deterministic shard/pos
+    assignments — the data-loader global shuffle without a global
+    sort (per-(epoch, shard) windows only; shards hash-balanced)."""
+    from ..operators.sampling import epoch_shuffle
+
+    return epoch_shuffle(_docs(spark, sf_dir), "doc_id")
+
+
+def _x77_sql() -> str:
+    from ..operators.sampling import epoch_shuffle_sql
+
+    return epoch_shuffle_sql("documents", "doc_id")
+
+
 EXTENSION_QUERIES = {
     "x1_exact_dedup": q_x1_exact_dedup,
     "x2_minhash_signatures": q_x2_minhash_signatures,
@@ -1628,6 +1764,10 @@ EXTENSION_QUERIES = {
     "x73_hll_shard_merge": q_x73_hll_shard_merge,
     "x74_composition_matrix": q_x74_composition_matrix,
     "x75_vocab_growth": q_x75_vocab_growth,
+    "x76_kmv_distinct": q_x76_kmv_distinct,
+    "x77_epoch_shuffle": q_x77_epoch_shuffle,
+    "x78_ann_recall": q_x78_ann_recall,
+    "z14_stream_dedup": q_z14_stream_dedup,
     "z13_stream_ohlc": q_z13_stream_ohlc,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
@@ -1942,6 +2082,10 @@ GROUP BY 1, 2""",
     "x73_hll_shard_merge": hll_registers_sql("lineitem", "l_orderkey"),
     "x74_composition_matrix": _x74_sql(),
     "x75_vocab_growth": _x75_sql(),
+    "x76_kmv_distinct": _x76_sql(),
+    "x77_epoch_shuffle": _x77_sql(),
+    "x78_ann_recall": _x78_sql(),
+    "z14_stream_dedup": Z14_SQL,
     "x67_orc_roundtrip": """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS BIGINT)

@@ -2052,6 +2052,233 @@ WHERE prev_t IS NULL OR t - prev_t > {DEBOUNCE_GAP_S} * 1000000
 """
 
 
+# --------------------------------------------------------------------------
+# Session concurrency timeline (sweep line): how many user sessions
+# are simultaneously active, as a per-hour maximum.  The classic
+# interval-overlap aggregate, done WITHOUT a global-order window over
+# the events: a two-level prefix sum —
+#   level 1: running sum of +1/-1 markers WITHIN each hour (hours are
+#            independent sort groups, all hours in parallel);
+#   level 2: carry-in per hour = prefix sum of per-hour delta totals
+#            over the HOUR relation (bounded: one row per hour of
+#            history — ~9k rows/year — so its global window is a
+#            driver-scale relation, the o1 parallel-positions trick).
+# max_active(hour) = carry_in + max(level-1 running sum).
+# Marker ordering within an instant is pinned (delta, user, session)
+# so the running sum is deterministic on both engines.
+# --------------------------------------------------------------------------
+
+_HOUR_US = 3600 * 1_000_000
+
+
+def _session_intervals(ev: DataFrame) -> DataFrame:
+    """(user_id, sess_id, s, e): per-user session intervals in epoch
+    micros, e1's gap rule at session grain."""
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_sess = F.when(
+        us - F.lag(us).over(w) > SESSION_GAP_S * 1_000_000, 1
+    ).otherwise(0)
+    return (
+        ev.select("user_id", "event_id", "ts", us.alias("us"))
+        .withColumn("sess_id", F.sum(new_sess).over(wrun).cast("long"))
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("us").alias("s"), F.max("us").alias("e"))
+    )
+
+
+_SESS_SQL = f"""
+SELECT user_id, sess_id, MIN(us) AS s, MAX(us) AS e FROM (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM (
+    SELECT user_id, event_id, epoch_us(ts) AS us,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id)
+                > {SESSION_GAP_S} * 1000000
+                THEN 1 ELSE 0 END AS new_sess
+    FROM events
+  )
+) GROUP BY user_id, sess_id
+"""
+
+
+def concurrency_timeline(ev: DataFrame) -> DataFrame:
+    """(hour, max_active) from an events frame — see block comment."""
+    sess = _session_intervals(ev)
+    deltas = sess.select(
+        "user_id", "sess_id", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        sess.select(
+            "user_id",
+            "sess_id",
+            (F.col("e") + 1).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    # positive epoch micros: `div` (truncation) == floor on both sides
+    hour = F.expr(f"t div {_HOUR_US}")
+    w1 = Window.partitionBy("hour").orderBy(
+        "t", "delta", "user_id", "sess_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r = deltas.withColumn("hour", hour).withColumn(
+        "running", F.sum("delta").over(w1)
+    )
+    h = r.groupBy("hour").agg(
+        F.max("running").alias("in_max"),
+        F.sum("delta").alias("hd"),
+    )
+    w2 = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, -1)
+    return h.select(
+        "hour",
+        (F.coalesce(F.sum("hd").over(w2), F.lit(0)) + F.col("in_max"))
+        .cast("long")
+        .alias("max_active"),
+    ).orderBy("hour")
+
+
+def w7_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return concurrency_timeline(load_table(spark, sf_dir, "events"))
+
+
+W7_SQL = f"""
+WITH sess AS ({_SESS_SQL}),
+d AS (
+  SELECT user_id, sess_id, s AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT user_id, sess_id, e + 1 AS t, -1 AS delta FROM sess
+),
+r AS (
+  SELECT t // {_HOUR_US} AS hour, delta,
+         SUM(delta) OVER (PARTITION BY t // {_HOUR_US}
+                          ORDER BY t, delta, user_id, sess_id
+                          ROWS UNBOUNDED PRECEDING) AS running
+  FROM d
+),
+h AS (SELECT hour, MAX(running) AS in_max, SUM(delta) AS hd
+      FROM r GROUP BY hour)
+SELECT CAST(hour AS BIGINT) AS hour,
+       CAST(COALESCE(SUM(hd) OVER (ORDER BY hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + in_max AS BIGINT) AS max_active
+FROM h ORDER BY hour
+"""
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap join WITHOUT an equi key (rj1 has one — the user).
+# "How many sessions, across ALL users, were active at the instant of
+# each purchase?"  The naive form is a cross join with a range
+# residual — quadratic.  The scale form BUCKETIZES time: each session
+# explodes to the hours it covers (sessions are gap-bounded, so the
+# per-session hour fan-out is small and bounded), each purchase maps
+# to its one hour, and the join becomes an equi join ON HOUR with the
+# exact [s, e] containment as a residual predicate.  Each (purchase,
+# session) overlap pair appears exactly once — the purchase instant
+# lies in one hour — so no post-join dedup is needed.  Skewed hours
+# (everyone online at once) shard further with the x16 salting tools.
+# --------------------------------------------------------------------------
+
+
+def interval_overlap_counts(ev: DataFrame) -> DataFrame:
+    """(purchase_id, n_active) from an events frame — see block
+    comment."""
+    sess = _session_intervals(ev)
+    sess_h = sess.select(
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {_HOUR_US}"), F.expr(f"e div {_HOUR_US}")
+            )
+        ).alias("hour"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros(F.col("ts")).alias("t"),
+        F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hour"),
+    )
+    return (
+        purchases.join(
+            sess_h,
+            (purchases.hour == sess_h.hour)
+            & (F.col("s") <= F.col("t"))
+            & (F.col("t") <= F.col("e")),
+        )
+        .groupBy("purchase_id")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+def rj2_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interval_overlap_counts(load_table(spark, sf_dir, "events"))
+
+
+RJ2_SQL = f"""
+WITH sess AS ({_SESS_SQL})
+SELECT p.event_id AS purchase_id, COUNT(*) AS n_active
+FROM events p JOIN sess s
+  ON s.s <= epoch_us(p.ts) AND epoch_us(p.ts) <= s.e
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Right-to-be-forgotten deletion with audit: remove every event of a
+# deletion-request user set and account for exactly what was removed.
+# The deletion list is always tiny relative to the fact table, so it
+# rides a BROADCAST — the fact table never shuffles; before/after/
+# deleted counts come from ONE pass (flag + conditional sum), not a
+# separate pre-count job.  The derived request list (signup users with
+# user_id % 7 == 0) stands in for the compliance queue feed.
+# --------------------------------------------------------------------------
+
+
+def d4_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    forget = (
+        ev.where(
+            (F.col("event_type") == "signup") & (F.col("user_id") % 7 == 0)
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("_del", F.lit(1))
+    )
+    flagged = ev.join(F.broadcast(forget), "user_id", "left")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_before"),
+            F.sum(F.coalesce(F.col("_del"), F.lit(0)))
+            .cast("long")
+            .alias("n_deleted"),
+        )
+        .select(
+            "event_type",
+            "n_before",
+            "n_deleted",
+            (F.col("n_before") - F.col("n_deleted")).alias("n_after"),
+        )
+    )
+
+
+D4_SQL = """
+WITH forget AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'signup' AND user_id % 7 = 0
+)
+SELECT event_type, COUNT(*) AS n_before,
+       CAST(SUM(CASE WHEN user_id IN (SELECT user_id FROM forget)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       COUNT(*) - CAST(SUM(CASE WHEN user_id IN (SELECT user_id FROM forget)
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+FROM events GROUP BY event_type
+"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2087,6 +2314,9 @@ RELATIONAL_QUERIES = {
     "e9_attribution": e9_attribution,
     "w5_running_actives": w5_running_actives,
     "d3_merge_upsert": d3_merge_upsert,
+    "d4_forget_users": d4_forget_users,
+    "w7_concurrency": w7_concurrency,
+    "rj2_interval_overlap": rj2_interval_overlap,
     "w6_hourly_ohlc": w6_hourly_ohlc,
     "e10_debounce": e10_debounce,
     "w3_time_weighted": w3_time_weighted,
@@ -2135,6 +2365,9 @@ RELATIONAL_ORACLE = {
     "e9_attribution": E9_SQL,
     "w5_running_actives": W5_SQL,
     "d3_merge_upsert": D3_SQL,
+    "d4_forget_users": D4_SQL,
+    "w7_concurrency": W7_SQL,
+    "rj2_interval_overlap": RJ2_SQL,
     "w6_hourly_ohlc": W6_SQL,
     "e10_debounce": E10_SQL,
     "w3_time_weighted": W3_SQL,

@@ -311,3 +311,64 @@ def test_paragraph_dedup_shuffles_on_digest_not_text(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line, line
+
+
+def test_concurrency_timeline_golden(spark):
+    """Two users: A [t0, t0+10m], B [t0+5m, t0+15m] overlap 5 minutes
+    -> max_active 2 in t0's hour; C alone two days later -> 1.  Also
+    pins the two-level prefix-sum carry: B's session crossing the hour
+    boundary raises the NEXT hour's carry-in."""
+    import datetime as dt
+
+    from pagerank_using_mapreduce_spark.plans.relational import (
+        concurrency_timeline,
+        interval_overlap_counts,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 50, 0)
+
+    def ev(eid, user, minutes, etype="click"):
+        return (
+            eid,
+            t0 + dt.timedelta(minutes=minutes),
+            user,
+            etype,
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        ev(1, 1, 0),
+        ev(2, 1, 10),          # A: [10:50, 11:00]
+        ev(3, 2, 5),
+        ev(4, 2, 15),          # B: [10:55, 11:05] crosses the hour
+        ev(5, 3, 2 * 24 * 60), # C alone, two days later
+        ev(6, 2, 8, "purchase"),  # during A and B -> n_active 2
+        ev(7, 3, 2 * 24 * 60, "purchase"),  # only C's session -> 1
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    tl = {r["hour"]: r["max_active"] for r in concurrency_timeline(events).collect()}
+    h0 = int(t0.timestamp()) // 3600
+    assert tl[h0] == 2, tl
+    assert tl[h0 + 1] == 1, tl  # only B is still open past 11:00
+    assert tl[h0 + 48] == 1, tl
+    ov = {
+        r["purchase_id"]: r["n_active"]
+        for r in interval_overlap_counts(events).collect()
+    }
+    assert ov == {6: 2, 7: 1}, ov
+
+
+def test_d4_accounting_conserves_rows(spark):
+    from pagerank_using_mapreduce_spark.plans.relational import d4_forget_users
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = d4_forget_users(spark, sf).collect()
+    total = load_table(spark, sf, "events").count()
+    assert sum(r["n_before"] for r in out) == total
+    assert all(r["n_after"] == r["n_before"] - r["n_deleted"] for r in out)
+    assert any(r["n_deleted"] > 0 for r in out), "deletion set must bite"

@@ -15,6 +15,9 @@ from pagerank_using_mapreduce_spark.operators.text_analysis import (
     ngram_counts,
     redact_numbers,
 )
+from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="module")
@@ -559,3 +562,52 @@ def test_debounce_golden(spark):
         ev.write.parquet(f"{d}/events.parquet")
         kept = sorted(r["event_id"] for r in e10_debounce(spark, d).collect())
     assert kept == [1, 4, 5, 6]
+
+
+# ---------------------------------------------------------------------------
+# epoch_shuffle
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_shuffle_is_a_permutation_per_epoch(spark):
+    from pagerank_using_mapreduce_spark.operators.sampling import (
+        EPOCH_SHARDS,
+        epoch_shuffle,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    out = epoch_shuffle(docs, "doc_id").collect()
+    n = docs.count()
+    keys = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    for e in (1, 2):
+        rows = [r for r in out if r["epoch"] == e]
+        assert len(rows) == n
+        assert {r["key"] for r in rows} == keys, "every doc exactly once"
+        by_shard = {}
+        for r in rows:
+            assert 0 <= r["shard"] < EPOCH_SHARDS
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1)), (
+                "positions must be contiguous within a shard"
+            )
+        # hash-balanced: no shard more than 2x the ideal share at n=500
+        assert max(len(v) for v in by_shard.values()) <= 2 * n / EPOCH_SHARDS
+
+
+def test_epoch_shuffle_epochs_differ_and_rerun_stable(spark):
+    from pagerank_using_mapreduce_spark.operators.sampling import epoch_shuffle
+
+    docs = load_table(spark, SF, "documents")
+    a = epoch_shuffle(docs, "doc_id")
+    order = {
+        (r["epoch"], r["shard"], r["pos"]): r["key"] for r in a.collect()
+    }
+    again = {
+        (r["epoch"], r["shard"], r["pos"]): r["key"]
+        for r in epoch_shuffle(docs.repartition(5), "doc_id").collect()
+    }
+    assert order == again, "pure function of (epoch, key)"
+    e1 = [v for (e, s, p), v in sorted(order.items()) if e == 1]
+    e2 = [v for (e, s, p), v in sorted(order.items()) if e == 2]
+    assert e1 != e2, "epochs must present different orders"

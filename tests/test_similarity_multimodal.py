@@ -416,3 +416,27 @@ def test_wav_files_are_real_and_decode_exact(spark):
     assert row["n_samples"] == 6
     assert row["sum_abs"] == sum(abs(v) for v in vals)
     assert row["max_abs"] == max(abs(v) for v in vals)
+
+
+def test_ann_recall_audit_full_probe_is_perfect(spark):
+    """x78's audit is trustworthy only if it reports recall 1.0 when
+    the index provably misses nothing: IVF probing EVERY label cell is
+    exhaustive search, so the per-query recall_e6 must be 1e6; the
+    registry x78 (nprobe=2) must never exceed it."""
+    from pagerank_using_mapreduce_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    from pagerank_using_mapreduce_spark.plans.extensions import q_x78_ann_recall
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    n_cells = emb.select("label").distinct().count()
+    exact = cosine_topk(emb).select("query_id", "vec_id")
+    full = ivf_topk(emb, nprobe=n_cells).select("query_id", "vec_id")
+    missed = exact.exceptAll(full)
+    assert missed.count() == 0, missed.collect()
+    audited = q_x78_ann_recall(spark, sf).collect()
+    assert audited and all(0 <= r["recall_e6"] <= 1_000_000 for r in audited)
+    assert all(r["n_hit"] >= 0 for r in audited)

@@ -182,3 +182,67 @@ def test_value_histogram_mass_edges_and_merge(spark):
     for r in list(a) + list(b):
         merged[r["bin"]] = merged.get(r["bin"], 0) + r["cnt"]
     assert merged == {b_: r["cnt"] for b_, r in rows.items()}
+
+
+# ---------------------------------------------------------------------------
+# KMV
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_exact_when_small_and_error_bound(spark):
+    import math
+
+    from pagerank_using_mapreduce_spark.operators.sketches import (
+        KMV_K,
+        kmv_estimates,
+        kmv_sketch,
+    )
+
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_returnflag").alias("source"), F.col("l_orderkey").alias("key")
+    )
+    sk = kmv_sketch(li, "key", "source")
+    est = {r["grp"]: r for r in kmv_estimates(sk).collect()}
+    exact = {
+        r["source"]: r["n"]
+        for r in li.distinct().groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    sigma = 1.0 / math.sqrt(KMV_K - 2)
+    for g, n in exact.items():
+        row = est[g]
+        if n < KMV_K:
+            # saw every key: exact by construction
+            assert row["est_distinct"] == n, (g, row, n)
+        else:
+            assert abs(row["est_distinct"] - n) <= 5 * sigma * n, (g, row, n)
+
+
+def test_kmv_merge_law_and_layout_independence(spark):
+    from pagerank_using_mapreduce_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_returnflag").alias("source"), F.col("l_orderkey").alias("key")
+    )
+    sk = kmv_sketch(li, "key", "source")
+    # merged-from-parts == sketch of the whole table directly: the
+    # global k-minimum of distinct hashes is contained in the union of
+    # per-group k-minimum sets
+    merged = sorted(
+        (r["pos"], r["h"]) for r in kmv_merge(sk).collect()
+    )
+    direct = sorted(
+        (r["pos"], r["h"])
+        for r in kmv_sketch(
+            li.select(F.lit("__ALL__").alias("source"), "key"), "key", "source"
+        ).collect()
+    )
+    assert merged == direct
+    relaid = sorted(
+        (r["grp"], r["pos"], r["h"])
+        for r in kmv_sketch(li.repartition(7), "key", "source").collect()
+    )
+    orig = sorted((r["grp"], r["pos"], r["h"]) for r in sk.collect())
+    assert relaid == orig, "sketch must not depend on physical layout"

@@ -466,3 +466,29 @@ def test_stream_ohlc_matches_batch_across_batches(spark, tmp_path):
         for r in w6_hourly_ohlc(spark, SF).collect()
     }
     assert got == want
+
+
+def test_stream_dedup_doubled_input_multibatch(spark, events_dir):
+    """z14's claim under forced multi-batch delivery: two unioned
+    copies of the stream, one file per trigger per source — the
+    drained per-type counts still equal the single-copy batch
+    counts."""
+    doubled = read_event_stream(spark, events_dir, max_files_per_trigger=1).union(
+        read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    )
+    got = run_available_now(
+        stream_dedup(doubled).select("event_id", "event_type"),
+        "t_dedup_doubled",
+        output_mode="append",
+    )
+    want = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type")
+        .count()
+    )
+    got_counts = {
+        r["event_type"]: r["count"]
+        for r in got.groupBy("event_type").count().collect()
+    }
+    want_counts = {r["event_type"]: r["count"] for r in want.collect()}
+    assert got_counts == want_counts
