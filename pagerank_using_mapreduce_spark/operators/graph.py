@@ -839,3 +839,96 @@ def sssp_dists(
             dists = dists.localCheckpoint(eager=True)
     pages_c.unpersist()
     return dists
+
+
+def bfs_depths_labeled(
+    pages: DataFrame, sources: list[str], iterations: int = 8
+) -> DataFrame:
+    """(seed, title, depth): per-SEED minimum hop counts — k
+    independent BFS traversals in ONE loop, the state keyed by
+    (seed, title).  Same two-wide-op round shape as :func:`bfs_depths`
+    (join into the cached adjacency + min-merge groupBy); the state
+    relation is at most k × reachable-set rows and the adjacency is
+    scanned once per round regardless of k — running k separate BFS
+    loops would scan it k times per round.
+
+    The landmark-centrality building block: exact closeness needs a
+    BFS per node (quadratic — unusable), so the standard scale
+    technique fixes k landmark sources and scores every node from its
+    depths to those k (Potamias et al.'s landmark method)."""
+    if not sources:
+        raise ValueError("bfs_depths_labeled needs a non-empty source set")
+    spark = pages.sparkSession
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    pages_c = pages.persist()
+    e = valid_edges(pages_c).repartition(shuffle, "src").persist()
+    e.count()
+    depths = (
+        pages_c.select("title")
+        .where(F.col("title").isin(*sources))
+        .select(
+            F.col("title").alias("seed"),
+            "title",
+            F.lit(0).cast("long").alias("depth"),
+        )
+    )
+    for i in range(iterations):
+        expanded = (
+            e.alias("e")
+            .join(depths.alias("d"), F.col("e.src") == F.col("d.title"))
+            .select(
+                F.col("d.seed").alias("seed"),
+                F.col("e.dst").alias("title"),
+                (F.col("d.depth") + 1).alias("depth"),
+            )
+        )
+        depths = (
+            depths.unionAll(expanded)
+            .groupBy("seed", "title")
+            .agg(F.min("depth").alias("depth"))
+        )
+        if (i + 1) % 4 == 0 and (i + 1) < iterations:
+            depths = depths.localCheckpoint(eager=True)
+    # materialize BEFORE releasing the adjacency cache: the lazy plan
+    # references e once per un-checkpointed round, and an unpersisted e
+    # re-parses the corpus on every reference
+    depths = depths.localCheckpoint(eager=True)
+    pages_c.unpersist()
+    e.unpersist()
+    return depths
+
+
+def landmark_closeness(
+    pages: DataFrame, sources: list[str], iterations: int = 8
+) -> DataFrame:
+    """(title, n_seen, total_depth, closeness_e6) for every node some
+    landmark reaches in 1..``iterations`` hops: closeness approximated
+    as n_seen / sum(landmark depths) — reporting n_seen alongside
+    keeps partially-covered nodes honest (one nearby landmark does not
+    fake global centrality; consumers filter on coverage).  Self rows
+    (a landmark at depth 0 from itself) are excluded, the standard
+    closeness convention — which also makes total_depth > 0 wherever a
+    row exists.  The division is one small-int-over-int-sum IEEE op,
+    identical cross-engine."""
+    d = bfs_depths_labeled(pages, sources, iterations)
+    return (
+        d.where(F.col("depth") > 0)
+        .groupBy("title")
+        .agg(
+            F.count("*").alias("n_seen"),
+            F.sum("depth").alias("total_depth"),
+        )
+        .select(
+            "title",
+            "n_seen",
+            "total_depth",
+            F.floor(
+                F.col("n_seen").cast("double")
+                / F.col("total_depth").cast("double")
+                * 1e6
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("closeness_e6"),
+        )
+    )

@@ -501,6 +501,49 @@ def q_g11_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_until(_pages(spark, sf_dir))
 
 
+def q_g12_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark closeness centrality: k labeled BFS traversals in one
+    loop (state keyed by (seed, title); adjacency scanned once per
+    round regardless of k), closeness = k / sum(landmark depths) for
+    nodes covered by ALL landmarks — the standard scale substitute for
+    exact closeness's BFS-per-node."""
+    from ..operators.graph import landmark_closeness
+
+    pages = _pages(spark, sf_dir)
+    seeds = [
+        r["title"]
+        for r in pages.select("title").orderBy("title").limit(BFS_SEEDS).collect()
+    ]
+    return landmark_closeness(pages, seeds, iterations=8)
+
+
+def _labeled_bfs_sql(iterations: int = 8, k_seeds: int = BFS_SEEDS) -> str:
+    """Per-seed BFS depths unrolled (the g12 oracle): d{k} carries the
+    seed label through the identical min-merge recurrence, then
+    closeness aggregates nodes covered by all seeds."""
+    ctes = [
+        f"d0 AS MATERIALIZED (SELECT title AS seed, title, 0 AS depth FROM "
+        f"(SELECT title FROM pages ORDER BY title LIMIT {k_seeds}))"
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(f"""d{k} AS MATERIALIZED (
+  SELECT seed, title, MIN(depth) AS depth FROM (
+    SELECT seed, title, depth FROM d{k - 1}
+    UNION ALL
+    SELECT d.seed, e.dst AS title, d.depth + 1 AS depth
+    FROM ev e JOIN d{k - 1} d ON d.title = e.src
+  ) GROUP BY seed, title)""")
+    body = ",\n".join(ctes)
+    return f"""WITH {_PAGES_CTES},
+{_EV_CTE},
+{body}
+SELECT title, COUNT(*) AS n_seen,
+       CAST(SUM(depth) AS BIGINT) AS total_depth,
+       CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(depth) AS DOUBLE)
+                  * 1e6 + 0.5000001) AS BIGINT) AS closeness_e6
+FROM d{iterations} WHERE depth > 0 GROUP BY title"""
+
+
 def q_g9_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-weighted PageRank (rank split ∝ edge weight, not 1/outdeg)
     — 10 iterations of the same un-normalized recurrence with the g8
@@ -725,6 +768,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "i3_warm_start": q_i3_warm_start,
     "g10_bfs_frontier": q_g10_bfs_frontier,
     "g11_kcore_converged": q_g11_kcore_converged,
+    "g12_landmark_closeness": q_g12_landmark_closeness,
     "g6_kcore": q_g6_kcore,
     "g7_label_prop": q_g7_label_prop,
     "deg_stats": q_deg_stats,
@@ -875,6 +919,7 @@ FROM pages""",
     "g8_sssp_dists": _sssp_sql(),
     "g10_bfs_frontier": _bfs_sql(),
     "g11_kcore_converged": _kcore_converged_oracle(),
+    "g12_landmark_closeness": _labeled_bfs_sql(),
     "g9_weighted_pagerank": _wpr_sql(),
     "a9_reciprocity": f"WITH {_PAGES_CTES},\n{_A9_SQL_BODY}",
     "g6_kcore": _kcore_oracle(),

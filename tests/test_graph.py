@@ -373,3 +373,31 @@ def test_kcore_until_peels_deeper_than_fixed_budget(spark):
     assert any(t.startswith("t") for t in fixed)  # budget too small
     conv = {r["title"] for r in kcore_until(g, k=2).collect()}
     assert conv == {"a", "b", "c"}  # the true 2-core
+
+
+def test_landmark_closeness_chain_golden(spark):
+    """Chain a->b->c with landmarks {a, b}: b is seen only from a
+    (depth 1, closeness 1.0); c from both (1/a at 2, 1/b at 1 ->
+    2/3); a is unreached (no self rows) and absent."""
+    from pagerank_using_mapreduce_spark.operators.graph import (
+        bfs_depths_labeled,
+        landmark_closeness,
+    )
+
+    chain = spark.createDataFrame(
+        [("a", ["b"]), ("b", ["c"]), ("c", [])],
+        "title string, links array<string>",
+    )
+    d = {
+        (r["seed"], r["title"]): r["depth"]
+        for r in bfs_depths_labeled(chain, ["a", "b"], iterations=4).collect()
+    }
+    assert d == {
+        ("a", "a"): 0, ("b", "b"): 0,
+        ("a", "b"): 1, ("a", "c"): 2, ("b", "c"): 1,
+    }, d
+    got = {
+        r["title"]: (r["n_seen"], r["total_depth"], r["closeness_e6"])
+        for r in landmark_closeness(chain, ["a", "b"], iterations=4).collect()
+    }
+    assert got == {"b": (1, 1, 1_000_000), "c": (2, 3, 666_667)}, got
