@@ -500,6 +500,13 @@ def bfs_depths(
         )
         if (i + 1) % 4 == 0 and (i + 1) < iterations:
             depths = depths.localCheckpoint(eager=True)
+    # materialize before releasing the page cache: the lazy plan's
+    # seed leaf scans pages (a corpus re-parse once uncached).  The
+    # edge relation stays persisted DELIBERATELY: the cache manager
+    # dedups by logical plan, so repeated graph queries in one session
+    # reuse one cached adjacency instead of rebuilding it per call —
+    # bounded at one edge relation per corpus.
+    depths = depths.localCheckpoint(eager=True)
     pages_c.unpersist()
     return depths
 
@@ -837,6 +844,9 @@ def sssp_dists(
         )
         if (i + 1) % 4 == 0 and (i + 1) < iterations:
             dists = dists.localCheckpoint(eager=True)
+    # same as bfs_depths: materialize, release the page cache, keep
+    # the (plan-deduped) adjacency cache for cross-query reuse
+    dists = dists.localCheckpoint(eager=True)
     pages_c.unpersist()
     return dists
 
@@ -889,12 +899,15 @@ def bfs_depths_labeled(
         )
         if (i + 1) % 4 == 0 and (i + 1) < iterations:
             depths = depths.localCheckpoint(eager=True)
-    # materialize BEFORE releasing the adjacency cache: the lazy plan
+    # materialize BEFORE releasing the page cache: the lazy plan
     # references e once per un-checkpointed round, and an unpersisted e
-    # re-parses the corpus on every reference
+    # re-parses the corpus on every reference (measured 15.5s -> 5.2s
+    # warm at sf0.1).  e itself stays persisted deliberately — its plan
+    # is identical to the other BFS ops' valid_edges, so the cache
+    # manager shares ONE cached adjacency across every graph query in
+    # the session (unpersisting here would evict it under them).
     depths = depths.localCheckpoint(eager=True)
     pages_c.unpersist()
-    e.unpersist()
     return depths
 
 
