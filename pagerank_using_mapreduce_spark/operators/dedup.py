@@ -1061,3 +1061,64 @@ joined AS (
     ON j.doc_a = s.doc_a AND j.doc_b = s.doc_b
 )
 SELECT verdict, COUNT(*) AS n_pairs FROM joined GROUP BY verdict"""
+
+
+# ---------------------------------------------------------------------------
+# Threshold sweep: how aggressive is the dedup at each Jaccard cut?
+# ---------------------------------------------------------------------------
+
+THRESHOLD_GRID_E6 = [500_000, 600_000, 700_000, 800_000, 900_000]
+
+
+def dedup_threshold_curve(sh: DataFrame, grid=None) -> DataFrame:
+    """(thr_e6, n_pairs, n_docs): surviving near-dup pairs and affected
+    documents at each candidate Jaccard threshold — the evidence for
+    CHOOSING the cut before running the destructive dedup at scale.
+    One verify pass at threshold 0 (the same candidate-bounded joins
+    as x4), then the tiny threshold grid broadcasts onto the pair
+    relation: the sweep costs one pipeline run, not one per point."""
+    grid = grid or THRESHOLD_GRID_E6
+    spark = sh.sparkSession
+    cands = lsh_candidates(minhash_signatures(sh))
+    pairs = verified_near_dups(sh, cands, threshold=0.0).persist()
+    thr = spark.createDataFrame([(t,) for t in grid], "thr_e6 long")
+    pair_counts = (
+        pairs.join(F.broadcast(thr), F.col("jaccard_e6") >= F.col("thr_e6"))
+        .groupBy("thr_e6")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    doc_counts = (
+        pairs.select(
+            "jaccard_e6",
+            F.explode(F.array("doc_a", "doc_b")).alias("d"),
+        )
+        .join(F.broadcast(thr), F.col("jaccard_e6") >= F.col("thr_e6"))
+        .groupBy("thr_e6")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    return pair_counts.join(doc_counts, "thr_e6").select(
+        "thr_e6", "n_pairs", "n_docs"
+    )
+
+
+def dedup_threshold_curve_sql(docs_sql: str, grid=None) -> str:
+    """DuckDB twin of :func:`dedup_threshold_curve`."""
+    grid = grid or THRESHOLD_GRID_E6
+    values = ", ".join(f"({t})" for t in grid)
+    return f"""
+WITH pairs AS ({near_dup_sql(docs_sql, threshold=0.0)}),
+thr(thr_e6) AS (VALUES {values}),
+pc AS (
+  SELECT t.thr_e6, COUNT(*) AS n_pairs
+  FROM pairs p JOIN thr t ON p.jaccard_e6 >= t.thr_e6
+  GROUP BY t.thr_e6
+),
+dc AS (
+  SELECT t.thr_e6, COUNT(DISTINCT d) AS n_docs
+  FROM (SELECT jaccard_e6, unnest([doc_a, doc_b]) AS d FROM pairs) p
+  JOIN thr t ON p.jaccard_e6 >= t.thr_e6
+  GROUP BY t.thr_e6
+)
+SELECT CAST(pc.thr_e6 AS BIGINT) AS thr_e6, pc.n_pairs,
+       CAST(dc.n_docs AS BIGINT) AS n_docs
+FROM pc JOIN dc ON pc.thr_e6 = dc.thr_e6"""

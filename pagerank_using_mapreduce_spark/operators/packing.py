@@ -188,3 +188,70 @@ SELECT doc_id,
        tk[CAST(chunk_id * {stride}
                + LEAST({max_len}, n_tok - chunk_id * {stride}) AS INT)] AS last_tok
 FROM c"""
+
+
+# --------------------------------------------------------------------------
+# Output-shard manifest: token-balanced shard planning
+# --------------------------------------------------------------------------
+
+MANIFEST_SHARDS = 8
+
+
+def shard_manifest(
+    documents: DataFrame, n_shards: int = MANIFEST_SHARDS
+) -> DataFrame:
+    """(shard, n_docs, total_tokens): documents assigned to output
+    shards balanced by TOKEN totals, not row counts — the writer
+    manifest that keeps training-shard files near-equal when document
+    lengths are heavy-tailed (hash assignment balances counts; one
+    book-length doc then skews its file).
+
+    Serpentine (boustrophedon) assignment on the by-length rank: sort
+    docs by tokens descending, deal rank r to shard r%S on even passes
+    and S-1-(r%S) on odd passes — each pass pairs with its reverse so
+    shard totals stay within ~one max-document of each other;
+    deterministic with the (n_tok desc, doc_id) tiebreak.  The global
+    rank rides the distributed parallel-position machinery (range
+    partitions + O(P) broadcast offsets), never a single-partition
+    window."""
+    from .ranking import with_global_position
+
+    toks = documents.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    pos = with_global_position(
+        toks, [F.desc("n_tok"), F.asc("doc_id")], "pos", None
+    )
+    r = F.col("pos") - 1
+    within = r % n_shards
+    shard = F.when(
+        (F.floor(r / n_shards) % 2) == 0, within
+    ).otherwise(n_shards - 1 - within)
+    return (
+        pos.select(shard.cast("long").alias("shard"), "n_tok")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+
+
+def shard_manifest_sql(n_shards: int = MANIFEST_SHARDS) -> str:
+    """DuckDB twin of :func:`shard_manifest`."""
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(trim(text)), ' +'),
+                              x -> x != '')) AS BIGINT) AS n_tok
+  FROM documents),
+p AS (
+  SELECT n_tok,
+         ROW_NUMBER() OVER (ORDER BY n_tok DESC, doc_id ASC) - 1 AS r
+  FROM t)
+SELECT CAST(CASE WHEN (r // {n_shards}) % 2 = 0 THEN r % {n_shards}
+                 ELSE {n_shards} - 1 - (r % {n_shards}) END AS BIGINT)
+         AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+FROM p GROUP BY 1"""

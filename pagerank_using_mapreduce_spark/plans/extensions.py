@@ -1589,6 +1589,36 @@ FROM documents"""
     )
 
 
+def q_x80_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sweep: surviving pair / affected-doc counts
+    at Jaccard cuts 0.5..0.9 from ONE verify pass (grid broadcast onto
+    the pair relation) — the evidence for choosing the cut before the
+    destructive dedup runs at scale."""
+    return dd.dedup_threshold_curve(
+        dd.shingles(dd.augment_docs(_docs(spark, sf_dir)))
+    )
+
+
+def _x80_sql() -> str:
+    return dd.dedup_threshold_curve_sql(dd.AUGMENT_SQL)
+
+
+def q_x79_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output-shard manifest (serpentine deal on the
+    by-length rank; distributed parallel positions) — writer planning
+    for near-equal training shard files under heavy-tailed document
+    lengths."""
+    from ..operators.packing import shard_manifest
+
+    return shard_manifest(_docs(spark, sf_dir))
+
+
+def _x79_sql() -> str:
+    from ..operators.packing import shard_manifest_sql
+
+    return shard_manifest_sql()
+
+
 def q_z14_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup under REAL duplication: the staged events
     directory is read by TWO file-source streams unioned (every
@@ -1768,6 +1798,8 @@ EXTENSION_QUERIES = {
     "x77_epoch_shuffle": q_x77_epoch_shuffle,
     "x78_ann_recall": q_x78_ann_recall,
     "z14_stream_dedup": q_z14_stream_dedup,
+    "x79_shard_manifest": q_x79_shard_manifest,
+    "x80_threshold_curve": q_x80_threshold_curve,
     "z13_stream_ohlc": q_z13_stream_ohlc,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
@@ -2086,6 +2118,8 @@ GROUP BY 1, 2""",
     "x77_epoch_shuffle": _x77_sql(),
     "x78_ann_recall": _x78_sql(),
     "z14_stream_dedup": Z14_SQL,
+    "x79_shard_manifest": _x79_sql(),
+    "x80_threshold_curve": _x80_sql(),
     "x67_orc_roundtrip": """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS BIGINT)

@@ -301,3 +301,35 @@ def test_dedup_method_audit_planted_pairs_in_both(spark):
     assert audit.get("both", 0) == len(jac & sim) > 0
     assert audit.get("jaccard_only", 0) == len(jac - sim)
     assert audit.get("simhash_only", 0) == len(sim - jac)
+
+
+def test_threshold_curve_monotone_and_anchored(spark):
+    """Higher cuts keep fewer (or equal) pairs/docs, and the 0.5 row
+    must equal x4's pipeline output exactly (same candidates, same
+    verify) — the curve is the sweep of the pipeline, not a parallel
+    implementation that could drift."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        augment_docs,
+        dedup_threshold_curve,
+        lsh_candidates,
+        minhash_signatures,
+        shingles,
+        verified_near_dups,
+    )
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sh = shingles(augment_docs(docs))
+    rows = sorted(
+        dedup_threshold_curve(sh).collect(), key=lambda r: r["thr_e6"]
+    )
+    assert [r["thr_e6"] for r in rows] == [
+        500_000, 600_000, 700_000, 800_000, 900_000
+    ]
+    for a, b in zip(rows, rows[1:]):
+        assert a["n_pairs"] >= b["n_pairs"]
+        assert a["n_docs"] >= b["n_docs"]
+    pipeline = verified_near_dups(
+        sh, lsh_candidates(minhash_signatures(sh))
+    )
+    assert rows[0]["n_pairs"] == pipeline.count()

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import hashlib
 
+from pyspark.sql import functions as F
+
 from pagerank_using_mapreduce_spark.operators.packing import (
     pack_sequences,
     pack_sequences_sql,
@@ -144,3 +146,27 @@ def test_chunk_windows_sql_twin_agrees(spark):
         for r in chunk_windows(docs, max_len=16, stride=10).collect()
     )
     assert got == want and len(got) > 200  # genuinely multi-chunk
+
+
+def test_shard_manifest_balance_and_conservation(spark):
+    """Serpentine token-balancing: every doc in exactly one shard,
+    token totals conserved, and the shard spread is bounded by one
+    max-document (the serpentine pairing guarantee) — a count-hash
+    assignment has no such bound under heavy-tailed lengths."""
+    from pagerank_using_mapreduce_spark.functions.textops import tokens as toks
+    from pagerank_using_mapreduce_spark.operators.packing import (
+        MANIFEST_SHARDS,
+        shard_manifest,
+    )
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = shard_manifest(docs).collect()
+    assert sorted(r["shard"] for r in out) == list(range(MANIFEST_SHARDS))
+    per_doc = docs.select(F.size(toks("text")).cast("long").alias("n")).agg(
+        F.count("*").alias("docs"), F.sum("n").alias("tok"), F.max("n").alias("mx")
+    ).collect()[0]
+    assert sum(r["n_docs"] for r in out) == per_doc["docs"]
+    assert sum(r["total_tokens"] for r in out) == per_doc["tok"]
+    totals = [r["total_tokens"] for r in out]
+    assert max(totals) - min(totals) <= per_doc["mx"], (totals, per_doc["mx"])
