@@ -1589,6 +1589,59 @@ FROM documents"""
     )
 
 
+def q_x81_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key join fan-out audit for lineitem x orders on orderkey:
+    the top-10 keys by OUTPUT rows (left count x right count) plus
+    each key's share of the total join size — the exact-key complement
+    of x43's CMS total estimate, and the skew diagnosis you run BEFORE
+    a big join to decide whether to salt (x16).  Two bounded
+    per-key aggregates + a key equi-join of the two count relations
+    (each <= distinct keys); top-10 is TakeOrdered, never a full
+    sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lc = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").alias("nl")
+    )
+    oc = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").alias("nr")
+    )
+    prod = lc.join(oc, "k").select(
+        "k", "nl", "nr", (F.col("nl") * F.col("nr")).alias("out_rows")
+    )
+    total = prod.agg(F.sum("out_rows").alias("tot"))
+    return (
+        prod.crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "nl",
+            "nr",
+            "out_rows",
+            F.floor(
+                F.col("out_rows").cast("double") / F.col("tot") * 1e6
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("share_e6"),
+        )
+        .orderBy(F.desc("out_rows"), F.asc("k"))
+        .limit(10)
+    )
+
+
+X81_SQL = """
+WITH lc AS (SELECT l_orderkey AS k, COUNT(*) AS nl FROM lineitem GROUP BY 1),
+oc AS (SELECT o_orderkey AS k, COUNT(*) AS nr FROM orders GROUP BY 1),
+prod AS (SELECT lc.k, nl, nr, nl * nr AS out_rows FROM lc JOIN oc ON lc.k = oc.k),
+tot AS (SELECT SUM(out_rows) AS tot FROM prod)
+SELECT k, nl, nr, out_rows,
+       CAST(FLOOR(CAST(out_rows AS DOUBLE) / tot * 1e6 + 0.5000001) AS BIGINT)
+         AS share_e6
+FROM prod CROSS JOIN tot
+ORDER BY out_rows DESC, k ASC LIMIT 10
+"""
+
+
 def q_x80_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup threshold sweep: surviving pair / affected-doc counts
     at Jaccard cuts 0.5..0.9 from ONE verify pass (grid broadcast onto
@@ -1800,6 +1853,7 @@ EXTENSION_QUERIES = {
     "z14_stream_dedup": q_z14_stream_dedup,
     "x79_shard_manifest": q_x79_shard_manifest,
     "x80_threshold_curve": q_x80_threshold_curve,
+    "x81_join_skew_audit": q_x81_join_skew_audit,
     "z13_stream_ohlc": q_z13_stream_ohlc,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
@@ -2120,6 +2174,7 @@ GROUP BY 1, 2""",
     "z14_stream_dedup": Z14_SQL,
     "x79_shard_manifest": _x79_sql(),
     "x80_threshold_curve": _x80_sql(),
+    "x81_join_skew_audit": X81_SQL,
     "x67_orc_roundtrip": """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS BIGINT)
