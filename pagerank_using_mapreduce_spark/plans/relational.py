@@ -2108,15 +2108,24 @@ SELECT user_id, sess_id, MIN(us) AS s, MAX(us) AS e FROM (
 def concurrency_timeline(ev: DataFrame) -> DataFrame:
     """(hour, max_active) from an events frame — see block comment."""
     sess = _session_intervals(ev)
+    # one explode, not a unionAll of two selects over sess — the union
+    # form plans the whole sessionization subtree TWICE (two scans +
+    # two user-keyed windows over events); exploding a 2-element
+    # marker array derives sessions once
     deltas = sess.select(
-        "user_id", "sess_id", F.col("s").alias("t"), F.lit(1).alias("delta")
-    ).unionAll(
-        sess.select(
-            "user_id",
-            "sess_id",
-            (F.col("e") + 1).alias("t"),
-            F.lit(-1).alias("delta"),
-        )
+        "user_id",
+        "sess_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
+                F.struct((F.col("e") + 1).alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("m"),
+    ).select(
+        "user_id",
+        "sess_id",
+        F.col("m.t").alias("t"),
+        F.col("m.delta").alias("delta"),
     )
     # positive epoch micros: `div` (truncation) == floor on both sides
     hour = F.expr(f"t div {_HOUR_US}")

