@@ -725,3 +725,112 @@ SELECT grp, n_kept,
                        ELSE {num} / CAST(v_k AS DOUBLE) END) AS BIGINT)
          AS est_distinct
 FROM est"""
+
+
+def kmv_overlap(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(grp_a, grp_b, n_common, union_est, inter_est): pairwise set
+    overlap of the sketched DISTINCT domains, computed from the
+    per-group sketches ALONE — the corpus is never re-touched.  This
+    is the KMV algebra HLL lacks: the bottom-k of A ∪ B is derivable
+    from the bottom-ks of A and B (take the k smallest of their
+    union), and the fraction of that merged sketch present in BOTH
+    inputs is an unbiased Jaccard estimate, so
+    ``inter ≈ J x |A ∪ B|`` comes for free.
+
+    Cost: the sketch relation self-paired — <= |groups|² x 2k rows,
+    independent of corpus size.  A group pair where the merged sketch
+    saw every key (n_kept < k) is exact."""
+    hs = sketch.select("grp", "h")
+    a = hs.alias("a")
+    b = hs.alias("b")
+    pairs = (
+        hs.select(F.col("grp").alias("grp_a"))
+        .distinct()
+        .join(
+            hs.select(F.col("grp").alias("grp_b")).distinct(),
+            F.col("grp_a") < F.col("grp_b"),
+        )
+    )
+    # membership-flagged union of the two sketches per pair
+    flagged = (
+        pairs.join(a, F.col("a.grp") == F.col("grp_a"))
+        .select("grp_a", "grp_b", F.col("a.h").alias("h"), F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionAll(
+            pairs.join(b, F.col("b.grp") == F.col("grp_b")).select(
+                "grp_a", "grp_b", F.col("b.h").alias("h"), F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+            )
+        )
+        .groupBy("grp_a", "grp_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("h")
+    merged = flagged.withColumn(
+        "pos", F.row_number().over(w).cast("long")
+    ).where(F.col("pos") <= k)
+    v = F.conv(F.substring(F.col("h"), 1, _KMV_HEX), 16, 10).cast("long")
+    agg = merged.groupBy("grp_a", "grp_b").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_common"),
+        F.max(F.when(F.col("pos") == k, v)).alias("v_k"),
+    )
+    union_est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float((k - 1) * _KMV_SPACE)) / F.col("v_k").cast("double"))
+    return agg.select(
+        "grp_a",
+        "grp_b",
+        "n_common",
+        F.floor(union_est).cast("long").alias("union_est"),
+        F.floor(
+            F.col("n_common").cast("double") / F.col("n_kept").cast("double")
+            * union_est
+        )
+        .cast("long")
+        .alias("inter_est"),
+    )
+
+
+def kmv_overlap_sql(pairs_sql: str, k: int = KMV_K) -> str:
+    """DuckDB twin of :func:`kmv_overlap` over the same (grp, key)
+    relation ``pairs_sql`` (sketches re-derived identically)."""
+    num = (k - 1) * _KMV_SPACE
+    v = _kmv_hex_to_int_sql(f"substr(h, 1, {_KMV_HEX})")
+    return f"""
+WITH pairs AS ({pairs_sql}),
+dw AS (SELECT DISTINCT grp, md5('kmv' || '|' || CAST(key AS VARCHAR)) AS h
+       FROM pairs),
+sk AS (SELECT grp, h FROM (
+         SELECT grp, h,
+                ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS pos
+         FROM dw) WHERE pos <= {k}),
+gp AS (SELECT a.grp AS grp_a, b.grp AS grp_b
+       FROM (SELECT DISTINCT grp FROM sk) a
+       JOIN (SELECT DISTINCT grp FROM sk) b ON a.grp < b.grp),
+fl AS (
+  SELECT grp_a, grp_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+    SELECT gp.grp_a, gp.grp_b, s.h, 1 AS in_a, 0 AS in_b
+    FROM gp JOIN sk s ON s.grp = gp.grp_a
+    UNION ALL
+    SELECT gp.grp_a, gp.grp_b, s.h, 0 AS in_a, 1 AS in_b
+    FROM gp JOIN sk s ON s.grp = gp.grp_b
+  ) GROUP BY grp_a, grp_b, h
+),
+mk AS (SELECT * FROM (
+         SELECT fl.*, ROW_NUMBER() OVER (
+           PARTITION BY grp_a, grp_b ORDER BY h) AS pos
+         FROM fl) WHERE pos <= {k}),
+ag AS (
+  SELECT grp_a, grp_b, COUNT(*) AS n_kept,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_common,
+         MAX(CASE WHEN pos = {k} THEN {v} END) AS v_k
+  FROM mk GROUP BY grp_a, grp_b
+)
+SELECT grp_a, grp_b, n_common,
+       CAST(FLOOR(CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+                       ELSE {num} / CAST(v_k AS DOUBLE) END) AS BIGINT)
+         AS union_est,
+       CAST(FLOOR(CAST(n_common AS DOUBLE) / CAST(n_kept AS DOUBLE)
+                  * (CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+                          ELSE {num} / CAST(v_k AS DOUBLE) END))
+            AS BIGINT) AS inter_est
+FROM ag"""

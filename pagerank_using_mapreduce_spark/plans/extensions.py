@@ -1752,6 +1752,39 @@ FROM exact e LEFT JOIN approx a
 GROUP BY e.query_id"""
 
 
+def q_x82_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary overlap matrix estimated from the
+    per-source KMV sketches ALONE (bottom-k of a union derives from
+    the bottom-ks of the parts — the set algebra HLL lacks): Jaccard
+    share of the merged sketch present in both sources x the union
+    estimate.  Sketch-only pair work: <= |sources|² x 2k rows, corpus
+    untouched after the one sketch pass."""
+    from ..functions.textops import strip_non_alpha, tokens
+    from ..operators.sketches import kmv_overlap, kmv_sketch
+
+    words = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.explode(tokens(strip_non_alpha(F.col("text")))).alias("word"),
+        )
+        .where(F.col("word") != "")
+    )
+    return kmv_overlap(kmv_sketch(words, key="word", group_col="source"))
+
+
+def _x82_sql() -> str:
+    from ..operators.sketches import kmv_overlap_sql
+
+    pairs = """
+SELECT source AS grp,
+       unnest(list_filter(
+         string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+         t -> t != '')) AS key
+FROM documents"""
+    return kmv_overlap_sql(pairs)
+
+
 def q_x77_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two training epochs of the corpus as deterministic shard/pos
     assignments — the data-loader global shuffle without a global
@@ -1854,6 +1887,7 @@ EXTENSION_QUERIES = {
     "x79_shard_manifest": q_x79_shard_manifest,
     "x80_threshold_curve": q_x80_threshold_curve,
     "x81_join_skew_audit": q_x81_join_skew_audit,
+    "x82_kmv_overlap": q_x82_kmv_overlap,
     "z13_stream_ohlc": q_z13_stream_ohlc,
     "z1_stream_rollup": q_z1_stream_rollup,
     "z2_stream_sessions": q_z2_stream_sessions,
@@ -2175,6 +2209,7 @@ GROUP BY 1, 2""",
     "x79_shard_manifest": _x79_sql(),
     "x80_threshold_curve": _x80_sql(),
     "x81_join_skew_audit": X81_SQL,
+    "x82_kmv_overlap": _x82_sql(),
     "x67_orc_roundtrip": """
 SELECT event_type, COUNT(*) AS n,
        CAST(SUM(CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT)) AS BIGINT)

@@ -246,3 +246,45 @@ def test_kmv_merge_law_and_layout_independence(spark):
     )
     orig = sorted((r["grp"], r["pos"], r["h"]) for r in sk.collect())
     assert relaid == orig, "sketch must not depend on physical layout"
+
+
+def test_kmv_overlap_bounds_vs_exact(spark):
+    """The sketch-only overlap estimates must track the exact values:
+    inter_est within 5 combined-sigma of the true intersection for
+    every source pair, exact when the merged sketch saw every key, and
+    J = n_common/n_kept in [0, 1]."""
+    import math
+
+    from pagerank_using_mapreduce_spark.operators.sketches import (
+        KMV_K,
+        kmv_overlap,
+        kmv_sketch,
+    )
+
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_returnflag").alias("source"), F.col("l_orderkey").alias("key")
+    )
+    sk = kmv_sketch(li, "key", "source")
+    got = {
+        (r["grp_a"], r["grp_b"]): r for r in kmv_overlap(sk).collect()
+    }
+    per = {
+        r["source"]: {x["key"] for x in li.where(F.col("source") == r["source"]).select("key").distinct().collect()}
+        for r in li.select("source").distinct().collect()
+    }
+    assert got, "at least one source pair"
+    for (ga, gb), r in got.items():
+        A, B = per[ga], per[gb]
+        true_u, true_i = len(A | B), len(A & B)
+        assert 0 <= r["n_common"] <= KMV_K
+        if len(A | B) < KMV_K:
+            assert r["union_est"] == true_u and r["inter_est"] == true_i
+        else:
+            sigma_u = true_u / math.sqrt(KMV_K - 2)
+            assert abs(r["union_est"] - true_u) <= 5 * sigma_u
+            # Jaccard sigma ~ sqrt(J(1-J)/k); propagate through x union
+            j = true_i / true_u if true_u else 0.0
+            sigma_i = true_u * math.sqrt(max(j * (1 - j), 1e-9) / KMV_K) + j * sigma_u
+            assert abs(r["inter_est"] - true_i) <= 5 * sigma_i + 1, (
+                (ga, gb), r, true_i
+            )
