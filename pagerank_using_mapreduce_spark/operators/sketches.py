@@ -638,17 +638,40 @@ _KMV_HEX = 12  # 48 bits of estimate material: exact in a double
 _KMV_SPACE = 16 ** _KMV_HEX
 
 
-def kmv_sketch(df: DataFrame, key: str, group_col: str, k: int = KMV_K) -> DataFrame:
+def kmv_sketch(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    k: int = KMV_K,
+    two_phase: bool = False,
+) -> DataFrame:
     """(grp, pos, h): the ``k`` smallest md5 values of the DISTINCT
     ``key`` values per group.  One distinct aggregate (map-side
     partial, dedups before anything ranks) + one per-group window over
-    distinct hashes only — never the raw rows."""
+    distinct hashes only — never the raw rows.
+
+    ``two_phase=True`` is the skew armor for the 100 TB case where ONE
+    group's distinct domain dominates (a giant source whose vocabulary
+    would otherwise sort in a single task): a local bottom-k per
+    (grp, input partition) first — each sort group is a partition
+    fragment, never a whole group — then the exact per-group window
+    runs over <= P x k survivors.  Identical output (the global
+    bottom-k is contained in the union of fragment bottom-ks, the same
+    containment that makes kmv_merge exact); one extra shuffle is the
+    price, equality is asserted in tests."""
     h = F.md5(F.concat_ws("|", F.lit("kmv"), F.col(key).cast("string")))
+    distinct = df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+    if two_phase:
+        w0 = Window.partitionBy("grp", "_pid").orderBy("h")
+        distinct = (
+            distinct.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_r", F.row_number().over(w0))
+            .where(F.col("_r") <= k)
+            .drop("_pid", "_r")
+        )
     w = Window.partitionBy("grp").orderBy("h")
     return (
-        df.select(F.col(group_col).alias("grp"), h.alias("h"))
-        .distinct()
-        .withColumn("pos", F.row_number().over(w).cast("long"))
+        distinct.withColumn("pos", F.row_number().over(w).cast("long"))
         .where(F.col("pos") <= k)
     )
 

@@ -288,3 +288,24 @@ def test_kmv_overlap_bounds_vs_exact(spark):
             assert abs(r["inter_est"] - true_i) <= 5 * sigma_i + 1, (
                 (ga, gb), r, true_i
             )
+
+
+def test_kmv_two_phase_identical(spark):
+    """The skew-armored two-phase bottom-k must produce the IDENTICAL
+    sketch (the global bottom-k is contained in the union of
+    fragment bottom-ks), regardless of physical layout."""
+    from pagerank_using_mapreduce_spark.operators.sketches import kmv_sketch
+
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_returnflag").alias("source"), F.col("l_orderkey").alias("key")
+    )
+    one = sorted(map(tuple, kmv_sketch(li, "key", "source").collect()))
+    two = sorted(
+        map(
+            tuple,
+            kmv_sketch(
+                li.repartition(13), "key", "source", two_phase=True
+            ).collect(),
+        )
+    )
+    assert one == two
