@@ -84,17 +84,21 @@ def pack_sequences(
     )
 
 
-def pack_sequences_sql(budget: int = PACK_BUDGET) -> str:
+def pack_sequences_sql(
+    budget: int = PACK_BUDGET,
+    docs_sql: str = "SELECT doc_id, text FROM documents"
+) -> str:
     """DuckDB twin: single-node window cumsum over the identical
     (md5, doc_id) order — same seq assignment, any scale DuckDB can
-    hold."""
+    hold.  ``docs_sql`` substitutes a curated (doc_id, text) relation
+    for the raw table (the c4 composition)."""
     return f"""
 WITH t AS (
   SELECT doc_id,
          CAST(len(list_filter(string_split_regex(lower(trim(text)), ' +'),
                               x -> x != '')) AS BIGINT) AS n_tok,
          md5(CAST(doc_id AS VARCHAR)) AS k
-  FROM documents),
+  FROM ({docs_sql})),
 c AS (
   SELECT n_tok,
          SUM(n_tok) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING)
@@ -197,6 +201,55 @@ FROM c"""
 MANIFEST_SHARDS = 8
 
 
+def serpentine_shards(
+    df: DataFrame, id_col: str, size_col: str, n_shards: int
+) -> DataFrame:
+    """(shard, n_items, total_size): the serpentine size-balancing
+    core — sort items by size descending (id tiebreak), deal rank r to
+    shard r%S on even passes and S-1-(r%S) on odd passes.  Each pass
+    pairs with its reverse, so shard totals stay within ~one max-item.
+    The global rank rides the distributed parallel-position machinery
+    (range partitions + O(P) broadcast offsets)."""
+    from .ranking import with_global_position
+
+    pos = with_global_position(
+        df.select(id_col, size_col),
+        [F.desc(size_col), F.asc(id_col)],
+        "pos",
+        None,
+    )
+    r = F.col("pos") - 1
+    within = r % n_shards
+    shard = F.when(
+        (F.floor(r / n_shards) % 2) == 0, within
+    ).otherwise(n_shards - 1 - within)
+    return (
+        pos.select(shard.cast("long").alias("shard"), size_col)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(size_col).alias("total_size"),
+        )
+    )
+
+
+def serpentine_shards_sql(
+    rel_sql: str, id_expr: str, size_expr: str, n_shards: int
+) -> str:
+    """DuckDB twin of :func:`serpentine_shards` over ``rel_sql``."""
+    return f"""
+SELECT CAST(CASE WHEN (r // {n_shards}) % 2 = 0 THEN r % {n_shards}
+                 ELSE {n_shards} - 1 - (r % {n_shards}) END AS BIGINT)
+         AS shard,
+       COUNT(*) AS n_items,
+       CAST(SUM(sz) AS BIGINT) AS total_size
+FROM (
+  SELECT {size_expr} AS sz,
+         ROW_NUMBER() OVER (ORDER BY {size_expr} DESC, {id_expr} ASC) - 1 AS r
+  FROM ({rel_sql})
+) GROUP BY 1"""
+
+
 def shard_manifest(
     documents: DataFrame, n_shards: int = MANIFEST_SHARDS
 ) -> DataFrame:
@@ -214,26 +267,13 @@ def shard_manifest(
     rank rides the distributed parallel-position machinery (range
     partitions + O(P) broadcast offsets), never a single-partition
     window."""
-    from .ranking import with_global_position
-
     toks = documents.select(
         "doc_id", F.size(tokens("text")).cast("long").alias("n_tok")
     )
-    pos = with_global_position(
-        toks, [F.desc("n_tok"), F.asc("doc_id")], "pos", None
-    )
-    r = F.col("pos") - 1
-    within = r % n_shards
-    shard = F.when(
-        (F.floor(r / n_shards) % 2) == 0, within
-    ).otherwise(n_shards - 1 - within)
-    return (
-        pos.select(shard.cast("long").alias("shard"), "n_tok")
-        .groupBy("shard")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tok").alias("total_tokens"),
-        )
+    return serpentine_shards(toks, "doc_id", "n_tok", n_shards).select(
+        "shard",
+        F.col("n_items").alias("n_docs"),
+        F.col("total_size").alias("total_tokens"),
     )
 
 

@@ -1429,6 +1429,64 @@ def q_c1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+C4_PACK_BUDGET = 256
+C4_SHARDS = 4
+
+
+def q_c4_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-prep capstone: quality gate → fingerprint dedup
+    (c1's stages) → concatenate-and-cut packing into 256-token
+    sequences (x45's distributed prefix sum) → serpentine
+    token-balanced shard manifest over the SEQUENCES (x79's core) —
+    one composed Catalyst plan from raw corpus to writer manifest.
+    Output: (shard, n_seqs, total_tokens); all sequences are exactly
+    budget-sized except the chunk tails, so the manifest proves the
+    balancing on near-uniform sizes too."""
+    from ..operators.packing import pack_sequences, serpentine_shards
+    from ..operators.text_analysis import fingerprint, quality_score
+
+    docs = _docs(spark, sf_dir)
+    kept = quality_score(docs).where(
+        F.col("quality_e6") >= QUALITY_THR_E6
+    ).select("doc_id")
+    fp = fingerprint(docs)
+    canon_ids = (
+        kept.join(fp, "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    curated = docs.join(canon_ids, "doc_id").select("doc_id", "text")
+    packed = pack_sequences(curated, budget=C4_PACK_BUDGET)
+    return serpentine_shards(packed, "seq_id", "n_tokens", C4_SHARDS).select(
+        "shard",
+        F.col("n_items").alias("n_seqs"),
+        F.col("total_size").alias("total_tokens"),
+    )
+
+
+def _c4_sql() -> str:
+    from ..operators.packing import pack_sequences_sql, serpentine_shards_sql
+    from ..operators.text_analysis import FINGERPRINT_SQL, QUALITY_SQL
+
+    curated = f"""
+SELECT d.doc_id, d.text FROM documents d
+JOIN (
+  SELECT MIN(k.doc_id) AS doc_id
+  FROM (SELECT q.doc_id, f.fp
+        FROM ({QUALITY_SQL}) q JOIN ({FINGERPRINT_SQL}) f
+          ON q.doc_id = f.doc_id
+        WHERE q.quality_e6 >= {QUALITY_THR_E6}) k
+  GROUP BY k.fp
+) c ON c.doc_id = d.doc_id"""
+    packed = pack_sequences_sql(C4_PACK_BUDGET, curated)
+    inner = serpentine_shards_sql(packed, "seq_id", "n_tokens", C4_SHARDS)
+    return (
+        f"SELECT shard, n_items AS n_seqs, total_size AS total_tokens"
+        f" FROM ({inner})"
+    )
+
+
 def _c1_sql() -> str:
     from ..operators.text_analysis import FINGERPRINT_SQL, QUALITY_SQL
 
@@ -1826,6 +1884,7 @@ EXTENSION_QUERIES = {
     "x23_format_roundtrip": q_x23_format_roundtrip,
     "x24_frame_sample": q_x24_frame_sample,
     "c1_curation_pipeline": q_c1_curation_pipeline,
+    "c4_training_manifest": q_c4_training_manifest,
     "x25_train_test_split": q_x25_train_test_split,
     "x26_stratified_sample": q_x26_stratified_sample,
     "x27_bigram_counts": q_x27_bigram_counts,
@@ -2128,6 +2187,7 @@ EXTENSION_ORACLE = {
     "x23_format_roundtrip": X23_SQL,
     "x24_frame_sample": X24_SQL,
     "c1_curation_pipeline": _c1_sql(),
+    "c4_training_manifest": _c4_sql(),
     "x25_train_test_split": X25_SQL,
     "x26_stratified_sample": X26_SQL,
     "x27_bigram_counts": ngram_counts_sql(n=2),

@@ -170,3 +170,55 @@ def test_shard_manifest_balance_and_conservation(spark):
     assert sum(r["total_tokens"] for r in out) == per_doc["tok"]
     totals = [r["total_tokens"] for r in out]
     assert max(totals) - min(totals) <= per_doc["mx"], (totals, per_doc["mx"])
+
+
+def test_c4_manifest_accounting(spark):
+    """c4's shard totals must conserve the packed-sequence totals of
+    the curated corpus, and balance within one max-sequence (<= the
+    pack budget by construction, since no sequence exceeds ~budget
+    tokens... the tail chunks are smaller, long docs can overflow a
+    single sequence's count — bound by the true max)."""
+    from pagerank_using_mapreduce_spark.plans.extensions import (
+        C4_PACK_BUDGET,
+        C4_SHARDS,
+        q_c4_training_manifest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_c4_training_manifest(spark, sf).collect()
+    assert sorted(r["shard"] for r in out) == list(range(C4_SHARDS))
+    # conservation against an independent recomputation of the packing
+    from pyspark.sql import functions as FF
+
+    from pagerank_using_mapreduce_spark.operators.packing import pack_sequences
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        fingerprint,
+        quality_score,
+    )
+    from pagerank_using_mapreduce_spark.plans.extensions import (
+        QUALITY_THR_E6,
+        _docs,
+    )
+
+    docs = _docs(spark, sf)
+    kept = quality_score(docs).where(
+        FF.col("quality_e6") >= QUALITY_THR_E6
+    ).select("doc_id")
+    canon = (
+        kept.join(fingerprint(docs), "doc_id")
+        .groupBy("fp")
+        .agg(FF.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    packed = pack_sequences(
+        docs.join(canon, "doc_id").select("doc_id", "text"),
+        budget=C4_PACK_BUDGET,
+    ).agg(
+        FF.count("*").alias("n"),
+        FF.sum("n_tokens").alias("tok"),
+        FF.max("n_tokens").alias("mx"),
+    ).collect()[0]
+    assert sum(r["n_seqs"] for r in out) == packed["n"]
+    assert sum(r["total_tokens"] for r in out) == packed["tok"]
+    totals = [r["total_tokens"] for r in out]
+    assert max(totals) - min(totals) <= packed["mx"]
