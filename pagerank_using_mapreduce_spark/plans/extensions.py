@@ -1429,6 +1429,62 @@ def q_c1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x83_filter_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration contingency: decile-bin every document by
+    the HEURISTIC quality composite (x8) and by the MODEL score (x52
+    char-LM avg log-prob), then count the 10x10 (q_bin, m_bin) cells
+    — the agreement matrix that tells a curation team whether the
+    cheap heuristic can stand in for the model gate (mass on the
+    diagonal) or they disagree and both must run.  Bins ride the
+    parallel-position operator; the output is bounded at 100 rows at
+    any corpus size."""
+    from ..operators.sampling import quantile_bins
+    from ..operators.text_analysis import char_lm_scores, quality_score
+
+    docs = _docs(spark, sf_dir)
+    qb = quantile_bins(
+        quality_score(docs).select("doc_id", "quality_e6"),
+        [F.asc("quality_e6"), F.asc("doc_id")],
+        10,
+    ).select("doc_id", F.col("bin").alias("q_bin"))
+    mb = quantile_bins(
+        char_lm_scores(docs).select("doc_id", "avg_logp_e6"),
+        [F.asc("avg_logp_e6"), F.asc("doc_id")],
+        10,
+    ).select("doc_id", F.col("bin").alias("m_bin"))
+    return (
+        qb.join(mb, "doc_id")
+        .groupBy("q_bin", "m_bin")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _x83_sql() -> str:
+    from ..operators.text_analysis import CHAR_LM_SQL, QUALITY_SQL
+
+    return f"""
+WITH q AS (SELECT doc_id, quality_e6 FROM ({QUALITY_SQL})),
+m AS (SELECT doc_id, avg_logp_e6 FROM ({CHAR_LM_SQL})),
+nq AS (SELECT COUNT(*) AS n FROM q),
+nm AS (SELECT COUNT(*) AS n FROM m),
+qb AS (
+  SELECT doc_id,
+         (ROW_NUMBER() OVER (ORDER BY quality_e6 ASC, doc_id ASC) - 1)
+           * 10 // (SELECT n FROM nq) + 1 AS q_bin
+  FROM q
+),
+mb AS (
+  SELECT doc_id,
+         (ROW_NUMBER() OVER (ORDER BY avg_logp_e6 ASC, doc_id ASC) - 1)
+           * 10 // (SELECT n FROM nm) + 1 AS m_bin
+  FROM m
+)
+SELECT CAST(q_bin AS BIGINT) AS q_bin, CAST(m_bin AS BIGINT) AS m_bin,
+       COUNT(*) AS n_docs
+FROM qb JOIN mb USING (doc_id)
+GROUP BY q_bin, m_bin"""
+
+
 C4_PACK_BUDGET = 256
 C4_SHARDS = 4
 
@@ -1885,6 +1941,7 @@ EXTENSION_QUERIES = {
     "x24_frame_sample": q_x24_frame_sample,
     "c1_curation_pipeline": q_c1_curation_pipeline,
     "c4_training_manifest": q_c4_training_manifest,
+    "x83_filter_calibration": q_x83_filter_calibration,
     "x25_train_test_split": q_x25_train_test_split,
     "x26_stratified_sample": q_x26_stratified_sample,
     "x27_bigram_counts": q_x27_bigram_counts,
@@ -2188,6 +2245,7 @@ EXTENSION_ORACLE = {
     "x24_frame_sample": X24_SQL,
     "c1_curation_pipeline": _c1_sql(),
     "c4_training_manifest": _c4_sql(),
+    "x83_filter_calibration": _x83_sql(),
     "x25_train_test_split": X25_SQL,
     "x26_stratified_sample": X26_SQL,
     "x27_bigram_counts": ngram_counts_sql(n=2),

@@ -260,3 +260,26 @@ def test_vocab_growth_monotone(spark):
     assert curve == sorted(curve) and curve[0] > 0
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     assert curve[-1] == word_freqs(docs).count()
+
+
+def test_x83_calibration_marginals(spark):
+    """The contingency matrix's marginals must be the equi-depth bin
+    sizes (each decile n/10 ±1 docs) and the total must be the corpus
+    size — the matrix is a re-partition of the corpus, not a sample."""
+    from pagerank_using_mapreduce_spark.plans.extensions import (
+        q_x83_filter_calibration,
+    )
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_x83_filter_calibration(spark, sf).collect()
+    n = load_table(spark, sf, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n
+    qm, mm = {}, {}
+    for r in rows:
+        assert 1 <= r["q_bin"] <= 10 and 1 <= r["m_bin"] <= 10
+        qm[r["q_bin"]] = qm.get(r["q_bin"], 0) + r["n_docs"]
+        mm[r["m_bin"]] = mm.get(r["m_bin"], 0) + r["n_docs"]
+    for marg in (qm, mm):
+        assert set(marg) == set(range(1, 11))
+        assert max(marg.values()) - min(marg.values()) <= 1
