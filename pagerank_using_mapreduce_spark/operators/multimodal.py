@@ -570,3 +570,69 @@ SELECT doc_id,
        CAST(MAX(ABS(val)) AS BIGINT) AS max_abs
 FROM v GROUP BY doc_id, n
 """
+
+
+def audio_features(binaries: DataFrame) -> DataFrame:
+    """(doc_id, n_samples, energy, zero_crossings): signal features
+    over the REAL decoded PCM — exact integer energy Σs² (int16² ≤
+    2³⁰, sample counts bounded, no overflow) and the zero-crossing
+    count (sign flips between consecutive samples), the classic cheap
+    voice/noise discriminators.  Same Arrow-batched byte-walk as
+    :func:`decode_audio`; one numpy pass per file, no shuffle."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_samples", "energy", "zero_crossings"
+            )}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+                dlen = struct.unpack("<I", b[40:44])[0]
+                s = np.frombuffer(b, dtype="<i2", count=dlen // 2, offset=44)
+                s64 = s.astype(np.int64)
+                neg = s64 < 0
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(s))
+                out["energy"].append(int((s64 * s64).sum()))
+                out["zero_crossings"].append(
+                    int((neg[1:] != neg[:-1]).sum()) if len(s) > 1 else 0
+                )
+            yield pd.DataFrame(out)
+
+    return binaries.mapInPandas(
+        feats,
+        "doc_id long, n_samples long, energy long, zero_crossings long",
+    )
+
+
+AUDIO_FEATURES_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         octet_length(CAST(text AS BLOB)) % {WAV_MAX_SAMPLES} + 1 AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims
+),
+v AS (
+  SELECT doc_id, n, i,
+         CASE WHEN (i * 37 + doc_id * 11) % 65536 >= 32768
+              THEN (i * 37 + doc_id * 11) % 65536 - 65536
+              ELSE (i * 37 + doc_id * 11) % 65536 END AS val
+  FROM s
+),
+w AS (
+  SELECT doc_id, n, val,
+         LAG(val) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM v
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(SUM(val * val) AS BIGINT) AS energy,
+       CAST(SUM(CASE WHEN prev IS NOT NULL
+                      AND (val < 0) != (prev < 0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings
+FROM w GROUP BY doc_id, n
+"""

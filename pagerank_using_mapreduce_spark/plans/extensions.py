@@ -650,6 +650,21 @@ def q_x71_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio(binarize_audio(_docs(spark, sf_dir)))
 
 
+def q_x85_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal features over the REAL decoded PCM (x71's files): exact
+    integer energy and zero-crossing counts — the cheap voice/noise
+    discriminators, one numpy pass per file."""
+    from ..operators.multimodal import audio_features, binarize_audio
+
+    return audio_features(binarize_audio(_docs(spark, sf_dir)))
+
+
+def _x85_sql() -> str:
+    from ..operators.multimodal import AUDIO_FEATURES_SQL
+
+    return AUDIO_FEATURES_SQL
+
+
 def q_x72_dedup_method_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Method-selection evidence: MinHash-Jaccard vs SimHash pair-set
     agreement on the augmented corpus (both / jaccard_only /
@@ -1429,6 +1444,57 @@ def q_c1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x84_corrupt_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant ingest: a deterministically DIRTY json-lines
+    dump of the events table (every event_id % 13 == 0 line truncated
+    mid-object) read back PERMISSIVE with an explicit schema +
+    `_corrupt_record` — good rows parse, bad rows land whole in the
+    corrupt column instead of killing the job (the posture any
+    100 TB crawl ingest needs; FAILFAST is one config flip away).
+    Output: per-event_type good counts plus a `__corrupt__` row —
+    accounting for every input line, parsed or not."""
+    import os
+
+    from ..sources.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5000001))
+        .cast("long")
+        .alias("v_e2"),
+    )
+    line = F.when(
+        F.col("event_id") % 13 == 0,
+        # truncated mid-object: structurally invalid JSON
+        F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string"), F.lit(', "v_e2": ')),
+    ).otherwise(F.to_json(F.struct("event_id", "event_type", "v_e2")))
+    d = os.path.join(_roundtrip_dir("dirty"), "json")
+    ev.select(line.alias("value")).write.mode("overwrite").text(d)
+    back = spark.read.schema(
+        "event_id long, event_type string, v_e2 long, _corrupt_record string"
+    ).option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).json(d)
+    return (
+        back.select(
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit("__corrupt__"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type")
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+X84_SQL = """
+SELECT CASE WHEN event_id % 13 = 0 THEN '__corrupt__' ELSE event_type END
+         AS event_type,
+       COUNT(*) AS n_rows
+FROM events GROUP BY 1
+"""
+
+
 def q_x83_filter_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-calibration contingency: decile-bin every document by
     the HEURISTIC quality composite (x8) and by the MODEL score (x52
@@ -1942,6 +2008,8 @@ EXTENSION_QUERIES = {
     "c1_curation_pipeline": q_c1_curation_pipeline,
     "c4_training_manifest": q_c4_training_manifest,
     "x83_filter_calibration": q_x83_filter_calibration,
+    "x84_corrupt_ingest": q_x84_corrupt_ingest,
+    "x85_audio_features": q_x85_audio_features,
     "x25_train_test_split": q_x25_train_test_split,
     "x26_stratified_sample": q_x26_stratified_sample,
     "x27_bigram_counts": q_x27_bigram_counts,
@@ -2246,6 +2314,8 @@ EXTENSION_ORACLE = {
     "c1_curation_pipeline": _c1_sql(),
     "c4_training_manifest": _c4_sql(),
     "x83_filter_calibration": _x83_sql(),
+    "x84_corrupt_ingest": X84_SQL,
+    "x85_audio_features": _x85_sql(),
     "x25_train_test_split": X25_SQL,
     "x26_stratified_sample": X26_SQL,
     "x27_bigram_counts": ngram_counts_sql(n=2),

@@ -38,6 +38,7 @@ PYTHON_OK = {
     "x69_pixel_decode",  # real raster byte-walk (numpy per Arrow batch)
     "x70_pixel_resize",  # real nearest-neighbor resample on raster bytes
     "x71_wav_decode",    # real PCM sample byte-walk
+    "x85_audio_features",  # real PCM feature byte-walk (energy/ZCR)
     "z1_stream_rollup",
     "z2_stream_sessions",
     "z11_stream_funnel",  # applyInPandasWithState state machine

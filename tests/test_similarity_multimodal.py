@@ -440,3 +440,36 @@ def test_ann_recall_audit_full_probe_is_perfect(spark):
     audited = q_x78_ann_recall(spark, sf).collect()
     assert audited and all(0 <= r["recall_e6"] <= 1_000_000 for r in audited)
     assert all(r["n_hit"] >= 0 for r in audited)
+
+
+def test_audio_features_match_independent_decode(spark):
+    """x85's energy/ZCR must equal an independent stdlib wave + numpy
+    computation on the same payload bytes."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from pagerank_using_mapreduce_spark.operators.multimodal import (
+        audio_features,
+        binarize_audio,
+    )
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(25)
+    bins = {r["doc_id"]: bytes(r["payload"]) for r in binarize_audio(docs).collect()}
+    got = {
+        r["doc_id"]: (r["n_samples"], r["energy"], r["zero_crossings"])
+        for r in audio_features(binarize_audio(docs)).collect()
+    }
+    for doc_id, payload in bins.items():
+        with wave.open(io.BytesIO(payload)) as w:
+            frames = w.readframes(w.getnframes())
+        s = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+        neg = s < 0
+        expect = (
+            len(s),
+            int((s * s).sum()),
+            int((neg[1:] != neg[:-1]).sum()) if len(s) > 1 else 0,
+        )
+        assert got[doc_id] == expect, (doc_id, got[doc_id], expect)

@@ -178,3 +178,24 @@ def test_orc_roundtrip_identity_and_pruning(spark, tmp_path):
     assert pruned.count() == 20
     # partition filter must reach the scan, not a post-scan Filter
     assert "PartitionFilters: [isnotnull(part" in plan or "part#" in plan.split("PartitionFilters")[1][:80]
+
+
+def test_corrupt_ingest_accounts_for_every_line(spark):
+    """x84: good + corrupt counts must cover every input line, the
+    corrupt set must be exactly the event_id % 13 == 0 lines, and no
+    corrupt line may leak into a typed group."""
+    from pyspark.sql import functions as F
+
+    from pagerank_using_mapreduce_spark.plans.extensions import (
+        q_x84_corrupt_ingest,
+    )
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["event_type"]: r["n_rows"] for r in q_x84_corrupt_ingest(spark, sf).collect()}
+    ev = load_table(spark, sf, "events")
+    assert sum(rows.values()) == ev.count()
+    assert rows["__corrupt__"] == ev.where(F.col("event_id") % 13 == 0).count()
+    good = ev.where(F.col("event_id") % 13 != 0).groupBy("event_type").count()
+    for r in good.collect():
+        assert rows[r["event_type"]] == r["count"]
