@@ -1444,6 +1444,99 @@ def q_c1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_z15_stream_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d4's right-to-be-forgotten rule applied AT INGEST: the request
+    list anti-joins every micro-batch (stream-static broadcast), so
+    deleted users never enter downstream state.  Drained per-type
+    counts must equal d4's n_after column — the batch/stream parity
+    the compliance audit needs."""
+    from ..streaming.events import (
+        forget_users_stream,
+        read_event_stream,
+        run_available_now,
+        stage_table_dir,
+    )
+
+    forget = (
+        load_table(spark, sf_dir, "events")
+        .where((F.col("event_type") == "signup") & (F.col("user_id") % 7 == 0))
+        .select(F.col("user_id").alias("fuid"))
+        .distinct()
+    )
+    stream = forget_users_stream(
+        read_event_stream(spark, stage_table_dir(sf_dir)), forget
+    ).select("event_id", "event_type")
+    drained = run_available_now(stream, "t_z15_forget", output_mode="append")
+    return drained.groupBy("event_type").agg(F.count("*").alias("n_after"))
+
+
+Z15_SQL = """
+WITH forget AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'signup' AND user_id % 7 = 0
+)
+SELECT event_type, COUNT(*) AS n_after
+FROM events
+WHERE user_id NOT IN (SELECT user_id FROM forget)
+GROUP BY event_type
+"""
+
+
+def q_x86_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet generations: a v1 dump
+    (event_id, v_e2) and a v2 dump that ADDS a `channel` column are
+    read together with mergeSchema — old files surface the new column
+    as NULL instead of failing, the posture every long-lived dataset
+    directory needs.  Output: per-channel counts with v1 rows under
+    NULL→'__v1__', plus value sums proving both generations' data
+    survived the merge."""
+    import os
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5000001))
+        .cast("long")
+        .alias("v_e2"),
+    )
+    v1 = ev.where(F.col("event_id") % 2 == 0).select("event_id", "v_e2")
+    v2 = ev.where(F.col("event_id") % 2 == 1).select(
+        "event_id",
+        "v_e2",
+        F.concat(F.lit("ch_"), (F.col("user_id") % 3).cast("string")).alias(
+            "channel"
+        ),
+    )
+    d = _roundtrip_dir("schemaevo")
+    v1.write.mode("overwrite").parquet(os.path.join(d, "gen=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(d, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(d, "gen=1"), os.path.join(d, "gen=2")
+    )
+    return (
+        merged.select(
+            F.coalesce(F.col("channel"), F.lit("__v1__")).alias("channel"),
+            "v_e2",
+        )
+        .groupBy("channel")
+        .agg(F.count("*").alias("n_rows"), F.sum("v_e2").alias("sum_v_e2"))
+    )
+
+
+X86_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id,
+         CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT) AS v_e2
+  FROM events
+)
+SELECT CASE WHEN event_id % 2 = 0 THEN '__v1__'
+            ELSE 'ch_' || CAST(user_id % 3 AS VARCHAR) END AS channel,
+       COUNT(*) AS n_rows,
+       CAST(SUM(v_e2) AS BIGINT) AS sum_v_e2
+FROM ev GROUP BY 1
+"""
+
+
 def q_x84_corrupt_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corrupt-tolerant ingest: a deterministically DIRTY json-lines
     dump of the events table (every event_id % 13 == 0 line truncated
@@ -2010,6 +2103,8 @@ EXTENSION_QUERIES = {
     "x83_filter_calibration": q_x83_filter_calibration,
     "x84_corrupt_ingest": q_x84_corrupt_ingest,
     "x85_audio_features": q_x85_audio_features,
+    "z15_stream_forget": q_z15_stream_forget,
+    "x86_schema_evolution": q_x86_schema_evolution,
     "x25_train_test_split": q_x25_train_test_split,
     "x26_stratified_sample": q_x26_stratified_sample,
     "x27_bigram_counts": q_x27_bigram_counts,
@@ -2316,6 +2411,8 @@ EXTENSION_ORACLE = {
     "x83_filter_calibration": _x83_sql(),
     "x84_corrupt_ingest": X84_SQL,
     "x85_audio_features": _x85_sql(),
+    "z15_stream_forget": Z15_SQL,
+    "x86_schema_evolution": X86_SQL,
     "x25_train_test_split": X25_SQL,
     "x26_stratified_sample": X26_SQL,
     "x27_bigram_counts": ngram_counts_sql(n=2),

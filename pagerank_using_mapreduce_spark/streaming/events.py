@@ -561,3 +561,14 @@ def hourly_ohlc_stream(events: DataFrame) -> DataFrame:
         F.max("v3").alias("high_v3"),
         F.count("*").alias("n"),
     )
+
+
+def forget_users_stream(events: DataFrame, forget: DataFrame) -> DataFrame:
+    """Stream-static LEFT ANTI join: drop every in-flight event of the
+    deletion-request users — d4's right-to-be-forgotten rule applied
+    AT INGEST, so deleted users never re-enter downstream state.  The
+    (tiny) request list broadcasts per micro-batch like any
+    slowly-changing dimension; no streaming state is kept for it."""
+    return events.join(
+        F.broadcast(forget), events["user_id"] == forget["fuid"], "left_anti"
+    )

@@ -492,3 +492,34 @@ def test_stream_dedup_doubled_input_multibatch(spark, events_dir):
     }
     want_counts = {r["event_type"]: r["count"] for r in want.collect()}
     assert got_counts == want_counts
+
+
+def test_stream_forget_matches_batch_d4(spark, events_dir):
+    """z15 drained counts == d4's n_after per event_type — the
+    batch/stream parity the compliance audit needs."""
+    from pagerank_using_mapreduce_spark.plans.relational import d4_forget_users
+    from pagerank_using_mapreduce_spark.streaming.events import (
+        forget_users_stream,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    forget = (
+        ev.where((F.col("event_type") == "signup") & (F.col("user_id") % 7 == 0))
+        .select(F.col("user_id").alias("fuid"))
+        .distinct()
+    )
+    stream = forget_users_stream(
+        read_event_stream(spark, events_dir), forget
+    ).select("event_id", "event_type")
+    got = {
+        r["event_type"]: r["count"]
+        for r in run_available_now(stream, "t_forget_par", output_mode="append")
+        .groupBy("event_type")
+        .count()
+        .collect()
+    }
+    want = {
+        r["event_type"]: r["n_after"]
+        for r in d4_forget_users(spark, SF).collect()
+    }
+    assert got == want

@@ -199,3 +199,21 @@ def test_corrupt_ingest_accounts_for_every_line(spark):
     good = ev.where(F.col("event_id") % 13 != 0).groupBy("event_type").count()
     for r in good.collect():
         assert rows[r["event_type"]] == r["count"]
+
+
+def test_schema_evolution_no_row_loss(spark):
+    """x86: the merged read must surface every row from BOTH parquet
+    generations, v1 rows with NULL channel only."""
+    from pyspark.sql import functions as F
+
+    from pagerank_using_mapreduce_spark.plans.extensions import (
+        q_x86_schema_evolution,
+    )
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["channel"]: r for r in q_x86_schema_evolution(spark, sf).collect()}
+    ev = load_table(spark, sf, "events")
+    assert sum(r["n_rows"] for r in rows.values()) == ev.count()
+    assert rows["__v1__"]["n_rows"] == ev.where(F.col("event_id") % 2 == 0).count()
+    assert set(rows) == {"__v1__", "ch_0", "ch_1", "ch_2"}
