@@ -2236,6 +2236,58 @@ GROUP BY p.event_id
 
 
 # --------------------------------------------------------------------------
+# Inter-event gap histogram: the arrival-process shape per event type,
+# as power-of-two buckets of the per-user gap in seconds.  The bucket
+# is the integer MSB position — length(bin(gap)) - 1 == floor(log2) —
+# so the log-scale histogram involves NO floating log (whose ulp at
+# exact powers of two could flip a bucket cross-engine).  One
+# user-keyed lag window (shards with the key) + one bounded aggregate
+# (<= types x 64 buckets).
+# --------------------------------------------------------------------------
+
+
+def w8_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("gap_us", us - F.lag(us).over(w))
+        # integer division: gaps are non-negative (ordered by ts), so
+        # truncation == floor on both engines; no float quotient
+        .withColumn("gap_s", F.expr("gap_us div 1000000"))
+        .where(F.col("gap_s").isNotNull())
+    )
+    bucket = F.when(F.col("gap_s") <= 0, F.lit(-1)).otherwise(
+        F.length(F.expr("bin(gap_s)")) - 1
+    )
+    return (
+        gaps.select("event_type", bucket.cast("long").alias("log2_bucket"))
+        .groupBy("event_type", "log2_bucket")
+        .agg(F.count("*").alias("n_gaps"))
+    )
+
+
+W8_SQL = """
+WITH g AS (
+  SELECT event_type,
+         (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id))
+           // 1000000 AS gap_s
+  FROM events
+)
+SELECT event_type,
+       CAST(CASE WHEN gap_s <= 0 THEN -1
+                 ELSE length(bin(gap_s))
+                      - length(regexp_extract(bin(gap_s), '^0*', 0)) - 1
+            END AS BIGINT) AS log2_bucket,
+       COUNT(*) AS n_gaps
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
 # Right-to-be-forgotten deletion with audit: remove every event of a
 # deletion-request user set and account for exactly what was removed.
 # The deletion list is always tiny relative to the fact table, so it
@@ -2324,6 +2376,7 @@ RELATIONAL_QUERIES = {
     "w5_running_actives": w5_running_actives,
     "d3_merge_upsert": d3_merge_upsert,
     "d4_forget_users": d4_forget_users,
+    "w8_gap_histogram": w8_gap_histogram,
     "w7_concurrency": w7_concurrency,
     "rj2_interval_overlap": rj2_interval_overlap,
     "w6_hourly_ohlc": w6_hourly_ohlc,
@@ -2375,6 +2428,7 @@ RELATIONAL_ORACLE = {
     "w5_running_actives": W5_SQL,
     "d3_merge_upsert": D3_SQL,
     "d4_forget_users": D4_SQL,
+    "w8_gap_histogram": W8_SQL,
     "w7_concurrency": W7_SQL,
     "rj2_interval_overlap": RJ2_SQL,
     "w6_hourly_ohlc": W6_SQL,

@@ -414,3 +414,30 @@ def test_x77_epoch_shuffle_sharded_windows(spark):
     assert "windowspecdefinition(epoch" in plan
     assert "SinglePartition" not in plan
     assert "rangepartitioning" not in plan  # no global sort anywhere
+
+
+def test_w8_bucket_is_integer_msb(spark):
+    """w8's log2 bucket must equal floor(log2(gap)) computed in exact
+    integer arithmetic — total gaps conserved across buckets."""
+    import math
+
+    from pyspark.sql import functions as FF
+
+    from pagerank_using_mapreduce_spark.plans.relational import w8_gap_histogram
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    rows = w8_gap_histogram(spark, SF).collect()
+    for r in rows:
+        assert r["log2_bucket"] >= -1
+    # conservation: sum == number of (user, type) consecutive pairs
+    ev = load_table(spark, SF, "events")
+    n_pairs = (
+        ev.groupBy("user_id", "event_type")
+        .agg((FF.count("*") - 1).alias("p"))
+        .agg(FF.sum("p"))
+        .collect()[0][0]
+    )
+    assert sum(r["n_gaps"] for r in rows) == n_pairs
+    # spot-check the msb arithmetic on known values
+    for gap, want in ((1, 0), (2, 1), (3, 1), (4, 2), (1023, 9), (1024, 10)):
+        assert len(bin(gap)) - 3 == want == int(math.floor(math.log2(gap)))
