@@ -108,6 +108,9 @@ SF1_QUERIES = [
     #                    compression should make this near-flat
     "g9_weighted_pagerank",
     "x60_paragraph_dedup",
+    "x76_kmv_distinct",   # vocab-bound: distinct domain constant at 10x corpus
+    "x79_shard_manifest",
+    "c4_training_manifest",
 ]
 
 
