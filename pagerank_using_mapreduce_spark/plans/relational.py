@@ -2236,6 +2236,115 @@ GROUP BY p.event_id
 
 
 # --------------------------------------------------------------------------
+# Distribution drift (PSI): the data-quality monitor a long-running
+# ingest needs — has the VALUE distribution of each event type shifted
+# between a reference slice and a current slice?  Population Stability
+# Index over 10 fixed value buckets with add-one smoothing:
+#   PSI = Σ_b (p_b − q_b) · ln(p_b / q_b)
+# Each bucket's contribution is e6-quantized BEFORE the sum (the x52
+# per-term-quantization precedent), so the only floats are one ln and
+# two divisions per (type, bucket) — identical one-ulp-stable ops on
+# both engines — and the final PSI is an exact integer sum.  The
+# bucket spine is generated (types × 0..9) so empty buckets still
+# contribute their smoothed mass.  Halves split on event_id parity
+# (the deterministic stand-in for yesterday/today partitions).
+# --------------------------------------------------------------------------
+
+PSI_BUCKETS = 10
+PSI_BUCKET_E2 = 5000  # 50.00 value units per bucket; values top out ~500
+
+
+def d5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v_e2 = F.floor(F.col("value") * 100 + F.lit(0.5000001)).cast("long")
+    base = ev.select(
+        "event_type",
+        (F.col("event_id") % 2).alias("half"),
+        F.least(
+            F.lit(PSI_BUCKETS - 1), F.expr(f"CAST(floor((value * 100 + 0.5000001)) AS BIGINT) div {PSI_BUCKET_E2}")
+        ).alias("bucket"),
+    )
+    counts = base.groupBy("event_type", "bucket").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(PSI_BUCKETS).select(F.col("id").alias("bucket"))
+        )
+    )
+    full = spine.join(counts, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tw = Window.partitionBy("event_type")
+    p = (F.col("n_ref") + 1).cast("double") / (
+        F.sum("n_ref").over(tw) + PSI_BUCKETS
+    ).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (
+        F.sum("n_cur").over(tw) + PSI_BUCKETS
+    ).cast("double")
+    contrib_e6 = F.floor((p - q) * F.log(p / q) * 1e6 + F.lit(0.5000001)).cast(
+        "long"
+    )
+    return (
+        full.withColumn("c", contrib_e6)
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").alias("psi_e6"),
+            F.sum("n_ref").alias("n_ref"),
+            F.sum("n_cur").alias("n_cur"),
+        )
+    )
+
+
+D5_SQL = f"""
+WITH base AS (
+  SELECT event_type, event_id % 2 AS half,
+         LEAST({PSI_BUCKETS - 1},
+               CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT) // {PSI_BUCKET_E2})
+           AS bucket
+  FROM events
+),
+counts AS (
+  SELECT event_type, bucket,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_ref,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_cur
+  FROM base GROUP BY event_type, bucket
+),
+spine AS (
+  SELECT t.event_type, b.bucket
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(range(0, {PSI_BUCKETS})) AS bucket) b
+),
+filled AS (
+  SELECT s.event_type, s.bucket,
+         COALESCE(c.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur
+  FROM spine s LEFT JOIN counts c
+    ON c.event_type = s.event_type AND c.bucket = s.bucket
+),
+pq AS (
+  SELECT event_type, n_ref, n_cur,
+         CAST(n_ref + 1 AS DOUBLE)
+           / (SUM(n_ref) OVER (PARTITION BY event_type) + {PSI_BUCKETS}) AS p,
+         CAST(n_cur + 1 AS DOUBLE)
+           / (SUM(n_cur) OVER (PARTITION BY event_type) + {PSI_BUCKETS}) AS q
+  FROM filled
+)
+SELECT event_type,
+       CAST(SUM(CAST(FLOOR((p - q) * ln(p / q) * 1e6 + 0.5000001) AS BIGINT))
+            AS BIGINT) AS psi_e6,
+       CAST(SUM(n_ref) AS BIGINT) AS n_ref,
+       CAST(SUM(n_cur) AS BIGINT) AS n_cur
+FROM pq GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Inter-event gap histogram: the arrival-process shape per event type,
 # as power-of-two buckets of the per-user gap in seconds.  The bucket
 # is the integer MSB position — length(bin(gap)) - 1 == floor(log2) —
@@ -2377,6 +2486,7 @@ RELATIONAL_QUERIES = {
     "d3_merge_upsert": d3_merge_upsert,
     "d4_forget_users": d4_forget_users,
     "w8_gap_histogram": w8_gap_histogram,
+    "d5_drift_psi": d5_drift_psi,
     "w7_concurrency": w7_concurrency,
     "rj2_interval_overlap": rj2_interval_overlap,
     "w6_hourly_ohlc": w6_hourly_ohlc,
@@ -2429,6 +2539,7 @@ RELATIONAL_ORACLE = {
     "d3_merge_upsert": D3_SQL,
     "d4_forget_users": D4_SQL,
     "w8_gap_histogram": W8_SQL,
+    "d5_drift_psi": D5_SQL,
     "w7_concurrency": W7_SQL,
     "rj2_interval_overlap": RJ2_SQL,
     "w6_hourly_ohlc": W6_SQL,

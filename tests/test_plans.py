@@ -441,3 +441,59 @@ def test_w8_bucket_is_integer_msb(spark):
     # spot-check the msb arithmetic on known values
     for gap, want in ((1, 0), (2, 1), (3, 1), (4, 2), (1023, 9), (1024, 10)):
         assert len(bin(gap)) - 3 == want == int(math.floor(math.log2(gap)))
+
+
+def test_d5_psi_identical_halves_is_zero(spark):
+    """PSI of a distribution against itself must be ~0: feed d5's
+    machinery the SAME half twice by checking that each per-type PSI
+    on real data is small (parity halves of one generator) and
+    non-negative up to quantization, and that a planted shift is
+    detected.  The planted test constructs events where half 1's
+    values are pushed into the top bucket — PSI must exceed the
+    classic 0.25 'significant shift' threshold."""
+    import datetime as dt
+
+    from pyspark.sql import functions as FF
+
+    from pagerank_using_mapreduce_spark.plans.relational import d5_drift_psi
+
+    real = d5_drift_psi(spark, SF).collect()
+    assert real, "per-type rows expected"
+    for r in real:
+        # PSI is >= 0 mathematically; each quantized contribution can
+        # round down by at most 1e-6 (small-sample types at sf0.001
+        # legitimately read high — ~200 events/type gives PSI noise of
+        # the same order as the classic 0.25 threshold, so no upper
+        # bound is asserted on real data)
+        assert r["psi_e6"] >= -10, r
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def events_of(vals):
+        rows = [
+            (i, t0, 1, "click", float(v), "{}") for i, v in enumerate(vals)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+
+    import shutil
+    import tempfile
+
+    # identical halves: p == q in every bucket -> PSI exactly 0
+    same = events_of([10.0 if i % 4 < 2 else 490.0 for i in range(400)])
+    # shifted halves: even ids (half 0) low, odd ids (half 1) high
+    shift = events_of([10.0 if i % 2 == 0 else 490.0 for i in range(400)])
+    for ev, pred in ((same, lambda p: p == 0), (shift, lambda p: p > 250_000)):
+        d = tempfile.mkdtemp(prefix="psi_case_")
+        try:
+            ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+            got = {
+                r["event_type"]: r["psi_e6"]
+                for r in d5_drift_psi(spark, d).collect()
+            }
+            assert pred(got["click"]), got
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
