@@ -1803,6 +1803,119 @@ def q_x62_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_counts(_docs(spark, sf_dir))
 
 
+def q_x87_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: subwords-per-word under the
+    corpus-trained BPE (x62's encoder), the metric that tells a
+    tokenizer team which languages pay the most subword overhead —
+    the per-lang mean is an exact integer ratio quantized once.
+    Reuses the trained encoder end-to-end; one extra doc-keyed join
+    onto lang + a |langs|-row aggregate."""
+    from ..operators.bpe import bpe_encode_counts
+
+    docs = _docs(spark, sf_dir)
+    enc = bpe_encode_counts(docs)
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_subwords").alias("n_subwords"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "n_subwords",
+            F.floor(
+                F.col("n_subwords").cast("double")
+                / F.col("n_tokens").cast("double")
+                * 1e6
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("fertility_e6"),
+        )
+    )
+
+
+def _x87_sql() -> str:
+    from ..operators.bpe import bpe_encode_sql
+
+    return f"""
+WITH enc AS ({bpe_encode_sql()})
+SELECT d.lang, COUNT(*) AS n_docs,
+       CAST(SUM(e.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(e.n_subwords) AS BIGINT) AS n_subwords,
+       CAST(FLOOR(CAST(SUM(e.n_subwords) AS DOUBLE)
+                  / CAST(SUM(e.n_tokens) AS DOUBLE) * 1e6 + 0.5000001)
+            AS BIGINT) AS fertility_e6
+FROM enc e JOIN documents d ON d.doc_id = e.doc_id
+GROUP BY d.lang"""
+
+
+def q_x88_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup business case in one row: bytes the near-dup
+    clustering (x33) would delete — non-canonical cluster members'
+    text bytes over the augmented corpus — as counts, byte totals, and
+    the savings ratio.  Pure composition: the cluster relation joined
+    once against byte lengths, two bounded aggregates."""
+    aug = dd.augment_docs(_docs(spark, sf_dir))
+    clusters = dd.dedup_clusters(aug)
+    sized = clusters.join(
+        aug.select(
+            "doc_id",
+            F.length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("nbytes"),
+        ),
+        "doc_id",
+    )
+    return sized.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(~F.col("is_canonical"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum("nbytes").alias("bytes_total"),
+        F.sum(F.when(~F.col("is_canonical"), F.col("nbytes")).otherwise(0))
+        .cast("long")
+        .alias("bytes_dropped"),
+    ).select(
+        "n_docs",
+        "n_dropped",
+        "bytes_total",
+        "bytes_dropped",
+        F.floor(
+            F.col("bytes_dropped").cast("double")
+            / F.col("bytes_total").cast("double")
+            * 1e6
+            + F.lit(0.5000001)
+        )
+        .cast("long")
+        .alias("savings_e6"),
+    )
+
+
+def _x88_sql() -> str:
+    return f"""
+WITH cl AS ({dd.dedup_clusters_sql(dd.AUGMENT_SQL)}),
+aug AS ({dd.AUGMENT_SQL}),
+sized AS (
+  SELECT cl.doc_id, cl.is_canonical,
+         octet_length(CAST(aug.text AS BLOB)) AS nbytes
+  FROM cl JOIN aug ON aug.doc_id = cl.doc_id
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN NOT is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(nbytes) AS BIGINT) AS bytes_total,
+       CAST(SUM(CASE WHEN NOT is_canonical THEN nbytes ELSE 0 END) AS BIGINT)
+         AS bytes_dropped,
+       CAST(FLOOR(CAST(SUM(CASE WHEN NOT is_canonical THEN nbytes ELSE 0 END)
+                       AS DOUBLE)
+                  / CAST(SUM(nbytes) AS DOUBLE) * 1e6 + 0.5000001) AS BIGINT)
+         AS savings_e6
+FROM sized"""
+
+
 def q_x63_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment screen (|A∩B| / min set size) over rare-shingle
     blocked candidates: catches subset-duplication whose Jaccard —
@@ -2105,6 +2218,8 @@ EXTENSION_QUERIES = {
     "x85_audio_features": q_x85_audio_features,
     "z15_stream_forget": q_z15_stream_forget,
     "x86_schema_evolution": q_x86_schema_evolution,
+    "x87_tokenizer_fertility": q_x87_tokenizer_fertility,
+    "x88_dedup_savings": q_x88_dedup_savings,
     "x25_train_test_split": q_x25_train_test_split,
     "x26_stratified_sample": q_x26_stratified_sample,
     "x27_bigram_counts": q_x27_bigram_counts,
@@ -2413,6 +2528,8 @@ EXTENSION_ORACLE = {
     "x85_audio_features": _x85_sql(),
     "z15_stream_forget": Z15_SQL,
     "x86_schema_evolution": X86_SQL,
+    "x87_tokenizer_fertility": _x87_sql(),
+    "x88_dedup_savings": _x88_sql(),
     "x25_train_test_split": X25_SQL,
     "x26_stratified_sample": X26_SQL,
     "x27_bigram_counts": ngram_counts_sql(n=2),

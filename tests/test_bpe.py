@@ -75,3 +75,28 @@ def test_bpe_encode_counts_golden(spark):
     zero = bpe_encode_counts(df, n_merges=0).collect()[0]
     # no merges: one subword per character (3*3 + 5 + 6 = 20)
     assert (zero["n_tokens"], zero["n_subwords"]) == (5, 20)
+
+
+def test_fertility_bounds_and_conservation(spark):
+    """Fertility >= 1e6 for every language (a word is at least one
+    subword) and the per-lang token/subword totals must sum to the
+    corpus-wide x62 totals."""
+    from pyspark.sql import functions as F
+
+    from pagerank_using_mapreduce_spark.operators.bpe import bpe_encode_counts
+    from pagerank_using_mapreduce_spark.plans.extensions import (
+        q_x87_tokenizer_fertility,
+    )
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_x87_tokenizer_fertility(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r["fertility_e6"] >= 1_000_000, r
+        assert r["n_subwords"] >= r["n_tokens"], r
+    tot = bpe_encode_counts(load_table(spark, sf, "documents")).agg(
+        F.sum("n_tokens"), F.sum("n_subwords")
+    ).collect()[0]
+    assert sum(r["n_tokens"] for r in rows) == tot[0]
+    assert sum(r["n_subwords"] for r in rows) == tot[1]

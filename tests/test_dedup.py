@@ -333,3 +333,28 @@ def test_threshold_curve_monotone_and_anchored(spark):
         sh, lsh_candidates(minhash_signatures(sh))
     )
     assert rows[0]["n_pairs"] == pipeline.count()
+
+
+def test_dedup_savings_consistent_with_clusters(spark):
+    """x88's single row must agree with the cluster relation it
+    composes: dropped = non-canonical members, byte sums exact."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        augment_docs,
+        dedup_clusters,
+    )
+    from pagerank_using_mapreduce_spark.plans.extensions import (
+        q_x88_dedup_savings,
+    )
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    row = q_x88_dedup_savings(spark, sf).collect()[0]
+    aug = augment_docs(load_table(spark, sf, "documents"))
+    cl = dedup_clusters(aug)
+    n_dropped = cl.where(~cl.is_canonical).count()
+    assert row["n_dropped"] == n_dropped and n_dropped > 0
+    assert row["n_docs"] == cl.count()
+    assert 0 < row["bytes_dropped"] < row["bytes_total"]
+    assert row["savings_e6"] == int(
+        row["bytes_dropped"] / row["bytes_total"] * 1e6 + 0.5000001
+    )
