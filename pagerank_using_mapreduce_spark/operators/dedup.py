@@ -467,13 +467,21 @@ def incremental_near_dups(
     existing: DataFrame,
     new: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """(new_doc, existing_doc, jaccard_e6): new-batch documents that
     near-duplicate some existing document.  Same shingle/minhash/band
     parameters as the batch pipeline, so a doc flagged here is exactly
-    a doc the full self-join would have paired across the boundary."""
+    a doc the full self-join would have paired across the boundary.
+
+    ``index``: a pre-built (doc_id, band, bucket) band table for the
+    EXISTING side — the durable dedup index a production ingest stores
+    once and joins every batch against, instead of re-sketching the
+    corpus per batch (band derivation is a pure function of the text,
+    so a stored index is exactly the recomputed one — x89 proves the
+    parquet roundtrip through the hash gate)."""
     sh_e, sh_n = shingles(existing), shingles(new)
-    be = band_table(minhash_signatures(sh_e))
+    be = index if index is not None else band_table(minhash_signatures(sh_e))
     bn = band_table(minhash_signatures(sh_n))
     cand = (
         bn.alias("n")

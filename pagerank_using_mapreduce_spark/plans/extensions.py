@@ -1803,6 +1803,29 @@ def q_x62_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_counts(_docs(spark, sf_dir))
 
 
+def q_x89_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup index as a DURABLE artifact: the existing corpus's
+    LSH band table is written to parquet, read back, and an incoming
+    batch is screened against the STORED index — the result must
+    hash-match x56's recompute-everything oracle, proving the index
+    survives storage byte-exactly (band keys are pure functions of
+    the text).  This is the production ingest shape: sketch the corpus
+    once, persist the index, pay only new x stored-index joins per
+    batch."""
+    import os
+
+    from ..operators.dedup import band_table, minhash_signatures
+
+    aug = dd.augment_docs(_docs(spark, sf_dir))
+    new = aug.where(F.col("doc_id") >= dd.NEAR_DUP_OFFSET)
+    existing = aug.where(F.col("doc_id") < dd.NEAR_DUP_OFFSET)
+    bands = band_table(minhash_signatures(dd.shingles(existing)))
+    d = os.path.join(_roundtrip_dir("dedupindex"), "bands")
+    bands.write.mode("overwrite").parquet(d)
+    stored = spark.read.parquet(d)
+    return dd.incremental_near_dups(existing, new, index=stored)
+
+
 def q_x87_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by language: subwords-per-word under the
     corpus-trained BPE (x62's encoder), the metric that tells a
@@ -2220,6 +2243,7 @@ EXTENSION_QUERIES = {
     "x86_schema_evolution": q_x86_schema_evolution,
     "x87_tokenizer_fertility": q_x87_tokenizer_fertility,
     "x88_dedup_savings": q_x88_dedup_savings,
+    "x89_persisted_index": q_x89_persisted_index,
     "x25_train_test_split": q_x25_train_test_split,
     "x26_stratified_sample": q_x26_stratified_sample,
     "x27_bigram_counts": q_x27_bigram_counts,
@@ -2530,6 +2554,7 @@ EXTENSION_ORACLE = {
     "x86_schema_evolution": X86_SQL,
     "x87_tokenizer_fertility": _x87_sql(),
     "x88_dedup_savings": _x88_sql(),
+    "x89_persisted_index": _x56_sql(),
     "x25_train_test_split": X25_SQL,
     "x26_stratified_sample": X26_SQL,
     "x27_bigram_counts": ngram_counts_sql(n=2),

@@ -358,3 +358,29 @@ def test_dedup_savings_consistent_with_clusters(spark):
     assert row["savings_e6"] == int(
         row["bytes_dropped"] / row["bytes_total"] * 1e6 + 0.5000001
     )
+
+
+def test_persisted_index_equals_recompute(spark, tmp_path):
+    """The stored band table must screen identically to a fresh
+    recompute — byte-exact parquet roundtrip of the index."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        NEAR_DUP_OFFSET,
+        augment_docs,
+        band_table,
+        incremental_near_dups,
+        minhash_signatures,
+        shingles,
+    )
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    aug = augment_docs(load_table(spark, "/root/testdata/sf0.001", "documents"))
+    new = aug.where(aug.doc_id >= NEAR_DUP_OFFSET)
+    existing = aug.where(aug.doc_id < NEAR_DUP_OFFSET)
+    d = str(tmp_path / "bands")
+    band_table(minhash_signatures(shingles(existing))).write.parquet(d)
+    stored = spark.read.parquet(d)
+    a = sorted(map(tuple, incremental_near_dups(existing, new).collect()))
+    b = sorted(
+        map(tuple, incremental_near_dups(existing, new, index=stored).collect())
+    )
+    assert a == b and a
