@@ -1027,32 +1027,35 @@ ORACLE_SQL: dict[str, str] = {
 # that round).  With 175 registered queries a fixed order would leave
 # most queries without a hard oracle row forever, so the registry
 # front-loads the names with the fewest prior driver checks each round.
-# Round-5 ordering: the 55 queries with NO driver row across r01-r04
-# (the round-4 late additions), in prior registry order — the driver's
-# 50-row cap checks the first 50; the 5 overflow names plus any round-5
-# additions roll to the r06 head.  Every query keeps its oracle either
-# way; this permutes presentation order only.
+# Round-6 ordering (VERDICT r05 priority #1): the 28 registry entries
+# with NO driver row across r01-r05 — the five r05 overflows plus the
+# round-5 additions (the driver's 50-row cap stopped at z11 last round)
+# — exactly the computed r06 head in COVERAGE.md.  Round-6 additions
+# slot in right after them; the tail of the 50 re-checks the oldest
+# r01-era rows.  Every query keeps its oracle either way; this permutes
+# presentation order only.
 _DRIVER_ROTATION: list[str] = [
-    # no driver row in r01-r04 (round-4 late additions)
-    "a7_anchor_stats", "g8_sssp_dists", "g9_weighted_pagerank",
-    "a9_reciprocity", "i3_warm_start", "g10_bfs_frontier",
-    "g11_kcore_converged", "e6_funnel_steps", "e7_retention_cohorts",
-    "w4_ewma", "e8_purchase_outliers", "e9_attribution",
-    "w5_running_actives", "d3_merge_upsert", "w6_hourly_ohlc",
-    "e10_debounce", "q2_min_cost_supplier", "q11_important_stock",
-    "q16_supplier_cnt", "q20_promotion_candidates", "q21_waiting_supplier",
-    "x48_chunk_windows", "x49_curriculum_order", "x50_value_histogram",
-    "x51_bpe_merges", "x52_char_lm_scores", "x53_histogram_by_type",
-    "x54_ngram_contamination", "x55_semantic_clusters", "x56_incremental_dedup",
-    "x57_vocab_coverage", "x58_fuzzy_word_pairs", "c2_ingest_curation",
-    "x59_bigram_lift", "x60_paragraph_dedup", "x61_temperature_mix",
-    "x62_bpe_encode", "x63_containment", "x64_minhash_audit",
-    "x65_lang_consistency", "x66_source_keywords", "z12_stream_moments",
-    "x67_orc_roundtrip", "x68_dataset_profile", "x69_pixel_decode",
-    "x70_pixel_resize", "x71_wav_decode", "x72_dedup_method_audit",
-    "c3_model_gate", "x73_hll_shard_merge", "x74_composition_matrix",
-    "x75_vocab_growth", "z13_stream_ohlc", "z10_stream_histogram",
-    "z11_stream_funnel",
+    # --- no driver row in r01-r05 (r05 overflows + round-5 additions) ---
+    "x74_composition_matrix", "x75_vocab_growth", "z13_stream_ohlc",
+    "z10_stream_histogram", "z11_stream_funnel",
+    "g12_landmark_closeness", "d4_forget_users", "w8_gap_histogram",
+    "d5_drift_psi", "w7_concurrency", "rj2_interval_overlap",
+    "c4_training_manifest", "x83_filter_calibration", "x84_corrupt_ingest",
+    "x85_audio_features", "z15_stream_forget", "x86_schema_evolution",
+    "x87_tokenizer_fertility", "x88_dedup_savings", "x89_persisted_index",
+    "x76_kmv_distinct", "x77_epoch_shuffle", "x78_ann_recall",
+    "z14_stream_dedup", "x79_shard_manifest", "x80_threshold_curve",
+    "x81_join_skew_audit", "x82_kmv_overlap",
+    # --- round-6 additions (no driver row possible before r06) ---
+    "x90_batched_bpe", "x91_index_compaction", "x92_stratified_iceberg",
+    "x93_doc_entropy", "x94_rare_token_docs", "x95_window_dedup_rate",
+    "x96_length_percentiles", "x97_anchor_text_index", "g13_truss_edges",
+    "q22_shipping_priority", "w9_session_splice", "x98_repetition_score",
+    "x99_cooccurrence_pmi", "x100_quantize_embeddings",
+    # --- re-checks of the oldest r01-era rows (fill to the 50 cap) ---
+    "s1_corpus_scan", "p1_titles", "p3_doc_ids", "p45_links",
+    "a1_count_n", "a23_linkgraph", "j2_contributions",
+    "p9_codec_roundtrip",
 ]
 
 
