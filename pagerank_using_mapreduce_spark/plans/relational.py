@@ -2063,7 +2063,13 @@ WHERE prev_t IS NULL OR t - prev_t > {DEBOUNCE_GAP_S} * 1000000
 #            over the HOUR relation (bounded: one row per hour of
 #            history — ~9k rows/year — so its global window is a
 #            driver-scale relation, the o1 parallel-positions trick).
-# max_active(hour) = carry_in + max(level-1 running sum).
+# max_active(hour) = carry_in + greatest(0, max(level-1 running sum)):
+# the greatest(0, ·) term accounts for the level INHERITED at hour
+# start — an hour whose markers are all session-closes still peaked at
+# carry_in (the instant the hour began), and a marker-less hour inside
+# a long session reports exactly carry_in.  Marker-less covered hours
+# are emitted via a dense hour spine (bounded: one row per hour of
+# history), left-joined against the marker aggregate.
 # Marker ordering within an instant is pinned (delta, user, session)
 # so the running sum is deterministic on both engines.
 # --------------------------------------------------------------------------
@@ -2108,6 +2114,17 @@ SELECT user_id, sess_id, MIN(us) AS s, MAX(us) AS e FROM (
 def concurrency_timeline(ev: DataFrame) -> DataFrame:
     """(hour, max_active) from an events frame — see block comment."""
     sess = _session_intervals(ev)
+    # hour-spine bounds from the RAW events (min ts / max ts + 1us
+    # covers every marker: session endpoints are event timestamps) — a
+    # column-only partial agg, so Catalyst does NOT re-derive the
+    # sessionization subtree for the spine branch
+    spine = (
+        ev.agg(
+            F.expr(f"min(unix_micros(ts)) div {_HOUR_US}").alias("lo"),
+            F.expr(f"(max(unix_micros(ts)) + 1) div {_HOUR_US}").alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("hour"))
+    )
     # one explode, not a unionAll of two selects over sess — the union
     # form plans the whole sessionization subtree TWICE (two scans +
     # two user-keyed windows over events); exploding a 2-element
@@ -2139,10 +2156,21 @@ def concurrency_timeline(ev: DataFrame) -> DataFrame:
         F.max("running").alias("in_max"),
         F.sum("delta").alias("hd"),
     )
-    w2 = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, -1)
-    return h.select(
+    # dense hour spine (built above from the raw events): marker-less
+    # hours covered by long sessions must still report — they carry the
+    # inherited level.  Bounded: one row per hour of history.
+    hs = spine.join(h, "hour", "left").select(
         "hour",
-        (F.coalesce(F.sum("hd").over(w2), F.lit(0)) + F.col("in_max"))
+        F.coalesce("in_max", F.lit(0)).alias("in_max"),
+        F.coalesce("hd", F.lit(0)).alias("hd"),
+    )
+    w2 = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, -1)
+    return hs.select(
+        "hour",
+        (
+            F.coalesce(F.sum("hd").over(w2), F.lit(0))
+            + F.greatest(F.lit(0), F.col("in_max"))
+        )
         .cast("long")
         .alias("max_active"),
     ).orderBy("hour")
@@ -2167,12 +2195,23 @@ r AS (
   FROM d
 ),
 h AS (SELECT hour, MAX(running) AS in_max, SUM(delta) AS hd
-      FROM r GROUP BY hour)
+      FROM r GROUP BY hour),
+spine AS (
+  SELECT UNNEST(range(MIN(epoch_us(ts)) // {_HOUR_US},
+                      (MAX(epoch_us(ts)) + 1) // {_HOUR_US} + 1)) AS hour
+  FROM events
+),
+hs AS (
+  SELECT spine.hour,
+         COALESCE(in_max, 0) AS in_max,
+         COALESCE(hd, 0) AS hd
+  FROM spine LEFT JOIN h ON spine.hour = h.hour
+)
 SELECT CAST(hour AS BIGINT) AS hour,
        CAST(COALESCE(SUM(hd) OVER (ORDER BY hour
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            + in_max AS BIGINT) AS max_active
-FROM h ORDER BY hour
+            + GREATEST(0, in_max) AS BIGINT) AS max_active
+FROM hs ORDER BY hour
 """
 
 

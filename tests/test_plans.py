@@ -373,8 +373,15 @@ def test_concurrency_timeline_golden(spark):
     tl = {r["hour"]: r["max_active"] for r in concurrency_timeline(events).collect()}
     h0 = int(t0.timestamp()) // 3600
     assert tl[h0] == 2, tl
-    assert tl[h0 + 1] == 1, tl  # only B is still open past 11:00
+    # At 11:00.000000 BOTH A and B are still active (A closes at
+    # 11:00.000001 under the e+1 inclusive-close convention): the hour's
+    # peak is the inherited carry-in, not carry + a negative in-hour max.
+    assert tl[h0 + 1] == 2, tl
     assert tl[h0 + 48] == 1, tl
+    # dense spine: marker-less hours report the inherited level (0 here
+    # between B's close and C's session) instead of being absent
+    assert tl[h0 + 2] == 0, tl
+    assert tl[h0 + 24] == 0, tl
     ov = {
         r["purchase_id"]: r["n_active"]
         for r in interval_overlap_counts(events).collect()
@@ -403,6 +410,9 @@ def test_w7_prefix_sum_is_two_level(spark):
     unionAll form planned the whole subtree twice)."""
     plan = _plan(QUERIES["w7_concurrency"](spark, SF))
     assert "windowspecdefinition(hour" in plan  # level-1 per-hour sum
+    # the only single-partition exchange feeds the bounded
+    # one-row-per-hour relation (carry-in window / spine bounds agg) —
+    # never event-scale data
     assert plan.count("SinglePartition") == 1, plan.count("SinglePartition")
     # exactly one user-keyed sessionization subtree: the lag window
     # over (user_id, ts, event_id) appears once
