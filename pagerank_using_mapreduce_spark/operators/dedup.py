@@ -1084,8 +1084,12 @@ def dedup_threshold_curve(sh: DataFrame, grid=None) -> DataFrame:
     CHOOSING the cut before running the destructive dedup at scale.
     One verify pass at threshold 0 (the same candidate-bounded joins
     as x4), then the tiny threshold grid broadcasts onto the pair
-    relation: the sweep costs one pipeline run, not one per point."""
-    grid = grid or THRESHOLD_GRID_E6
+    relation: the sweep costs one pipeline run, not one per point.
+    Every grid point yields a row — a cut that kills all pairs reports
+    (0, 0) rather than vanishing — and the internal pair cache is
+    released before returning (the grid-sized result is eagerly
+    materialized first)."""
+    grid = grid if grid is not None else THRESHOLD_GRID_E6
     spark = sh.sparkSession
     cands = lsh_candidates(minhash_signatures(sh))
     pairs = verified_near_dups(sh, cands, threshold=0.0).persist()
@@ -1104,14 +1108,25 @@ def dedup_threshold_curve(sh: DataFrame, grid=None) -> DataFrame:
         .groupBy("thr_e6")
         .agg(F.countDistinct("d").alias("n_docs"))
     )
-    return pair_counts.join(doc_counts, "thr_e6").select(
-        "thr_e6", "n_pairs", "n_docs"
+    # left-join the threshold spine so zero-pair cuts still report
+    out = (
+        thr.join(pair_counts, "thr_e6", "left")
+        .join(doc_counts, "thr_e6", "left")
+        .select(
+            "thr_e6",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        )
+        # grid-sized: eager-materialize, then drop the pair cache
+        .localCheckpoint(eager=True)
     )
+    pairs.unpersist()
+    return out
 
 
 def dedup_threshold_curve_sql(docs_sql: str, grid=None) -> str:
     """DuckDB twin of :func:`dedup_threshold_curve`."""
-    grid = grid or THRESHOLD_GRID_E6
+    grid = grid if grid is not None else THRESHOLD_GRID_E6
     values = ", ".join(f"({t})" for t in grid)
     return f"""
 WITH pairs AS ({near_dup_sql(docs_sql, threshold=0.0)}),
@@ -1127,6 +1142,8 @@ dc AS (
   JOIN thr t ON p.jaccard_e6 >= t.thr_e6
   GROUP BY t.thr_e6
 )
-SELECT CAST(pc.thr_e6 AS BIGINT) AS thr_e6, pc.n_pairs,
-       CAST(dc.n_docs AS BIGINT) AS n_docs
-FROM pc JOIN dc ON pc.thr_e6 = dc.thr_e6"""
+SELECT CAST(thr.thr_e6 AS BIGINT) AS thr_e6,
+       CAST(COALESCE(pc.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(dc.n_docs, 0) AS BIGINT) AS n_docs
+FROM thr LEFT JOIN pc ON thr.thr_e6 = pc.thr_e6
+         LEFT JOIN dc ON thr.thr_e6 = dc.thr_e6"""

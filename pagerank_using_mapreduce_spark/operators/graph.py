@@ -578,7 +578,10 @@ def bfs_depths_frontier(
         settled = settled.unionAll(nxt)
         frontier = nxt
     pages_c.unpersist()
-    e.unpersist()
+    # deliberately NOT e.unpersist(): valid_edges is the plan-deduped
+    # adjacency cache shared with bfs_depths / bfs_depths_labeled /
+    # sssp_dists in the same session — evicting it here would silently
+    # re-pay the edge derivation under the sibling graph ops
     # the returned union reads the checkpointed frontier blocks
     # directly; they are freed with the RDDs when the frame is dropped
     return settled

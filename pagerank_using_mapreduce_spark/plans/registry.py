@@ -504,9 +504,10 @@ def q_g11_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_g12_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark closeness centrality: k labeled BFS traversals in one
     loop (state keyed by (seed, title); adjacency scanned once per
-    round regardless of k), closeness = k / sum(landmark depths) for
-    nodes covered by ALL landmarks — the standard scale substitute for
-    exact closeness's BFS-per-node."""
+    round regardless of k), closeness = n_seen / sum(landmark depths)
+    for any node reached by at least one landmark, with n_seen
+    reported so consumers can filter on coverage — the standard scale
+    substitute for exact closeness's BFS-per-node."""
     from ..operators.graph import landmark_closeness
 
     pages = _pages(spark, sf_dir)
