@@ -40,11 +40,12 @@ def with_global_position(
 
     The input is persisted internally so the range-partitioner's sampled
     boundaries (nondeterministic across re-evaluations) are identical in
-    the count job and the output job; callers receiving the result
-    lazily inherit that cache (it cannot be unpersisted here without
-    invalidating the not-yet-evaluated result — long-lived sessions
-    running many positioned queries should materialize and then
-    ``spark.catalog.clearCache()`` between them).
+    the count job and the output job.  The positioned result is then
+    eagerly materialized (``localCheckpoint``) and the internal cache
+    released before returning, so long-lived sessions running many
+    positioned queries do not accumulate cached range partitions — the
+    checkpoint blocks are freed with the returned frame itself when it
+    is dropped.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -67,11 +68,15 @@ def with_global_position(
     offsets_df = spark.createDataFrame(offsets, ["_pid", "_offset"])
 
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
+    out = (
         ranged.join(F.broadcast(offsets_df), "_pid")
         .select(
             (F.row_number().over(w) + F.col("_offset")).cast("long").alias(pos_col),
             *df.columns,
         )
         .orderBy(pos_col)
+        # eager: pin the result so the ranged cache can be dropped now
+        .localCheckpoint(eager=True)
     )
+    ranged.unpersist()
+    return out

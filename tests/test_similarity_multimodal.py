@@ -473,3 +473,27 @@ def test_audio_features_match_independent_decode(spark):
             int((neg[1:] != neg[:-1]).sum()) if len(s) > 1 else 0,
         )
         assert got[doc_id] == expect, (doc_id, got[doc_id], expect)
+
+
+def test_global_position_releases_internal_cache(spark):
+    """VERDICT r05 #5: the internal `ranged` persist must be released
+    before returning (the result is eagerly checkpointed), so repeated
+    positioned queries in one session don't accumulate cached blocks."""
+    from pyspark.sql import functions as F
+
+    from pagerank_using_mapreduce_spark.operators.ranking import (
+        with_global_position,
+    )
+
+    spark.catalog.clearCache()
+    df = spark.range(0, 500).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+    )
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    out = with_global_position(df, [F.desc("k"), F.asc("v")], num_partitions=4)
+    assert out.count() == 500
+    # at most ONE new persistent RDD survives the call — the eagerly
+    # checkpointed result itself, which dies with the returned frame.
+    # The internal `ranged` persist must NOT linger (it used to).
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after - before <= 1, (before, after)
