@@ -80,57 +80,84 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _merge_expr(left: str, right: str):
-    """Greedy left-to-right fusion of the (left, right) pair inside
-    each word's symbol array, as a fold accumulating a SEP-joined
-    string.  After a fusion the new last symbol is left+right != left,
-    so overlapping runs merge exactly like reference BPE."""
-    l, r, lr = F.lit(left), F.lit(right), F.lit(left + right)
+def _keep_disjoint(top: list[tuple[str, str, int]]) -> list[tuple[str, str, int]]:
+    """Conservative batch rule (identical in the SQL twin): pair p in
+    the ranked top-m list survives iff NO strictly higher-ranked top-m
+    pair shares a symbol with it.  Deliberately conditioned on all
+    higher-ranked pairs (kept or not), not greedy-maximal — greediness
+    is driver-order-dependent to express in SQL; this rule is one
+    NOT EXISTS.  The top pair always survives, so every round makes
+    progress.  Survivors are pairwise symbol-disjoint: their counts are
+    mutually unaffected (fusing (l, r) only changes adjacencies that
+    touch l or r) and their right symbols are unique, which the
+    simultaneous fold relies on."""
+    kept: list[tuple[str, str, int]] = []
+    for i, (l, r, cnt) in enumerate(top):
+        higher = top[:i]
+        if all(l not in (hl, hr) and r not in (hl, hr) for hl, hr, _ in higher):
+            kept.append((l, r, cnt))
+    return kept
+
+
+def _batch_merge_expr(kept: list[tuple[str, str]]):
+    """One simultaneous left-to-right fold applying every kept pair —
+    first-match-wins over the rank-ordered batch.  Right symbols are
+    unique across the batch (disjointness), so "first match" is "the
+    match": semantics are identical to the SQL twin's
+    list_position-indexed fold."""
     sep = F.lit(SEP)
 
     def step(acc, x):
-        at_head = acc == l
-        at_tail = acc.endswith(F.concat(sep, l))
-        fuse = (x == r) & (at_head | at_tail)
-        fused = F.concat(
-            F.substring(acc, 1, F.length(acc) - F.length(l)).cast("string"), lr
-        )
-        return (
-            F.when(acc == "", x)
-            .when(fuse, fused)
-            .otherwise(F.concat(acc, sep, x))
-        )
+        w = F.when(acc == "", x)
+        for left, right in kept:
+            l, lr = F.lit(left), F.lit(left + right)
+            fuse = (x == F.lit(right)) & (
+                (acc == l) | acc.endswith(F.concat(sep, l))
+            )
+            fused = F.concat(
+                F.substring(acc, 1, F.length(acc) - F.length(l)).cast("string"),
+                lr,
+            )
+            w = w.when(fuse, fused)
+        return w.otherwise(F.concat(acc, sep, x))
 
     folded = F.aggregate("syms", F.lit(""), step)
     return F.split(folded, SEP)
 
 
-def _train(
-    documents: DataFrame, n_merges: int = N_MERGES
-) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
-    """Run the merge-training loop; returns (merge table rows, final
-    vocab as (word, syms, freq)).  The vocab keeps the original word as
-    the join key so encoding (applying the learned merges back to the
-    corpus) is a plain word join — the trainer itself ignores it."""
+def _train_batched(
+    documents: DataFrame, rounds: int, batch: int
+) -> tuple[list[tuple[int, int, str, str, int]], DataFrame]:
+    """Batched merge training: ``rounds`` driver round-trips, each
+    applying up to ``batch`` mutually symbol-disjoint top pairs in ONE
+    vocab pass — the standard distributed-BPE trick, so a realistic
+    30k-merge vocabulary needs O(n_merges / batch) Spark jobs, not one
+    per merge (VERDICT r05 #2).  At ``batch=1`` the trajectory is
+    exactly sequential BPE.  Returns ([(merge_idx, round, left, right,
+    pre-batch pair_count)], final vocab)."""
     vocab = (
         word_freqs(documents)
         .select("word", _chars("word").alias("syms"), "freq")
         .persist()
     )
-    out: list[tuple[int, str, str, int]] = []
-    for i in range(n_merges):
-        best = (
-            _pair_counts(vocab)
+    out: list[tuple[int, int, str, str, int]] = []
+    for k in range(rounds):
+        top = [
+            (r["left"], r["right"], r["cnt"])
+            for r in _pair_counts(vocab)
             .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
-            .limit(1)
+            .limit(batch)
             .collect()
-        )
-        if not best:
+        ]
+        kept = _keep_disjoint(top)
+        if not kept:
             break
-        left, right, cnt = best[0]["left"], best[0]["right"], best[0]["cnt"]
-        out.append((i, left, right, cnt))
+        for left, right, cnt in kept:
+            out.append((len(out), k, left, right, cnt))
         nxt = vocab.select(
-            "word", _merge_expr(left, right).alias("syms"), "freq"
+            "word",
+            _batch_merge_expr([(l, r) for l, r, _ in kept]).alias("syms"),
+            "freq",
         ).persist()
         # vocab stays small; eager materialize keeps the plan flat
         # across rounds (same reasoning as the pagerank loop's
@@ -140,6 +167,18 @@ def _train(
         vocab.unpersist()
         vocab = nxt
     return out, vocab
+
+
+def _train(
+    documents: DataFrame, n_merges: int = N_MERGES
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Sequential (batch=1) merge training; returns (merge table rows,
+    final vocab as (word, syms, freq)).  The vocab keeps the original
+    word as the join key so encoding (applying the learned merges back
+    to the corpus) is a plain word join — the trainer itself ignores
+    it."""
+    out, vocab = _train_batched(documents, n_merges, 1)
+    return [(i, l, r, cnt) for i, _k, l, r, cnt in out], vocab
 
 
 def bpe_merges(
@@ -153,6 +192,127 @@ def bpe_merges(
     vocab.unpersist()
     return spark.createDataFrame(
         out, "merge_idx long, left string, right string, pair_count long"
+    )
+
+
+BATCH_ROUNDS = 3
+BATCH_M = 8
+
+
+def bpe_merges_batched(
+    documents: DataFrame, rounds: int = BATCH_ROUNDS, batch: int = BATCH_M
+) -> DataFrame:
+    """(merge_idx, round, left, right, pair_count): the merge table
+    learned by the BATCHED trainer — up to ``batch`` symbol-disjoint
+    merges per driver round-trip (see :func:`_train_batched`).
+    ``pair_count`` is the pre-batch count, exact for every survivor
+    because survivors are pairwise symbol-disjoint."""
+    spark = documents.sparkSession
+    out, vocab = _train_batched(documents, rounds, batch)
+    vocab.unpersist()
+    return spark.createDataFrame(
+        out,
+        "merge_idx long, round long, left string, right string,"
+        " pair_count long",
+    )
+
+
+def _batched_round_ctes(rounds: int, batch: int) -> list[str]:
+    """Unrolled CTE chain replaying the batched trajectory: per round,
+    pair counts -> ranked top-m -> the NOT EXISTS disjoint filter ->
+    a 1-row (ls, rs) batch relation -> the simultaneous indexed fold.
+    Static in ``rounds`` (the per-round survivor count is
+    data-dependent; the round count is not), so the twin needs no data
+    access to generate."""
+    ctes = [
+        """wf AS MATERIALIZED (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(list_filter(
+             string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+             t -> t != '')) AS word
+    FROM documents)
+  WHERE word != '' GROUP BY word
+),
+v0 AS MATERIALIZED (
+  SELECT word,
+         list_transform(range(1, length(word) + 1),
+                        i -> substr(word, CAST(i AS INT), 1)) AS syms,
+         freq
+  FROM wf
+)"""
+    ]
+    for k in range(rounds):
+        ctes.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT element1 AS lft, element2 AS rgt, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)]),
+                  recursive := true), freq
+    FROM v{k} WHERE len(syms) >= 2)
+  GROUP BY element1, element2
+),
+t{k} AS MATERIALIZED (
+  SELECT lft, rgt, cnt,
+         row_number() OVER (ORDER BY cnt DESC, lft ASC, rgt ASC) AS rk
+  FROM p{k}
+  QUALIFY rk <= {batch}
+),
+kept{k} AS MATERIALIZED (
+  SELECT lft, rgt, cnt, rk FROM t{k} p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM t{k} q
+    WHERE q.rk < p.rk
+      AND (q.lft IN (p.lft, p.rgt) OR q.rgt IN (p.lft, p.rgt)))
+),
+kb{k} AS MATERIALIZED (
+  SELECT COALESCE(list(lft ORDER BY rk), []) AS ls,
+         COALESCE(list(rgt ORDER BY rk), []) AS rs
+  FROM kept{k}
+),
+v{k + 1} AS MATERIALIZED (
+  -- ls/rs captured as row columns via the 1-row CROSS JOIN; right
+  -- symbols are unique across the batch, so list_position indexes the
+  -- only applicable pair
+  SELECT word,
+         string_split(
+           list_reduce(
+             list_prepend('', syms),
+             (acc, x) -> CASE
+               WHEN acc = '' THEN x
+               WHEN COALESCE(list_position(rs, x), 0) > 0
+                    AND (acc = ls[list_position(rs, x)]
+                         OR ends_with(acc, chr(31) || ls[list_position(rs, x)]))
+                 THEN substr(acc, 1,
+                             length(acc) - length(ls[list_position(rs, x)]))
+                      || ls[list_position(rs, x)] || x
+               ELSE acc || chr(31) || x
+             END),
+           chr(31)) AS syms,
+         freq
+  FROM v{k} CROSS JOIN kb{k}
+)"""
+        )
+    return ctes
+
+
+def bpe_merges_batched_sql(
+    rounds: int = BATCH_ROUNDS, batch: int = BATCH_M
+) -> str:
+    """DuckDB twin of :func:`bpe_merges_batched`."""
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS round, lft, rgt, cnt, rk FROM kept{k}"
+        for k in range(rounds)
+    )
+    return (
+        "WITH "
+        + ",\n".join(_batched_round_ctes(rounds, batch))
+        + f""",
+allkept AS ({union})
+SELECT row_number() OVER (ORDER BY round, rk) - 1 AS merge_idx,
+       CAST(round AS BIGINT) AS round,
+       lft AS "left", rgt AS "right", cnt AS pair_count
+FROM allkept
+ORDER BY merge_idx"""
     )
 
 

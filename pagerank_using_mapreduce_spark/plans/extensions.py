@@ -819,6 +819,17 @@ def q_x51_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(_docs(spark, sf_dir))
 
 
+def q_x90_batched_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED BPE training (3 rounds x up to 8 symbol-disjoint merges
+    per driver round-trip): the distributed-tokenizer scale path — a
+    30k-merge vocabulary costs O(n/batch) Spark jobs instead of one
+    per merge.  The oracle replays the identical conservative batch
+    rule and simultaneous fold, so the trajectory is hash-checked."""
+    from ..operators.bpe import bpe_merges_batched
+
+    return bpe_merges_batched(_docs(spark, sf_dir))
+
+
 def q_x52_char_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-bigram LM self-scoring (model-based quality filter): the
     corpus fits its own <=729-row bigram model, broadcast back to
@@ -2271,6 +2282,7 @@ EXTENSION_QUERIES = {
     "x49_curriculum_order": q_x49_curriculum_order,
     "x50_value_histogram": q_x50_value_histogram,
     "x51_bpe_merges": q_x51_bpe_merges,
+    "x90_batched_bpe": q_x90_batched_bpe,
     "x52_char_lm_scores": q_x52_char_lm_scores,
     "x53_histogram_by_type": q_x53_histogram_by_type,
     "x54_ngram_contamination": q_x54_ngram_contamination,
@@ -2354,6 +2366,12 @@ def _bpe_merges_oracle() -> str:
     from ..operators.bpe import bpe_merges_sql
 
     return bpe_merges_sql()
+
+
+def _batched_bpe_oracle() -> str:
+    from ..operators.bpe import bpe_merges_batched_sql
+
+    return bpe_merges_batched_sql()
 
 
 def _char_lm_oracle() -> str:
@@ -2605,6 +2623,7 @@ GROUP BY 1, 2""",
     ),
     "x50_value_histogram": _value_histogram_oracle(),
     "x51_bpe_merges": _bpe_merges_oracle(),
+    "x90_batched_bpe": _batched_bpe_oracle(),
     "x52_char_lm_scores": _char_lm_oracle(),
     "x53_histogram_by_type": _histogram_by_type_oracle(),
     "x54_ngram_contamination": _ngram_contamination_oracle(),

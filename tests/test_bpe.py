@@ -100,3 +100,84 @@ def test_fertility_bounds_and_conservation(spark):
     ).collect()[0]
     assert sum(r["n_tokens"] for r in rows) == tot[0]
     assert sum(r["n_subwords"] for r in rows) == tot[1]
+
+
+def test_keep_disjoint_rule():
+    """The conservative batch rule: survive iff no strictly
+    higher-ranked top-m pair shares a symbol — NOT greedy-maximal."""
+    from pagerank_using_mapreduce_spark.operators.bpe import _keep_disjoint
+
+    top = [("a", "b", 10), ("b", "c", 9), ("c", "d", 8), ("e", "f", 7)]
+    # (b,c) blocked by (a,b); (c,d) blocked by (b,c) even though (b,c)
+    # itself was dropped (conservative, SQL-expressible); (e,f) clean
+    assert _keep_disjoint(top) == [("a", "b", 10), ("e", "f", 7)]
+    # survivors are pairwise symbol-disjoint, rights unique
+    kept = _keep_disjoint(top)
+    syms = [s for l, r, _ in kept for s in (l, r)]
+    assert len(syms) == len(set(syms))
+
+
+def test_batched_batch1_equals_sequential(spark):
+    """batch=1 must replay EXACTLY the sequential trajectory."""
+    from pagerank_using_mapreduce_spark.operators.bpe import (
+        bpe_merges,
+        bpe_merges_batched,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, "new newer newest lower")],
+        ["doc_id", "text"],
+    )
+    seq = [
+        (r["merge_idx"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_merges(docs, n_merges=6).orderBy("merge_idx").collect()
+    ]
+    bat = [
+        (r["merge_idx"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_merges_batched(docs, rounds=6, batch=1)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    assert bat == seq
+
+
+def test_batched_fewer_roundtrips(spark):
+    """The point of batching: many merges per driver round-trip.  On
+    real corpus data 2 rounds x batch 8 must land MORE merges than
+    2 sequential rounds would (i.e. >2), with all within-round
+    survivors symbol-disjoint."""
+    from pagerank_using_mapreduce_spark.operators.bpe import bpe_merges_batched
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = bpe_merges_batched(docs, rounds=2, batch=8).collect()
+    assert len(rows) > 2 * 1, len(rows)
+    for k in (0, 1):
+        batch = [(r["left"], r["right"]) for r in rows if r["round"] == k]
+        syms = [s for p in batch for s in p]
+        assert len(syms) == len(set(syms)), f"round {k} not disjoint"
+
+
+def test_batched_sql_twin_agrees(spark):
+    import duckdb
+
+    from pagerank_using_mapreduce_spark.operators.bpe import (
+        bpe_merges_batched,
+        bpe_merges_batched_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = [
+        (int(r["merge_idx"]), int(r["round"]), r["left"], r["right"],
+         int(r["pair_count"]))
+        for _, r in con.execute(bpe_merges_batched_sql(2, 6)).df().iterrows()
+    ]
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = [
+        (r["merge_idx"], r["round"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_merges_batched(docs, rounds=2, batch=6)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    assert got == want and len(got) > 2
