@@ -552,6 +552,20 @@ SELECT doc_a AS new_doc, doc_b AS existing_doc,
 FROM jac WHERE jaccard >= {threshold}"""
 
 
+def update_band_index(index: DataFrame, new: DataFrame) -> DataFrame:
+    """Append a new batch's band rows into a stored dedup index and
+    compact: the x89 durable-index lifecycle's write path.  Band rows
+    are a pure function of the text, so re-ingesting a doc produces
+    byte-identical rows — ``distinct`` makes the append idempotent.
+    At scale this runs as one union + one (doc_id, band, bucket)
+    groupBy over index-sized (not corpus-sized) relations; the caller
+    overwrites the stored parquet with the result (small-file
+    compaction falls out of the rewrite)."""
+    return index.unionByName(
+        band_table(minhash_signatures(shingles(new)))
+    ).distinct()
+
+
 # ---------------------------------------------------------------------------
 # Near-dup clustering: pairs → connected components → canonical doc.
 # The step a real curation pipeline runs after pair finding: transitive

@@ -1837,6 +1837,47 @@ def q_x89_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.incremental_near_dups(existing, new, index=stored)
 
 
+def q_x91_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The durable dedup index across REPEATED ingests (x89's missing
+    write path): build the index on the base corpus, persist it, screen
+    batch 1, APPEND batch 1's bands into the stored index
+    (union + distinct compaction, re-persisted), then screen batch 2
+    against the UPDATED stored artifact.  The batch-2 result must
+    hash-match a recompute-everything oracle over (base + batch 1) —
+    proving the append/compact step preserves exactly the index a full
+    rebuild would produce."""
+    import os
+
+    from ..operators.dedup import (
+        band_table,
+        minhash_signatures,
+        update_band_index,
+    )
+
+    aug = dd.augment_docs(_docs(spark, sf_dir))
+    existing = aug.where(F.col("doc_id") < dd.NEAR_DUP_OFFSET)
+    batch1 = aug.where(
+        (F.col("doc_id") >= dd.NEAR_DUP_OFFSET) & (F.col("doc_id") % 2 == 0)
+    )
+    batch2 = aug.where(
+        (F.col("doc_id") >= dd.NEAR_DUP_OFFSET) & (F.col("doc_id") % 2 == 1)
+    )
+    root = _roundtrip_dir("dedupindex_compact")
+    d0 = os.path.join(root, "v0")
+    band_table(minhash_signatures(dd.shingles(existing))).write.mode(
+        "overwrite"
+    ).parquet(d0)
+    stored0 = spark.read.parquet(d0)
+    # ingest batch 1: screen (result unused here — x56/x89 cover it),
+    # then append its bands into the stored artifact
+    d1 = os.path.join(root, "v1")
+    update_band_index(stored0, batch1).write.mode("overwrite").parquet(d1)
+    stored1 = spark.read.parquet(d1)
+    return dd.incremental_near_dups(
+        existing.unionAll(batch1), batch2, index=stored1
+    )
+
+
 def q_x87_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by language: subwords-per-word under the
     corpus-trained BPE (x62's encoder), the metric that tells a
@@ -2255,6 +2296,7 @@ EXTENSION_QUERIES = {
     "x87_tokenizer_fertility": q_x87_tokenizer_fertility,
     "x88_dedup_savings": q_x88_dedup_savings,
     "x89_persisted_index": q_x89_persisted_index,
+    "x91_index_compaction": q_x91_index_compaction,
     "x25_train_test_split": q_x25_train_test_split,
     "x26_stratified_sample": q_x26_stratified_sample,
     "x27_bigram_counts": q_x27_bigram_counts,
@@ -2573,6 +2615,12 @@ EXTENSION_ORACLE = {
     "x87_tokenizer_fertility": _x87_sql(),
     "x88_dedup_savings": _x88_sql(),
     "x89_persisted_index": _x56_sql(),
+    "x91_index_compaction": dd.incremental_near_dups_sql(
+        f"SELECT * FROM ({dd.AUGMENT_SQL}) WHERE doc_id < {dd.NEAR_DUP_OFFSET}"
+        f" OR doc_id % 2 = 0",
+        f"SELECT * FROM ({dd.AUGMENT_SQL})"
+        f" WHERE doc_id >= {dd.NEAR_DUP_OFFSET} AND doc_id % 2 = 1",
+    ),
     "x25_train_test_split": X25_SQL,
     "x26_stratified_sample": X26_SQL,
     "x27_bigram_counts": ngram_counts_sql(n=2),

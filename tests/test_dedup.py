@@ -384,3 +384,32 @@ def test_persisted_index_equals_recompute(spark, tmp_path):
         map(tuple, incremental_near_dups(existing, new, index=stored).collect())
     )
     assert a == b and a
+
+
+def test_update_band_index_idempotent_and_matches_rebuild(spark):
+    """x91's append/compact: appending a batch to a stored index gives
+    exactly the full-rebuild index, and re-appending the same batch is
+    a no-op (distinct compaction)."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        band_table,
+        minhash_signatures,
+        shingles,
+        update_band_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    b = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], r["band"], r["bucket"]) for r in df.collect()
+        )
+
+    idx_a = band_table(minhash_signatures(shingles(a)))
+    appended = update_band_index(idx_a, b)
+    rebuilt = band_table(
+        minhash_signatures(shingles(a.unionAll(b)))
+    )
+    assert rows(appended) == rows(rebuilt)
+    assert rows(update_band_index(appended, b)) == rows(appended)
