@@ -62,7 +62,10 @@ BENCH_QUERIES = [
     "e2_hourly_rollup",
     "e1_sessions",
     "z1_stream_rollup",
-    "cc_components",
+    # components headline is cc_star (the O(log n) scale path; 2.5-3x
+    # faster than hash-min at sf0.1 and diameter-safe — SCALING.md).
+    # Fixed-k hash-min stays registered as cc_components, the oracle
+    # twin, just not bench-tracked.
     "cc_star",
     "g5_bfs_depths",
     "x35_hll_registers",
@@ -92,6 +95,14 @@ BENCH_QUERIES = [
     "x77_epoch_shuffle",
     "w7_concurrency",
     "rj2_interval_overlap",
+    # the heavy tail (VERDICT r05 #3): the registry's most expensive
+    # queries, tracked so their cost can't drift unnoticed
+    "g12_landmark_closeness",
+    "x88_dedup_savings",
+    "x83_filter_calibration",
+    "c4_training_manifest",
+    "x90_batched_bpe",
+    "x91_index_compaction",
 ]
 
 # The iterative/heavy queries whose scaling behavior matters most;
@@ -111,7 +122,63 @@ SF1_QUERIES = [
     "x76_kmv_distinct",   # vocab-bound: distinct domain constant at 10x corpus
     "x79_shard_manifest",
     "c4_training_manifest",
+    "g12_landmark_closeness",  # the registry's most expensive query
 ]
+
+
+def _env_fingerprint() -> dict:
+    """CPU model / core count / load / turbo state: the r05 A/B showed
+    host drift masquerading as a 50% regression — record enough to
+    tell environments apart across rounds."""
+    fp: dict = {"cpus": os.cpu_count()}
+    try:
+        with open("/proc/cpuinfo") as f:
+            for ln in f:
+                if ln.startswith("model name"):
+                    fp["cpu"] = ln.split(":", 1)[1].strip()
+                    break
+    except OSError:
+        pass
+    try:
+        fp["load1"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    for path, key in [
+        ("/sys/devices/system/cpu/intel_pstate/no_turbo", "no_turbo"),
+        (
+            "/sys/devices/system/cpu/cpu0/cpufreq/scaling_governor",
+            "governor",
+        ),
+    ]:
+        try:
+            with open(path) as f:
+                fp[key] = f.read().strip()
+        except OSError:
+            pass
+    return fp
+
+
+def _bpe_batched_evidence(spark, sf_dir: str) -> dict:
+    """VERDICT r05 #2 'done' row: train toward 256 merges with batch 32
+    and record how many driver round-trips it actually took — the job
+    count must be ~n/batch, not n."""
+    from pagerank_using_mapreduce_spark.operators.bpe import bpe_merges_batched
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    target, batch = 256, 32
+    rounds_cap = (target + batch - 1) // batch * 2  # slack for partial batches
+    t0 = time.time()
+    rows = bpe_merges_batched(
+        load_table(spark, sf_dir, "documents"), rounds=rounds_cap, batch=batch
+    ).collect()
+    rounds_run = len({r["round"] for r in rows})
+    return {
+        "target_merges": target,
+        "batch": batch,
+        "merges_landed": len(rows),
+        "driver_roundtrips": rounds_run,
+        "sec": round(time.time() - t0, 3),
+    }
 
 
 def _run(spark, name: str, sf_dir: str, reps: int) -> list[float]:
@@ -182,6 +249,12 @@ def main() -> None:
             samples = _run(spark, name, sf1_dir, sf1_reps)
             sf1_timings[name] = round(min(samples), 3)
 
+    env = _env_fingerprint()
+    try:
+        bpe256 = _bpe_batched_evidence(spark, sf_dir) if not only else {}
+    except Exception as e:  # evidence row must never sink the bench
+        bpe256 = {"error": str(e)[:200]}
+
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -191,6 +264,8 @@ def main() -> None:
                 "reps": reps,
                 "runs": runs,
                 "spread": spread,
+                "env": env,
+                "bpe_batched_256": bpe256,
                 "sf1_queries": sf1_timings,
                 "sf1_note": (
                     "synthetic 10x sf0.1 documents (dense doc_id replication,"
@@ -212,6 +287,8 @@ def main() -> None:
                 "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "sf1_queries": sf1_timings,
+                "env": env,
+                "bpe_batched_256": bpe256,
             }
         )
     )

@@ -81,21 +81,20 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
 
 
 def _keep_disjoint(top: list[tuple[str, str, int]]) -> list[tuple[str, str, int]]:
-    """Conservative batch rule (identical in the SQL twin): pair p in
-    the ranked top-m list survives iff NO strictly higher-ranked top-m
-    pair shares a symbol with it.  Deliberately conditioned on all
-    higher-ranked pairs (kept or not), not greedy-maximal — greediness
-    is driver-order-dependent to express in SQL; this rule is one
-    NOT EXISTS.  The top pair always survives, so every round makes
-    progress.  Survivors are pairwise symbol-disjoint: their counts are
-    mutually unaffected (fusing (l, r) only changes adjacencies that
-    touch l or r) and their right symbols are unique, which the
-    simultaneous fold relies on."""
+    """Greedy-maximal batch rule (replayed exactly by the SQL twin's
+    linear recursive CTE): walk the ranked top-m list, keep every pair
+    whose symbols are both unused by an already-kept pair.  The top
+    pair always survives, so every round makes progress.  Survivors
+    are pairwise symbol-disjoint: their counts are mutually unaffected
+    (fusing (l, r) only changes adjacencies that touch l or r) and
+    their right symbols are unique, which the simultaneous fold relies
+    on."""
     kept: list[tuple[str, str, int]] = []
-    for i, (l, r, cnt) in enumerate(top):
-        higher = top[:i]
-        if all(l not in (hl, hr) and r not in (hl, hr) for hl, hr, _ in higher):
+    used: set[str] = set()
+    for l, r, cnt in top:
+        if l not in used and r not in used:
             kept.append((l, r, cnt))
+            used.update((l, r))
     return kept
 
 
@@ -219,11 +218,13 @@ def bpe_merges_batched(
 
 def _batched_round_ctes(rounds: int, batch: int) -> list[str]:
     """Unrolled CTE chain replaying the batched trajectory: per round,
-    pair counts -> ranked top-m -> the NOT EXISTS disjoint filter ->
-    a 1-row (ls, rs) batch relation -> the simultaneous indexed fold.
-    Static in ``rounds`` (the per-round survivor count is
-    data-dependent; the round count is not), so the twin needs no data
-    access to generate."""
+    pair counts -> ranked top-m -> GREEDY disjoint selection (a linear
+    recursive CTE carrying the used-symbol set, one row per rank —
+    exactly :func:`_keep_disjoint`) -> a 1-row (ls, rs) batch relation
+    -> the simultaneous indexed fold.  Static in ``rounds`` (the
+    per-round survivor count is data-dependent; the round count is
+    not), so the twin needs no data access to generate.  The caller
+    must emit ``WITH RECURSIVE``."""
     ctes = [
         """wf AS MATERIALIZED (
   SELECT word, COUNT(*) AS freq FROM (
@@ -257,12 +258,22 @@ t{k} AS MATERIALIZED (
   FROM p{k}
   QUALIFY rk <= {batch}
 ),
+sel{k} AS (
+  SELECT 0 AS rk, CAST([] AS VARCHAR[]) AS used,
+         CAST(NULL AS VARCHAR) AS lft, CAST(NULL AS VARCHAR) AS rgt,
+         CAST(NULL AS BIGINT) AS cnt, FALSE AS kept
+  UNION ALL
+  SELECT t.rk,
+         CASE WHEN NOT (list_contains(s.used, t.lft)
+                        OR list_contains(s.used, t.rgt))
+              THEN list_append(list_append(s.used, t.lft), t.rgt)
+              ELSE s.used END,
+         t.lft, t.rgt, t.cnt,
+         NOT (list_contains(s.used, t.lft) OR list_contains(s.used, t.rgt))
+  FROM sel{k} s JOIN t{k} t ON t.rk = s.rk + 1
+),
 kept{k} AS MATERIALIZED (
-  SELECT lft, rgt, cnt, rk FROM t{k} p
-  WHERE NOT EXISTS (
-    SELECT 1 FROM t{k} q
-    WHERE q.rk < p.rk
-      AND (q.lft IN (p.lft, p.rgt) OR q.rgt IN (p.lft, p.rgt)))
+  SELECT lft, rgt, cnt, rk FROM sel{k} WHERE kept
 ),
 kb{k} AS MATERIALIZED (
   SELECT COALESCE(list(lft ORDER BY rk), []) AS ls,
@@ -304,7 +315,7 @@ def bpe_merges_batched_sql(
         for k in range(rounds)
     )
     return (
-        "WITH "
+        "WITH RECURSIVE "
         + ",\n".join(_batched_round_ctes(rounds, batch))
         + f""",
 allkept AS ({union})

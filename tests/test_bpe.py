@@ -103,14 +103,17 @@ def test_fertility_bounds_and_conservation(spark):
 
 
 def test_keep_disjoint_rule():
-    """The conservative batch rule: survive iff no strictly
-    higher-ranked top-m pair shares a symbol — NOT greedy-maximal."""
+    """The greedy-maximal batch rule: keep every ranked pair whose
+    symbols are unused by already-KEPT pairs (a dropped pair does not
+    block later ones)."""
     from pagerank_using_mapreduce_spark.operators.bpe import _keep_disjoint
 
     top = [("a", "b", 10), ("b", "c", 9), ("c", "d", 8), ("e", "f", 7)]
-    # (b,c) blocked by (a,b); (c,d) blocked by (b,c) even though (b,c)
-    # itself was dropped (conservative, SQL-expressible); (e,f) clean
-    assert _keep_disjoint(top) == [("a", "b", 10), ("e", "f", 7)]
+    # (b,c) blocked by kept (a,b); (c,d) NOT blocked — (b,c) was
+    # dropped, its symbols stay free; (e,f) clean
+    assert _keep_disjoint(top) == [
+        ("a", "b", 10), ("c", "d", 8), ("e", "f", 7)
+    ]
     # survivors are pairwise symbol-disjoint, rights unique
     kept = _keep_disjoint(top)
     syms = [s for l, r, _ in kept for s in (l, r)]
