@@ -33,8 +33,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse → 10× PageRank → global descending sort."""
     docs = load_table(spark, SMOKE_SF_DIR, "documents")
-    pages = parse_corpus(wiki_corpus(docs, docs.count()))
-    ranks = pagerank(pages, iterations=10)
+    n = docs.count()  # one page per doc: reused as PageRank's N below
+    pages = parse_corpus(wiki_corpus(docs, n))
+    ranks = pagerank(pages, n=n, iterations=10)
     return ranking(ranks).select(
         "title", F.round(F.col("rank"), 6).alias("rank")
     )

@@ -33,6 +33,7 @@ def with_global_position(
     order_cols: list,
     pos_col: str = "pos",
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Return ``df`` with a 1-based global position column under the
     total order ``order_cols`` (pass Column objects, e.g.
@@ -68,15 +69,16 @@ def with_global_position(
     offsets_df = spark.createDataFrame(offsets, ["_pid", "_offset"])
 
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    out = (
-        ranged.join(F.broadcast(offsets_df), "_pid")
-        .select(
-            (F.row_number().over(w) + F.col("_offset")).cast("long").alias(pos_col),
-            *df.columns,
-        )
-        .orderBy(pos_col)
-        # eager: pin the result so the ranged cache can be dropped now
-        .localCheckpoint(eager=True)
-    )
+    out = ranged.join(F.broadcast(offsets_df), "_pid").select(
+        (F.row_number().over(w) + F.col("_offset")).cast("long").alias(pos_col),
+        *df.columns,
+    ).orderBy(pos_col)
+    if not materialize:
+        # lazy form for plan inspection / further composition; the
+        # ranged cache stays pinned under the un-evaluated result —
+        # callers own the lifecycle
+        return out
+    # eager: pin the result so the ranged cache can be dropped now
+    out = out.localCheckpoint(eager=True)
     ranged.unpersist()
     return out

@@ -422,18 +422,37 @@ def test_w7_prefix_sum_is_two_level(spark):
 def test_x79_shard_manifest_distributed_rank(spark):
     """x79's global by-length rank must ride range partitions + the
     per-partition window — never a single-partition window over the
-    document relation."""
-    plan = _plan(QUERIES["x79_shard_manifest"](spark, SF))
+    document relation.  with_global_position eagerly checkpoints its
+    result (cache-release fix), which cuts the lineage the registry
+    query's plan would show — so inspect the op's LAZY form, the exact
+    plan the checkpoint evaluates."""
+    from pyspark.sql import functions as F
+
+    from pagerank_using_mapreduce_spark.operators.ranking import (
+        with_global_position,
+    )
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    lazy = with_global_position(
+        docs.select("doc_id", F.length("text").alias("len")),
+        [F.desc("len"), F.asc("doc_id")],
+        materialize=False,
+    )
+    plan = _plan(lazy)
     assert "rangepartitioning" in plan
     # the rank window partitions by _pid (parallel positions)
     assert "windowspecdefinition(_pid" in plan
-    assert "SinglePartition" not in plan.split("Window")[0] or True
     # no window with an empty partition spec over doc-scale data: every
     # windowspecdefinition carries a partition column
     import re as _re
 
     for m in _re.finditer(r"windowspecdefinition\(([^,]+),", plan):
         assert m.group(1).strip().startswith("_pid"), m.group(0)
+    # and the registry query built on it stays free of single-partition
+    # exchanges downstream of the checkpoint
+    outer = _plan(QUERIES["x79_shard_manifest"](spark, SF))
+    assert "SinglePartition" not in outer
 
 
 def test_x77_epoch_shuffle_sharded_windows(spark):
