@@ -767,3 +767,193 @@ FROM (
       PARTITION BY source ORDER BY lift_e6 DESC, word ASC) AS rnk
   FROM scored)
 WHERE rnk <= {per_source}"""
+
+
+# --------------------------------------------------------------------------
+# Per-document character entropy (x93): the Shannon entropy of the
+# letter distribution — a classic gibberish / low-diversity quality
+# signal (keyboard-mash and single-char spam score near 0; natural
+# text near the language's ~4.1 bits).  COLUMN-ONLY: the 26 letter
+# counts come from length-difference expressions (no per-char explode
+# — a 100 TB corpus never fans out to one row per character), so the
+# whole op is one narrow projection, no shuffle at all.
+# --------------------------------------------------------------------------
+
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def doc_entropy(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_letters, entropy_e6): letter-distribution Shannon
+    entropy (bits, e6-quantized) per document."""
+    norm = F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    sel = documents.select("doc_id", norm.alias("_n"))
+    total = F.length("_n").cast("double")
+    terms = []
+    for ch in _ALPHABET:
+        c = (
+            F.length("_n") - F.length(F.expr(f"replace(_n, '{ch}', '')"))
+        ).cast("double")
+        p = c / total
+        terms.append(F.when(c > 0, -p * F.log2(p)).otherwise(F.lit(0.0)))
+    ent = sum(terms[1:], terms[0])
+    return sel.select(
+        "doc_id",
+        F.length("_n").cast("long").alias("n_letters"),
+        F.when(F.length("_n") == 0, F.lit(0))
+        .otherwise(F.floor(ent * 1e6 + F.lit(0.5000001)).cast("long"))
+        .cast("long")
+        .alias("entropy_e6"),
+    )
+
+
+def _doc_entropy_sql() -> str:
+    terms = " + ".join(
+        f"CASE WHEN length(n) - length(replace(n, '{ch}', '')) > 0 THEN"
+        f" -(CAST(length(n) - length(replace(n, '{ch}', '')) AS DOUBLE)"
+        f" / length(n))"
+        f" * log2(CAST(length(n) - length(replace(n, '{ch}', '')) AS DOUBLE)"
+        f" / length(n)) ELSE 0.0 END"
+        for ch in _ALPHABET
+    )
+    return f"""
+WITH nd AS (
+  SELECT doc_id, lower(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(n) AS BIGINT) AS n_letters,
+       CASE WHEN length(n) = 0 THEN 0
+            ELSE CAST(FLOOR(({terms}) * 1e6 + 0.5000001) AS BIGINT)
+       END AS entropy_e6
+FROM nd"""
+
+
+DOC_ENTROPY_SQL = _doc_entropy_sql()
+
+
+# --------------------------------------------------------------------------
+# Stratified iceberg query (x92): frequent bigrams PER LANGUAGE with a
+# HAVING-count threshold — the classic iceberg aggregate (Fang et al.,
+# VLDB'98: the answer is the tiny tip; the below-threshold mass is
+# never materialized past the partial aggregates) stratified by lang.
+# Scale shape: one explode + one (lang, ngram) groupBy with map-side
+# combine; the HAVING prunes before anything wide happens downstream,
+# and the per-lang totals are a lang-cardinality relation (broadcast).
+# --------------------------------------------------------------------------
+
+ICEBERG_MIN_COUNT = 20
+
+
+def stratified_iceberg(
+    documents: DataFrame, min_count: int = ICEBERG_MIN_COUNT
+) -> DataFrame:
+    """(lang, ngram, cnt, share_e6): per-language bigrams with
+    cnt >= ``min_count``; share is within-language frequency."""
+    grams = documents.select(
+        "lang", F.explode(_gram_windows(_toks(), 2)).alias("ngram")
+    )
+    counts = grams.groupBy("lang", "ngram").agg(F.count("*").alias("cnt"))
+    totals = grams.groupBy("lang").agg(F.count("*").alias("lang_total"))
+    return (
+        counts.where(F.col("cnt") >= min_count)
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "ngram",
+            "cnt",
+            F.floor(
+                F.col("cnt").cast("double") / F.col("lang_total") * 1e6
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("share_e6"),
+        )
+    )
+
+
+def stratified_iceberg_sql(min_count: int = ICEBERG_MIN_COUNT) -> str:
+    return f"""
+WITH grams AS (
+  SELECT lang, unnest(list_transform(
+           generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS ngram
+  FROM (
+    SELECT lang, list_filter(string_split_regex(
+             lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+             t -> t != '') AS t
+    FROM documents)
+),
+counts AS (
+  SELECT lang, ngram, COUNT(*) AS cnt FROM grams GROUP BY lang, ngram
+),
+totals AS (SELECT lang, COUNT(*) AS lang_total FROM grams GROUP BY lang)
+SELECT c.lang, c.ngram, c.cnt,
+       CAST(FLOOR(CAST(c.cnt AS DOUBLE) / t.lang_total * 1e6 + 0.5000001)
+            AS BIGINT) AS share_e6
+FROM counts c JOIN totals t ON c.lang = t.lang
+WHERE c.cnt >= {min_count}"""
+
+
+# --------------------------------------------------------------------------
+# Rare-token document audit (x94): which documents carry the corpus's
+# hapax legomena (global frequency 1)?  High hapax rate flags OCR
+# noise / mojibake / codeswitching — a standard curation screen.
+# Scale shape: the hapax set is vocab-scale (Heaps' law — NOT
+# broadcastable at 100 TB), so it joins the token stream word-keyed;
+# hapax join keys are globally UNIQUE by construction, so the join is
+# skew-free and its output is bounded by |hapax|.
+# --------------------------------------------------------------------------
+
+
+def rare_token_docs(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_hapax, hapax_rate_e6), one row per doc
+    with >= 1 token; zero-hapax docs report 0."""
+    doc_words = documents.select(
+        "doc_id", F.explode(_toks()).alias("word")
+    )
+    wf = doc_words.groupBy("word").agg(F.count("*").alias("freq"))
+    hapax = wf.where(F.col("freq") == 1).select("word")
+    per_doc = doc_words.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens")
+    )
+    hap_doc = (
+        doc_words.join(hapax, "word")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hapax"))
+    )
+    return (
+        per_doc.join(hap_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"),
+            F.floor(
+                F.coalesce("n_hapax", F.lit(0)).cast("double")
+                / F.col("n_tokens")
+                * 1e6
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("hapax_rate_e6"),
+        )
+    )
+
+
+RARE_TOKEN_DOCS_SQL = """
+WITH dw AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(
+           lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '')) AS word
+  FROM documents
+),
+wf AS (SELECT word, COUNT(*) AS freq FROM dw GROUP BY word),
+hapax AS (SELECT word FROM wf WHERE freq = 1),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_tokens FROM dw GROUP BY doc_id),
+hap_doc AS (
+  SELECT dw.doc_id, COUNT(*) AS n_hapax
+  FROM dw JOIN hapax USING (word) GROUP BY dw.doc_id
+)
+SELECT p.doc_id, p.n_tokens,
+       CAST(COALESCE(h.n_hapax, 0) AS BIGINT) AS n_hapax,
+       CAST(FLOOR(CAST(COALESCE(h.n_hapax, 0) AS DOUBLE) / p.n_tokens * 1e6
+                  + 0.5000001) AS BIGINT) AS hapax_rate_e6
+FROM per_doc p LEFT JOIN hap_doc h ON p.doc_id = h.doc_id"""

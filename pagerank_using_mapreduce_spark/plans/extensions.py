@@ -830,6 +830,33 @@ def q_x90_batched_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_batched(_docs(spark, sf_dir))
 
 
+def q_x94_rare_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomenon audit: per-doc count/rate of globally-unique
+    tokens (OCR-noise screen).  Hapax keys are unique by construction
+    — the vocab-scale join is skew-free, never broadcast-sized."""
+    from ..operators.text_analysis import rare_token_docs
+
+    return rare_token_docs(_docs(spark, sf_dir))
+
+
+def q_x92_stratified_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language iceberg bigram aggregate (HAVING cnt >= 20): the
+    below-threshold tail dies in the map-side partial aggregates; only
+    the tip joins the broadcast per-lang totals."""
+    from ..operators.text_analysis import stratified_iceberg
+
+    return stratified_iceberg(_docs(spark, sf_dir))
+
+
+def q_x93_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document letter-distribution Shannon entropy (gibberish /
+    low-diversity quality signal).  Column-only: 26 length-difference
+    expressions, no per-char explode, no shuffle."""
+    from ..operators.text_analysis import doc_entropy
+
+    return doc_entropy(_docs(spark, sf_dir))
+
+
 def q_x52_char_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-bigram LM self-scoring (model-based quality filter): the
     corpus fits its own <=729-row bigram model, broadcast back to
@@ -2325,6 +2352,9 @@ EXTENSION_QUERIES = {
     "x50_value_histogram": q_x50_value_histogram,
     "x51_bpe_merges": q_x51_bpe_merges,
     "x90_batched_bpe": q_x90_batched_bpe,
+    "x92_stratified_iceberg": q_x92_stratified_iceberg,
+    "x94_rare_token_docs": q_x94_rare_token_docs,
+    "x93_doc_entropy": q_x93_doc_entropy,
     "x52_char_lm_scores": q_x52_char_lm_scores,
     "x53_histogram_by_type": q_x53_histogram_by_type,
     "x54_ngram_contamination": q_x54_ngram_contamination,
@@ -2408,6 +2438,24 @@ def _bpe_merges_oracle() -> str:
     from ..operators.bpe import bpe_merges_sql
 
     return bpe_merges_sql()
+
+
+def _rare_token_docs_oracle() -> str:
+    from ..operators.text_analysis import RARE_TOKEN_DOCS_SQL
+
+    return RARE_TOKEN_DOCS_SQL
+
+
+def _stratified_iceberg_oracle() -> str:
+    from ..operators.text_analysis import stratified_iceberg_sql
+
+    return stratified_iceberg_sql()
+
+
+def _doc_entropy_oracle() -> str:
+    from ..operators.text_analysis import DOC_ENTROPY_SQL
+
+    return DOC_ENTROPY_SQL
 
 
 def _batched_bpe_oracle() -> str:
@@ -2672,6 +2720,9 @@ GROUP BY 1, 2""",
     "x50_value_histogram": _value_histogram_oracle(),
     "x51_bpe_merges": _bpe_merges_oracle(),
     "x90_batched_bpe": _batched_bpe_oracle(),
+    "x92_stratified_iceberg": _stratified_iceberg_oracle(),
+    "x94_rare_token_docs": _rare_token_docs_oracle(),
+    "x93_doc_entropy": _doc_entropy_oracle(),
     "x52_char_lm_scores": _char_lm_oracle(),
     "x53_histogram_by_type": _histogram_by_type_oracle(),
     "x54_ngram_contamination": _ngram_contamination_oracle(),
