@@ -1161,3 +1161,59 @@ SELECT CAST(thr.thr_e6 AS BIGINT) AS thr_e6,
        CAST(COALESCE(dc.n_docs, 0) AS BIGINT) AS n_docs
 FROM thr LEFT JOIN pc ON thr.thr_e6 = pc.thr_e6
          LEFT JOIN dc ON thr.thr_e6 = dc.thr_e6"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup rate per ingest window (x95): doc_ids are ingest-ordered, so
+# doc_id div W buckets are arrival batches — the drift dashboard that
+# tells a curation team WHEN duplication spiked (a re-crawled domain,
+# a bad ingest job), not just how much exists overall.  Exact-dup
+# evidence only (md5 digest, global-first occurrence keeps), so the
+# whole op is two uniform-key groupBys + one window-keyed aggregate.
+# ---------------------------------------------------------------------------
+
+INGEST_WINDOW = 250
+
+
+def window_dedup_rate(docs: DataFrame, window: int = INGEST_WINDOW) -> DataFrame:
+    """(win, n_docs, n_dups, dup_rate_e6): per ingest window, docs
+    whose md5(text) digest already occurred at a smaller doc_id."""
+    d = docs.select(
+        "doc_id",
+        (F.col("doc_id") / window).cast("long").alias("win"),
+        F.md5(F.col("text")).alias("digest"),
+    )
+    first = d.groupBy("digest").agg(F.min("doc_id").alias("first_id"))
+    flagged = d.join(first, "digest").select(
+        "win", (F.col("doc_id") != F.col("first_id")).cast("long").alias("is_dup")
+    )
+    return flagged.groupBy("win").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_dup").alias("n_dups"),
+        F.floor(
+            F.sum("is_dup").cast("double") / F.count("*") * 1e6
+            + F.lit(0.5000001)
+        )
+        .cast("long")
+        .alias("dup_rate_e6"),
+    )
+
+
+def window_dedup_rate_sql(
+    docs_sql: str, window: int = INGEST_WINDOW
+) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, doc_id // {window} AS win, md5(text) AS digest
+  FROM ({docs_sql})
+),
+first AS (SELECT digest, MIN(doc_id) AS first_id FROM d GROUP BY digest)
+SELECT win,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN d.doc_id != f.first_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dups,
+       CAST(FLOOR(CAST(SUM(CASE WHEN d.doc_id != f.first_id THEN 1 ELSE 0 END)
+                       AS DOUBLE) / COUNT(*) * 1e6 + 0.5000001) AS BIGINT)
+         AS dup_rate_e6
+FROM d JOIN first f ON d.digest = f.digest
+GROUP BY win"""

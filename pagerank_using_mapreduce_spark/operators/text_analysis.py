@@ -957,3 +957,70 @@ SELECT p.doc_id, p.n_tokens,
        CAST(FLOOR(CAST(COALESCE(h.n_hapax, 0) AS DOUBLE) / p.n_tokens * 1e6
                   + 0.5000001) AS BIGINT) AS hapax_rate_e6
 FROM per_doc p LEFT JOIN hap_doc h ON p.doc_id = h.doc_id"""
+
+
+# --------------------------------------------------------------------------
+# Exact grouped length percentiles (x96): per-source p50/p90/p99 of
+# per-doc token counts, WITHOUT approx_percentile and WITHOUT sorting
+# documents — the doc relation collapses to a (source, len) histogram
+# first (distinct lengths per source are bounded — thousands, not
+# billions), the CDF is a window over that bounded relation, and the
+# nearest-rank pick is pure integer arithmetic (cum*100 >= p*tot), so
+# the oracle comparison has no float boundary at all.
+# --------------------------------------------------------------------------
+
+
+def length_percentiles(documents: DataFrame) -> DataFrame:
+    """(source, n_docs, p50, p90, p99): exact nearest-rank percentiles
+    of per-document token counts."""
+    from pyspark.sql import Window
+
+    lens = documents.select(
+        "source", F.size(_toks()).cast("long").alias("len")
+    )
+    hist = lens.groupBy("source", "len").agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("len")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("source")
+    cdf = hist.select(
+        "source",
+        "len",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("tot"),
+    )
+    pick = lambda p: F.min(  # noqa: E731
+        F.when(F.col("cum") * 100 >= F.lit(p) * F.col("tot"), F.col("len"))
+    )
+    return cdf.groupBy("source").agg(
+        F.max("tot").cast("long").alias("n_docs"),
+        pick(50).alias("p50"),
+        pick(90).alias("p90"),
+        pick(99).alias("p99"),
+    )
+
+
+LENGTH_PERCENTILES_SQL = """
+WITH lens AS (
+  SELECT source,
+         CAST(len(list_filter(string_split_regex(
+           lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '')) AS BIGINT) AS len
+  FROM documents
+),
+hist AS (SELECT source, len, COUNT(*) AS cnt FROM lens GROUP BY source, len),
+cdf AS (
+  SELECT source, len,
+         SUM(cnt) OVER (PARTITION BY source ORDER BY len
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY source) AS tot
+  FROM hist
+)
+SELECT source,
+       CAST(MAX(tot) AS BIGINT) AS n_docs,
+       MIN(CASE WHEN cum * 100 >= 50 * tot THEN len END) AS p50,
+       MIN(CASE WHEN cum * 100 >= 90 * tot THEN len END) AS p90,
+       MIN(CASE WHEN cum * 100 >= 99 * tot THEN len END) AS p99
+FROM cdf GROUP BY source"""

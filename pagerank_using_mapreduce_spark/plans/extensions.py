@@ -830,6 +830,23 @@ def q_x90_batched_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_batched(_docs(spark, sf_dir))
 
 
+def q_x95_window_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup rate per ingest window (doc_id div 250) over the
+    augmented corpus — the when-did-duplication-spike drift view."""
+    from ..operators.dedup import window_dedup_rate
+
+    return window_dedup_rate(dd.augment_docs(_docs(spark, sf_dir)))
+
+
+def q_x96_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source p50/p90/p99 token-length percentiles via the
+    bounded (source, len) histogram + CDF window + integer nearest-rank
+    pick — no approx_percentile, no doc-relation sort."""
+    from ..operators.text_analysis import length_percentiles
+
+    return length_percentiles(_docs(spark, sf_dir))
+
+
 def q_x94_rare_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hapax-legomenon audit: per-doc count/rate of globally-unique
     tokens (OCR-noise screen).  Hapax keys are unique by construction
@@ -2354,6 +2371,8 @@ EXTENSION_QUERIES = {
     "x90_batched_bpe": q_x90_batched_bpe,
     "x92_stratified_iceberg": q_x92_stratified_iceberg,
     "x94_rare_token_docs": q_x94_rare_token_docs,
+    "x95_window_dedup_rate": q_x95_window_dedup_rate,
+    "x96_length_percentiles": q_x96_length_percentiles,
     "x93_doc_entropy": q_x93_doc_entropy,
     "x52_char_lm_scores": q_x52_char_lm_scores,
     "x53_histogram_by_type": q_x53_histogram_by_type,
@@ -2438,6 +2457,18 @@ def _bpe_merges_oracle() -> str:
     from ..operators.bpe import bpe_merges_sql
 
     return bpe_merges_sql()
+
+
+def _window_dedup_rate_oracle() -> str:
+    from ..operators.dedup import window_dedup_rate_sql
+
+    return window_dedup_rate_sql(dd.AUGMENT_SQL)
+
+
+def _length_percentiles_oracle() -> str:
+    from ..operators.text_analysis import LENGTH_PERCENTILES_SQL
+
+    return LENGTH_PERCENTILES_SQL
 
 
 def _rare_token_docs_oracle() -> str:
@@ -2722,6 +2753,8 @@ GROUP BY 1, 2""",
     "x90_batched_bpe": _batched_bpe_oracle(),
     "x92_stratified_iceberg": _stratified_iceberg_oracle(),
     "x94_rare_token_docs": _rare_token_docs_oracle(),
+    "x95_window_dedup_rate": _window_dedup_rate_oracle(),
+    "x96_length_percentiles": _length_percentiles_oracle(),
     "x93_doc_entropy": _doc_entropy_oracle(),
     "x52_char_lm_scores": _char_lm_oracle(),
     "x53_histogram_by_type": _histogram_by_type_oracle(),

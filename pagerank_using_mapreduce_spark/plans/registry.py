@@ -183,6 +183,39 @@ def q_a7_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x97_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text inverted index: word (from the DISPLAYED link text,
+    a7's split) -> '@#@'-joined sorted postings of 'target:count' — the
+    IR structure behind anchor-text retrieval (anchor words describe
+    the TARGET page better than its own body; the classic web-search
+    signal).  Shape: one explode + one (word, target) groupBy with
+    map-side combine + one word groupBy; postings sort is per-word
+    (bounded fan-in), never a global order."""
+    from ..functions.textops import strip_non_alpha, tokens
+
+    links = _pages(spark, sf_dir).select(F.explode("links").alias("link"))
+    parts = F.split(F.col("link"), r"\|")
+    an = links.select(
+        F.element_at(parts, 1).alias("target"),
+        F.element_at(parts, -1).alias("anchor"),
+    )
+    words = an.select(
+        "target",
+        F.explode(tokens(strip_non_alpha(F.col("anchor")))).alias("word"),
+    ).where(F.col("word") != "")
+    per = words.groupBy("word", "target").agg(F.count("*").alias("cnt"))
+    return per.groupBy("word").agg(
+        F.sum("cnt").cast("long").alias("n_refs"),
+        F.count("*").cast("long").alias("n_targets"),
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.concat_ws(":", "target", "cnt"))
+            ),
+            "@#@",
+        ).alias("postings"),
+    )
+
+
 def q_a23_linkgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2+A3: adjacency + initial rank.  Links joined with the reference's
     '@#@' separator (PageRankAlgorithm.java:31-32) in extraction order
@@ -748,6 +781,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "p45_links": q_p45_links,
     "a1_count_n": q_a1_count_n,
     "a7_anchor_stats": q_a7_anchor_stats,
+    "x97_anchor_text_index": q_x97_anchor_text_index,
     "a23_linkgraph": q_a23_linkgraph,
     "j2_contributions": q_j2_contributions,
     "p9_codec_roundtrip": q_p9_codec_roundtrip,
@@ -894,6 +928,25 @@ SELECT target,
        CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_anchor_variants,
        MIN(anchor) AS min_anchor
 FROM an GROUP BY target""",
+    "x97_anchor_text_index": f"""WITH {_PAGES_CTES},
+lk AS (SELECT unnest(links) AS link FROM pages),
+an AS (SELECT string_split(link, '|')[1] AS target,
+              string_split(link, '|')[-1] AS anchor
+       FROM lk),
+words AS (
+  SELECT target, unnest(list_filter(string_split_regex(
+           lower(trim(regexp_replace(anchor, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '')) AS word
+  FROM an
+),
+per AS (SELECT word, target, COUNT(*) AS cnt
+        FROM words WHERE word != '' GROUP BY word, target)
+SELECT word,
+       CAST(SUM(cnt) AS BIGINT) AS n_refs,
+       CAST(COUNT(*) AS BIGINT) AS n_targets,
+       list_aggregate(list_sort(list(target || ':' || cnt)),
+                      'string_agg', '@#@') AS postings
+FROM per GROUP BY word""",
     "a23_linkgraph": f"""WITH {_PAGES_CTES}
 SELECT title,
        {_sql_e6('1.0 / (SELECT n FROM np)')} AS rank_e6,
