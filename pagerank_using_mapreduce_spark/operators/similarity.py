@@ -906,3 +906,72 @@ SELECT query_id, rank, vec_id, cosine_e6 FROM (
   FROM scored
 ) WHERE rank <= {TOP_K}
 """
+
+
+# --------------------------------------------------------------------------
+# Int8 embedding quantization (x100): per-dimension symmetric scaling
+# to [-127, 127] — the storage/serving compression step (4x smaller
+# vectors, SIMD-friendly int dot products) every large ANN deployment
+# runs before sharding its index.  Scale shape: the per-dim max-abs
+# scales are ONE bounded aggregate (dim rows), rebuilt as a 1-row
+# array relation and broadcast back onto the scan — the collection
+# never shuffles; quantization is a zip_with projection.  Output is
+# INTEGER-ONLY (codes + L1 norm), so the oracle gate has no float
+# boundary at all: round-half-up = floor(x + 0.5) on both engines,
+# over bit-identical double arithmetic from the same float inputs.
+# --------------------------------------------------------------------------
+
+
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """(vec_id, n_dims, q_l1, q_codes): per-dim symmetric int8 codes,
+    comma-joined, plus the quantized L1 norm."""
+    per_dim = (
+        emb.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("val").cast("double"))).alias("s"))
+    )
+    scales = per_dim.agg(
+        F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps")
+    ).select(F.transform("ps", lambda x: x["s"]).alias("scales"))
+    q = F.zip_with(
+        "embedding",
+        "scales",
+        lambda v, s: F.when(
+            s > 0,
+            F.floor(v.cast("double") / s * 127 + F.lit(0.5)).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return emb.crossJoin(F.broadcast(scales)).select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, x: acc + F.abs(x)
+        ).alias("q_l1"),
+        F.array_join(q.cast("array<string>"), ",").alias("q_codes"),
+    )
+
+
+QUANTIZE_SQL = """
+WITH per_dim AS (
+  SELECT pos, MAX(ABS(v)) AS s FROM (
+    SELECT unnest(range(1, len(embedding) + 1)) AS pos,
+           unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+    FROM embeddings)
+  GROUP BY pos
+),
+scales AS (SELECT list(s ORDER BY pos) AS sc FROM per_dim),
+qz AS (
+  SELECT vec_id, len(embedding) AS n_dims,
+         list_transform(range(1, len(embedding) + 1),
+           i -> CASE WHEN sc[i] > 0
+                THEN CAST(FLOOR(CAST(embedding[i] AS DOUBLE) / sc[i] * 127
+                                + 0.5) AS BIGINT)
+                ELSE 0 END) AS q
+  FROM embeddings CROSS JOIN scales
+)
+SELECT vec_id,
+       CAST(n_dims AS BIGINT) AS n_dims,
+       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+       list_aggregate(list_transform(q, x -> CAST(x AS VARCHAR)),
+                      'string_agg', ',') AS q_codes
+FROM qz"""

@@ -1024,3 +1024,111 @@ SELECT source,
        MIN(CASE WHEN cum * 100 >= 90 * tot THEN len END) AS p90,
        MIN(CASE WHEN cum * 100 >= 99 * tot THEN len END) AS p99
 FROM cdf GROUP BY source"""
+
+
+# --------------------------------------------------------------------------
+# Document co-occurrence PMI (x99): pointwise mutual information of
+# word pairs sharing documents — topic-association mining (x59 scores
+# ADJACENT bigrams; this scores bag-of-doc co-occurrence).  The naive
+# per-doc word self-join is quadratic in doc vocabulary and skewed by
+# stopwords; the scale shape DF-BANDS the vocabulary first (only words
+# with doc-freq in [lo, hi] participate — stopwords and hapaxes are
+# excluded before anything wide), so the per-doc pair fan-out is
+# bounded by the band's per-doc hit count, and the pair groupBy gets
+# map-side combine.  Same blocking idea as x54's contamination screen.
+# --------------------------------------------------------------------------
+
+CO_DF_LO = 2
+CO_DF_HI_PCT = 80  # upper cut: df <= 80% of n_docs (ubiquity screen)
+CO_MIN_PAIRS = 3
+
+
+def cooccurrence_pmi(
+    documents: DataFrame,
+    lo: int = CO_DF_LO,
+    hi_pct: int = CO_DF_HI_PCT,
+    min_pairs: int = CO_MIN_PAIRS,
+) -> DataFrame:
+    """(word_a, word_b, n_ab, pmi_e6): word_a < word_b, doc-level
+    co-occurrence count and PMI = ln(P(a,b) / (P(a)P(b))) over doc
+    probabilities.  The upper df cut is RELATIVE (df*100 <= hi_pct *
+    n_docs, integer arithmetic) so the ubiquity screen tracks corpus
+    size instead of needing retuning per scale."""
+    dw = (
+        documents.select("doc_id", F.explode(_toks()).alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    nd = documents.agg(F.count("*").alias("n_docs"))
+    dfreq = dw.groupBy("word").agg(F.count("*").alias("df"))
+    band = (
+        dfreq.crossJoin(F.broadcast(nd))
+        .where(
+            (F.col("df") >= lo)
+            & (F.col("df") * 100 <= F.lit(hi_pct) * F.col("n_docs"))
+        )
+        .select("word", "df")
+    )
+    dwf = dw.join(band, "word")
+    pairs = (
+        dwf.alias("a")
+        .join(
+            dwf.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.word") < F.col("b.word")),
+        )
+        .groupBy(
+            F.col("a.word").alias("word_a"),
+            F.col("b.word").alias("word_b"),
+            F.col("a.df").alias("df_a"),
+            F.col("b.df").alias("df_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= min_pairs)
+    )
+    nd = documents.agg(F.count("*").alias("n_docs"))
+    pmi = F.log(
+        F.col("n_ab").cast("double")
+        * F.col("n_docs")
+        / (F.col("df_a").cast("double") * F.col("df_b"))
+    )
+    return pairs.crossJoin(F.broadcast(nd)).select(
+        "word_a",
+        "word_b",
+        "n_ab",
+        F.floor(pmi * 1e6 + F.lit(0.5000001)).cast("long").alias("pmi_e6"),
+    )
+
+
+def cooccurrence_pmi_sql(
+    lo: int = CO_DF_LO,
+    hi_pct: int = CO_DF_HI_PCT,
+    min_pairs: int = CO_MIN_PAIRS,
+) -> str:
+    return f"""
+WITH dw AS (
+  SELECT DISTINCT doc_id, word FROM (
+    SELECT doc_id, unnest(list_filter(string_split_regex(
+             lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+             t -> t != '')) AS word
+    FROM documents)
+  WHERE word != ''
+),
+dfreq AS (SELECT word, COUNT(*) AS df FROM dw GROUP BY word),
+band AS (SELECT word, df FROM dfreq
+         WHERE df >= {lo}
+           AND df * 100 <= {hi_pct} * (SELECT COUNT(*) FROM documents)),
+dwf AS (SELECT dw.doc_id, dw.word, band.df FROM dw JOIN band USING (word)),
+pairs AS (
+  SELECT a.word AS word_a, b.word AS word_b, a.df AS df_a, b.df AS df_b,
+         COUNT(*) AS n_ab
+  FROM dwf a JOIN dwf b ON a.doc_id = b.doc_id AND a.word < b.word
+  GROUP BY a.word, b.word, a.df, b.df
+  HAVING COUNT(*) >= {min_pairs}
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT word_a, word_b, n_ab,
+       CAST(FLOOR(ln(CAST(n_ab AS DOUBLE) * n_docs
+                     / (CAST(df_a AS DOUBLE) * df_b)) * 1e6 + 0.5000001)
+            AS BIGINT) AS pmi_e6
+FROM pairs CROSS JOIN nd"""

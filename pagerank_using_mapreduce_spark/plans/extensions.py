@@ -830,6 +830,26 @@ def q_x90_batched_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_batched(_docs(spark, sf_dir))
 
 
+def q_x100_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dim symmetric int8 quantization of the embedding table:
+    bounded per-dim scale aggregate broadcast onto the scan, integer
+    codes out — the ANN index compression step."""
+    from ..operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def q_x99_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-co-occurrence PMI over the df-banded vocabulary ([5, 200]
+    doc-freq): stopwords and hapaxes never reach the per-doc pair
+    join, so the quadratic surface is blocked, not discovered."""
+    from ..operators.text_analysis import cooccurrence_pmi
+
+    return cooccurrence_pmi(_docs(spark, sf_dir))
+
+
 def q_x95_window_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dup rate per ingest window (doc_id div 250) over the
     augmented corpus — the when-did-duplication-spike drift view."""
@@ -2372,6 +2392,8 @@ EXTENSION_QUERIES = {
     "x92_stratified_iceberg": q_x92_stratified_iceberg,
     "x94_rare_token_docs": q_x94_rare_token_docs,
     "x95_window_dedup_rate": q_x95_window_dedup_rate,
+    "x99_cooccurrence_pmi": q_x99_cooccurrence_pmi,
+    "x100_quantize_embeddings": q_x100_quantize_embeddings,
     "x96_length_percentiles": q_x96_length_percentiles,
     "x93_doc_entropy": q_x93_doc_entropy,
     "x52_char_lm_scores": q_x52_char_lm_scores,
@@ -2457,6 +2479,18 @@ def _bpe_merges_oracle() -> str:
     from ..operators.bpe import bpe_merges_sql
 
     return bpe_merges_sql()
+
+
+def _quantize_oracle() -> str:
+    from ..operators.similarity import QUANTIZE_SQL
+
+    return QUANTIZE_SQL
+
+
+def _cooccurrence_pmi_oracle() -> str:
+    from ..operators.text_analysis import cooccurrence_pmi_sql
+
+    return cooccurrence_pmi_sql()
 
 
 def _window_dedup_rate_oracle() -> str:
@@ -2754,6 +2788,8 @@ GROUP BY 1, 2""",
     "x92_stratified_iceberg": _stratified_iceberg_oracle(),
     "x94_rare_token_docs": _rare_token_docs_oracle(),
     "x95_window_dedup_rate": _window_dedup_rate_oracle(),
+    "x99_cooccurrence_pmi": _cooccurrence_pmi_oracle(),
+    "x100_quantize_embeddings": _quantize_oracle(),
     "x96_length_percentiles": _length_percentiles_oracle(),
     "x93_doc_entropy": _doc_entropy_oracle(),
     "x52_char_lm_scores": _char_lm_oracle(),
