@@ -948,3 +948,178 @@ def landmark_closeness(
             .alias("closeness_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss (g13): edges supported by enough triangles.  Community-core
+# extraction one notch stronger than k-core — every surviving edge
+# must sit in >= k-2 triangles AMONG SURVIVING EDGES, so peeling
+# removes bridge/noise edges that k-core keeps.
+# ---------------------------------------------------------------------------
+
+TRUSS_K = 4
+TRUSS_ROUNDS = 2
+COCITE_MAX_INDEG = 32
+
+
+def cocitation_edges(
+    pages: DataFrame, max_indeg: int = COCITE_MAX_INDEG
+) -> DataFrame:
+    """Canonical (a, b) co-citation edges: two pages are linked iff
+    they cite a common target.  The per-target pair fan-out is
+    indeg², so popular targets are CAPPED (indeg <= ``max_indeg``)
+    before the pair join — the same rare-key blocking idea as x63's
+    df-capped shingles; a hub cited by 10^6 pages generates no pairs
+    instead of 10^12.  The raw link graph is triangle-free by
+    construction on the synthetic corpus; co-citation cliques are
+    where triangle structure actually lives."""
+    e = edges(pages).select("src", "dst")
+    ind = e.groupBy("dst").agg(F.count("*").alias("indeg"))
+    capped = e.join(
+        ind.where(F.col("indeg") <= max_indeg).select("dst"), "dst"
+    )
+    return (
+        capped.alias("e1")
+        .join(
+            capped.alias("e2"),
+            (F.col("e1.dst") == F.col("e2.dst"))
+            & (F.col("e1.src") < F.col("e2.src")),
+        )
+        .select(F.col("e1.src").alias("a"), F.col("e2.src").alias("b"))
+        .distinct()
+    )
+
+
+def truss_edges(
+    edges_ab: DataFrame, k: int = TRUSS_K, rounds: int = TRUSS_ROUNDS
+) -> DataFrame:
+    """(a, b, support): canonical (a < b) undirected edges surviving
+    ``rounds`` of k-truss peeling, with their last-evaluated triangle
+    support.  Fixed rounds keeps the op deterministic and the oracle
+    unrollable (the kcore/g6 pattern).
+
+    Per round, triangles among CURRENT survivors are enumerated with
+    the degree-ordered orientation (wedge fan-out bounded by oriented
+    out-degree ~ O(sqrt(m)) — same hub-safety argument as
+    :func:`triangle_count`; the oracle replays the lexicographic
+    formulation, algorithm-independent truth), each triangle credits
+    its three canonical edges, and edges below k-2 support are peeled.
+    """
+    e = edges_ab.select("a", "b").persist()
+    e.count()
+    out = None
+    for _ in range(rounds):
+        sym = e.select("a", "b").unionAll(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+        d1 = deg.select(F.col("a").alias("u"), F.col("deg").alias("du"))
+        d2 = deg.select(F.col("a").alias("v"), F.col("deg").alias("dv"))
+        oriented = (
+            sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .join(d1, "u")
+            .join(d2, "v")
+            .where(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+            )
+            .select("u", "v")
+            .persist()
+        )
+        wedges = (
+            oriented.alias("e1")
+            .join(oriented.alias("e2"), F.col("e1.u") == F.col("e2.u"))
+            .where(F.col("e1.v") < F.col("e2.v"))
+            .select(
+                F.col("e1.u").alias("tu"),
+                F.col("e1.v").alias("tv"),
+                F.col("e2.v").alias("tw"),
+            )
+        )
+        tri = wedges.join(
+            sym.select(F.col("a").alias("tv"), F.col("b").alias("tw")),
+            ["tv", "tw"],
+        )
+        pair = lambda x, y: F.struct(  # noqa: E731
+            F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+        )
+        sup = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        pair(F.col("tu"), F.col("tv")),
+                        pair(F.col("tu"), F.col("tw")),
+                        pair(F.col("tv"), F.col("tw")),
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("support"))
+        )
+        nxt = (
+            e.select("a", "b")
+            .join(sup, ["a", "b"], "left")
+            .select(
+                "a",
+                "b",
+                F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            )
+            .where(F.col("support") >= k - 2)
+            .persist()
+        )
+        nxt.count()
+        e.unpersist()
+        oriented.unpersist()
+        e = nxt
+        out = nxt
+    return out.select("a", "b", "support")
+
+
+def truss_edges_sql(
+    pages_ctes: str,
+    k: int = TRUSS_K,
+    rounds: int = TRUSS_ROUNDS,
+    max_indeg: int = COCITE_MAX_INDEG,
+) -> str:
+    """DuckDB twin: indeg-capped co-citation edges + lexicographic
+    triangle enumeration (a<b<c — every edge of such a triangle is
+    already canonical), unrolled peeling."""
+    ctes = [
+        f"""ind AS (SELECT dst, COUNT(*) AS indeg FROM edges GROUP BY dst),
+capped AS (
+  SELECT e.src, e.dst FROM edges e
+  JOIN ind ON ind.dst = e.dst AND ind.indeg <= {max_indeg}
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT e1.src AS a, e2.src AS b
+  FROM capped e1 JOIN capped e2
+    ON e1.dst = e2.dst AND e1.src < e2.src
+)"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""tri{r} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e{r} e1
+  JOIN e{r} e2 ON e2.a = e1.b
+  JOIN e{r} e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+sup{r} AS MATERIALIZED (
+  SELECT a, b, COUNT(*) AS support FROM (
+    SELECT x AS a, y AS b FROM tri{r}
+    UNION ALL SELECT y AS a, z AS b FROM tri{r}
+    UNION ALL SELECT x AS a, z AS b FROM tri{r})
+  GROUP BY a, b
+),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b, CAST(COALESCE(s.support, 0) AS BIGINT) AS support
+  FROM e{r} e LEFT JOIN sup{r} s ON e.a = s.a AND e.b = s.b
+  WHERE COALESCE(s.support, 0) >= {k - 2}
+)"""
+        )
+    return (
+        f"WITH {pages_ctes},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT a, b, support FROM e{rounds}"
+    )

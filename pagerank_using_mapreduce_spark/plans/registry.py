@@ -534,6 +534,20 @@ def q_g11_kcore_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_until(_pages(spark, sf_dir))
 
 
+def q_g13_truss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss edge peeling (k=4, 2 rounds) over the CO-CITATION graph
+    (the raw synthetic link graph is triangle-free; co-citation cliques
+    carry the triangle structure) — edges must sit in >= k-2 triangles
+    among SURVIVORS, community cores one notch stronger than k-core.
+    Popular targets are indeg-capped before the pair join (hub block);
+    Spark enumerates triangles degree-ordered (hub-safe wedge fan-out);
+    the oracle replays the lexicographic formulation
+    (algorithm-independent truth, the g3 pattern)."""
+    from ..operators.graph import cocitation_edges, truss_edges
+
+    return truss_edges(cocitation_edges(_pages(spark, sf_dir)))
+
+
 def q_g12_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark closeness centrality: k labeled BFS traversals in one
     loop (state keyed by (seed, title); adjacency scanned once per
@@ -804,6 +818,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g10_bfs_frontier": q_g10_bfs_frontier,
     "g11_kcore_converged": q_g11_kcore_converged,
     "g12_landmark_closeness": q_g12_landmark_closeness,
+    "g13_truss_edges": q_g13_truss_edges,
     "g6_kcore": q_g6_kcore,
     "g7_label_prop": q_g7_label_prop,
     "deg_stats": q_deg_stats,
@@ -823,6 +838,12 @@ _SYM_CTE = """sym AS MATERIALIZED (
     SELECT e.dst AS src, e.src AS dst FROM edges e JOIN pages p ON p.title = e.dst
   ) WHERE src != dst
 )"""
+
+
+def _g13_sql() -> str:
+    from ..operators.graph import truss_edges_sql
+
+    return truss_edges_sql(_PAGES_CTES)
 
 
 def _cc_ctes(iterations: int, materialized: bool = False) -> str:
@@ -986,6 +1007,7 @@ SELECT
      JOIN und e2 ON e2.a = e1.b
      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
   (SELECT COUNT(*) FROM und) AS n_edges""",
+    "g13_truss_edges": _g13_sql(),
     "o1_ranking": f"""WITH {_PAGES_CTES},
 {_rank_ctes(10)},
 rounded AS (SELECT title, {_sql_e6('rank')} AS rank_e6 FROM r10)
