@@ -636,3 +636,135 @@ SELECT doc_id,
             AS BIGINT) AS zero_crossings
 FROM w GROUP BY doc_id, n
 """
+
+
+# --------------------------------------------------------------------------
+# Video scene-cut detection (x98): a tiny raw-luma clip per document
+# ('VID0' header + w/h/nframes + nframes uncompressed 8-bit luma
+# planes, assembled entirely with JVM-side expressions), decoded by
+# WALKING THE ACTUAL BYTES in mapInPandas, then consecutive-frame SAD
+# (sum of absolute luma differences — the classic shot-boundary
+# detector) thresholded to cuts.  Frames inside a scene differ by a
+# ±1 flicker; scene changes shift the whole plane, so the integer
+# threshold separates them with no float anywhere.  Same scale story
+# as the other multimodal ops: one Arrow-batched pass, no shuffle,
+# payloads never leave the scan.
+# --------------------------------------------------------------------------
+
+VID_MAX_W = 8
+VID_MAX_H = 6
+VID_MAX_F = 5  # frames = doc_id % VID_MAX_F + 4
+SCENE_CUT_SAD = 16  # cut iff SAD >= 16 * n_px (mean |diff| >= 16)
+
+SCENE_SCHEMA = (
+    "doc_id long, n_frames long, n_px long, n_cuts long, cut_frames string"
+)
+
+# luma(f, x, y) = (x*7 + y*11 + doc_id*3 + (f%2) + (f div P)*97) % 256
+# where P = doc_id % 3 + 2 is the scene length in frames
+_VID_W = f"(doc_id % {VID_MAX_W} + 2)"
+_VID_H = f"(doc_id % {VID_MAX_H} + 2)"
+_VID_F = f"(doc_id % {VID_MAX_F} + 4)"
+_VID_P = "(doc_id % 3 + 2)"
+
+
+def binarize_video(documents: DataFrame) -> DataFrame:
+    """(doc_id, payload): 'VID0' + u8 w + u8 h + u8 nframes + planes."""
+    luma = (
+        f"(x * 7 + y * 11 + doc_id * 3 + (f % 2) + (f div {_VID_P}) * 97)"
+        " % 256"
+    )
+    planes = F.expr(
+        f"""
+        aggregate(
+          transform(sequence(0, CAST({_VID_F} - 1 AS INT)), f ->
+            aggregate(
+              transform(sequence(0, CAST({_VID_H} - 1 AS INT)), y ->
+                aggregate(
+                  transform(sequence(0, CAST({_VID_W} - 1 AS INT)), x ->
+                    unhex(lpad(hex({luma}), 2, '0'))),
+                  CAST('' AS BINARY), (a, b) -> concat(a, b))),
+              CAST('' AS BINARY), (a, b) -> concat(a, b))),
+          CAST('' AS BINARY), (a, b) -> concat(a, b))
+        """
+    )
+    payload = F.concat(
+        F.lit(b"VID0"),
+        F.expr(f"unhex(lpad(hex({_VID_W}), 2, '0'))"),
+        F.expr(f"unhex(lpad(hex({_VID_H}), 2, '0'))"),
+        F.expr(f"unhex(lpad(hex({_VID_F}), 2, '0'))"),
+        planes,
+    )
+    return documents.select("doc_id", payload.alias("payload"))
+
+
+def scene_cuts(binaries: DataFrame, thr: int = SCENE_CUT_SAD) -> DataFrame:
+    """mapInPandas scene-cut detection over the real clip bytes:
+    header struct-parse, per-frame numpy planes, consecutive SAD,
+    integer threshold (SAD >= thr * n_px)."""
+    import numpy as np
+
+    def detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "n_frames", "n_px", "n_cuts", "cut_frames"
+                )
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                assert raw[:4] == b"VID0"
+                w, h, nf = raw[4], raw[5], raw[6]
+                npx = w * h
+                frames = np.frombuffer(
+                    raw, dtype=np.uint8, count=nf * npx, offset=7
+                ).reshape(nf, npx).astype(np.int64)
+                sads = np.abs(frames[1:] - frames[:-1]).sum(axis=1)
+                cuts = [f + 1 for f in range(nf - 1) if sads[f] >= thr * npx]
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(nf)
+                out["n_px"].append(npx)
+                out["n_cuts"].append(len(cuts))
+                out["cut_frames"].append(",".join(map(str, cuts)))
+            yield pd.DataFrame(out)
+
+    return binaries.mapInPandas(detect, schema=SCENE_SCHEMA)
+
+
+_VID_W_SQL = f"(doc_id % {VID_MAX_W} + 2)"
+_VID_H_SQL = f"(doc_id % {VID_MAX_H} + 2)"
+_VID_F_SQL = f"(doc_id % {VID_MAX_F} + 4)"
+
+SCENE_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, {_VID_W_SQL} AS w, {_VID_H_SQL} AS h, {_VID_F_SQL} AS nf,
+         (doc_id % 3 + 2) AS p
+  FROM documents
+),
+fr AS (SELECT doc_id, w, h, nf, p, unnest(range(1, nf)) AS f FROM dims),
+xs AS (SELECT doc_id, w, h, nf, p, f, unnest(range(0, w)) AS x FROM fr),
+px AS (SELECT doc_id, w, h, nf, p, f, x, unnest(range(0, h)) AS y FROM xs),
+sad AS (
+  SELECT doc_id, nf, w * h AS npx, f,
+         SUM(ABS(
+           ((x*7 + y*11 + doc_id*3 + (f % 2) + (f // p) * 97) % 256)
+           - ((x*7 + y*11 + doc_id*3 + ((f-1) % 2) + ((f-1) // p) * 97) % 256)
+         )) AS s
+  FROM px GROUP BY doc_id, nf, w, h, f
+),
+cuts AS (
+  SELECT doc_id, nf, npx, f FROM sad WHERE s >= {SCENE_CUT_SAD} * npx
+)
+SELECT d.doc_id,
+       CAST(d.nf AS BIGINT) AS n_frames,
+       CAST(d.w * d.h AS BIGINT) AS n_px,
+       CAST(COALESCE(c.n_cuts, 0) AS BIGINT) AS n_cuts,
+       COALESCE(c.cut_frames, '') AS cut_frames
+FROM dims d LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n_cuts,
+         list_aggregate(list_transform(list(f ORDER BY f),
+                        x -> CAST(x AS VARCHAR)), 'string_agg', ',')
+           AS cut_frames
+  FROM cuts GROUP BY doc_id
+) c ON d.doc_id = c.doc_id"""

@@ -830,6 +830,15 @@ def q_x90_batched_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_batched(_docs(spark, sf_dir))
 
 
+def q_x98_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection on synthesized raw-luma clips: JVM-side
+    payload assembly, genuine byte-walk decode in mapInPandas,
+    integer consecutive-frame SAD threshold."""
+    from ..operators.multimodal import binarize_video, scene_cuts
+
+    return scene_cuts(binarize_video(_docs(spark, sf_dir)))
+
+
 def q_x100_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dim symmetric int8 quantization of the embedding table:
     bounded per-dim scale aggregate broadcast onto the scan, integer
@@ -2393,6 +2402,7 @@ EXTENSION_QUERIES = {
     "x94_rare_token_docs": q_x94_rare_token_docs,
     "x95_window_dedup_rate": q_x95_window_dedup_rate,
     "x99_cooccurrence_pmi": q_x99_cooccurrence_pmi,
+    "x98_scene_cuts": q_x98_scene_cuts,
     "x100_quantize_embeddings": q_x100_quantize_embeddings,
     "x96_length_percentiles": q_x96_length_percentiles,
     "x93_doc_entropy": q_x93_doc_entropy,
@@ -2479,6 +2489,12 @@ def _bpe_merges_oracle() -> str:
     from ..operators.bpe import bpe_merges_sql
 
     return bpe_merges_sql()
+
+
+def _scene_cuts_oracle() -> str:
+    from ..operators.multimodal import SCENE_SQL
+
+    return SCENE_SQL
 
 
 def _quantize_oracle() -> str:
@@ -2789,6 +2805,7 @@ GROUP BY 1, 2""",
     "x94_rare_token_docs": _rare_token_docs_oracle(),
     "x95_window_dedup_rate": _window_dedup_rate_oracle(),
     "x99_cooccurrence_pmi": _cooccurrence_pmi_oracle(),
+    "x98_scene_cuts": _scene_cuts_oracle(),
     "x100_quantize_embeddings": _quantize_oracle(),
     "x96_length_percentiles": _length_percentiles_oracle(),
     "x93_doc_entropy": _doc_entropy_oracle(),

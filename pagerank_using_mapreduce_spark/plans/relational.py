@@ -2275,6 +2275,103 @@ GROUP BY p.event_id
 
 
 # --------------------------------------------------------------------------
+# Bag-semantics set algebra (st2): INTERSECT ALL / EXCEPT ALL with
+# multiplicities — the reconciliation shape (ledger diffs, replayed
+# event streams) where DISTINCT semantics (st1) silently erases how
+# MANY occurrences differ.  Spark's exceptAll/intersectAll plan as a
+# count-and-replicate aggregate (no row-by-row matching); output is
+# re-aggregated to (side, user_id, event_type, n) so the result is
+# order-free and hash-stable.
+# --------------------------------------------------------------------------
+
+
+def st2_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Even-half vs odd-half (by event_id) multiset reconciliation of
+    (user_id, event_type) occurrences: 'surplus' = even EXCEPT ALL odd,
+    'common' = even INTERSECT ALL odd, with multiplicities."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0).select("user_id", "event_type")
+    b = ev.where(F.col("event_id") % 2 == 1).select("user_id", "event_type")
+
+    def agg(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy("user_id", "event_type").agg(
+            F.count("*").alias("n")
+        ).select(F.lit(side).alias("side"), "user_id", "event_type", "n")
+
+    return agg(a.exceptAll(b), "surplus").unionAll(
+        agg(a.intersectAll(b), "common")
+    )
+
+
+ST2_SQL = """
+WITH a AS (SELECT user_id, event_type FROM events WHERE event_id % 2 = 0),
+b AS (SELECT user_id, event_type FROM events WHERE event_id % 2 = 1),
+surplus AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+common AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+SELECT 'surplus' AS side, user_id, event_type, COUNT(*) AS n
+FROM surplus GROUP BY user_id, event_type
+UNION ALL
+SELECT 'common' AS side, user_id, event_type, COUNT(*) AS n
+FROM common GROUP BY user_id, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Session splice (w9): split every session at hour boundaries and
+# report each piece's exact duration — the interval-SPLITTING
+# complement of w7's sweep line, the shape billing/occupancy systems
+# need ("attribute each session's time to the hour it was spent in").
+# Half-open [s, e+1) micros: pieces are pure integer arithmetic, the
+# per-session hour fan-out is gap-bounded (same explode as rj2), and
+# piece durations conserve exactly: sum(piece_us) = e + 1 - s.
+# --------------------------------------------------------------------------
+
+
+def session_splice(ev: DataFrame) -> DataFrame:
+    """(user_id, sess_id, hour, piece_us): one row per (session, hour
+    covered), integer micros of the session spent in that hour."""
+    sess = _session_intervals(ev)
+    h = F.col("hour")
+    lo = F.greatest(F.col("s"), h * _HOUR_US)
+    hi = F.least(F.col("e") + 1, (h + 1) * _HOUR_US)
+    return sess.select(
+        "user_id",
+        "sess_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {_HOUR_US}"), F.expr(f"e div {_HOUR_US}")
+            )
+        ).alias("hour"),
+        "s",
+        "e",
+    ).select(
+        "user_id",
+        "sess_id",
+        "hour",
+        (hi - lo).cast("long").alias("piece_us"),
+    )
+
+
+def w9_session_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_splice(load_table(spark, sf_dir, "events"))
+
+
+W9_SQL = f"""
+WITH sess AS ({_SESS_SQL}),
+pieces AS (
+  SELECT user_id, sess_id, s, e,
+         unnest(range(s // {_HOUR_US}, e // {_HOUR_US} + 1)) AS hour
+  FROM sess
+)
+SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+       CAST(hour AS BIGINT) AS hour,
+       CAST(LEAST(e + 1, (hour + 1) * {_HOUR_US})
+            - GREATEST(s, hour * {_HOUR_US}) AS BIGINT) AS piece_us
+FROM pieces
+"""
+
+
+# --------------------------------------------------------------------------
 # Distribution drift (PSI): the data-quality monitor a long-running
 # ingest needs — has the VALUE distribution of each event type shifted
 # between a reference slice and a current slice?  Population Stability
@@ -2527,6 +2624,7 @@ RELATIONAL_QUERIES = {
     "w8_gap_histogram": w8_gap_histogram,
     "d5_drift_psi": d5_drift_psi,
     "w7_concurrency": w7_concurrency,
+    "w9_session_splice": w9_session_splice,
     "rj2_interval_overlap": rj2_interval_overlap,
     "w6_hourly_ohlc": w6_hourly_ohlc,
     "e10_debounce": e10_debounce,
@@ -2537,6 +2635,7 @@ RELATIONAL_QUERIES = {
     "sj2_anti_join": sj2_customers_without_events,
     "rj1_range_join": rj1_pre_purchase_activity,
     "st1_set_ops": st1_set_ops,
+    "st2_bag_ops": st2_bag_ops,
     "d1_snapshot_diff": d1_snapshot_diff,
     "d2_scd2_versions": d2_scd2_versions,
 }
@@ -2580,6 +2679,8 @@ RELATIONAL_ORACLE = {
     "w8_gap_histogram": W8_SQL,
     "d5_drift_psi": D5_SQL,
     "w7_concurrency": W7_SQL,
+    "w9_session_splice": W9_SQL,
+    "st2_bag_ops": ST2_SQL,
     "rj2_interval_overlap": RJ2_SQL,
     "w6_hourly_ohlc": W6_SQL,
     "e10_debounce": E10_SQL,
