@@ -1126,7 +1126,7 @@ _DRIVER_ROTATION: list[str] = [
     "x90_batched_bpe", "x91_index_compaction", "x92_stratified_iceberg",
     "x93_doc_entropy", "x94_rare_token_docs", "x95_window_dedup_rate",
     "x96_length_percentiles", "x97_anchor_text_index", "g13_truss_edges",
-    "q22_shipping_priority", "w9_session_splice", "x98_repetition_score",
+    "st2_bag_ops", "w9_session_splice", "x98_scene_cuts",
     "x99_cooccurrence_pmi", "x100_quantize_embeddings",
     # --- re-checks of the oldest r01-era rows (fill to the 50 cap) ---
     "s1_corpus_scan", "p1_titles", "p3_doc_ids", "p45_links",

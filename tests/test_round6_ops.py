@@ -1,0 +1,203 @@
+"""Round-6 operator tests: w9/st2/x92-x100/g13 property checks
+(the oracle sweep is the value gate; these pin semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_w9_pieces_conserve_session_time(spark):
+    from pagerank_using_mapreduce_spark.plans.relational import (
+        _session_intervals,
+        session_splice,
+    )
+
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    total_pieces = session_splice(ev).agg(F.sum("piece_us")).collect()[0][0]
+    total_sessions = (
+        _session_intervals(ev)
+        .agg(F.sum(F.col("e") + 1 - F.col("s")))
+        .collect()[0][0]
+    )
+    assert total_pieces == total_sessions
+
+
+def test_st2_bag_identity(spark):
+    """|A| = |A except all B| + |A intersect all B| — the multiset
+    identity DISTINCT semantics break."""
+    from pagerank_using_mapreduce_spark.plans.relational import st2_bag_ops
+
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    n_a = ev.where(F.col("event_id") % 2 == 0).count()
+    out = st2_bag_ops(spark, SF)
+    sums = {
+        r["side"]: r["n"]
+        for r in out.groupBy("side").agg(F.sum("n").alias("n")).collect()
+    }
+    assert sums.get("surplus", 0) + sums.get("common", 0) == n_a
+
+
+def test_x93_entropy_bounds(spark):
+    import math
+
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        doc_entropy,
+    )
+
+    rows = doc_entropy(_docs(spark)).collect()
+    hi = math.log2(26) * 1e6 + 1
+    assert rows and all(0 <= r["entropy_e6"] <= hi for r in rows)
+    # a single-letter doc has zero entropy; a varied one doesn't
+    toy = spark.createDataFrame(
+        [(1, "aaaa aaa"), (2, "the quick brown fox jumps")],
+        ["doc_id", "text"],
+    )
+    ent = {r["doc_id"]: r["entropy_e6"] for r in doc_entropy(toy).collect()}
+    assert ent[1] == 0 and ent[2] > 2_000_000
+
+
+def test_x96_percentiles_match_naive(spark):
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        length_percentiles,
+    )
+    from pagerank_using_mapreduce_spark.functions.textops import (
+        strip_non_alpha,
+        tokens,
+    )
+
+    docs = _docs(spark)
+    got = {
+        r["source"]: (r["p50"], r["p90"], r["p99"])
+        for r in length_percentiles(docs).collect()
+    }
+    lens = (
+        docs.select("source", F.size(tokens(strip_non_alpha(F.col("text")))).alias("n"))
+        .collect()
+    )
+    import math
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for r in lens:
+        by_src[r["source"]].append(r["n"])
+    for src, vals in by_src.items():
+        vals.sort()
+        for p, want in zip((50, 90, 99), got[src]):
+            naive = vals[math.ceil(p / 100 * len(vals)) - 1]
+            assert want == naive, (src, p, want, naive)
+
+
+def test_g13_truss_support_holds_among_survivors(spark):
+    """Reported support is evaluated on the PRE-peel edge set of the
+    last round, so for every survivor it is >= k-2 and an upper bound
+    on its triangle count within the final survivor graph."""
+    from pagerank_using_mapreduce_spark.operators.graph import (
+        TRUSS_K,
+        cocitation_edges,
+        truss_edges,
+    )
+    from pagerank_using_mapreduce_spark.plans.registry import _pages
+
+    out = truss_edges(cocitation_edges(_pages(spark, SF))).collect()
+    edges = {(r["a"], r["b"]) for r in out}
+    assert out, "truss must be non-empty on the co-citation graph"
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for r in out:
+        common = adj[r["a"]] & adj[r["b"]]
+        assert r["support"] >= TRUSS_K - 2
+        assert len(common) <= r["support"], (r, len(common))
+
+
+def test_x100_quantization_roundtrip_bound(spark):
+    """|v - q*s/127| <= s/254 + codes within [-127, 127]."""
+    from pagerank_using_mapreduce_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = quantize_embeddings(emb).collect()
+    raw = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    import collections
+
+    scales = collections.defaultdict(float)
+    for v in raw.values():
+        for i, x in enumerate(v):
+            scales[i] = max(scales[i], abs(float(x)))
+    for r in rows:
+        codes = [int(c) for c in r["q_codes"].split(",")]
+        assert len(codes) == r["n_dims"]
+        assert all(-127 <= c <= 127 for c in codes)
+        v = raw[r["vec_id"]]
+        for i, (c, x) in enumerate(zip(codes, v)):
+            s = scales[i]
+            if s > 0:
+                assert abs(float(x) - c * s / 127) <= s / 254 + 1e-9
+
+
+def test_x98_cuts_match_reference_sad(spark):
+    """The decoder's cuts must equal a pure-Python replay of the luma
+    formula + SAD threshold (byte-walk fidelity; note mod-256 wrap can
+    legitimately fire a cut on flicker-only frames — the SAD rule IS
+    the semantics, both engines compute it identically)."""
+    from pagerank_using_mapreduce_spark.operators.multimodal import (
+        SCENE_CUT_SAD,
+        binarize_video,
+        scene_cuts,
+    )
+
+    rows = scene_cuts(binarize_video(_docs(spark))).collect()
+    assert rows and any(r["n_cuts"] > 0 for r in rows)
+    for r in rows:
+        d = r["doc_id"]
+        p, nf = d % 3 + 2, d % 5 + 4
+        w, h = d % 8 + 2, d % 6 + 2
+
+        def luma(f, x, y):
+            return (x * 7 + y * 11 + d * 3 + (f % 2) + (f // p) * 97) % 256
+
+        want = []
+        for f in range(1, nf):
+            sad = sum(
+                abs(luma(f, x, y) - luma(f - 1, x, y))
+                for x in range(w)
+                for y in range(h)
+            )
+            if sad >= SCENE_CUT_SAD * w * h:
+                want.append(f)
+        got = [int(x) for x in r["cut_frames"].split(",") if x]
+        assert got == want, (d, got, want)
+        # every true scene boundary must be detected (the 97-shift
+        # always dominates the threshold)
+        bounds = [f for f in range(1, nf) if f // p != (f - 1) // p]
+        assert set(bounds) <= set(got), (d, bounds, got)
+
+
+def test_x95_flags_augmented_exact_dups(spark):
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        EXACT_DUP_OFFSET,
+        INGEST_WINDOW,
+        augment_docs,
+        window_dedup_rate,
+    )
+
+    out = window_dedup_rate(augment_docs(_docs(spark))).collect()
+    # the exact-copy windows (doc_id >= 2M) must be 100% dups
+    hot = [r for r in out if r["win"] >= EXACT_DUP_OFFSET // INGEST_WINDOW]
+    assert hot and all(r["dup_rate_e6"] == 1_000_000 for r in hot)
+    # the base windows must be 0% dups (no duplicates in the raw table)
+    base = [r for r in out if r["win"] < 1_000_000 // INGEST_WINDOW]
+    assert base and all(r["dup_rate_e6"] == 0 for r in base)
