@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "c4_training_manifest",
     "x90_batched_bpe",
     "x91_index_compaction",
+    "g13_truss_edges",
+    "x94_rare_token_docs",
 ]
 
 # The iterative/heavy queries whose scaling behavior matters most;
