@@ -201,3 +201,57 @@ def test_x95_flags_augmented_exact_dups(spark):
     # the base windows must be 0% dups (no duplicates in the raw table)
     base = [r for r in out if r["win"] < 1_000_000 // INGEST_WINDOW]
     assert base and all(r["dup_rate_e6"] == 0 for r in base)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_x100_scales_broadcast_not_shuffled(spark):
+    """The embedding collection must NOT shuffle for quantization: the
+    only exchanges feed the bounded per-dim scale aggregate; the scales
+    relation comes back as a broadcast."""
+    from pagerank_using_mapreduce_spark.plans.registry import QUERIES
+
+    plan = _plan(QUERIES["x100_quantize_embeddings"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no hash-shuffle of the embeddings relation keyed on vec_id
+    assert "hashpartitioning(vec_id" not in plan
+
+
+def test_x94_hapax_join_is_not_broadcast(spark):
+    """The hapax set is vocab-scale (Heaps' law) — it must ride a
+    shuffle join on word, never a broadcast (which would OOM the
+    executors at 100 TB).  Guard: no broadcast hint survives into the
+    hapax join side."""
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        rare_token_docs,
+    )
+
+    plan = _plan(rare_token_docs(_docs(spark)))
+    # the doc-words <-> hapax join keys on word via shuffle
+    assert "hashpartitioning(word" in plan
+
+
+def test_x92_iceberg_filter_after_partial_agg(spark):
+    """The HAVING threshold must sit above the aggregate (tail dies in
+    the partial agg), and lang totals must broadcast."""
+    from pagerank_using_mapreduce_spark.plans.registry import QUERIES
+
+    plan = _plan(QUERIES["x92_stratified_iceberg"](spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "hashpartitioning(lang" in plan
+
+
+def test_x93_doc_entropy_no_shuffle(spark):
+    """Column-only op: zero exchanges in the whole plan."""
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        doc_entropy,
+    )
+
+    plan = _plan(doc_entropy(_docs(spark)))
+    assert "Exchange" not in plan
