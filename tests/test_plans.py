@@ -39,6 +39,7 @@ PYTHON_OK = {
     "x70_pixel_resize",  # real nearest-neighbor resample on raster bytes
     "x71_wav_decode",    # real PCM sample byte-walk
     "x85_audio_features",  # real PCM feature byte-walk (energy/ZCR)
+    "x98_scene_cuts",  # real luma-plane byte-walk (SAD shot detection)
     "z1_stream_rollup",
     "z2_stream_sessions",
     "z11_stream_funnel",  # applyInPandasWithState state machine
