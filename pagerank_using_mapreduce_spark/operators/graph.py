@@ -973,12 +973,16 @@ def cocitation_edges(
     instead of 10^12.  The raw link graph is triangle-free by
     construction on the synthetic corpus; co-citation cliques are
     where triangle structure actually lives."""
-    e = edges(pages).select("src", "dst")
+    # stage the corpus parse ONCE: the indeg agg and both sides of the
+    # pair self-join would otherwise each re-derive the edge relation
+    # (and re-parse the corpus) per plan branch
+    e = edges(pages).select("src", "dst").persist()
+    e.count()
     ind = e.groupBy("dst").agg(F.count("*").alias("indeg"))
     capped = e.join(
         ind.where(F.col("indeg") <= max_indeg).select("dst"), "dst"
     )
-    return (
+    out = (
         capped.alias("e1")
         .join(
             capped.alias("e2"),
@@ -987,7 +991,12 @@ def cocitation_edges(
         )
         .select(F.col("e1.src").alias("a"), F.col("e2.src").alias("b"))
         .distinct()
+        # pin the pair relation so the staging cache can be freed now;
+        # the checkpoint blocks die with the returned frame
+        .localCheckpoint(eager=True)
     )
+    e.unpersist()
+    return out
 
 
 def truss_edges(
