@@ -188,8 +188,9 @@ def connected_components_star(
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()
     for _ in range(max_rounds):
-        if edges.isEmpty():
+        if n_edges == 0:
             break
         # ---- large-star ----
         symd = edges.unionAll(
@@ -232,12 +233,18 @@ def connected_components_star(
             .distinct()
         )
         new_edges = ss.localCheckpoint(eager=True)
-        changed = (
-            new_edges.join(edges, ["u", "v"], "left_anti").count()
-            + edges.join(new_edges, ["u", "v"], "left_anti").count()
+        # stop test, cheapest-first: a count mismatch (one scan of the
+        # checkpointed relation) proves change without any join; only
+        # when counts match does ONE anti-join run — equal counts plus
+        # empty (new \ old) is a PROOF of set equality, so the second
+        # anti-join of the old two-sided test was always redundant.
+        new_n = new_edges.count()
+        stable = (
+            new_n == n_edges
+            and new_edges.join(edges, ["u", "v"], "left_anti").isEmpty()
         )
-        edges = new_edges
-        if changed == 0:
+        edges, n_edges = new_edges, new_n
+        if stable:
             break
     # stars: every remaining edge is (center=u, member=v)
     titles = pages.select("title")
