@@ -2206,6 +2206,57 @@ def _x79_sql() -> str:
     return shard_manifest_sql()
 
 
+def q_z16_stream_index_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest screened against the DURABLE dedup index via
+    ``foreachBatch`` — the production sink pattern's first registered
+    use: each micro-batch of incoming documents (the augmented copies,
+    derived in-stream) runs the batch incremental screen (x56's op)
+    against the STORED band-table artifact and appends its verified
+    near-dup pairs to parquet.  The drained union across batches must
+    hash-match x56's recompute-everything oracle: per-doc screens are
+    independent, so any micro-batch partitioning of the incoming set
+    drains to the same pair relation."""
+    import os
+
+    from ..operators.dedup import band_table, minhash_signatures
+    from ..streaming.events import (
+        read_document_stream,
+        run_foreach_batch,
+        stage_table_dir,
+    )
+
+    existing = _docs(spark, sf_dir).select("doc_id", "text")
+    d_idx = os.path.join(_roundtrip_dir("z16index"), "bands")
+    band_table(minhash_signatures(dd.shingles(existing))).write.mode(
+        "overwrite"
+    ).parquet(d_idx)
+    stored = spark.read.parquet(d_idx)
+
+    stream = read_document_stream(
+        spark, stage_table_dir(sf_dir, "documents")
+    )
+    near = stream.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + dd.NEAR_DUP_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(dd.NEAR_DUP_TAIL)).alias("text"),
+    )
+    exact = stream.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + dd.EXACT_DUP_OFFSET).alias("doc_id"), "text"
+    )
+    incoming = near.unionByName(exact)
+
+    out_dir = os.path.join(_roundtrip_dir("z16out"), "pairs")
+
+    def screen(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        dd.incremental_near_dups(
+            existing, batch_df, index=stored
+        ).write.mode("append").parquet(out_dir)
+
+    run_foreach_batch(incoming, screen)
+    return spark.read.parquet(out_dir)
+
+
 def q_z14_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup under REAL duplication: the staged events
     directory is read by TWO file-source streams unioned (every
@@ -2437,6 +2488,7 @@ EXTENSION_QUERIES = {
     "x77_epoch_shuffle": q_x77_epoch_shuffle,
     "x78_ann_recall": q_x78_ann_recall,
     "z14_stream_dedup": q_z14_stream_dedup,
+    "z16_stream_index_screen": q_z16_stream_index_screen,
     "x79_shard_manifest": q_x79_shard_manifest,
     "x80_threshold_curve": q_x80_threshold_curve,
     "x81_join_skew_audit": q_x81_join_skew_audit,
@@ -2744,6 +2796,7 @@ EXTENSION_ORACLE = {
     "x87_tokenizer_fertility": _x87_sql(),
     "x88_dedup_savings": _x88_sql(),
     "x89_persisted_index": _x56_sql(),
+    "z16_stream_index_screen": _x56_sql(),
     "x91_index_compaction": dd.incremental_near_dups_sql(
         f"SELECT * FROM ({dd.AUGMENT_SQL}) WHERE doc_id < {dd.NEAR_DUP_OFFSET}"
         f" OR doc_id % 2 = 0",

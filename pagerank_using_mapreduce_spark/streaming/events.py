@@ -572,3 +572,20 @@ def forget_users_stream(events: DataFrame, forget: DataFrame) -> DataFrame:
     return events.join(
         F.broadcast(forget), events["user_id"] == forget["fuid"], "left_anti"
     )
+
+
+def read_document_stream(
+    spark: SparkSession, docs_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a directory of documents parquet files
+    (the ingest feed for the streaming dedup screen, z16)."""
+    reader = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        )
+        .format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(docs_dir)

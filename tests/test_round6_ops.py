@@ -255,3 +255,22 @@ def test_x93_doc_entropy_no_shuffle(spark):
 
     plan = _plan(doc_entropy(_docs(spark)))
     assert "Exchange" not in plan
+
+
+def test_z16_stream_screen_equals_batch_x56(spark):
+    """The foreachBatch streaming screen must drain to exactly the
+    batch incremental screen's pair relation."""
+    from pagerank_using_mapreduce_spark.plans.extensions import (
+        q_x56_incremental_dedup,
+        q_z16_stream_index_screen,
+    )
+
+    got = sorted(
+        (r["new_doc"], r["existing_doc"], r["jaccard_e6"])
+        for r in q_z16_stream_index_screen(spark, SF).collect()
+    )
+    want = sorted(
+        (r["new_doc"], r["existing_doc"], r["jaccard_e6"])
+        for r in q_x56_incremental_dedup(spark, SF).collect()
+    )
+    assert got == want and got
