@@ -2244,7 +2244,12 @@ def q_z16_stream_index_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     incoming = near.unionByName(exact)
 
+    # per-CALL output (batches append into it): wipe before draining,
+    # or a second call in the same process would double the pairs
+    import shutil
+
     out_dir = os.path.join(_roundtrip_dir("z16out"), "pairs")
+    shutil.rmtree(out_dir, ignore_errors=True)
 
     def screen(batch_df, batch_id):
         if batch_df.isEmpty():
