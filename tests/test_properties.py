@@ -416,3 +416,126 @@ def test_temperature_mix_property(spark, sizes, seed):
         for r in temperature_mix(df.repartition(5), "lang", "key", seed).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Round-6 operator invariants
+# ---------------------------------------------------------------------------
+
+_pair_lists = st.lists(
+    st.tuples(
+        st.text(alphabet="abcde", min_size=1, max_size=2),
+        st.text(alphabet="abcde", min_size=1, max_size=2),
+        st.integers(min_value=1, max_value=100),
+    ),
+    max_size=12,
+)
+
+
+@given(top=_pair_lists)
+@settings(max_examples=200, deadline=None)
+def test_keep_disjoint_invariants(top):
+    """Pure-Python greedy batch rule: survivors pairwise symbol-
+    disjoint, first pair always kept, greedy-maximal (every dropped
+    pair conflicts with some KEPT pair)."""
+    from pagerank_using_mapreduce_spark.operators.bpe import _keep_disjoint
+
+    kept = _keep_disjoint(top)
+    # symbols disjoint ACROSS pairs (l == r within one pair is legal —
+    # the classic (a, a) run merge); rights therefore unique
+    sets = [{l, r} for l, r, _ in kept]
+    for i, a in enumerate(sets):
+        for b in sets[i + 1 :]:
+            assert not (a & b), (a, b)
+    if top:
+        assert kept[0] == top[0]
+    kept_syms = {s for ps in sets for s in ps}
+    for p in top:
+        if p not in kept:
+            assert p[0] in kept_syms or p[1] in kept_syms
+
+
+_event_times = st.lists(
+    st.integers(min_value=0, max_value=3 * 3600 * 1_000_000),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(times=_event_times)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_w9_conservation_and_w7_consistency(spark, times):
+    """For ANY event layout: splice pieces conserve each session's
+    half-open span, every piece fits inside one hour, and w7's
+    timeline covers exactly the spine from first to last marker
+    hour."""
+    import datetime as dt
+
+    from pagerank_using_mapreduce_spark.plans.relational import (
+        _HOUR_US,
+        _session_intervals,
+        concurrency_timeline,
+        session_splice,
+    )
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (i, base + dt.timedelta(microseconds=t), 1, "click", 1.0, "{}")
+        for i, t in enumerate(sorted(set(times)))
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    pieces = session_splice(ev).collect()
+    spans = {
+        (r["user_id"], r["sess_id"]): r["e"] + 1 - r["s"]
+        for r in _session_intervals(ev).collect()
+    }
+    got = {}
+    for p in pieces:
+        assert 0 <= p["piece_us"] <= _HOUR_US
+        k = (p["user_id"], p["sess_id"])
+        got[k] = got.get(k, 0) + p["piece_us"]
+    assert got == spans
+    tl = concurrency_timeline(ev).collect()
+    hours = [r["hour"] for r in tl]
+    assert hours == list(range(min(hours), max(hours) + 1))  # dense spine
+    assert all(r["max_active"] >= 0 for r in tl)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=1, max_size=40
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_x96_nearest_rank_property(spark, vals):
+    """Grouped percentile = sorted()[ceil(p/100*n)-1] for any value
+    multiset (single synthetic source)."""
+    import math
+
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        length_percentiles,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * v) if v else "", "en", "s0", 1)
+         for i, v in enumerate(vals)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    row = length_percentiles(docs).collect()[0]
+    svals = sorted(vals)
+    for p, col in ((50, "p50"), (90, "p90"), (99, "p99")):
+        want = svals[math.ceil(p / 100 * len(svals)) - 1]
+        assert row[col] == want, (p, row[col], want, svals)
