@@ -2259,6 +2259,10 @@ def q_z16_stream_index_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("append").parquet(out_dir)
 
     run_foreach_batch(incoming, screen)
+    if not os.path.exists(out_dir):  # no incoming docs at all
+        return spark.createDataFrame(
+            [], "new_doc long, existing_doc long, jaccard_e6 long"
+        )
     return spark.read.parquet(out_dir)
 
 
