@@ -1132,3 +1132,73 @@ SELECT word_a, word_b, n_ab,
                      / (CAST(df_a AS DOUBLE) * df_b)) * 1e6 + 0.5000001)
             AS BIGINT) AS pmi_e6
 FROM pairs CROSS JOIN nd"""
+
+
+# --------------------------------------------------------------------------
+# N-gram novelty curve (x101): per document, the fraction of its
+# distinct bigrams whose FIRST corpus occurrence (min doc_id —
+# doc_ids are ingest-ordered) is this document.  The dataset-freshness
+# metric a curation team tracks per crawl batch: novelty decaying to
+# zero means the crawl is re-collecting what it already has.
+# Scale shape: one distinct (gram, doc) relation, one gram-keyed min
+# aggregate (uniform text keys, map-side combine), one gram-keyed join
+# back, one doc aggregate — the same envelope as x60's first-occurrence
+# election, never comparing documents pairwise.
+# --------------------------------------------------------------------------
+
+
+def ngram_novelty(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, n_novel, novelty_e6) for every doc with >= 1
+    bigram; novelty = n_novel / n_grams."""
+    dg = (
+        documents.select(
+            "doc_id", F.explode(_gram_windows(_toks(), 2)).alias("gram")
+        )
+        .distinct()
+    )
+    first = dg.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        dg.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_doc")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.floor(
+                F.col("n_novel").cast("double") / F.col("n_grams") * 1e6
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("novelty_e6"),
+        )
+    )
+
+
+NGRAM_NOVELTY_SQL = """
+WITH dg AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i+1])) AS gram
+    FROM (
+      SELECT doc_id, list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+               t -> t != '') AS t
+      FROM documents))
+),
+first AS (SELECT gram, MIN(doc_id) AS first_doc FROM dg GROUP BY gram)
+SELECT dg.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN dg.doc_id = f.first_doc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(FLOOR(CAST(SUM(CASE WHEN dg.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                       AS DOUBLE) / COUNT(*) * 1e6 + 0.5000001) AS BIGINT)
+         AS novelty_e6
+FROM dg JOIN first f ON dg.gram = f.gram
+GROUP BY dg.doc_id"""

@@ -839,6 +839,15 @@ def q_x98_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scene_cuts(binarize_video(_docs(spark, sf_dir)))
 
 
+def q_x101_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram novelty (fraction of grams first seen HERE, by
+    ingest order) — the crawl-freshness curve; one gram-keyed min
+    election + join back, no pairwise comparison."""
+    from ..operators.text_analysis import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir))
+
+
 def q_x100_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dim symmetric int8 quantization of the embedding table:
     bounded per-dim scale aggregate broadcast onto the scan, integer
@@ -2464,6 +2473,7 @@ EXTENSION_QUERIES = {
     "x99_cooccurrence_pmi": q_x99_cooccurrence_pmi,
     "x98_scene_cuts": q_x98_scene_cuts,
     "x100_quantize_embeddings": q_x100_quantize_embeddings,
+    "x101_ngram_novelty": q_x101_ngram_novelty,
     "x96_length_percentiles": q_x96_length_percentiles,
     "x93_doc_entropy": q_x93_doc_entropy,
     "x52_char_lm_scores": q_x52_char_lm_scores,
@@ -2556,6 +2566,12 @@ def _scene_cuts_oracle() -> str:
     from ..operators.multimodal import SCENE_SQL
 
     return SCENE_SQL
+
+
+def _novelty_oracle() -> str:
+    from ..operators.text_analysis import NGRAM_NOVELTY_SQL
+
+    return NGRAM_NOVELTY_SQL
 
 
 def _quantize_oracle() -> str:
@@ -2869,6 +2885,7 @@ GROUP BY 1, 2""",
     "x99_cooccurrence_pmi": _cooccurrence_pmi_oracle(),
     "x98_scene_cuts": _scene_cuts_oracle(),
     "x100_quantize_embeddings": _quantize_oracle(),
+    "x101_ngram_novelty": _novelty_oracle(),
     "x96_length_percentiles": _length_percentiles_oracle(),
     "x93_doc_entropy": _doc_entropy_oracle(),
     "x52_char_lm_scores": _char_lm_oracle(),

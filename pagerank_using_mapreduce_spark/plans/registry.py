@@ -1128,7 +1128,7 @@ _DRIVER_ROTATION: list[str] = [
     "x96_length_percentiles", "x97_anchor_text_index", "g13_truss_edges",
     "st2_bag_ops", "w9_session_splice", "x98_scene_cuts",
     "x99_cooccurrence_pmi", "x100_quantize_embeddings",
-    "z16_stream_index_screen",
+    "z16_stream_index_screen", "x101_ngram_novelty",
     # --- re-checks of the oldest r01-era rows (fill to the 50 cap) ---
     "s1_corpus_scan", "p1_titles", "p3_doc_ids", "p45_links",
     "a1_count_n", "a23_linkgraph", "j2_contributions",
