@@ -1139,3 +1139,105 @@ e{r + 1} AS MATERIALIZED (
         + ",\n".join(ctes)
         + f"\nSELECT a, b, support FROM e{rounds}"
     )
+
+
+# --------------------------------------------------------------------------
+# Adamic-Adar link prediction (g14): score unlinked page pairs by
+# their shared neighborhoods, term 1/ln(deg(z)) per common neighbor z
+# (Adamic & Adar 2003) — the classic "pages that OUGHT to link"
+# shortlist.  Scale shape: the pair relation is generated by a
+# z-keyed self-join of capped neighbor lists — a node of degree d
+# emits d² pairs, so hubs (deg > max_deg) are excluded as common
+# neighbors (they carry ~no AA weight anyway: 1/ln(10^6) ≈ 0.07) —
+# the same hub-block as cocitation_edges' indeg cap.  Per-z terms are
+# quantized to e9 integers up front and summed exactly, so both
+# engines agree bit-for-bit regardless of aggregation order.
+# --------------------------------------------------------------------------
+
+AA_MAX_DEG = 64  # common-neighbor fan-out cap (pairs per z <= cap²)
+AA_MIN_COMMON = 2  # shortlist: >= 2 shared neighbors
+
+
+def adamic_adar(
+    pages: DataFrame,
+    max_deg: int = AA_MAX_DEG,
+    min_common: int = AA_MIN_COMMON,
+) -> DataFrame:
+    """(a, b, n_common, aa_e9) for UNLINKED undirected pairs a < b
+    with >= ``min_common`` shared neighbors of degree in
+    [2, ``max_deg``]; aa_e9 = Σ_z floor(1e9/ln(deg z) + 0.5000001)."""
+    und = undirected_edges(pages).persist()
+    und.count()  # stage once: degrees, both join sides, the anti join
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    term = deg.where(
+        (F.col("deg") >= 2) & (F.col("deg") <= max_deg)
+    ).select(
+        F.col("src").alias("z"),
+        F.floor(
+            F.lit(1e9) / F.log(F.col("deg").cast("double"))
+            + F.lit(0.5000001)
+        )
+        .cast("long")
+        .alias("term_e9"),
+    )
+    nbr = und.select(F.col("src").alias("z"), F.col("dst").alias("u")).join(
+        term, "z"
+    )
+    pairs = (
+        nbr.alias("n1")
+        .join(
+            nbr.alias("n2"),
+            (F.col("n1.z") == F.col("n2.z"))
+            & (F.col("n1.u") < F.col("n2.u")),
+        )
+        .select(
+            F.col("n1.u").alias("a"),
+            F.col("n2.u").alias("b"),
+            F.col("n1.term_e9").alias("term_e9"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum("term_e9").alias("aa_e9"),
+        )
+        .where(F.col("n_common") >= min_common)
+    )
+    out = pairs.join(
+        und.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",  # predicted links only — drop existing edges
+    ).localCheckpoint(eager=True)  # pin before freeing the staging cache
+    und.unpersist()
+    return out
+
+
+def adamic_adar_sql(
+    pages_ctes: str,
+    sym_cte: str,
+    max_deg: int = AA_MAX_DEG,
+    min_common: int = AA_MIN_COMMON,
+) -> str:
+    """DuckDB twin: same capped z-keyed pair generation over the
+    symmetric edge relation; e9 integer terms summed exactly."""
+    return f"""WITH {pages_ctes},
+{sym_cte},
+deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+term AS (
+  SELECT src AS z,
+         CAST(FLOOR(1e9 / LN(CAST(deg AS DOUBLE)) + 0.5000001) AS BIGINT)
+           AS term_e9
+  FROM deg WHERE deg BETWEEN 2 AND {max_deg}
+),
+nbr AS (
+  SELECT s.src AS z, s.dst AS u, t.term_e9
+  FROM sym s JOIN term t ON t.z = s.src
+),
+pairs AS (
+  SELECT n1.u AS a, n2.u AS b, COUNT(*) AS n_common,
+         CAST(SUM(n1.term_e9) AS BIGINT) AS aa_e9
+  FROM nbr n1 JOIN nbr n2 ON n1.z = n2.z AND n1.u < n2.u
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_common}
+)
+SELECT a, b, n_common, aa_e9 FROM pairs
+WHERE NOT EXISTS (SELECT 1 FROM sym WHERE sym.src = pairs.a AND sym.dst = pairs.b)"""

@@ -1202,3 +1202,204 @@ SELECT dg.doc_id,
          AS novelty_e6
 FROM dg JOIN first f ON dg.gram = f.gram
 GROUP BY dg.doc_id"""
+
+
+# --------------------------------------------------------------------------
+# Gopher-style n-gram repetition (x102): per document, the fraction of
+# trigram OCCURRENCES that are repeats of a trigram already seen in the
+# same document, plus the share claimed by the single most frequent
+# trigram — the two repetition gates of the Gopher quality rules
+# (Rae et al. 2021 §A1.1), at the n-gram level x34's token-level
+# distinct-ratio cannot see (boilerplate repeats phrases, not words).
+# Scale shape: explode + one (doc, gram) count with map-side combine
+# (keys near-unique per doc, uniform), then a doc-keyed aggregate —
+# no corpus-wide state, no pairwise comparison.
+# --------------------------------------------------------------------------
+
+REPETITION_GRAM_N = 3
+
+
+def gopher_repetition(documents: DataFrame, n: int = REPETITION_GRAM_N) -> DataFrame:
+    """(doc_id, n_grams, n_distinct, dup_frac_e6, top_share_e6) for
+    every doc with >= 1 word n-gram; dup_frac = 1 - distinct/total."""
+    per = (
+        documents.select(
+            "doc_id", F.explode(_gram_windows(_toks(), n)).alias("gram")
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.count("*").alias("n_distinct"),
+            F.max("cnt").alias("top_cnt"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            F.floor(
+                (F.col("n_grams") - F.col("n_distinct")).cast("double")
+                / F.col("n_grams")
+                * 1e6
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("dup_frac_e6"),
+            F.floor(
+                F.col("top_cnt").cast("double") / F.col("n_grams") * 1e6
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("top_share_e6"),
+        )
+    )
+
+
+GOPHER_REPETITION_SQL = """
+WITH per AS (
+  SELECT doc_id, gram, COUNT(*) AS cnt FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 2),
+                                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             AS gram
+    FROM (
+      SELECT doc_id, list_filter(string_split_regex(
+               lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+               t -> t != '') AS t
+      FROM documents))
+  GROUP BY doc_id, gram
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_grams,
+       COUNT(*) AS n_distinct,
+       CAST(FLOOR(CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt) * 1e6
+                  + 0.5000001) AS BIGINT) AS dup_frac_e6,
+       CAST(FLOOR(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) * 1e6 + 0.5000001)
+            AS BIGINT) AS top_share_e6
+FROM per GROUP BY doc_id"""
+
+
+# --------------------------------------------------------------------------
+# Word-bigram perplexity quality filter (x103): the CCNet-style signal
+# — score every document by its cross-entropy under a word-bigram LM
+# with add-one smoothing trained on the corpus itself.  Differs from
+# x52's char model in unit (words), smoothing (add-1 over the vocab —
+# the model generalizes to held-out text), and JOIN SHAPE: a word-
+# bigram model is vocab²-scale (Heaps' law), so scoring rides a
+# gram-keyed SHUFFLE join — broadcasting it, fine for x52's ~26²
+# char table, would OOM executors at 100 TB.  Per-bigram log-probs are
+# quantized to e6 integers FIRST and summed exactly, so both engines
+# agree bit-for-bit regardless of float summation order.
+# --------------------------------------------------------------------------
+
+
+def bigram_perplexity(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_pairs, total_logp_e6, xent_e6) for docs with >= 2
+    tokens; xent = -mean bigram log-prob (natural log, e6-quantized),
+    P(w2 | w1) = (c12 + 1) / (c1 + V)."""
+    toked = documents.select("doc_id", _toks().alias("t")).where(
+        F.size("t") >= 2
+    )
+    bg = F.zip_with(
+        F.expr("slice(t, 1, size(t) - 1)"),
+        F.expr("slice(t, 2, size(t) - 1)"),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    doc_pairs = (
+        toked.select("doc_id", F.explode(bg).alias("g"))
+        .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .persist()  # serves both the model fit and the scoring join
+    )
+    bigram = doc_pairs.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
+    ctx = bigram.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        documents.select(F.explode(_toks()).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    logp = (
+        bigram.join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))  # 1-row scalar, S4 pattern
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(
+                    (F.col("c12") + 1).cast("double")
+                    / (F.col("c1") + F.col("v"))
+                )
+                * 1e6
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("logp_e6"),
+        )
+    )
+    return (
+        doc_pairs.join(logp, ["w1", "w2"])  # vocab²-scale: shuffle join
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_pairs"),
+            F.sum(F.col("cnt") * F.col("logp_e6")).alias("total_logp_e6"),
+        )
+        .select(
+            "doc_id",
+            "n_pairs",
+            "total_logp_e6",
+            # floor over an exact-operand double division (x52's trick:
+            # integer div truncates toward zero in Spark but floors in
+            # DuckDB, so it cannot be used on negative totals)
+            F.floor(
+                -F.col("total_logp_e6").cast("double") / F.col("n_pairs")
+            )
+            .cast("long")
+            .alias("xent_e6"),
+        )
+    )
+
+
+BIGRAM_PPL_SQL = """
+WITH toked AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, list_filter(string_split_regex(
+             lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+             t -> t != '') AS t
+    FROM documents)
+  WHERE len(t) >= 2
+),
+doc_pairs AS MATERIALIZED (
+  SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i])) AS w1,
+           unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i+1])) AS w2
+    FROM toked)
+  GROUP BY doc_id, w1, w2
+),
+bigram AS (SELECT w1, w2, SUM(cnt) AS c12 FROM doc_pairs GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(c12) AS c1 FROM bigram GROUP BY w1),
+vocab AS (
+  SELECT COUNT(DISTINCT w) AS v FROM (
+    SELECT unnest(list_filter(string_split_regex(
+             lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+             t -> t != '')) AS w
+    FROM documents)
+),
+logp AS (
+  SELECT b.w1, b.w2,
+         CAST(FLOOR(LN(CAST(b.c12 + 1 AS DOUBLE) / (c.c1 + vocab.v)) * 1e6
+                    + 0.5000001) AS BIGINT) AS logp_e6
+  FROM bigram b JOIN ctx c ON c.w1 = b.w1 CROSS JOIN vocab
+)
+SELECT dp.doc_id,
+       CAST(SUM(dp.cnt) AS BIGINT) AS n_pairs,
+       CAST(SUM(dp.cnt * l.logp_e6) AS BIGINT) AS total_logp_e6,
+       CAST(FLOOR(-CAST(SUM(dp.cnt * l.logp_e6) AS DOUBLE) / SUM(dp.cnt))
+            AS BIGINT) AS xent_e6
+FROM doc_pairs dp JOIN logp l ON l.w1 = dp.w1 AND l.w2 = dp.w2
+GROUP BY dp.doc_id"""

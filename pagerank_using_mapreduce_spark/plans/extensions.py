@@ -848,6 +848,27 @@ def q_x101_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(_docs(spark, sf_dir))
 
 
+def q_x102_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc trigram repetition gates (duplicated-occurrence fraction
+    + top-trigram share) — the Gopher boilerplate rules at the n-gram
+    level x34's token distinct-ratio cannot see; one (doc, gram) count
+    with map-side combine, then a doc-keyed aggregate."""
+    from ..operators.text_analysis import gopher_repetition
+
+    return gopher_repetition(_docs(spark, sf_dir))
+
+
+def q_x103_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality score: per-doc cross-entropy under an
+    add-one-smoothed word-bigram LM trained on the corpus; the
+    vocab²-scale model rides a gram-keyed SHUFFLE join (never
+    broadcast), per-bigram log-probs e6-quantized then summed
+    exactly."""
+    from ..operators.text_analysis import bigram_perplexity
+
+    return bigram_perplexity(_docs(spark, sf_dir))
+
+
 def q_x100_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dim symmetric int8 quantization of the embedding table:
     bounded per-dim scale aggregate broadcast onto the scan, integer
@@ -2474,6 +2495,8 @@ EXTENSION_QUERIES = {
     "x98_scene_cuts": q_x98_scene_cuts,
     "x100_quantize_embeddings": q_x100_quantize_embeddings,
     "x101_ngram_novelty": q_x101_ngram_novelty,
+    "x102_gopher_repetition": q_x102_gopher_repetition,
+    "x103_bigram_perplexity": q_x103_bigram_perplexity,
     "x96_length_percentiles": q_x96_length_percentiles,
     "x93_doc_entropy": q_x93_doc_entropy,
     "x52_char_lm_scores": q_x52_char_lm_scores,
@@ -2572,6 +2595,18 @@ def _novelty_oracle() -> str:
     from ..operators.text_analysis import NGRAM_NOVELTY_SQL
 
     return NGRAM_NOVELTY_SQL
+
+
+def _gopher_repetition_oracle() -> str:
+    from ..operators.text_analysis import GOPHER_REPETITION_SQL
+
+    return GOPHER_REPETITION_SQL
+
+
+def _bigram_ppl_oracle() -> str:
+    from ..operators.text_analysis import BIGRAM_PPL_SQL
+
+    return BIGRAM_PPL_SQL
 
 
 def _quantize_oracle() -> str:
@@ -2886,6 +2921,8 @@ GROUP BY 1, 2""",
     "x98_scene_cuts": _scene_cuts_oracle(),
     "x100_quantize_embeddings": _quantize_oracle(),
     "x101_ngram_novelty": _novelty_oracle(),
+    "x102_gopher_repetition": _gopher_repetition_oracle(),
+    "x103_bigram_perplexity": _bigram_ppl_oracle(),
     "x96_length_percentiles": _length_percentiles_oracle(),
     "x93_doc_entropy": _doc_entropy_oracle(),
     "x52_char_lm_scores": _char_lm_oracle(),

@@ -548,6 +548,17 @@ def q_g13_truss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truss_edges(cocitation_edges(_pages(spark, sf_dir)))
 
 
+def q_g14_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the undirected link graph:
+    unlinked pairs with >= 2 shared neighbors, scored 1/ln(deg) per
+    common neighbor — hubs capped out of the z-keyed pair join (the
+    cocitation indeg-cap pattern), per-z terms e9-quantized then
+    summed exactly so both engines agree bit-for-bit."""
+    from ..operators.graph import adamic_adar
+
+    return adamic_adar(_pages(spark, sf_dir))
+
+
 def q_g12_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark closeness centrality: k labeled BFS traversals in one
     loop (state keyed by (seed, title); adjacency scanned once per
@@ -819,6 +830,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g11_kcore_converged": q_g11_kcore_converged,
     "g12_landmark_closeness": q_g12_landmark_closeness,
     "g13_truss_edges": q_g13_truss_edges,
+    "g14_adamic_adar": q_g14_adamic_adar,
     "g6_kcore": q_g6_kcore,
     "g7_label_prop": q_g7_label_prop,
     "deg_stats": q_deg_stats,
@@ -844,6 +856,12 @@ def _g13_sql() -> str:
     from ..operators.graph import truss_edges_sql
 
     return truss_edges_sql(_PAGES_CTES)
+
+
+def _g14_sql() -> str:
+    from ..operators.graph import adamic_adar_sql
+
+    return adamic_adar_sql(_PAGES_CTES, _SYM_CTE)
 
 
 def _cc_ctes(iterations: int, materialized: bool = False) -> str:
@@ -1008,6 +1026,7 @@ SELECT
      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
   (SELECT COUNT(*) FROM und) AS n_edges""",
     "g13_truss_edges": _g13_sql(),
+    "g14_adamic_adar": _g14_sql(),
     "o1_ranking": f"""WITH {_PAGES_CTES},
 {_rank_ctes(10)},
 rounded AS (SELECT title, {_sql_e6('rank')} AS rank_e6 FROM r10)
@@ -1129,7 +1148,9 @@ _DRIVER_ROTATION: list[str] = [
     "st2_bag_ops", "w9_session_splice", "x98_scene_cuts",
     "x99_cooccurrence_pmi", "x100_quantize_embeddings",
     "z16_stream_index_screen", "x101_ngram_novelty",
-    # --- re-checks of the oldest r01-era rows (fill to the 50 cap) ---
+    "x102_gopher_repetition", "x103_bigram_perplexity", "g14_adamic_adar",
+    # --- re-checks of the oldest r01-era rows (fill to the 50 cap;
+    # --- entries past slot 50 wait for the r07 head) ---
     "s1_corpus_scan", "p1_titles", "p3_doc_ids", "p45_links",
     "a1_count_n", "a23_linkgraph", "j2_contributions",
     "p9_codec_roundtrip",

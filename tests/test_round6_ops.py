@@ -274,3 +274,99 @@ def test_z16_stream_screen_equals_batch_x56(spark):
         for r in q_x56_incremental_dedup(spark, SF).collect()
     )
     assert got == want and got
+
+
+# ---------------------------------------------------------------- round 6b
+
+
+def test_g14_adamic_adar_known_graph(spark):
+    """A->C, A->D, B->C, B->D: undirected, {A,B} share {C,D} and
+    {C,D} share {A,B}; neither pair is linked, every z has deg 2, so
+    both pairs score 2 * floor(1e9/ln 2 + 0.5000001)."""
+    import math
+
+    from pagerank_using_mapreduce_spark.operators.graph import adamic_adar
+
+    pages = spark.createDataFrame(
+        [("a", ["c", "d"]), ("b", ["c", "d"]), ("c", []), ("d", [])],
+        "title string, links array<string>",
+    )
+    got = {(r["a"], r["b"]): r for r in adamic_adar(pages).collect()}
+    term = math.floor(1e9 / math.log(2.0) + 0.5000001)
+    assert set(got) == {("a", "b"), ("c", "d")}
+    for r in got.values():
+        assert r["n_common"] == 2 and r["aa_e9"] == 2 * term
+
+
+def test_g14_existing_edges_and_hubs_excluded(spark):
+    """A linked pair never appears even with shared neighbors, and a
+    common neighbor above the degree cap generates no pairs."""
+    from pagerank_using_mapreduce_spark.operators.graph import adamic_adar
+
+    # a-b linked AND sharing c, d: the (a, b) candidate must be dropped
+    pages = spark.createDataFrame(
+        [("a", ["b", "c", "d"]), ("b", ["c", "d"]), ("c", []), ("d", [])],
+        "title string, links array<string>",
+    )
+    got = {(r["a"], r["b"]) for r in adamic_adar(pages).collect()}
+    assert ("a", "b") not in got
+    assert ("c", "d") in got  # c, d share a AND b (both deg >= 2)
+
+    # star: hub z with 70 leaves (deg > cap) -> no pair rides through z
+    leaves = [f"l{i:02d}" for i in range(70)]
+    star = spark.createDataFrame(
+        [("hub", leaves)] + [(l, []) for l in leaves],
+        "title string, links array<string>",
+    )
+    assert adamic_adar(star).count() == 0
+
+
+def test_x102_gopher_repetition_exact(spark):
+    """'x y x y x y' has trigrams [x y x, y x y, x y x, y x y]: 4
+    occurrences, 2 distinct, dup_frac = 1/2, top_share = 1/2."""
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        gopher_repetition,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "all fresh words here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    assert got[1]["n_grams"] == 4 and got[1]["n_distinct"] == 2
+    assert got[1]["dup_frac_e6"] == 500_000
+    assert got[1]["top_share_e6"] == 500_000
+    assert got[2]["dup_frac_e6"] == 0
+    assert got[2]["top_share_e6"] == 500_000  # 2 distinct trigrams
+
+
+def test_x103_bigram_ppl_exact_tiny_corpus(spark):
+    """Corpus 'a b' + 'a b': bigram (a,b) c12=2, ctx c1=2, V=2 ->
+    P = 3/4; both docs score xent = -ln(3/4), e6-quantized."""
+    import math
+
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        bigram_perplexity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in bigram_perplexity(docs).collect()}
+    logp_e6 = math.floor(math.log(3.0 / 4.0) * 1e6 + 0.5000001)
+    for d in (1, 2):
+        assert rows[d]["n_pairs"] == 1
+        assert rows[d]["total_logp_e6"] == logp_e6
+        assert rows[d]["xent_e6"] == -logp_e6  # floor(-x/1) == -x here
+
+
+def test_x103_model_join_is_shuffle_keyed_on_gram(spark):
+    """The bigram model is vocab²-scale — the scoring join must key on
+    the gram pair via shuffle, never broadcast the model (the x94
+    guard, one level up from single words)."""
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        bigram_perplexity,
+    )
+
+    plan = _plan(bigram_perplexity(_docs(spark)))
+    assert "hashpartitioning(w1" in plan
