@@ -105,6 +105,10 @@ BENCH_QUERIES = [
     "x91_index_compaction",
     "g13_truss_edges",
     "x94_rare_token_docs",
+    # round-6b additions: the z-keyed pair join and the vocab²-scale
+    # shuffle-join scorer are the two new shapes worth watching
+    "g14_adamic_adar",
+    "x103_bigram_perplexity",
 ]
 
 # The iterative/heavy queries whose scaling behavior matters most;
