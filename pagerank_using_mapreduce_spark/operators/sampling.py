@@ -607,3 +607,73 @@ SELECT CAST(epoch AS BIGINT) AS epoch, CAST(shard AS BIGINT) AS shard,
        ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY _h) AS pos,
        key
 FROM hashed"""
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (x104): per-source top-k by the
+# Efraimidis-Spirakis A-ES key ln(u) / w — each doc's selection
+# probability is proportional to its weight (chars here: "sample
+# tokens, not documents", so a 10 kB doc is 100x likelier than a
+# 100 B one), u derived from md5(seed|doc_id), NOT an RNG — the
+# sample is a pure function of the row key, so retries, re-layouts
+# and re-runs agree row-for-row (the property seeded rand() does not
+# have on a cluster).  Scale shape: one group-key shuffle + a
+# streaming row_number per group (Spark's WindowGroupLimit pushes the
+# rank<=k cut into the sort, so no group ever materializes fully).
+# The float key only ORDERS rows; adjacent md5-derived keys differ by
+# >> 1 ulp, so both engines elect the same rows; outputs are integers.
+# --------------------------------------------------------------------------
+
+AES_K = 20
+AES_SEED = "aes-0"
+_AES_HEX = 13  # 52 bits: exact in BIGINT and in DOUBLE
+
+
+def weighted_sample_per_group(
+    documents: DataFrame, k: int = AES_K, seed: str = AES_SEED
+) -> DataFrame:
+    """(doc_id, source, n_chars, rk): the k docs per source electing
+    the largest ln(u)/n_chars (u in (0, 1] from 52 md5 bits);
+    zero-weight docs are excluded (they can never be sampled)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col("doc_id").cast("string")))
+    v = F.conv(F.substring(h, 1, _AES_HEX), 16, 10).cast("long")
+    u = (v + 1).cast("double") / F.lit(float(2 ** (4 * _AES_HEX)))
+    key = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("source").orderBy(F.desc("_aes_key"), "doc_id")
+    return (
+        documents.where(F.col("n_chars") > 0)
+        .select("doc_id", "source", "n_chars", key.alias("_aes_key"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("doc_id", "source", "n_chars", "rk")
+    )
+
+
+def weighted_sample_sql(k: int = AES_K, seed: str = AES_SEED) -> str:
+    """DuckDB twin: identical 52-bit md5 uniform and A-ES key
+    (hex→int via strpos digit expansion — DuckDB has no conv())."""
+    digits = "0123456789abcdef"
+    v = " + ".join(
+        f"(strpos('{digits}', substr(h, {i + 1}, 1)) - 1) * {16 ** (_AES_HEX - 1 - i)}"
+        for i in range(_AES_HEX)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, source, n_chars,
+         md5('{seed}' || '|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE n_chars > 0
+),
+keyed AS (
+  SELECT doc_id, source, n_chars,
+         LN(CAST(({v}) + 1 AS DOUBLE) / {float(2 ** (4 * _AES_HEX))}) / n_chars
+           AS aes_key
+  FROM hashed
+)
+SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source ORDER BY aes_key DESC, doc_id) AS rk
+  FROM keyed)
+WHERE rk <= {k}"""

@@ -1838,6 +1838,16 @@ FROM canon
 GROUP BY 1"""
 
 
+def q_x104_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sample without replacement (Efraimidis-
+    Spirakis, weight = n_chars — 'sample tokens, not documents');
+    selection is a pure md5 function of doc_id, so retries and
+    re-layouts agree row-for-row."""
+    from ..operators.sampling import weighted_sample_per_group
+
+    return weighted_sample_per_group(_docs(spark, sf_dir))
+
+
 def q_x46_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size deterministic uniform sample via bottom-k hash —
     TakeOrderedAndProject (per-partition top-k + driver merge), never
@@ -2482,6 +2492,7 @@ EXTENSION_QUERIES = {
     "x44_cms_heavy_hitters": q_x44_cms_heavy_hitters,
     "x45_sequence_packing": q_x45_sequence_packing,
     "x46_bottomk_sample": q_x46_bottomk_sample,
+    "x104_weighted_sample": q_x104_weighted_sample,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -2607,6 +2618,12 @@ def _bigram_ppl_oracle() -> str:
     from ..operators.text_analysis import BIGRAM_PPL_SQL
 
     return BIGRAM_PPL_SQL
+
+
+def _weighted_sample_oracle() -> str:
+    from ..operators.sampling import weighted_sample_sql
+
+    return weighted_sample_sql()
 
 
 def _quantize_oracle() -> str:
@@ -2904,6 +2921,7 @@ GROUP BY 1, 2""",
     "x47_groupwise_sample": bottom_k_per_group_sql(
         "source, doc_id", "documents", "source", "doc_id", 20
     ),
+    "x104_weighted_sample": _weighted_sample_oracle(),
     "x48_chunk_windows": chunk_windows_sql(),
     "x49_curriculum_order": curriculum_order_sql(
         "documents",

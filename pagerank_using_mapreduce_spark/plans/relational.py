@@ -2585,6 +2585,106 @@ FROM events GROUP BY event_type
 """
 
 
+
+# --------------------------------------------------------------------------
+# Robust per-type anomaly detection via MAD (w10): flag events whose
+# value deviates from the TYPE MEDIAN by more than 3 sigma-equivalents
+# of the median absolute deviation (3 * 1.4826 = 4.4478) — the robust
+# twin of e8's mean/stddev rule, immune to the outliers it hunts.
+# Exact medians WITHOUT a per-type row sort: values live on a cent
+# grid, so each pass collapses to a (type, cents) HISTOGRAM first and
+# takes the lower-median by nearest rank over the CDF — window
+# partitions hold distinct grid values (range-bounded), never rows —
+# the x96 envelope, run twice (values, then absolute deviations).
+# All arithmetic is integer cents; the only float op is the one
+# threshold product, identical in both engines.
+# --------------------------------------------------------------------------
+
+MAD_K = 4.4478  # 3 * 1.4826 (normal-consistency constant)
+
+
+def _grid_lower_median(grid: DataFrame, col: str) -> DataFrame:
+    """(event_type, med) lower median of integer ``col`` via histogram
+    CDF nearest-rank: min grid value whose cumulative count reaches
+    rank (n+1) div 2."""
+    hist = grid.groupBy("event_type", col).agg(F.count("*").alias("cnt"))
+    n = hist.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    cdf = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(Window.partitionBy("event_type").orderBy(col)),
+    )
+    return (
+        cdf.join(F.broadcast(n), "event_type")
+        .where(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min(col).alias("med"))
+    )
+
+
+def w10_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5000001))
+        .cast("long")
+        .alias("v_c"),
+    )
+    med = _grid_lower_median(base, "v_c").withColumnRenamed("med", "med_c")
+    dev = base.join(F.broadcast(med), "event_type").withColumn(
+        "dev_c", F.abs(F.col("v_c") - F.col("med_c"))
+    )
+    mad = _grid_lower_median(
+        dev.select("event_type", "dev_c"), "dev_c"
+    ).withColumnRenamed("med", "mad_c")
+    thr = F.floor(F.col("mad_c") * MAD_K + F.lit(0.5000001)).cast("long")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("dev_c") > thr)
+        .select("event_id", "event_type", "v_c", "dev_c", "med_c", "mad_c")
+    )
+
+
+W10_SQL = f"""
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT) AS v_c
+  FROM events
+),
+h1 AS (SELECT event_type, v_c, COUNT(*) AS cnt FROM base GROUP BY 1, 2),
+n1 AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM h1 GROUP BY 1),
+c1 AS (
+  SELECT event_type, v_c,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY v_c) AS cum
+  FROM h1
+),
+med AS (
+  SELECT c1.event_type, MIN(v_c) AS med_c
+  FROM c1 JOIN n1 USING (event_type)
+  WHERE cum >= (n + 1) // 2 GROUP BY 1
+),
+dev AS (
+  SELECT b.event_id, b.event_type, b.v_c, m.med_c,
+         ABS(b.v_c - m.med_c) AS dev_c
+  FROM base b JOIN med m USING (event_type)
+),
+h2 AS (SELECT event_type, dev_c, COUNT(*) AS cnt FROM dev GROUP BY 1, 2),
+n2 AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM h2 GROUP BY 1),
+c2 AS (
+  SELECT event_type, dev_c,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev_c) AS cum
+  FROM h2
+),
+mad AS (
+  SELECT c2.event_type, MIN(dev_c) AS mad_c
+  FROM c2 JOIN n2 USING (event_type)
+  WHERE cum >= (n + 1) // 2 GROUP BY 1
+)
+SELECT d.event_id, d.event_type, d.v_c, d.dev_c, d.med_c, ma.mad_c
+FROM dev d JOIN mad ma USING (event_type)
+WHERE d.dev_c > CAST(FLOOR(ma.mad_c * {MAD_K} + 0.5000001) AS BIGINT)"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2625,6 +2725,7 @@ RELATIONAL_QUERIES = {
     "d5_drift_psi": d5_drift_psi,
     "w7_concurrency": w7_concurrency,
     "w9_session_splice": w9_session_splice,
+    "w10_mad_outliers": w10_mad_outliers,
     "rj2_interval_overlap": rj2_interval_overlap,
     "w6_hourly_ohlc": w6_hourly_ohlc,
     "e10_debounce": e10_debounce,
@@ -2680,6 +2781,7 @@ RELATIONAL_ORACLE = {
     "d5_drift_psi": D5_SQL,
     "w7_concurrency": W7_SQL,
     "w9_session_splice": W9_SQL,
+    "w10_mad_outliers": W10_SQL,
     "st2_bag_ops": ST2_SQL,
     "rj2_interval_overlap": RJ2_SQL,
     "w6_hourly_ohlc": W6_SQL,

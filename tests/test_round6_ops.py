@@ -370,3 +370,97 @@ def test_x103_model_join_is_shuffle_keyed_on_gram(spark):
 
     plan = _plan(bigram_perplexity(_docs(spark)))
     assert "hashpartitioning(w1" in plan
+
+
+def test_w10_grid_lower_median_golden(spark):
+    """Lower median by nearest rank: odd group -> middle, even group
+    -> lower of the two middles."""
+    from pagerank_using_mapreduce_spark.plans.relational import (
+        _grid_lower_median,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 9), ("b", 1), ("b", 2), ("b", 3), ("b", 9)],
+        "event_type string, v long",
+    )
+    got = {r["event_type"]: r["med"] for r in _grid_lower_median(df, "v").collect()}
+    assert got == {"a": 2, "b": 2}  # b: rank (4+1) div 2 = 2 -> value 2
+
+
+def test_w10_outlier_rule_replay(spark):
+    """Every flagged row satisfies the integer MAD rule and a Python
+    replay over the raw parquet agrees on the flagged id set."""
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from pagerank_using_mapreduce_spark.plans.relational import (
+        MAD_K,
+        w10_mad_outliers,
+    )
+
+    out = w10_mad_outliers(spark, SF).collect()
+    for r in out:
+        assert r["dev_c"] == abs(r["v_c"] - r["med_c"])
+        assert r["dev_c"] > math.floor(r["mad_c"] * MAD_K + 0.5000001)
+
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["v_c"] = (ev["value"] * 100 + 0.5000001).apply(math.floor).astype(int)
+    want = set()
+    for t, g in ev.groupby("event_type"):
+        vs = sorted(g["v_c"])
+        med = vs[(len(vs) + 1) // 2 - 1]
+        devs = sorted(abs(v - med) for v in vs)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        thr = math.floor(mad * MAD_K + 0.5000001)
+        want |= {
+            int(r["event_id"])
+            for _, r in g.iterrows()
+            if abs(r["v_c"] - med) > thr
+        }
+    assert {r["event_id"] for r in out} == want and want
+
+
+def test_x104_weighted_sample_replay_and_stability(spark):
+    """The elected set is an exact Python replay of the A-ES election
+    (md5-uniform, key ln(u)/n_chars) and is invariant under
+    repartitioning (pure function of the row key)."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from pagerank_using_mapreduce_spark.operators.sampling import (
+        AES_K,
+        AES_SEED,
+        _AES_HEX,
+        weighted_sample_per_group,
+    )
+
+    docs = _docs(spark)
+    got = {
+        (r["source"], r["doc_id"]): r["rk"]
+        for r in weighted_sample_per_group(docs).collect()
+    }
+    got_shuffled = {
+        (r["source"], r["doc_id"]): r["rk"]
+        for r in weighted_sample_per_group(docs.repartition(17)).collect()
+    }
+    assert got == got_shuffled and got
+
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    keys = defaultdict(list)
+    for _, r in pdf.iterrows():
+        if r["n_chars"] <= 0:
+            continue
+        h = hashlib.md5(f"{AES_SEED}|{r['doc_id']}".encode()).hexdigest()
+        v = int(h[:_AES_HEX], 16)
+        key = math.log((v + 1) / 2 ** (4 * _AES_HEX)) / r["n_chars"]
+        keys[r["source"]].append((-key, r["doc_id"]))
+    want = {}
+    for src, lst in keys.items():
+        for i, (_, did) in enumerate(sorted(lst)[:AES_K], start=1):
+            want[(src, did)] = i
+    assert got == want
