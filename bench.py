@@ -129,6 +129,7 @@ SF1_QUERIES = [
     "x79_shard_manifest",
     "c4_training_manifest",
     "g12_landmark_closeness",  # the registry's most expensive query
+    "g14_adamic_adar",  # z-keyed pair join: the cap must keep it sublinear
 ]
 
 

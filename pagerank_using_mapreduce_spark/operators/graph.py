@@ -1241,3 +1241,108 @@ pairs AS (
 )
 SELECT a, b, n_common, aa_e9 FROM pairs
 WHERE NOT EXISTS (SELECT 1 FROM sym WHERE sym.src = pairs.a AND sym.dst = pairs.b)"""
+
+
+# --------------------------------------------------------------------------
+# Local clustering coefficient (g15): per-node triangle density over
+# the co-citation graph, lcc = 2T / (deg * (deg-1)) — the community-
+# tightness profile g3's global census can't see.  The pair relation
+# is the indeg-capped co-citation graph (cocitation_edges stages and
+# pins it once), so hub fan-out is blocked BEFORE triangle
+# enumeration; triangles enumerate lexicographically over the
+# canonical a<b relation (every edge of an a<b<c triangle is already
+# canonical — the g13 oracle's formulation), and each triangle
+# credits its three corners via one union+count, not three joins.
+# --------------------------------------------------------------------------
+
+
+def local_clustering(
+    pages: DataFrame, max_indeg: int = COCITE_MAX_INDEG
+) -> DataFrame:
+    """(title, deg, n_tri, lcc_e6) for co-citation nodes with deg >= 2
+    (deg < 2 has no defined coefficient)."""
+    e = cocitation_edges(pages, max_indeg)  # canonical a<b, pinned
+    both = e.select(F.col("a").alias("t")).unionAll(
+        e.select(F.col("b").alias("t"))
+    )
+    deg = both.groupBy("t").agg(F.count("*").alias("deg"))
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    credits = (
+        tri.select(F.col("x").alias("t"))
+        .unionAll(tri.select(F.col("y").alias("t")))
+        .unionAll(tri.select(F.col("z").alias("t")))
+    )
+    tc = credits.groupBy("t").agg(F.count("*").alias("n_tri"))
+    nt = F.coalesce("n_tri", F.lit(0))
+    return (
+        deg.join(tc, "t", "left")
+        .where(F.col("deg") >= 2)
+        .select(
+            F.col("t").alias("title"),
+            "deg",
+            nt.alias("n_tri"),
+            F.floor(
+                F.lit(2.0)
+                * nt
+                / (F.col("deg") * (F.col("deg") - 1))
+                * 1e6
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("lcc_e6"),
+        )
+    )
+
+
+def local_clustering_sql(
+    pages_ctes: str, max_indeg: int = COCITE_MAX_INDEG
+) -> str:
+    """DuckDB twin: identical capped co-citation relation and
+    lexicographic triangle credit."""
+    return f"""WITH {pages_ctes},
+ind AS (SELECT dst, COUNT(*) AS indeg FROM edges GROUP BY dst),
+capped AS (
+  SELECT e.src, e.dst FROM edges e
+  JOIN ind ON ind.dst = e.dst AND ind.indeg <= {max_indeg}
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT e1.src AS a, e2.src AS b
+  FROM capped e1 JOIN capped e2
+    ON e1.dst = e2.dst AND e1.src < e2.src
+),
+deg AS (
+  SELECT t, COUNT(*) AS deg FROM (
+    SELECT a AS t FROM e0 UNION ALL SELECT b AS t FROM e0)
+  GROUP BY t
+),
+tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tc AS (
+  SELECT t, COUNT(*) AS n_tri FROM (
+    SELECT x AS t FROM tri UNION ALL SELECT y AS t FROM tri
+    UNION ALL SELECT z AS t FROM tri)
+  GROUP BY t
+)
+SELECT d.t AS title, d.deg,
+       CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(FLOOR(2.0 * COALESCE(tc.n_tri, 0) / (d.deg * (d.deg - 1)) * 1e6
+                  + 0.5000001) AS BIGINT) AS lcc_e6
+FROM deg d LEFT JOIN tc ON tc.t = d.t
+WHERE d.deg >= 2"""

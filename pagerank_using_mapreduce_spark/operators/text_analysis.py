@@ -1403,3 +1403,115 @@ SELECT dp.doc_id,
             AS BIGINT) AS xent_e6
 FROM doc_pairs dp JOIN logp l ON l.w1 = dp.w1 AND l.w2 = dp.w2
 GROUP BY dp.doc_id"""
+
+
+# --------------------------------------------------------------------------
+# Zipf slope audit (x105): per-language least-squares fit of
+# ln(freq) ~ ln(rank) over the word-frequency table — the power-law
+# health check a corpus curation team runs per crawl (natural text
+# sits near slope -1; a drifting slope flags boilerplate floods or
+# template spam).  Determinism: ln(rank)/ln(freq) are quantized to e3
+# integers FIRST; all five regression sums are EXACT integer
+# aggregates (decimal(38) on Spark, HUGEINT on DuckDB), and the final
+# slope/r² divisions start from identical integers in both engines.
+# Scale shape: one (lang, word) count, one lang-partitioned rank
+# window over the VOCAB relation (vocab-scale, not corpus-scale),
+# then a 5-sum aggregate per lang — no corpus-sized sort.
+# --------------------------------------------------------------------------
+
+ZIPF_MIN_TYPES = 3  # below this the regression denominator is ~0
+
+
+def zipf_slope(documents: DataFrame) -> DataFrame:
+    """(lang, n_types, slope_e6, r2_e6) per language with >=
+    ZIPF_MIN_TYPES word types; slope from the e3-quantized log-log
+    regression."""
+    from pyspark.sql import Window
+
+    wf = (
+        documents.select("lang", F.explode(_toks()).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = wf.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(F.desc("freq"), "word")
+        ),
+    )
+    q3 = lambda c: (  # noqa: E731 — ln quantized to e3 integers
+        F.floor(F.log(c.cast("double")) * 1e3 + F.lit(0.5000001)).cast(
+            "decimal(20,0)"
+        )
+    )
+    pts = ranked.select(
+        "lang", q3(F.col("rk")).alias("x"), q3(F.col("freq")).alias("y")
+    )
+    sums = pts.groupBy("lang").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return (
+        sums.where(F.col("n") >= ZIPF_MIN_TYPES)
+        .select(
+            "lang",
+            F.col("n").cast("long").alias("n_types"),
+            F.floor(num / den * 1e6 + F.lit(0.5000001))
+            .cast("long")
+            .alias("slope_e6"),
+            F.floor(num * num / (den * deny) * 1e6 + F.lit(0.5000001))
+            .cast("long")
+            .alias("r2_e6"),
+        )
+    )
+
+
+ZIPF_SLOPE_SQL = f"""
+WITH wf AS (
+  SELECT lang, word, COUNT(*) AS freq FROM (
+    SELECT lang, unnest(list_filter(string_split_regex(
+             lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+             t -> t != '')) AS word
+    FROM documents)
+  GROUP BY lang, word
+),
+ranked AS (
+  SELECT lang, freq,
+         row_number() OVER (PARTITION BY lang ORDER BY freq DESC, word)
+           AS rk
+  FROM wf
+),
+pts AS (
+  SELECT lang,
+         CAST(FLOOR(LN(CAST(rk AS DOUBLE)) * 1e3 + 0.5000001) AS BIGINT) AS x,
+         CAST(FLOOR(LN(CAST(freq AS DOUBLE)) * 1e3 + 0.5000001) AS BIGINT) AS y
+  FROM ranked
+),
+sums AS (
+  SELECT lang, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pts GROUP BY lang
+)
+SELECT lang, CAST(n AS BIGINT) AS n_types,
+       CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5000001)
+            AS BIGINT) AS slope_e6,
+       CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (CAST(n * sxx - sx * sx AS DOUBLE)
+                     * CAST(n * syy - sy * sy AS DOUBLE)) * 1e6 + 0.5000001)
+            AS BIGINT) AS r2_e6
+FROM sums WHERE n >= {ZIPF_MIN_TYPES}"""

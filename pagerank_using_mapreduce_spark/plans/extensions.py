@@ -869,6 +869,15 @@ def q_x103_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_perplexity(_docs(spark, sf_dir))
 
 
+def q_x105_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf (log-log) slope + r² over the word-frequency
+    table — the power-law health check per crawl; e3-quantized logs,
+    exact integer regression sums, vocab-scale rank window."""
+    from ..operators.text_analysis import zipf_slope
+
+    return zipf_slope(_docs(spark, sf_dir))
+
+
 def q_x100_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dim symmetric int8 quantization of the embedding table:
     bounded per-dim scale aggregate broadcast onto the scan, integer
@@ -2493,6 +2502,7 @@ EXTENSION_QUERIES = {
     "x45_sequence_packing": q_x45_sequence_packing,
     "x46_bottomk_sample": q_x46_bottomk_sample,
     "x104_weighted_sample": q_x104_weighted_sample,
+    "x105_zipf_slope": q_x105_zipf_slope,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -2624,6 +2634,12 @@ def _weighted_sample_oracle() -> str:
     from ..operators.sampling import weighted_sample_sql
 
     return weighted_sample_sql()
+
+
+def _zipf_slope_oracle() -> str:
+    from ..operators.text_analysis import ZIPF_SLOPE_SQL
+
+    return ZIPF_SLOPE_SQL
 
 
 def _quantize_oracle() -> str:
@@ -2922,6 +2938,7 @@ GROUP BY 1, 2""",
         "source, doc_id", "documents", "source", "doc_id", 20
     ),
     "x104_weighted_sample": _weighted_sample_oracle(),
+    "x105_zipf_slope": _zipf_slope_oracle(),
     "x48_chunk_windows": chunk_windows_sql(),
     "x49_curriculum_order": curriculum_order_sql(
         "documents",

@@ -559,6 +559,16 @@ def q_g14_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar(_pages(spark, sf_dir))
 
 
+def q_g15_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the indeg-capped
+    co-citation graph (2T / deg(deg-1)) — community tightness the
+    global triangle census (g3) can't see; triangle credit via one
+    union+count over the pinned canonical pair relation."""
+    from ..operators.graph import local_clustering
+
+    return local_clustering(_pages(spark, sf_dir))
+
+
 def q_g12_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark closeness centrality: k labeled BFS traversals in one
     loop (state keyed by (seed, title); adjacency scanned once per
@@ -831,6 +841,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g12_landmark_closeness": q_g12_landmark_closeness,
     "g13_truss_edges": q_g13_truss_edges,
     "g14_adamic_adar": q_g14_adamic_adar,
+    "g15_local_clustering": q_g15_local_clustering,
     "g6_kcore": q_g6_kcore,
     "g7_label_prop": q_g7_label_prop,
     "deg_stats": q_deg_stats,
@@ -862,6 +873,12 @@ def _g14_sql() -> str:
     from ..operators.graph import adamic_adar_sql
 
     return adamic_adar_sql(_PAGES_CTES, _SYM_CTE)
+
+
+def _g15_sql() -> str:
+    from ..operators.graph import local_clustering_sql
+
+    return local_clustering_sql(_PAGES_CTES)
 
 
 def _cc_ctes(iterations: int, materialized: bool = False) -> str:
@@ -1027,6 +1044,7 @@ SELECT
   (SELECT COUNT(*) FROM und) AS n_edges""",
     "g13_truss_edges": _g13_sql(),
     "g14_adamic_adar": _g14_sql(),
+    "g15_local_clustering": _g15_sql(),
     "o1_ranking": f"""WITH {_PAGES_CTES},
 {_rank_ctes(10)},
 rounded AS (SELECT title, {_sql_e6('rank')} AS rank_e6 FROM r10)
@@ -1149,7 +1167,8 @@ _DRIVER_ROTATION: list[str] = [
     "x99_cooccurrence_pmi", "x100_quantize_embeddings",
     "z16_stream_index_screen", "x101_ngram_novelty",
     "x102_gopher_repetition", "x103_bigram_perplexity", "g14_adamic_adar",
-    "w10_mad_outliers", "x104_weighted_sample",
+    "w10_mad_outliers", "x104_weighted_sample", "x105_zipf_slope",
+    "g15_local_clustering",
     # --- re-checks of the oldest r01-era rows (fill to the 50 cap;
     # --- entries past slot 50 wait for the r07 head) ---
     "s1_corpus_scan", "p1_titles", "p3_doc_ids", "p45_links",

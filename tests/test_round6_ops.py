@@ -464,3 +464,46 @@ def test_x104_weighted_sample_replay_and_stability(spark):
         for i, (_, did) in enumerate(sorted(lst)[:AES_K], start=1):
             want[(src, did)] = i
     assert got == want
+
+
+def test_x105_zipf_golden_power_law(spark):
+    """freqs 24/12/8/6 at ranks 1..4 are an exact 1/rank law: slope
+    -1, r2 ~ 1 (e3 log quantization leaves < 0.1% error)."""
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        zipf_slope,
+    )
+
+    text = " ".join(["aa"] * 24 + ["bb"] * 12 + ["cc"] * 8 + ["dd"] * 6)
+    docs = spark.createDataFrame(
+        [(1, text, "zz")], "doc_id long, text string, lang string"
+    )
+    row = zipf_slope(docs).collect()
+    assert len(row) == 1 and row[0]["n_types"] == 4
+    assert -1_010_000 < row[0]["slope_e6"] < -990_000
+    assert row[0]["r2_e6"] > 999_000
+
+
+def test_g15_local_clustering_golden(spark):
+    """p1/p2/p3 co-cite t (a K3); p4 shares only t2 with p1: p2/p3
+    have lcc 1, p1 (deg 3, one triangle) has 2/6, p4 (deg 1) is
+    excluded."""
+    from pagerank_using_mapreduce_spark.operators.graph import (
+        local_clustering,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("p1", ["t", "t2"]),
+            ("p2", ["t"]),
+            ("p3", ["t"]),
+            ("p4", ["t2"]),
+            ("t", []),
+            ("t2", []),
+        ],
+        "title string, links array<string>",
+    )
+    got = {r["title"]: r for r in local_clustering(pages).collect()}
+    assert set(got) == {"p1", "p2", "p3"}
+    assert got["p2"]["lcc_e6"] == 1_000_000 == got["p3"]["lcc_e6"]
+    assert got["p1"]["deg"] == 3 and got["p1"]["n_tri"] == 1
+    assert got["p1"]["lcc_e6"] == 333_333
