@@ -975,3 +975,110 @@ SELECT vec_id,
        list_aggregate(list_transform(q, x -> CAST(x AS VARCHAR)),
                       'string_agg', ',') AS q_codes
 FROM qz"""
+
+
+# ---------------------------------------------------------------------------
+# Label-noise audit (x106): confident-learning-style QA for the
+# embedding table's labels — for a deterministic audit sample, find
+# each vector's k nearest neighbors (cosine) and compare its own
+# label to the neighborhood majority; a disagreeing majority flags a
+# likely mislabel.  Scale shape: the audit sample is bounded
+# (vec_id % mod), so queries broadcast to the collection scan exactly
+# like x5 (the collection never shuffles for scoring); the top-k
+# relation is |audit|*k rows and broadcasts onto the label lookup;
+# the majority is g7's argmax-as-MIN-over-struct(-count, label) — an
+# aggregate, never a per-query sort.
+# ---------------------------------------------------------------------------
+
+LABEL_AUDIT_MOD = 23  # audit sample: vec_id % 23 == 0
+LABEL_NB_K = 10
+
+
+def label_noise_audit(
+    embeddings: DataFrame, k: int = LABEL_NB_K, mod: int = LABEL_AUDIT_MOD
+) -> DataFrame:
+    """(vec_id, own_label, maj_label, n_agree, flagged) for each
+    audited vector; majority ties break toward the smaller label."""
+    audited = embeddings.where(F.col("vec_id") % mod == 0)
+    topk = cosine_topk(embeddings, queries=audited, k=k)
+    nb = embeddings.select("vec_id", "label").join(
+        F.broadcast(topk.select("query_id", "vec_id")), "vec_id"
+    )
+    counts = nb.groupBy("query_id", "label").agg(F.count("*").alias("cnt"))
+    maj = (
+        counts.groupBy("query_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg"), F.col("label").alias("l")
+                )
+            ).alias("m")
+        )
+        .select("query_id", F.col("m.l").alias("maj_label"))
+    )
+    own = audited.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("own_label")
+    )
+    agree = counts.join(
+        own, (counts.query_id == own.query_id) & (counts.label == own.own_label)
+    ).select(counts.query_id.alias("qid"), F.col("cnt").alias("n_agree"))
+    return (
+        own.join(maj, "query_id")
+        .join(agree, F.col("query_id") == F.col("qid"), "left")
+        .select(
+            F.col("query_id").alias("vec_id"),
+            "own_label",
+            "maj_label",
+            F.coalesce("n_agree", F.lit(0)).cast("long").alias("n_agree"),
+            (F.col("own_label") != F.col("maj_label"))
+            .cast("long")
+            .alias("flagged"),
+        )
+    )
+
+
+def label_noise_sql(k: int = LABEL_NB_K, mod: int = LABEL_AUDIT_MOD) -> str:
+    """DuckDB twin: identical quantized-cosine top-k and
+    (cnt DESC, label ASC) majority election."""
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb, label AS own_label
+  FROM embeddings WHERE vec_id % {mod} = 0
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         CAST(FLOOR(
+           list_dot_product(q.q_emb, e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.q_emb, q.q_emb))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           * 1e6 + 0.5000001) AS BIGINT) AS cosine_e6
+  FROM embeddings e, q
+  WHERE e.vec_id != q.query_id
+),
+topk AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cosine_e6 DESC, vec_id ASC) AS rank
+    FROM scored)
+  WHERE rank <= {k}
+),
+counts AS (
+  SELECT t.query_id, e.label, COUNT(*) AS cnt
+  FROM topk t JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2
+),
+maj AS (
+  SELECT query_id, label AS maj_label FROM (
+    SELECT query_id, label,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY cnt DESC, label ASC) AS rn
+    FROM counts)
+  WHERE rn = 1
+)
+SELECT q.query_id AS vec_id, q.own_label, m.maj_label,
+       CAST(COALESCE(a.cnt, 0) AS BIGINT) AS n_agree,
+       CAST(q.own_label != m.maj_label AS BIGINT) AS flagged
+FROM q
+JOIN maj m USING (query_id)
+LEFT JOIN counts a ON a.query_id = q.query_id AND a.label = q.own_label"""

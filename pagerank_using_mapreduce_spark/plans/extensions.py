@@ -2341,6 +2341,15 @@ SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
 """
 
 
+def q_x106_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-learning label QA: own label vs k-NN majority label
+    for a bounded audit sample (broadcast to the collection scan, the
+    x5 shape); disagreement flags likely mislabels before training."""
+    from ..operators.similarity import label_noise_audit
+
+    return label_noise_audit(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_x78_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of the IVF-pruned search (x6) against the exact
     brute-force top-k (x5), per query — the x43/x64 audit pattern
@@ -2550,6 +2559,7 @@ EXTENSION_QUERIES = {
     "x76_kmv_distinct": q_x76_kmv_distinct,
     "x77_epoch_shuffle": q_x77_epoch_shuffle,
     "x78_ann_recall": q_x78_ann_recall,
+    "x106_label_noise": q_x106_label_noise,
     "z14_stream_dedup": q_z14_stream_dedup,
     "z16_stream_index_screen": q_z16_stream_index_screen,
     "x79_shard_manifest": q_x79_shard_manifest,
@@ -2640,6 +2650,12 @@ def _zipf_slope_oracle() -> str:
     from ..operators.text_analysis import ZIPF_SLOPE_SQL
 
     return ZIPF_SLOPE_SQL
+
+
+def _label_noise_oracle() -> str:
+    from ..operators.similarity import label_noise_sql
+
+    return label_noise_sql()
 
 
 def _quantize_oracle() -> str:
@@ -2939,6 +2955,7 @@ GROUP BY 1, 2""",
     ),
     "x104_weighted_sample": _weighted_sample_oracle(),
     "x105_zipf_slope": _zipf_slope_oracle(),
+    "x106_label_noise": _label_noise_oracle(),
     "x48_chunk_windows": chunk_windows_sql(),
     "x49_curriculum_order": curriculum_order_sql(
         "documents",

@@ -507,3 +507,26 @@ def test_g15_local_clustering_golden(spark):
     assert got["p2"]["lcc_e6"] == 1_000_000 == got["p3"]["lcc_e6"]
     assert got["p1"]["deg"] == 3 and got["p1"]["n_tri"] == 1
     assert got["p1"]["lcc_e6"] == 333_333
+
+
+def test_x106_label_noise_golden_and_no_collection_shuffle(spark):
+    """A planted mislabel (cluster-A vector tagged 9) is flagged with
+    majority = the cluster label and n_agree = 0; the collection is
+    never hash-shuffled on vec_id (queries broadcast, x5 shape)."""
+    from pagerank_using_mapreduce_spark.operators.similarity import (
+        label_noise_audit,
+    )
+
+    rows = [(i, [1.0, 0.01 * i], 9 if i == 0 else 0) for i in range(8)]
+    rows += [(8 + j, [0.01 * j, 1.0], 1) for j in range(8)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = label_noise_audit(emb).collect()  # audited: vec_id 0 only
+    assert len(out) == 1
+    r = out[0]
+    assert r["vec_id"] == 0 and r["own_label"] == 9
+    assert r["maj_label"] == 0 and r["n_agree"] == 0 and r["flagged"] == 1
+
+    plan = _plan(label_noise_audit(emb))
+    assert "hashpartitioning(vec_id" not in plan
