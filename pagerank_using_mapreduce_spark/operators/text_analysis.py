@@ -1296,10 +1296,17 @@ FROM per GROUP BY doc_id"""
 # --------------------------------------------------------------------------
 
 
-def bigram_perplexity(documents: DataFrame) -> DataFrame:
+def bigram_perplexity(
+    documents: DataFrame, materialize: bool = True
+) -> DataFrame:
     """(doc_id, n_pairs, total_logp_e6, xent_e6) for docs with >= 2
     tokens; xent = -mean bigram log-prob (natural log, e6-quantized),
-    P(w2 | w1) = (c12 + 1) / (c1 + V)."""
+    P(w2 | w1) = (c12 + 1) / (c1 + V).
+
+    ``materialize`` eagerly pins the scored result and releases the
+    internal (doc, bigram) cache before returning (the
+    with_global_position policy — long-lived sessions don't
+    accumulate blocks); pass False to inspect the lazy plan."""
     toked = documents.select("doc_id", _toks().alias("t")).where(
         F.size("t") >= 2
     )
@@ -1339,7 +1346,7 @@ def bigram_perplexity(documents: DataFrame) -> DataFrame:
             .alias("logp_e6"),
         )
     )
-    return (
+    out = (
         doc_pairs.join(logp, ["w1", "w2"])  # vocab²-scale: shuffle join
         .groupBy("doc_id")
         .agg(
@@ -1360,6 +1367,11 @@ def bigram_perplexity(documents: DataFrame) -> DataFrame:
             .alias("xent_e6"),
         )
     )
+    if not materialize:
+        return out
+    out = out.localCheckpoint(eager=True)
+    doc_pairs.unpersist()
+    return out
 
 
 BIGRAM_PPL_SQL = """

@@ -368,7 +368,7 @@ def test_x103_model_join_is_shuffle_keyed_on_gram(spark):
         bigram_perplexity,
     )
 
-    plan = _plan(bigram_perplexity(_docs(spark)))
+    plan = _plan(bigram_perplexity(_docs(spark), materialize=False))
     assert "hashpartitioning(w1" in plan
 
 
