@@ -1217,3 +1217,109 @@ SELECT win,
          AS dup_rate_e6
 FROM d JOIN first f ON d.digest = f.digest
 GROUP BY win"""
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join via prefix filtering (x108) — the
+# DETERMINISTIC complement to MinHash/LSH (x2-x4): every pair with
+# Jaccard >= t is emitted, no probabilistic recall loss.  The classic
+# AllPairs/PPJoin prefix-filter theorem: order each doc's shingle set
+# globally rarest-first; two sets with J >= t MUST share a shingle
+# within each other's first |S| - ceil(t*|S|) + 1 elements, so joining
+# only on prefix shingles is complete.  Scale shape: candidate
+# generation degree is bounded by the df of the RAREST shingles of each
+# doc (a common shingle only enters prefixes of docs made entirely of
+# common shingles), a ~|prefix|/|set| reduction over the full inverted
+# index with zero recall loss; the verify stage is pair-keyed and
+# exact-integer (10*inter >= 7*union — no float thresholding).  The
+# oracle is algorithm-independent: DuckDB computes the SAME pair set
+# from the FULL inverted index (any-shared-shingle candidates), so the
+# hash gate proves the prefix filter dropped nothing.
+# ---------------------------------------------------------------------------
+
+SETSIM_NUM = 7  # threshold t = SETSIM_NUM / SETSIM_DEN = 0.7
+SETSIM_DEN = 10
+
+
+def setsim_join(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_a, doc_b, inter, sz_a, sz_b, jacc_e6): all unordered doc
+    pairs whose k-shingle sets have Jaccard >= 0.7, by prefix-filtered
+    AllPairs join."""
+    from pyspark.sql import Window
+
+    s = shingles(docs, k)  # already DISTINCT (doc_id, shingle)
+    sz = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    dfreq = s.groupBy("shingle").agg(F.count("*").alias("df"))
+    ranked = s.join(dfreq, "shingle").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "shingle")
+        ),
+    )
+    # prefix length p = sz - ceil(t*sz) + 1, integer ceil
+    pref = ranked.join(sz, "doc_id").where(
+        F.col("rk")
+        <= F.col("sz")
+        - F.floor((F.lit(SETSIM_NUM) * F.col("sz") + (SETSIM_DEN - 1)) / SETSIM_DEN)
+        + 1
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(s.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(s.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sized = (
+        inter.join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    )
+    return (
+        sized.where(
+            F.lit(SETSIM_DEN) * F.col("inter") >= F.lit(SETSIM_NUM) * F.col("uni")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "sz_a",
+            "sz_b",
+            F.floor(
+                F.col("inter").cast("double") / F.col("uni") * 1e6
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("jacc_e6"),
+        )
+    )
+
+
+def setsim_join_sql(docs_sql: str, k: int = 3) -> str:
+    """Algorithm-independent oracle: full inverted-index candidates
+    (ANY shared shingle) + the identical exact-integer threshold."""
+    return f"""
+WITH s AS ({shingles_sql(docs_sql, k)}),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM s GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.inter, za.sz AS sz_a, zb.sz AS sz_b,
+       CAST(FLOOR(CAST(i.inter AS DOUBLE)
+                  / (za.sz + zb.sz - i.inter) * 1e6 + 0.5000001) AS BIGINT)
+         AS jacc_e6
+FROM inter i
+JOIN sz za ON za.doc_id = i.doc_a
+JOIN sz zb ON zb.doc_id = i.doc_b
+WHERE {SETSIM_DEN} * i.inter >= {SETSIM_NUM} * (za.sz + zb.sz - i.inter)"""

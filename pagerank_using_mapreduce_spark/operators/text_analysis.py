@@ -1527,3 +1527,131 @@ SELECT lang, CAST(n AS BIGINT) AS n_types,
                      * CAST(n * syy - sy * sy AS DOUBLE)) * 1e6 + 0.5000001)
             AS BIGINT) AS r2_e6
 FROM sums WHERE n >= {ZIPF_MIN_TYPES}"""
+
+
+# ---------------------------------------------------------------------------
+# PII scan (x107): per-source detection rates for emails / IPv4 / phone
+# numbers.  The synthetic corpus is letters-only, so the query augments
+# it with deterministic doc_id-derived PII before scanning — both
+# engines inject the identical strings, and every non-injected doc is a
+# true negative the patterns must not fire on.  Detection is
+# regexp_count on the raw text: a pure column expression (JVM
+# whole-stage codegen), one map-side-combinable aggregate per source —
+# zero joins, zero extra shuffles beyond the final groupBy.  Patterns
+# deliberately use the regex subset (character classes, +, {n})
+# interpreted identically by Java util.regex and DuckDB's RE2.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_PAT = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+PII_IP_PAT = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+PII_PHONE_PAT = "555-[0-9]{4}"
+
+
+def pii_augment(documents: DataFrame) -> DataFrame:
+    """documents with deterministic PII appended: doc_id % 7 -> email,
+    % 11 -> dotted-quad IP, % 13 -> 555-prefix phone (overlapping
+    moduli give docs with several kinds)."""
+    did = F.col("doc_id")
+    email = F.when(
+        did % 7 == 0,
+        F.concat(F.lit(" contact user"), did, F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 11 == 0,
+        F.concat(
+            F.lit(" host 10."),
+            (did % 256).cast("string"),
+            F.lit("."),
+            ((did * 7) % 256).cast("string"),
+            F.lit("."),
+            ((did * 13) % 256).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 13 == 0,
+        F.concat(
+            F.lit(" call 555-"), F.lpad((did % 10000).cast("string"), 4, "0")
+        ),
+    ).otherwise(F.lit(""))
+    return documents.select(
+        "doc_id",
+        "source",
+        F.concat(F.col("text"), email, ip, phone).alias("text"),
+    )
+
+
+PII_AUGMENT_SQL = """
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+              THEN ' host 10.' || (doc_id % 256) || '.'
+                   || ((doc_id * 7) % 256) || '.' || ((doc_id * 13) % 256)
+              ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+              THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS text
+  FROM documents
+"""
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, docs_with_pii, n_emails, n_ips, n_phones,
+    pii_rate_e6): per-source PII exposure — the pre-training redaction
+    audit.  Counts are exact integers; the rate quantizes last."""
+    scanned = docs.select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL_PAT)).alias("ne"),
+        F.regexp_count(F.col("text"), F.lit(PII_IP_PAT)).alias("ni"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE_PAT)).alias("np"),
+    )
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                ((F.col("ne") + F.col("ni") + F.col("np")) > 0).cast("long")
+            ).alias("docs_with_pii"),
+            F.sum("ne").cast("long").alias("n_emails"),
+            F.sum("ni").cast("long").alias("n_ips"),
+            F.sum("np").cast("long").alias("n_phones"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "docs_with_pii",
+            "n_emails",
+            "n_ips",
+            "n_phones",
+            F.floor(
+                F.col("docs_with_pii").cast("double")
+                / F.col("n_docs")
+                * 1e6
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("pii_rate_e6"),
+        )
+    )
+
+
+PII_SCAN_SQL = f"""
+WITH aug AS ({PII_AUGMENT_SQL}),
+scanned AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{PII_EMAIL_PAT}')) AS ne,
+         len(regexp_extract_all(text, '{PII_IP_PAT}')) AS ni,
+         len(regexp_extract_all(text, '{PII_PHONE_PAT}')) AS np
+  FROM aug
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_pii,
+       CAST(SUM(ne) AS BIGINT) AS n_emails,
+       CAST(SUM(ni) AS BIGINT) AS n_ips,
+       CAST(SUM(np) AS BIGINT) AS n_phones,
+       CAST(FLOOR(CAST(SUM(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END)
+                       AS DOUBLE) / COUNT(*) * 1e6 + 0.5000001) AS BIGINT)
+         AS pii_rate_e6
+FROM scanned GROUP BY source"""

@@ -2350,6 +2350,28 @@ def q_x106_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_noise_audit(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_x107_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII exposure audit (emails / IPv4 / phones) over the
+    deterministically PII-augmented corpus: regexp_count column
+    expressions + one map-side-combinable per-source aggregate — zero
+    joins; non-injected docs are true negatives the patterns must not
+    fire on."""
+    from ..operators.text_analysis import pii_augment, pii_scan
+
+    return pii_scan(pii_augment(_docs(spark, sf_dir)))
+
+
+def q_x108_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.7 shingle-set join via AllPairs/PPJoin prefix
+    filtering (rarest-first global order; complete by the prefix-filter
+    theorem) — the deterministic complement to MinHash.  Oracle derives
+    the same pair set from the FULL inverted index, proving the prefix
+    filter dropped nothing."""
+    from ..operators.dedup import setsim_join
+
+    return setsim_join(dd.augment_docs(_docs(spark, sf_dir)))
+
+
 def q_x78_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of the IVF-pruned search (x6) against the exact
     brute-force top-k (x5), per query — the x43/x64 audit pattern
@@ -2512,6 +2534,8 @@ EXTENSION_QUERIES = {
     "x46_bottomk_sample": q_x46_bottomk_sample,
     "x104_weighted_sample": q_x104_weighted_sample,
     "x105_zipf_slope": q_x105_zipf_slope,
+    "x107_pii_scan": q_x107_pii_scan,
+    "x108_setsim_join": q_x108_setsim_join,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -2656,6 +2680,18 @@ def _label_noise_oracle() -> str:
     from ..operators.similarity import label_noise_sql
 
     return label_noise_sql()
+
+
+def _pii_scan_oracle() -> str:
+    from ..operators.text_analysis import PII_SCAN_SQL
+
+    return PII_SCAN_SQL
+
+
+def _setsim_join_oracle() -> str:
+    from ..operators.dedup import setsim_join_sql
+
+    return setsim_join_sql(dd.AUGMENT_SQL)
 
 
 def _quantize_oracle() -> str:
@@ -2956,6 +2992,8 @@ GROUP BY 1, 2""",
     "x104_weighted_sample": _weighted_sample_oracle(),
     "x105_zipf_slope": _zipf_slope_oracle(),
     "x106_label_noise": _label_noise_oracle(),
+    "x107_pii_scan": _pii_scan_oracle(),
+    "x108_setsim_join": _setsim_join_oracle(),
     "x48_chunk_windows": chunk_windows_sql(),
     "x49_curriculum_order": curriculum_order_sql(
         "documents",

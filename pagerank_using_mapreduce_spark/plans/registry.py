@@ -1169,6 +1169,8 @@ _DRIVER_ROTATION: list[str] = [
     "x102_gopher_repetition", "x103_bigram_perplexity", "g14_adamic_adar",
     "w10_mad_outliers", "x104_weighted_sample", "x105_zipf_slope",
     "g15_local_clustering", "x106_label_noise",
+    # --- round-6 session-3 additions (r07 head candidates) ---
+    "x107_pii_scan", "x108_setsim_join",
     # --- re-checks of the oldest r01-era rows (fill to the 50 cap;
     # --- entries past slot 50 wait for the r07 head) ---
     "s1_corpus_scan", "p1_titles", "p3_doc_ids", "p45_links",

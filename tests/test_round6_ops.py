@@ -530,3 +530,88 @@ def test_x106_label_noise_golden_and_no_collection_shuffle(spark):
 
     plan = _plan(label_noise_audit(emb))
     assert "hashpartitioning(vec_id" not in plan
+
+
+def test_x107_pii_golden_and_true_negatives(spark):
+    """Planted PII is counted exactly per kind; a clean doc scans to
+    zero on every pattern (no false fires on letters-only text)."""
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        pii_augment,
+        pii_scan,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "s0", "plain words only"),        # %7 %11 %13 -> all three
+            (7, "s0", "nothing to see here"),     # email only
+            (11, "s1", "more plain words"),       # ip only
+            (13, "s1", "still plain"),            # phone only
+            (3, "s1", "clean doc"),               # nothing
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in pii_scan(pii_augment(docs)).collect()}
+    assert out["s0"]["n_emails"] == 2 and out["s0"]["n_ips"] == 1
+    assert out["s0"]["n_phones"] == 1 and out["s0"]["docs_with_pii"] == 2
+    assert out["s0"]["pii_rate_e6"] == 1_000_000
+    assert out["s1"]["n_emails"] == 0 and out["s1"]["n_ips"] == 1
+    assert out["s1"]["n_phones"] == 1 and out["s1"]["docs_with_pii"] == 2
+    assert out["s1"]["pii_rate_e6"] == 666_667
+
+
+def test_x108_prefix_filter_equals_full_index(spark):
+    """The prefix-filtered pair set equals the full-inverted-index pair
+    set on the augmented sf0.001 corpus (completeness on real data),
+    and a planted J=0.75 pair is found while J<0.7 pairs are not."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        SETSIM_DEN,
+        SETSIM_NUM,
+        setsim_join,
+        shingles,
+    )
+
+    # planted near-identical pair -> J >= 0.7 (letters only: the
+    # tokenizer strips digits)
+    base = "aa bb cc dd ee ff gg hh ii jj kk ll mm nn"
+    toy = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " tail pad"),     # near-identical -> match
+            (3, "a b c d e f g h i j"),  # disjoint -> no match
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in setsim_join(toy).collect()}
+    assert (1, 2) in got and all(3 not in p for p in got)
+
+    docs = _docs(spark).limit(120)
+    s = shingles(docs)
+    full = (
+        s.alias("a")
+        .join(s.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .join(s.groupBy("doc_id").count().withColumnRenamed("doc_id", "doc_a").withColumnRenamed("count", "sz_a"), "doc_a")
+        .join(s.groupBy("doc_id").count().withColumnRenamed("doc_id", "doc_b").withColumnRenamed("count", "sz_b"), "doc_b")
+    )
+    inter = (
+        full.join(s.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(s.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in inter.where(
+            F.lit(SETSIM_DEN) * F.col("inter")
+            >= F.lit(SETSIM_NUM) * (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        ).collect()
+    }
+    got2 = {
+        (r["doc_a"], r["doc_b"]) for r in setsim_join(docs).collect()
+    }
+    assert got2 == want
