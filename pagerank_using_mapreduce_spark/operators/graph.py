@@ -1346,3 +1346,84 @@ SELECT d.t AS title, d.deg,
                   + 0.5000001) AS BIGINT) AS lcc_e6
 FROM deg d LEFT JOIN tc ON tc.t = d.t
 WHERE d.deg >= 2"""
+
+
+# --------------------------------------------------------------------------
+# Degree assortativity (g16): Newman's r — the Pearson correlation of
+# endpoint degrees over the symmetric edge relation (each undirected
+# edge contributes both orientations, the standard convention, so the
+# x/y marginals coincide).  Degrees are exact integers, so the five
+# sufficient statistics are exact decimal(38) sums: ONE degree
+# aggregate, two edge-keyed joins onto the edge relation, one global
+# aggregate — no per-pair window, no driver loop, nothing quadratic.
+# At 100 TB this is two shuffles of the edge relation and a scalar.
+# --------------------------------------------------------------------------
+
+
+def degree_assortativity(pages: DataFrame) -> DataFrame:
+    """One row (n_nodes, n_sym_edges, assortativity_e6).  r > 0: hubs
+    link hubs (social-graph shape); r < 0: hubs link leaves
+    (web/biology shape) — the mixing diagnostic for sampling bias in a
+    crawled link graph."""
+    und = undirected_edges(pages)
+    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
+    e = (
+        und.join(deg, "src")
+        .withColumnRenamed("deg", "dx")
+        .join(
+            deg.withColumnRenamed("src", "dst").withColumnRenamed(
+                "deg", "dy"
+            ),
+            "dst",
+        )
+    )
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    sums = e.agg(
+        F.count("*").cast("decimal(38,0)").alias("m"),
+        F.sum(d38(F.col("dx"))).alias("sx"),
+        F.sum(d38(F.col("dx") * F.col("dy"))).alias("sxy"),
+        F.sum(d38(F.col("dx") * F.col("dx"))).alias("sxx"),
+    )
+    nn = deg.agg(F.count("*").alias("n_nodes"))
+    num = (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den = (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    return nn.crossJoin(sums).select(
+        "n_nodes",
+        F.col("m").cast("long").alias("n_sym_edges"),
+        F.when(den == 0, F.lit(0))
+        .otherwise(
+            F.floor(num / den * 1e6 + F.lit(0.5000001)).cast("long")
+        )
+        .alias("assortativity_e6"),
+    )
+
+
+def degree_assortativity_sql(pages_ctes: str, sym_cte: str) -> str:
+    """DuckDB twin: identical integer sufficient statistics (HUGEINT)
+    divided once at the end."""
+    return f"""WITH {pages_ctes},
+{sym_cte},
+deg AS (SELECT src, COUNT(*) AS deg FROM sym GROUP BY src),
+e AS (
+  SELECT dx.deg AS dx, dy.deg AS dy
+  FROM sym s JOIN deg dx ON dx.src = s.src JOIN deg dy ON dy.src = s.dst
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+         CAST(SUM(dx) AS HUGEINT) AS sx,
+         CAST(SUM(dx * dy) AS HUGEINT) AS sxy,
+         CAST(SUM(dx * dx) AS HUGEINT) AS sxx
+  FROM e
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       CAST(m AS BIGINT) AS n_sym_edges,
+       CASE WHEN m * sxx - sx * sx = 0 THEN 0
+            ELSE CAST(FLOOR(CAST(m * sxy - sx * sx AS DOUBLE)
+                            / CAST(m * sxx - sx * sx AS DOUBLE)
+                            * 1e6 + 0.5000001) AS BIGINT) END
+         AS assortativity_e6
+FROM sums"""

@@ -569,6 +569,16 @@ def q_g15_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_clustering(_pages(spark, sf_dir))
 
 
+def q_g16_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity over the undirected link graph:
+    exact integer sufficient statistics (one degree aggregate, two
+    edge-keyed joins, one scalar) — the degree-mixing diagnostic for
+    crawl sampling bias."""
+    from ..operators.graph import degree_assortativity
+
+    return degree_assortativity(_pages(spark, sf_dir))
+
+
 def q_g12_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Landmark closeness centrality: k labeled BFS traversals in one
     loop (state keyed by (seed, title); adjacency scanned once per
@@ -842,6 +852,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g13_truss_edges": q_g13_truss_edges,
     "g14_adamic_adar": q_g14_adamic_adar,
     "g15_local_clustering": q_g15_local_clustering,
+    "g16_assortativity": q_g16_assortativity,
     "g6_kcore": q_g6_kcore,
     "g7_label_prop": q_g7_label_prop,
     "deg_stats": q_deg_stats,
@@ -879,6 +890,12 @@ def _g15_sql() -> str:
     from ..operators.graph import local_clustering_sql
 
     return local_clustering_sql(_PAGES_CTES)
+
+
+def _g16_sql() -> str:
+    from ..operators.graph import degree_assortativity_sql
+
+    return degree_assortativity_sql(_PAGES_CTES, _SYM_CTE)
 
 
 def _cc_ctes(iterations: int, materialized: bool = False) -> str:
@@ -1045,6 +1062,7 @@ SELECT
     "g13_truss_edges": _g13_sql(),
     "g14_adamic_adar": _g14_sql(),
     "g15_local_clustering": _g15_sql(),
+    "g16_assortativity": _g16_sql(),
     "o1_ranking": f"""WITH {_PAGES_CTES},
 {_rank_ctes(10)},
 rounded AS (SELECT title, {_sql_e6('rank')} AS rank_e6 FROM r10)
@@ -1170,7 +1188,8 @@ _DRIVER_ROTATION: list[str] = [
     "w10_mad_outliers", "x104_weighted_sample", "x105_zipf_slope",
     "g15_local_clustering", "x106_label_noise",
     # --- round-6 session-3 additions (r07 head candidates) ---
-    "x107_pii_scan", "x108_setsim_join",
+    "x107_pii_scan", "x108_setsim_join", "g16_assortativity",
+    "w11_cusum_changepoint",
     # --- re-checks of the oldest r01-era rows (fill to the 50 cap;
     # --- entries past slot 50 wait for the r07 head) ---
     "s1_corpus_scan", "p1_titles", "p3_doc_ids", "p45_links",

@@ -2685,6 +2685,122 @@ FROM dev d JOIN mad ma USING (event_type)
 WHERE d.dev_c > CAST(FLOOR(ma.mad_c * {MAD_K} + 0.5000001) AS BIGINT)"""
 
 
+# --------------------------------------------------------------------------
+# CUSUM change-point detection (w11): per event type, the hour where
+# the cumulative event-count deviation from a flat rate peaks — the
+# classic level-shift detector over an ingest/telemetry series.  The
+# statistic is exact-integer: with n hours and tot events, the scaled
+# deviation at hour k is |n*prefix_k - k*tot| (= n*tot * |S_k| for the
+# usual normalized CUSUM S_k), so both engines compare identical
+# BIGINTs and divide once at the end.  Scale shape: the raw event
+# relation collapses to a (type, hour) histogram FIRST (map-side
+# combinable); the windows run over that time-bounded grid (hundreds
+# of rows per type), never over events; ties elect the earliest hour.
+# --------------------------------------------------------------------------
+
+
+def w11_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cusum_changepoint(load_table(spark, sf_dir, "events"))
+
+
+def cusum_changepoint(ev: DataFrame) -> DataFrame:
+    hourly = (
+        ev.select(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias(
+                "hour_epoch"
+            ),
+        )
+        .groupBy("event_type", "hour_epoch")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_epoch")
+    pre = hourly.select(
+        "event_type",
+        "hour_epoch",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum("cnt").over(w).alias("prefix"),
+    )
+    tots = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"), F.sum("cnt").alias("total_events")
+    )
+    dev = pre.join(F.broadcast(tots), "event_type").withColumn(
+        "absdev",
+        F.abs(
+            F.col("n_hours") * F.col("prefix")
+            - F.col("k") * F.col("total_events")
+        ),
+    )
+    mx = dev.groupBy("event_type").agg(F.max("absdev").alias("max_absdev"))
+    peak = (
+        dev.join(F.broadcast(mx), "event_type")
+        .where(F.col("absdev") == F.col("max_absdev"))
+        .groupBy("event_type")
+        .agg(F.min("hour_epoch").alias("peak_hour_epoch"))
+    )
+    return (
+        tots.join(mx, "event_type")
+        .join(peak, "event_type")
+        .select(
+            "event_type",
+            "n_hours",
+            "total_events",
+            "peak_hour_epoch",
+            "max_absdev",
+            F.floor(
+                F.col("max_absdev").cast("double")
+                / (F.col("n_hours") * F.col("total_events"))
+                * 1e6
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("cusum_e6"),
+        )
+    )
+
+
+W11_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+pre AS (
+  SELECT event_type, hour_epoch,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY hour_epoch) AS BIGINT) AS k,
+         SUM(cnt) OVER (PARTITION BY event_type
+                        ORDER BY hour_epoch) AS prefix
+  FROM hourly
+),
+tots AS (
+  SELECT event_type, COUNT(*) AS n_hours,
+         CAST(SUM(cnt) AS BIGINT) AS total_events
+  FROM hourly GROUP BY 1
+),
+dev AS (
+  SELECT p.event_type, p.hour_epoch,
+         ABS(t.n_hours * p.prefix - p.k * t.total_events) AS absdev
+  FROM pre p JOIN tots t USING (event_type)
+),
+mx AS (
+  SELECT event_type, CAST(MAX(absdev) AS BIGINT) AS max_absdev
+  FROM dev GROUP BY 1
+),
+peak AS (
+  SELECT d.event_type, MIN(d.hour_epoch) AS peak_hour_epoch
+  FROM dev d JOIN mx USING (event_type)
+  WHERE d.absdev = mx.max_absdev GROUP BY 1
+)
+SELECT t.event_type, t.n_hours, t.total_events, p.peak_hour_epoch,
+       m.max_absdev,
+       CAST(FLOOR(CAST(m.max_absdev AS DOUBLE)
+                  / (t.n_hours * t.total_events) * 1e6 + 0.5000001)
+            AS BIGINT) AS cusum_e6
+FROM tots t JOIN mx m USING (event_type) JOIN peak p USING (event_type)"""
+
+
 RELATIONAL_QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -2726,6 +2842,7 @@ RELATIONAL_QUERIES = {
     "w7_concurrency": w7_concurrency,
     "w9_session_splice": w9_session_splice,
     "w10_mad_outliers": w10_mad_outliers,
+    "w11_cusum_changepoint": w11_cusum_changepoint,
     "rj2_interval_overlap": rj2_interval_overlap,
     "w6_hourly_ohlc": w6_hourly_ohlc,
     "e10_debounce": e10_debounce,
@@ -2782,6 +2899,7 @@ RELATIONAL_ORACLE = {
     "w7_concurrency": W7_SQL,
     "w9_session_splice": W9_SQL,
     "w10_mad_outliers": W10_SQL,
+    "w11_cusum_changepoint": W11_SQL,
     "st2_bag_ops": ST2_SQL,
     "rj2_interval_overlap": RJ2_SQL,
     "w6_hourly_ohlc": W6_SQL,

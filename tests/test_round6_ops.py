@@ -615,3 +615,58 @@ def test_x108_prefix_filter_equals_full_index(spark):
         (r["doc_a"], r["doc_b"]) for r in setsim_join(docs).collect()
     }
     assert got2 == want
+
+
+def test_g16_assortativity_goldens(spark):
+    """Star K1,3 is perfectly disassortative (r = -1); a regular graph
+    (K3) has zero degree variance and reports 0 by convention."""
+    from pagerank_using_mapreduce_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    star = spark.createDataFrame(
+        [("hub", ["a", "b", "c"]), ("a", []), ("b", []), ("c", [])],
+        "title string, links array<string>",
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r["n_nodes"] == 4 and r["n_sym_edges"] == 6
+    assert r["assortativity_e6"] == -1_000_000
+
+    k3 = spark.createDataFrame(
+        [("a", ["b", "c"]), ("b", ["c"]), ("c", [])],
+        "title string, links array<string>",
+    )
+    r3 = degree_assortativity(k3).collect()[0]
+    assert r3["assortativity_e6"] == 0 and r3["n_sym_edges"] == 6
+
+
+def test_w11_cusum_level_shift_golden(spark):
+    """Counts 1,1,5,5 per hour: the normalized CUSUM peaks right
+    before the shift (k=2, |4*2 - 2*12| = 16), ties to the earliest
+    hour, and the last hour's deviation is identically zero."""
+    import datetime as dt
+
+    from pagerank_using_mapreduce_spark.plans.relational import (
+        cusum_changepoint,
+    )
+
+    rows = []
+    counts = [1, 1, 5, 5]
+    for h, c in enumerate(counts):
+        for i in range(c):
+            rows.append(
+                (
+                    len(rows),
+                    dt.datetime(2024, 1, 1, 10 + h, 5 + i),
+                    "a",
+                )
+            )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    r = cusum_changepoint(ev).collect()[0]
+    assert r["n_hours"] == 4 and r["total_events"] == 12
+    assert r["max_absdev"] == 16
+    want_peak = int(dt.datetime(2024, 1, 1, 11).timestamp())
+    assert r["peak_hour_epoch"] == want_peak
+    assert r["cusum_e6"] == 333_333
