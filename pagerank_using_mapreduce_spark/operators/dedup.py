@@ -1241,10 +1241,15 @@ SETSIM_NUM = 7  # threshold t = SETSIM_NUM / SETSIM_DEN = 0.7
 SETSIM_DEN = 10
 
 
-def setsim_join(docs: DataFrame, k: int = 3) -> DataFrame:
+def setsim_join(
+    docs: DataFrame,
+    k: int = 3,
+    num: int = SETSIM_NUM,
+    den: int = SETSIM_DEN,
+) -> DataFrame:
     """(doc_a, doc_b, inter, sz_a, sz_b, jacc_e6): all unordered doc
-    pairs whose k-shingle sets have Jaccard >= 0.7, by prefix-filtered
-    AllPairs join."""
+    pairs whose k-shingle sets have Jaccard >= num/den, by
+    prefix-filtered AllPairs join."""
     from pyspark.sql import Window
 
     s = shingles(docs, k)  # already DISTINCT (doc_id, shingle)
@@ -1260,7 +1265,7 @@ def setsim_join(docs: DataFrame, k: int = 3) -> DataFrame:
     pref = ranked.join(sz, "doc_id").where(
         F.col("rk")
         <= F.col("sz")
-        - F.floor((F.lit(SETSIM_NUM) * F.col("sz") + (SETSIM_DEN - 1)) / SETSIM_DEN)
+        - F.floor((F.lit(num) * F.col("sz") + (den - 1)) / den)
         + 1
     )
     cand = (
@@ -1286,7 +1291,7 @@ def setsim_join(docs: DataFrame, k: int = 3) -> DataFrame:
     )
     return (
         sized.where(
-            F.lit(SETSIM_DEN) * F.col("inter") >= F.lit(SETSIM_NUM) * F.col("uni")
+            F.lit(den) * F.col("inter") >= F.lit(num) * F.col("uni")
         )
         .select(
             "doc_a",
@@ -1304,7 +1309,12 @@ def setsim_join(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def setsim_join_sql(docs_sql: str, k: int = 3) -> str:
+def setsim_join_sql(
+    docs_sql: str,
+    k: int = 3,
+    num: int = SETSIM_NUM,
+    den: int = SETSIM_DEN,
+) -> str:
     """Algorithm-independent oracle: full inverted-index candidates
     (ANY shared shingle) + the identical exact-integer threshold."""
     return f"""
@@ -1322,4 +1332,4 @@ SELECT i.doc_a, i.doc_b, i.inter, za.sz AS sz_a, zb.sz AS sz_b,
 FROM inter i
 JOIN sz za ON za.doc_id = i.doc_a
 JOIN sz zb ON zb.doc_id = i.doc_b
-WHERE {SETSIM_DEN} * i.inter >= {SETSIM_NUM} * (za.sz + zb.sz - i.inter)"""
+WHERE {den} * i.inter >= {num} * (za.sz + zb.sz - i.inter)"""
