@@ -1231,25 +1231,39 @@ GROUP BY win"""
 # doc (a common shingle only enters prefixes of docs made entirely of
 # common shingles), a ~|prefix|/|set| reduction over the full inverted
 # index with zero recall loss; the verify stage is pair-keyed and
-# exact-integer (10*inter >= 7*union — no float thresholding).  The
-# oracle is algorithm-independent: DuckDB computes the SAME pair set
-# from the FULL inverted index (any-shared-shingle candidates), so the
-# hash gate proves the prefix filter dropped nothing.
+# exact-integer (10*inter >= 7*union — no float thresholding).
+#
+# Skew (VERDICT r06 #3): a boilerplate-heavy corpus CAN put one hot
+# shingle into f prefixes (docs made entirely of common shingles), and
+# an unsalted self-join would emit all f² candidates on a single key.
+# Exactness makes those candidates unavoidable (if the docs really are
+# near-identical the true output is quadratic), so the fix is to
+# DISTRIBUTE the work, not drop it: prefix entries of shingles with
+# df > SETSIM_DF_CAP are salted into nb = ceil(df/cap) buckets by doc
+# hash and self-joined on (shingle, salt_p, salt_q) with the classic
+# triangle enumeration — the p-side replicates each entry to buckets
+# q >= its own, the q-side to buckets p <= its own, so every unordered
+# pair meets on EXACTLY one (salt_p, salt_q) key and no key ever
+# carries more than cap² candidate pairs.  Completeness is untouched
+# (every prefix-sharing pair is still generated — the salt only
+# partitions the key space), which is why the oracle can stay
+# algorithm-independent: DuckDB computes the SAME pair set from the
+# FULL inverted index (any-shared-shingle candidates), so the hash
+# gate proves the salted prefix filter dropped nothing.  Both paths
+# also apply the exactness-preserving AllPairs length filter
+# (J >= t  ⇒  den·min_sz >= num·max_sz).
 # ---------------------------------------------------------------------------
 
 SETSIM_NUM = 7  # threshold t = SETSIM_NUM / SETSIM_DEN = 0.7
 SETSIM_DEN = 10
+SETSIM_DF_CAP = 64  # max prefix entries per candidate-join key side
 
 
-def setsim_join(
-    docs: DataFrame,
-    k: int = 3,
-    num: int = SETSIM_NUM,
-    den: int = SETSIM_DEN,
+def _setsim_prefix(
+    docs: DataFrame, k: int, num: int, den: int
 ) -> DataFrame:
-    """(doc_a, doc_b, inter, sz_a, sz_b, jacc_e6): all unordered doc
-    pairs whose k-shingle sets have Jaccard >= num/den, by
-    prefix-filtered AllPairs join."""
+    """(doc_id, shingle, df, sz): the rarest-first prefix entries —
+    shingle rank <= sz - ceil(t*sz) + 1 within each doc."""
     from pyspark.sql import Window
 
     s = shingles(docs, k)  # already DISTINCT (doc_id, shingle)
@@ -1262,20 +1276,103 @@ def setsim_join(
         ),
     )
     # prefix length p = sz - ceil(t*sz) + 1, integer ceil
-    pref = ranked.join(sz, "doc_id").where(
-        F.col("rk")
-        <= F.col("sz")
-        - F.floor((F.lit(num) * F.col("sz") + (den - 1)) / den)
-        + 1
+    return (
+        ranked.join(sz, "doc_id")
+        .where(
+            F.col("rk")
+            <= F.col("sz")
+            - F.floor((F.lit(num) * F.col("sz") + (den - 1)) / den)
+            + 1
+        )
+        .select("doc_id", "shingle", "df", "sz")
     )
-    cand = (
-        pref.alias("a")
-        .join(pref.alias("b"), "shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+
+
+def _setsim_candidates(
+    pref: DataFrame, num: int, den: int, df_cap: int = SETSIM_DF_CAP
+) -> DataFrame:
+    """(doc_a, doc_b, salt_p, salt_q) candidate pairs, pre-distinct.
+
+    Rare shingles (df <= df_cap) join directly (per-key pairs <=
+    df_cap²); hot shingles go through the salted triangle self-join so
+    per-(shingle, salt_p, salt_q)-key pairs are also <= df_cap².  The
+    length filter den·min_sz >= num·max_sz prunes size-incompatible
+    pairs on both paths without recall loss (J >= t forces it)."""
+    len_ok = F.lit(den) * F.least(
+        F.col("a.sz"), F.col("b.sz")
+    ) >= F.lit(num) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+    rare = pref.where(F.col("df") <= df_cap)
+    cand_rare = (
+        rare.alias("a")
+        .join(rare.alias("b"), "shingle")
+        .where((F.col("a.doc_id") < F.col("b.doc_id")) & len_ok)
         .select(
+            "shingle",
+            F.lit(-1).alias("salt_p"),
+            F.lit(-1).alias("salt_q"),
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
+    )
+    hot = pref.where(F.col("df") > df_cap).withColumn(
+        "nb", F.ceil(F.col("df") / df_cap).cast("int")
+    )
+    hot = hot.withColumn(
+        "bkt", F.pmod(F.xxhash64("doc_id"), F.col("nb")).cast("int")
+    )
+    # triangle enumeration: entry in bucket b serves buckets q >= b as
+    # the p-side and buckets p <= b as the q-side; pair (x, y) meets on
+    # exactly the key (min(b_x, b_y), max(b_x, b_y)).
+    hot_p = hot.select(
+        "shingle",
+        "doc_id",
+        "sz",
+        F.col("bkt").alias("salt_p"),
+        F.explode(F.sequence(F.col("bkt"), F.col("nb") - 1)).alias("salt_q"),
+    )
+    hot_q = hot.select(
+        "shingle",
+        "doc_id",
+        "sz",
+        F.explode(F.sequence(F.lit(0), F.col("bkt"))).alias("salt_p"),
+        F.col("bkt").alias("salt_q"),
+    )
+    # cross-bucket keys (p < q) see each pair once by construction;
+    # same-bucket keys (p == q) see both orientations — keep one.
+    once = (F.col("salt_p") != F.col("salt_q")) | (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    cand_hot = (
+        hot_p.alias("a")
+        .join(hot_q.alias("b"), ["shingle", "salt_p", "salt_q"])
+        .where((F.col("a.doc_id") != F.col("b.doc_id")) & once & len_ok)
+        .select(
+            "shingle",
+            "salt_p",
+            "salt_q",
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+    )
+    return cand_rare.unionAll(cand_hot)
+
+
+def setsim_join(
+    docs: DataFrame,
+    k: int = 3,
+    num: int = SETSIM_NUM,
+    den: int = SETSIM_DEN,
+    df_cap: int = SETSIM_DF_CAP,
+) -> DataFrame:
+    """(doc_a, doc_b, inter, sz_a, sz_b, jacc_e6): all unordered doc
+    pairs whose k-shingle sets have Jaccard >= num/den, by
+    prefix-filtered AllPairs join (hot shingles salted, see above)."""
+    s = shingles(docs, k)  # already DISTINCT (doc_id, shingle)
+    sz = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pref = _setsim_prefix(docs, k, num, den)
+    cand = (
+        _setsim_candidates(pref, num, den, df_cap)
+        .select("doc_a", "doc_b")
         .distinct()
     )
     inter = (

@@ -982,24 +982,36 @@ FROM qz"""
 # embedding table's labels — for a deterministic audit sample, find
 # each vector's k nearest neighbors (cosine) and compare its own
 # label to the neighborhood majority; a disagreeing majority flags a
-# likely mislabel.  Scale shape: the audit sample is bounded
-# (vec_id % mod), so queries broadcast to the collection scan exactly
-# like x5 (the collection never shuffles for scoring); the top-k
-# relation is |audit|*k rows and broadcasts onto the label lookup;
-# the majority is g7's argmax-as-MIN-over-struct(-count, label) — an
-# aggregate, never a per-query sort.
+# likely mislabel.  Scale shape: the audit sample is a FIXED ROW
+# BUDGET — the ``budget`` rows with the smallest md5(seed|vec_id)
+# (the bottom-k-hash election, sampling.bottom_k_sample), NOT a
+# fraction of the table — so the broadcast query side is O(budget) at
+# ANY collection size and the brute-force score product is
+# N * budget, never N²/c (VERDICT r06 #2: the old vec_id % 23 sample
+# grew linearly with the table and would break the broadcast at
+# 100×).  Queries broadcast to the collection scan exactly like x5
+# (the collection never shuffles for scoring); the top-k relation is
+# budget*k rows and broadcasts onto the label lookup; the majority is
+# g7's argmax-as-MIN-over-struct(-count, label) — an aggregate, never
+# a per-query sort.
 # ---------------------------------------------------------------------------
 
-LABEL_AUDIT_MOD = 23  # audit sample: vec_id % 23 == 0
+LABEL_AUDIT_BUDGET = 32  # fixed audit budget (rows), any collection size
+LABEL_AUDIT_SEED = "label-audit-0"
 LABEL_NB_K = 10
 
 
 def label_noise_audit(
-    embeddings: DataFrame, k: int = LABEL_NB_K, mod: int = LABEL_AUDIT_MOD
+    embeddings: DataFrame,
+    k: int = LABEL_NB_K,
+    budget: int = LABEL_AUDIT_BUDGET,
+    seed: str = LABEL_AUDIT_SEED,
 ) -> DataFrame:
     """(vec_id, own_label, maj_label, n_agree, flagged) for each
     audited vector; majority ties break toward the smaller label."""
-    audited = embeddings.where(F.col("vec_id") % mod == 0)
+    from .sampling import bottom_k_sample
+
+    audited = bottom_k_sample(embeddings, "vec_id", budget, seed)
     topk = cosine_topk(embeddings, queries=audited, k=k)
     nb = embeddings.select("vec_id", "label").join(
         F.broadcast(topk.select("query_id", "vec_id")), "vec_id"
@@ -1037,13 +1049,19 @@ def label_noise_audit(
     )
 
 
-def label_noise_sql(k: int = LABEL_NB_K, mod: int = LABEL_AUDIT_MOD) -> str:
-    """DuckDB twin: identical quantized-cosine top-k and
-    (cnt DESC, label ASC) majority election."""
+def label_noise_sql(
+    k: int = LABEL_NB_K,
+    budget: int = LABEL_AUDIT_BUDGET,
+    seed: str = LABEL_AUDIT_SEED,
+) -> str:
+    """DuckDB twin: identical bottom-k-hash audit election,
+    quantized-cosine top-k and (cnt DESC, label ASC) majority."""
     return f"""
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb, label AS own_label
-  FROM embeddings WHERE vec_id % {mod} = 0
+  FROM embeddings
+  ORDER BY md5('{seed}' || '|' || CAST(vec_id AS VARCHAR))
+  LIMIT {budget}
 ),
 scored AS (
   SELECT q.query_id, e.vec_id,

@@ -250,28 +250,32 @@ def test_driver_rotation_head_is_intact():
     )
 
     names = list(QUERIES)
-    # Rotation may name round-6 additions before they land; the head must
-    # be exactly the implemented subset of the rotation, in order.
+    # Rotation may name additions before they land; the head must be
+    # exactly the implemented subset of the rotation, in order — this
+    # pins the FULL 50-slot composition (VERDICT r06 #6), not just a
+    # prefix: every rotated name, in rotation order, leads queries().
     implemented = [n for n in _DRIVER_ROTATION if n in QUERIES]
     assert names[: len(implemented)] == implemented
     assert list(ORACLE_SQL) == names  # oracle table mirrors query order
     assert set(implemented) <= set(ORACLE_SQL)
-    # The 28 r05-era judge-only names are a hard requirement — they are
-    # the point of the r06 rotation (VERDICT r05 priority #1).
-    must_exist = {
-        "x74_composition_matrix", "x75_vocab_growth", "z13_stream_ohlc",
-        "z10_stream_histogram", "z11_stream_funnel",
-        "g12_landmark_closeness", "d4_forget_users", "w8_gap_histogram",
-        "d5_drift_psi", "w7_concurrency", "rj2_interval_overlap",
-        "c4_training_manifest", "x83_filter_calibration",
-        "x84_corrupt_ingest", "x85_audio_features", "z15_stream_forget",
-        "x86_schema_evolution", "x87_tokenizer_fertility",
-        "x88_dedup_savings", "x89_persisted_index", "x76_kmv_distinct",
-        "x77_epoch_shuffle", "x78_ann_recall", "z14_stream_dedup",
-        "x79_shard_manifest", "x80_threshold_curve",
-        "x81_join_skew_audit", "x82_kmv_overlap",
-    }
-    assert must_exist <= set(names[:28])
+    # The 6 r06 judge-only names are a hard requirement in the first 6
+    # slots — they are the point of the r07 rotation (VERDICT r06 #1).
+    judge_only = [
+        "g15_local_clustering", "x106_label_noise", "g16_assortativity",
+        "w11_cusum_changepoint", "x107_pii_scan", "x108_setsim_join",
+    ]
+    assert names[:6] == judge_only
+    # The staleness refresh (r02-era rows first) must stay inside the
+    # 50-row driver cap even as round-7 additions slot in ahead of it.
+    r02_era = [
+        "e3_pivot_activity", "g1_rollup", "g2_cube", "sj1_semi_join",
+        "sj2_anti_join", "rj1_range_join", "st1_set_ops", "x1_exact_dedup",
+        "x2_minhash_signatures", "x3_lsh_candidates", "x4_near_dups",
+        "x5_cosine_topk", "x6_ivf_topk", "x7_lang_id", "x8_quality_score",
+        "x9_token_count", "x10_fingerprint", "x11_multimodal_decode",
+        "x12_asof_join", "x13_simhash",
+    ]
+    assert set(r02_era) <= set(names[:50])
 
 
 def test_partsupp_filter_precedes_explode(spark):

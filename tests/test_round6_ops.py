@@ -511,8 +511,10 @@ def test_g15_local_clustering_golden(spark):
 
 def test_x106_label_noise_golden_and_no_collection_shuffle(spark):
     """A planted mislabel (cluster-A vector tagged 9) is flagged with
-    majority = the cluster label and n_agree = 0; the collection is
-    never hash-shuffled on vec_id (queries broadcast, x5 shape)."""
+    majority = the cluster label and n_agree = 0; the audit sample is
+    a FIXED ROW BUDGET (bottom-k-hash election → TakeOrderedAndProject,
+    never a fraction of the table); the collection is never
+    hash-shuffled on vec_id (queries broadcast, x5 shape)."""
     from pagerank_using_mapreduce_spark.operators.similarity import (
         label_noise_audit,
     )
@@ -522,14 +524,22 @@ def test_x106_label_noise_golden_and_no_collection_shuffle(spark):
     emb = spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
     )
-    out = label_noise_audit(emb).collect()  # audited: vec_id 0 only
-    assert len(out) == 1
+    # default budget (32) covers all 16 rows: exactly the planted
+    # mislabel is flagged, every clean vector agrees with its cluster
+    out = {r["vec_id"]: r for r in label_noise_audit(emb).collect()}
+    assert len(out) == 16
     r = out[0]
-    assert r["vec_id"] == 0 and r["own_label"] == 9
+    assert r["own_label"] == 9
     assert r["maj_label"] == 0 and r["n_agree"] == 0 and r["flagged"] == 1
+    assert all(v["flagged"] == 0 for i, v in out.items() if i != 0)
+
+    # the budget is a hard bound on the audit (and thus the broadcast)
+    # regardless of collection size
+    assert len(label_noise_audit(emb, budget=4).collect()) == 4
 
     plan = _plan(label_noise_audit(emb))
     assert "hashpartitioning(vec_id" not in plan
+    assert "TakeOrderedAndProject" in plan  # bounded bottom-k election
 
 
 def test_x107_pii_golden_and_true_negatives(spark):
@@ -615,6 +625,48 @@ def test_x108_prefix_filter_equals_full_index(spark):
         (r["doc_a"], r["doc_b"]) for r in setsim_join(docs).collect()
     }
     assert got2 == want
+
+
+def test_x108_hot_shingle_salting_bounds_per_key_candidates(spark):
+    """Worst-case skew fixture (VERDICT r06 #3): 40 IDENTICAL
+    boilerplate docs put every shingle at df=40 into every prefix.
+    With df_cap=4 the salted triangle join must (a) still emit the
+    complete C(40,2) pair set at J=1, and (b) never put more than
+    ~cap² candidate pairs on one (shingle, salt_p, salt_q) key —
+    the unsalted join would put all 780 on a single key."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        SETSIM_DEN,
+        SETSIM_NUM,
+        _setsim_candidates,
+        _setsim_prefix,
+        setsim_join,
+    )
+
+    n, cap = 40, 4
+    boiler = "aa bb cc dd ee ff gg hh"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(n)], "doc_id long, text string"
+    )
+    out = setsim_join(docs, df_cap=cap).collect()
+    assert len(out) == n * (n - 1) // 2
+    assert all(r["jacc_e6"] == 1_000_000 for r in out)
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == {
+        (a, b) for a in range(n) for b in range(a + 1, n)
+    }
+
+    pref = _setsim_prefix(docs, 3, SETSIM_NUM, SETSIM_DEN)
+    per_key = (
+        _setsim_candidates(pref, SETSIM_NUM, SETSIM_DEN, cap)
+        .groupBy("shingle", "salt_p", "salt_q")
+        .count()
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("total"))
+        .collect()[0]
+    )
+    # hash bucketing balances in expectation; 4x the cap² target is a
+    # generous ceiling, still ~50x below the unsalted single-key 780
+    assert per_key["mx"] <= 4 * cap * cap
+    # completeness pre-distinct: every unordered pair appears
+    assert per_key["total"] >= n * (n - 1) // 2
 
 
 def test_g16_assortativity_goldens(spark):
