@@ -109,7 +109,20 @@ BENCH_QUERIES = [
     # shuffle-join scorer are the two new shapes worth watching
     "g14_adamic_adar",
     "x103_bigram_perplexity",
+    # round-7: the salted exact set-sim join (skew-capped AllPairs)
+    "x108_setsim_join",
 ]
+
+# Canary pair (VERDICT r06 #7): one trivial scan-bound query and one
+# shuffle-heavy query, BOTH code-frozen, measured every run.  The host
+# swings ±50% session-to-session under load, so tracked numbers are
+# also reported normalized by canary drift vs the pinned idle-host
+# baseline below — regressions are judged on the normalized column.
+CANARY_QUERIES = ["s1_corpus_scan", "x16_salted_agg"]
+# warm medians on an idle host (load1 0.01), r07, local[32], sf0.1,
+# 5 reps — the PINNED unit for the normalized column; never re-measure
+# (re-pinning would silently re-base every cross-round comparison)
+CANARY_BASELINE = {"s1_corpus_scan": 0.621, "x16_salted_agg": 0.538}
 
 # The iterative/heavy queries whose scaling behavior matters most;
 # run again at the synthetic sf1 (documents-derived only — these five
@@ -130,6 +143,11 @@ SF1_QUERIES = [
     "c4_training_manifest",
     "g12_landmark_closeness",  # the registry's most expensive query
     "g14_adamic_adar",  # z-keyed pair join: the cap must keep it sublinear
+    # near-dup decade (VERDICT r06 #5): replicas are token-mutated in
+    # make_scaled_sf so cluster sizes stay bounded and the true pair
+    # relation scales LINEARLY — x33 (above) and x108 are measurable at
+    # sf1/sf10 now
+    "x108_setsim_join",
 ]
 
 
@@ -165,27 +183,85 @@ def _env_fingerprint() -> dict:
     return fp
 
 
-def _bpe_batched_evidence(spark, sf_dir: str) -> dict:
-    """VERDICT r05 #2 'done' row: train toward 256 merges with batch 32
-    and record how many driver round-trips it actually took — the job
-    count must be ~n/batch, not n."""
-    from pagerank_using_mapreduce_spark.operators.bpe import bpe_merges_batched
-    from pagerank_using_mapreduce_spark.sources.tables import load_table
+def _bpe_rich_corpus(spark, n_docs: int = 5000, words: int = 4):
+    """A char-diverse synthetic corpus for the batched-BPE evidence
+    rows: md5 hex with digits mapped to letters g-p gives 32-char
+    words over a 16-letter alphabet, so >= 1k distinct merges exist
+    (the shipped documents text exhausts its pair vocabulary at ~90
+    merges — VERDICT r06 #4).  Pure column expressions of doc_id:
+    deterministic, layout-stable."""
+    from pyspark.sql import functions as F
 
-    target, batch = 256, 32
-    rounds_cap = (target + batch - 1) // batch * 2  # slack for partial batches
+    cols = [
+        F.translate(
+            F.md5(F.concat_ws("|", F.lit(str(j)), F.col("id").cast("string"))),
+            "0123456789",
+            "ghijklmnop",
+        )
+        for j in range(words)
+    ]
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", *cols).alias("text")
+    )
+
+
+def _bpe_batched_evidence(spark) -> dict:
+    """VERDICT r06 #4 'done' rows: on a corpus where >= 1k merges
+    exist, (a) batched training toward 1024 merges at batch 64 takes
+    ~merges/batch driver round-trips, and (b) the wall-time ratio
+    batched-vs-sequential at an equal merge count is recorded."""
+    from pagerank_using_mapreduce_spark.operators.bpe import bpe_merges_batched
+
+    corpus = _bpe_rich_corpus(spark)
+    out: dict = {}
+
+    # (a) 1k-merge scale row: batch 64, candidate lookahead 8192 (the
+    # greedy disjointness rule caps early rounds at ~alphabet/2 pairs;
+    # with a deep lookahead batches fill to 64 by round ~15 — late
+    # rounds show the O(merges/batch) asymptote: kept/round measured
+    # 10,14,19,...,63,64,64,64,64 on this corpus)
+    target, batch, lookahead = 1024, 64, 8192
+    rounds_cap = 26
     t0 = time.time()
     rows = bpe_merges_batched(
-        load_table(spark, sf_dir, "documents"), rounds=rounds_cap, batch=batch
+        corpus, rounds=rounds_cap, batch=batch, lookahead=lookahead
     ).collect()
-    rounds_run = len({r["round"] for r in rows})
-    return {
+    out["batched_1k"] = {
         "target_merges": target,
         "batch": batch,
+        "lookahead": lookahead,
         "merges_landed": len(rows),
-        "driver_roundtrips": rounds_run,
+        "driver_roundtrips": len({r["round"] for r in rows}),
         "sec": round(time.time() - t0, 3),
     }
+
+    # (b) head-to-head wall-time ratio, normalized PER MERGE LANDED
+    # (sequential 1024 merges = 1024 Spark jobs would dominate the
+    # whole bench, so the ratio is measured at a 64-merge head)
+    head = 64
+    t0 = time.time()
+    seq = bpe_merges_batched(corpus, rounds=head, batch=1).collect()
+    seq_sec = time.time() - t0
+    t0 = time.time()
+    bat = bpe_merges_batched(
+        corpus, rounds=8, batch=head, lookahead=512
+    ).collect()
+    bat_sec = time.time() - t0
+    per_merge = (
+        (seq_sec / len(seq)) / (bat_sec / len(bat))
+        if seq and bat and bat_sec
+        else None
+    )
+    out["seq_vs_batched_64"] = {
+        "seq_merges": len(seq),
+        "seq_roundtrips": head,
+        "seq_sec": round(seq_sec, 3),
+        "batched_merges": len(bat),
+        "batched_roundtrips": len({r["round"] for r in bat}),
+        "batched_sec": round(bat_sec, 3),
+        "per_merge_speedup": round(per_merge, 2) if per_merge else None,
+    }
+    return out
 
 
 def _run(spark, name: str, sf_dir: str, reps: int) -> list[float]:
@@ -247,6 +323,25 @@ def main() -> None:
         )
     total = round(sum(timings.values()), 3)
 
+    # canary drift: geometric mean of observed/baseline over the pair;
+    # normalized numbers divide by the drift so a loaded host reads the
+    # same as an idle one (raw numbers stay published alongside)
+    canary: dict[str, float] = {}
+    for name in CANARY_QUERIES:
+        if name in timings:
+            canary[name] = timings[name]
+        elif name in QUERIES and not only:
+            samples = _run(spark, name, sf_dir, reps)
+            runs[name] = samples
+            warm = samples[1:] if len(samples) >= 3 else samples
+            canary[name] = round(statistics.median(warm), 3)
+    drift = 1.0
+    if all(n in canary and CANARY_BASELINE.get(n) for n in CANARY_QUERIES):
+        ratios = [canary[n] / CANARY_BASELINE[n] for n in CANARY_QUERIES]
+        drift = round((ratios[0] * ratios[1]) ** 0.5, 3)
+    timings_norm = {n: round(v / drift, 3) for n, v in timings.items()}
+    total_norm = round(sum(timings_norm.values()), 3)
+
     sf1_timings: dict[str, float] = {}
     sf1_dir = _sf1_dir() if sf1_reps else None
     if sf1_dir:
@@ -258,9 +353,9 @@ def main() -> None:
 
     env = _env_fingerprint()
     try:
-        bpe256 = _bpe_batched_evidence(spark, sf_dir) if not only else {}
+        bpe_ev = _bpe_batched_evidence(spark) if not only else {}
     except Exception as e:  # evidence row must never sink the bench
-        bpe256 = {"error": str(e)[:200]}
+        bpe_ev = {"error": str(e)[:200]}
 
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -272,10 +367,16 @@ def main() -> None:
                 "runs": runs,
                 "spread": spread,
                 "env": env,
-                "bpe_batched_256": bpe256,
+                "canary": canary,
+                "canary_baseline": CANARY_BASELINE,
+                "canary_drift": drift,
+                "queries_canary_normalized": timings_norm,
+                "value_canary_normalized": total_norm,
+                "bpe_batched": bpe_ev,
                 "sf1_queries": sf1_timings,
                 "sf1_note": (
-                    "synthetic 10x sf0.1 documents (dense doc_id replication,"
+                    "synthetic 10x sf0.1 documents (doc_id replication,"
+                    " replicas k>=1 token-mutated at rate 6 —"
                     " tools/make_scaled_sf.py); min of"
                     f" {sf1_reps} rep(s)"
                 ),
@@ -291,11 +392,17 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # per-query normalized column = queries[n] / canary_drift;
+                # the full dict lives in BENCH_DETAIL.json (stdout must
+                # stay under the driver's tail buffer — see docstring)
+                "value_canary_normalized": total_norm,
+                "canary": canary,
+                "canary_drift": drift,
                 "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "sf1_queries": sf1_timings,
                 "env": env,
-                "bpe_batched_256": bpe256,
+                "bpe_batched": bpe_ev,
             }
         )
     )

@@ -30,8 +30,13 @@ from pyspark.sql import functions as F
 
 from ..functions.textops import strip_non_alpha, tokens
 
-NEAR_DUP_OFFSET = 1_000_000
-EXACT_DUP_OFFSET = 2_000_000
+# Augmented-copy id offsets sit far above any real doc_id so the two
+# id spaces can never collide — 1e9 clears even the synthetic sf10
+# decade (2M docs; the old 1e6/2e6 offsets collided there, VERDICT r06
+# #5).  Both engines derive the augmentation from these constants, so
+# oracle hashes move in lockstep.
+NEAR_DUP_OFFSET = 1_000_000_000
+EXACT_DUP_OFFSET = 2_000_000_000
 NEAR_DUP_TAIL = " extra tail words appended here"
 
 N_HASHES = 12

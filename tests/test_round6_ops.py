@@ -194,12 +194,16 @@ def test_x95_flags_augmented_exact_dups(spark):
         window_dedup_rate,
     )
 
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        NEAR_DUP_OFFSET,
+    )
+
     out = window_dedup_rate(augment_docs(_docs(spark))).collect()
-    # the exact-copy windows (doc_id >= 2M) must be 100% dups
+    # the exact-copy windows must be 100% dups
     hot = [r for r in out if r["win"] >= EXACT_DUP_OFFSET // INGEST_WINDOW]
     assert hot and all(r["dup_rate_e6"] == 1_000_000 for r in hot)
     # the base windows must be 0% dups (no duplicates in the raw table)
-    base = [r for r in out if r["win"] < 1_000_000 // INGEST_WINDOW]
+    base = [r for r in out if r["win"] < NEAR_DUP_OFFSET // INGEST_WINDOW]
     assert base and all(r["dup_rate_e6"] == 0 for r in base)
 
 

@@ -1,20 +1,33 @@
 """Synthesize a larger scale factor from an existing testdata dir by
 dense doc_id replication (driver testdata stops at sf0.1; the bench's
-scaling-trend section needs an sf1-class point for the headline
-iteratives).
+scaling-trend section needs sf1/sf10-class points for the headline
+iteratives AND the near-dup family).
 
 Replication semantics: the wiki corpus derives its ENTIRE link graph
 from ``doc_id`` arithmetic mod N (sources/wikicorpus.py), so emitting
 factor× copies with ``doc_id = k*N + old_id`` keeps ids dense in
 [0, factor*N) and yields a genuinely factor×-larger graph with the
 same structural mix (pipes/nests/ghosts/danglers scale
-proportionally).  Text columns are copied as-is, which also gives the
-near-dup pipeline a factor×-deeper exact-duplicate load.
+proportionally).
+
+Replica MUTATION (VERDICT r06 #5): copying text verbatim makes every
+replica an exact duplicate of its source, so the true near-dup pair
+relation grows QUADRATICALLY in ``factor`` — which is why x33 could
+not be put on the sf10 decade before.  Replicas k >= 1 therefore get
+deterministic token-level noise: every ``mutate_rate``-th token
+(phase-shifted per (k, doc)) is replaced by a replica-specific
+letters-only token.  At rate 4 with 3-token shingles only ~a quarter of a
+replica's shingles survive in common with its source (J ≈ 0.14 <
+every near-dup threshold in the repo), so cross-replica pairs vanish,
+cluster sizes stay bounded, and the near-dup relation scales
+LINEARLY — while the token/char volume still scales by ``factor``.
+Replica 0 is always byte-identical to the source, so sf-invariant
+goldens on low doc_ids keep holding.
 
 Usage: python tools/make_scaled_sf.py [src_dir] [out_dir] [factor]
 Defaults: /root/testdata/sf0.1 -> <repo>/.benchdata/sf1, factor 10.
 Only ``documents.parquet`` is scaled — the headline iteratives
-(i1/cc/o1/x33/g5) read nothing else.
+(i1/cc/o1/g5) and the near-dup family (x33/x108) read nothing else.
 """
 
 from __future__ import annotations
@@ -25,8 +38,26 @@ import sys
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+MUTATE_RATE = 4  # replace every 4th token in replicas k >= 1
 
-def make_scaled(src_dir: str, out_dir: str, factor: int) -> str:
+
+def _alpha(n: int) -> str:
+    """Letters-only encoding of an int (digits map a-j) — survives the
+    repo's strip-non-alpha tokenization intact."""
+    return "".join(chr(ord("a") + int(c)) for c in str(n))
+
+
+def _mutate(text: str, k: int, doc_id: int, rate: int) -> str:
+    toks = text.split(" ")
+    phase = (5 * k + doc_id) % rate
+    for i in range(phase, len(toks), rate):
+        toks[i] = f"zz{_alpha(k)}q{_alpha(i)}"
+    return " ".join(toks)
+
+
+def make_scaled(
+    src_dir: str, out_dir: str, factor: int, mutate_rate: int = MUTATE_RATE
+) -> str:
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, "documents.parquet")
     table = pq.read_table(os.path.join(src_dir, "documents.parquet"))
@@ -38,6 +69,11 @@ def make_scaled(src_dir: str, out_dir: str, factor: int) -> str:
     for k in range(factor):
         c = df.copy()
         c["doc_id"] = c["doc_id"] + k * n
+        if k and mutate_rate:
+            c["text"] = [
+                _mutate(t, k, int(d), mutate_rate)
+                for t, d in zip(c["text"], c["doc_id"])
+            ]
         copies.append(c)
     import pandas as pd
 
