@@ -3,6 +3,12 @@
 compare row-count + schema-ish + order-insensitive values.
 
 Usage: PYTHONPATH=/root/repo python tools/check_oracle.py [sf_dir] [name ...]
+
+Set ``ORACLE_SWEEP_JSON=/path/out.json`` to also write a structured
+artifact: {name: {"status": "...", "rows": N, "spark_sec": s,
+"duck_sec": s}} plus a summary header — the end-of-round full-sweep
+record (VERDICT r06 #8) so coverage never has to be reconstructed
+from rotation files.
 """
 
 from __future__ import annotations
@@ -11,6 +17,8 @@ import sys
 import time
 
 import duckdb
+import json
+import os
 import pandas as pd
 
 sys.path.insert(0, "/root/repo")
@@ -51,6 +59,7 @@ def main() -> int:
         )
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     failed = []
+    sweep: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -59,6 +68,11 @@ def main() -> int:
         t1 = time.time()
         if name not in os_:
             print(f"{name}: rows-only ({len(sdf)} rows) spark={t1 - t0:.1f}s")
+            sweep[name] = {
+                "status": "rows-only",
+                "rows": len(sdf),
+                "spark_sec": round(t1 - t0, 2),
+            }
             continue
         ddf = con.execute(os_[name]).df()
         t2 = time.time()
@@ -95,6 +109,30 @@ def main() -> int:
         )
         if status != "OK":
             failed.append(name)
+        sweep[name] = {
+            "status": status if status == "OK" else status[:160],
+            "rows": len(sdf),
+            "spark_sec": round(t1 - t0, 2),
+            "duck_sec": round(t2 - t1, 2),
+        }
+    out_json = os.environ.get("ORACLE_SWEEP_JSON")
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(sweep),
+                    "n_pass": sum(
+                        1 for v in sweep.values()
+                        if v["status"] in ("OK", "rows-only")
+                    ),
+                    "failed": failed,
+                    "queries": sweep,
+                },
+                f,
+                indent=1,
+            )
+        print(f"sweep artifact -> {out_json}")
     if failed:
         print("FAILED:", failed)
         return 1
