@@ -1100,3 +1100,172 @@ SELECT q.query_id AS vec_id, q.own_label, m.maj_label,
 FROM q
 JOIN maj m USING (query_id)
 LEFT JOIN counts a ON a.query_id = q.query_id AND a.label = q.own_label"""
+
+
+# ---------------------------------------------------------------------------
+# Label-agreement kappa (x111) — Cohen's kappa between the GOLD label
+# column and the label PREDICTED by nearest-centroid assignment (the
+# x6 coarse quantizer used as a 1-NN classifier).  The chance-corrected
+# agreement score a labeling pipeline reports before trusting weak /
+# model-generated labels: po = observed agreement, pe = agreement
+# expected from the marginals alone, kappa = (po − pe) / (1 − pe).
+#
+# EXACT-INTEGER core: kappa = (n·diag − Σ_l row_l·col_l)
+#                             / (n² − Σ_l row_l·col_l)
+# — every term is an integer from the confusion matrix, so both
+# engines quantize one identical double division at the end.  Scale
+# shape: centroids are an L×dim aggregate broadcast back to the scan
+# (the collection never shuffles for assignment); the argmax is MIN
+# over struct(−score, label) — an aggregate, never a per-row sort; the
+# confusion matrix is ≤ L² rows.  Centroid components are e6-quantized
+# before scoring (the x6 rule) so float mean noise cannot flip an
+# assignment across engines.
+# ---------------------------------------------------------------------------
+
+
+def label_agreement_kappa(embeddings: DataFrame) -> DataFrame:
+    """One row: (n, n_agree, po_e6, pe_e6, kappa_e6)."""
+    dim_cols = F.posexplode(F.col("embedding"))
+    comp = embeddings.select("vec_id", "label", dim_cols.alias("dim", "val"))
+    centroids = (
+        comp.groupBy("label", "dim")
+        .agg(
+            (
+                F.floor(
+                    (F.sum(F.col("val").cast("double")) / F.count("*")) * 1e6
+                    + F.lit(0.5000001)
+                )
+                / 1e6
+            ).alias("cval")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cval"))).alias("pairs"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform(F.col("pairs"), lambda p: p.getField("cval")).alias(
+                "centroid"
+            ),
+        )
+    )
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        F.col("label").alias("gold"),
+        "c_label",
+        F.floor(
+            cosine(F.col("embedding"), F.col("centroid")) * 1e6
+            + F.lit(0.5000001)
+        )
+        .cast("long")
+        .alias("score_e6"),
+    )
+    pred = scored.groupBy("vec_id", "gold").agg(
+        F.min(
+            F.struct(
+                (-F.col("score_e6")).alias("ns"),
+                F.col("c_label").alias("l"),
+            )
+        )["l"].alias("pred")
+    )
+    conf = pred.groupBy("gold", "pred").agg(F.count("*").alias("c"))
+    # n, diag, and Σ row_l·col_l from the ≤L² confusion relation
+    rows = conf.groupBy("gold").agg(F.sum("c").alias("row_n"))
+    cols = conf.groupBy("pred").agg(F.sum("c").alias("col_n"))
+    rc = (
+        rows.join(cols, rows.gold == cols.pred, "full")
+        .select(
+            (
+                F.coalesce("row_n", F.lit(0)) * F.coalesce("col_n", F.lit(0))
+            ).alias("rxc")
+        )
+        .agg(F.sum("rxc").alias("sum_rc"))
+    )
+    tot = conf.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.when(F.col("gold") == F.col("pred"), F.col("c")).otherwise(0)).alias(
+            "diag"
+        ),
+    )
+    return tot.crossJoin(rc).select(
+        F.col("n").cast("long").alias("n"),
+        F.col("diag").cast("long").alias("n_agree"),
+        F.floor(
+            F.col("diag").cast("double") / F.col("n") * 1e6 + F.lit(0.5000001)
+        )
+        .cast("long")
+        .alias("po_e6"),
+        F.floor(
+            F.col("sum_rc").cast("double") / (F.col("n") * F.col("n")) * 1e6
+            + F.lit(0.5000001)
+        )
+        .cast("long")
+        .alias("pe_e6"),
+        F.floor(
+            (F.col("n") * F.col("diag") - F.col("sum_rc")).cast("double")
+            / (F.col("n") * F.col("n") - F.col("sum_rc"))
+            * 1e6
+            + F.lit(0.5000001)
+        )
+        .cast("long")
+        .alias("kappa_e6"),
+    )
+
+
+LABEL_KAPPA_SQL = """
+WITH comp AS (
+  SELECT vec_id, label, u.dim AS dim, u.val AS val FROM (
+    SELECT vec_id, label,
+           unnest(list_transform(embedding,
+             (x, i) -> {'dim': i - 1, 'val': x::DOUBLE})) AS u
+    FROM embeddings
+  )
+),
+centroids AS (
+  SELECT label AS c_label,
+         list(FLOOR(cval * 1e6 + 0.5000001) / 1e6 ORDER BY dim) AS centroid
+  FROM (
+    SELECT label, dim, SUM(val) / COUNT(*) AS cval
+    FROM comp GROUP BY label, dim
+  ) GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, e.label AS gold, c.c_label,
+         CAST(FLOOR(
+           list_dot_product(e.embedding::DOUBLE[], c.centroid)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(c.centroid, c.centroid)))
+           * 1e6 + 0.5000001) AS BIGINT) AS score_e6
+  FROM embeddings e, centroids c
+),
+pred AS (
+  SELECT vec_id, gold, c_label AS pred FROM (
+    SELECT vec_id, gold, c_label,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id ORDER BY score_e6 DESC, c_label ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+conf AS (
+  SELECT gold, pred, COUNT(*) AS c FROM pred GROUP BY gold, pred
+),
+rc AS (
+  SELECT SUM(COALESCE(r.row_n, 0) * COALESCE(k.col_n, 0)) AS sum_rc
+  FROM (SELECT gold, SUM(c) AS row_n FROM conf GROUP BY gold) r
+  FULL JOIN (SELECT pred, SUM(c) AS col_n FROM conf GROUP BY pred) k
+    ON r.gold = k.pred
+),
+tot AS (
+  SELECT SUM(c) AS n,
+         SUM(CASE WHEN gold = pred THEN c ELSE 0 END) AS diag
+  FROM conf
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(diag AS BIGINT) AS n_agree,
+       CAST(FLOOR(CAST(diag AS DOUBLE) / n * 1e6 + 0.5000001) AS BIGINT)
+         AS po_e6,
+       CAST(FLOOR(CAST(sum_rc AS DOUBLE) / (n * n) * 1e6 + 0.5000001)
+            AS BIGINT) AS pe_e6,
+       CAST(FLOOR(CAST(n * diag - sum_rc AS DOUBLE)
+                  / (n * n - sum_rc) * 1e6 + 0.5000001) AS BIGINT)
+         AS kappa_e6
+FROM tot, rc
+"""

@@ -1655,3 +1655,231 @@ SELECT source, COUNT(*) AS n_docs,
                        AS DOUBLE) / COUNT(*) * 1e6 + 0.5000001) AS BIGINT)
          AS pii_rate_e6
 FROM scanned GROUP BY source"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (x109) — Schleimer/Wilkerson/Aiken (SIGMOD'03,
+# the MOSS algorithm): hash every token k-gram, slide a window of w
+# consecutive k-grams over each doc, and select each window's minimal
+# hash (rightmost position on ties).  The selected set is the classic
+# position-robust document fingerprint: any shared substring of
+# >= w + k - 1 tokens between two docs is GUARANTEED to share at least
+# one selected fingerprint, at ~2/(w+1) the density of the full gram
+# stream — the index-size/recall trade every plagiarism/near-dup
+# fingerprint index at scale is built on (x10 is the whole-doc digest;
+# this is its substring-granular sibling).
+#
+# Scale shape: per-doc windows only (partitionBy doc_id — embarrassing
+# parallelism, no cross-doc shuffle); the rightmost-min election is
+# MIN over struct(hash, -pos) — an aggregate over a w-row frame, never
+# a per-window sort; output density ~2/(w+1) of the gram stream, so
+# the fingerprint relation is a small fraction of the token volume.
+# Docs with fewer than k + w - 1 tokens have no full window and emit
+# nothing (mirrored by the oracle).
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 5  # k-grams per winnowing window
+
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, pos, fp): the winnowed fingerprint selection — pos is
+    the 1-based k-gram position, fp the md5 of the space-joined gram."""
+    from pyspark.sql import Window
+
+    toked = documents.select("doc_id", _toks().alias("toks"))
+    grams = toked.select(
+        "doc_id",
+        # n_grams from the array size directly — a second (unbounded)
+        # count window would force an extra sort pass per doc
+        F.greatest(
+            F.size("toks") - (k - 1), F.lit(0)
+        ).alias("n_grams"),
+        F.posexplode(_gram_windows(F.col("toks"), k)).alias("p0", "gram"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        (F.col("p0") + 1).alias("pos"),
+        F.md5("gram").alias("h"),
+    )
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    return (
+        grams.withColumn(
+            "m",
+            F.min(
+                F.struct(F.col("h"), (-F.col("pos")).alias("np"))
+            ).over(frame),
+        )
+        # only rows that START a full window elect a fingerprint
+        .where(F.col("pos") <= F.col("n_grams") - w + 1)
+        .select(
+            "doc_id",
+            (-F.col("m.np")).cast("long").alias("pos"),
+            F.col("m.h").alias("fp"),
+        )
+        .distinct()
+    )
+
+
+def winnow_fingerprints_sql(
+    docs_sql: str, k: int = WINNOW_K, w: int = WINNOW_W
+) -> str:
+    """DuckDB twin: identical gram hashing; the per-window rightmost-min
+    election via a bounded self-join + (h ASC, pos DESC) rank."""
+    joined = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+           lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '') AS t
+  FROM ({docs_sql})
+),
+grams AS (
+  SELECT doc_id, g.pos AS pos, g.h AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(t) - {k - 1}),
+             i -> {{'pos': i, 'h': md5({joined})}})) AS g
+    FROM toks
+  )
+),
+sized AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+),
+wins AS (
+  SELECT a.doc_id, a.pos AS s, b.pos AS p, b.h
+  FROM grams a
+  JOIN sized z ON z.doc_id = a.doc_id AND a.pos <= z.n_grams - {w} + 1
+  JOIN grams b ON b.doc_id = a.doc_id
+              AND b.pos BETWEEN a.pos AND a.pos + {w - 1}
+),
+sel AS (
+  SELECT doc_id, p, h FROM (
+    SELECT doc_id, p, h,
+           ROW_NUMBER() OVER (
+             PARTITION BY doc_id, s ORDER BY h ASC, p DESC) AS rn
+    FROM wins
+  ) WHERE rn = 1
+)
+SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos, h AS fp FROM sel"""
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span coverage (x110) — the diagnostic behind exact
+# SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better"): a token n-gram occurring more than once in
+# the corpus marks all n of its token positions as duplicated; a doc's
+# dup_frac is the fraction of its token positions covered by at least
+# one such repeated n-gram.  Docs with high coverage are near-verbatim
+# repeats even when no whole-doc or shingle-set method fires.
+#
+# Scale shape: one gram groupBy (map-side combinable counts; only
+# grams with cnt > 1 survive the iceberg cut), one join of the
+# surviving grams back onto the gram stream (hash join on the gram
+# key; fan-out = occurrence count, linear not quadratic), and a
+# per-doc distinct over covered positions whose size is bounded by
+# the doc's own token count.  No step holds more than the gram
+# relation of one doc in a task.
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_N = 5  # tokens per duplicated span
+
+
+def dup_span_coverage(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
+    """(doc_id, n_tokens, covered, dup_frac_e6): per-doc fraction of
+    token positions covered by a corpus-repeated n-gram."""
+    toked = docs.select("doc_id", _toks().alias("toks"))
+    grams = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= n,
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {n}), "
+                    f"i -> concat_ws(' ', {', '.join(f'toks[i + {j}]' for j in range(n))}))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("p0", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("p0") + 1, F.col("p0") + n)
+            ).alias("cp"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("covered"))
+    )
+    return (
+        toked.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("covered", F.lit(0)).cast("long").alias("covered"),
+            F.when(F.col("n_tokens") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.floor(
+                    F.coalesce("covered", F.lit(0)).cast("double")
+                    / F.col("n_tokens")
+                    * 1e6
+                    + F.lit(0.5000001)
+                ).cast("long")
+            )
+            .alias("dup_frac_e6"),
+        )
+    )
+
+
+def dup_span_coverage_sql(docs_sql: str, n: int = DUP_SPAN_N) -> str:
+    """DuckDB twin of :func:`dup_span_coverage`."""
+    joined = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, n + 1))
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+           lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '') AS t
+  FROM ({docs_sql})
+),
+grams AS (
+  SELECT doc_id, g.p0 AS p0, g.gram AS gram FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= {n}
+             THEN list_transform(generate_series(0, len(t) - {n}),
+                    i -> {{'p0': i, 'gram': {joined}}})
+             ELSE [] END) AS g
+    FROM toked
+  )
+),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1
+),
+covered AS (
+  SELECT doc_id, COUNT(*) AS covered FROM (
+    SELECT DISTINCT g.doc_id, u.cp
+    FROM grams g
+    JOIN dup d ON d.gram = g.gram
+    CROSS JOIN LATERAL unnest(generate_series(g.p0 + 1, g.p0 + {n})) AS u(cp)
+  ) GROUP BY doc_id
+)
+SELECT k.doc_id, CAST(len(k.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered,
+       CASE WHEN len(k.t) = 0 THEN 0
+            ELSE CAST(FLOOR(CAST(COALESCE(c.covered, 0) AS DOUBLE)
+                            / len(k.t) * 1e6 + 0.5000001) AS BIGINT)
+       END AS dup_frac_e6
+FROM toked k LEFT JOIN covered c ON c.doc_id = k.doc_id"""

@@ -2372,6 +2372,43 @@ def q_x108_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setsim_join(dd.augment_docs(_docs(spark, sf_dir)))
 
 
+def q_x109_winnow_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al., the MOSS
+    algorithm): per-window minimal k-gram hash, rightmost on ties —
+    the position-robust substring fingerprint index (any shared run of
+    >= w + k - 1 tokens shares a fingerprint).  Per-doc windows only:
+    no cross-doc shuffle anywhere."""
+    from ..operators.text_analysis import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def q_x110_dup_span_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicated-span coverage (Lee et al. 2022 exact-substring-dedup
+    diagnostic): fraction of each doc's token positions covered by a
+    corpus-repeated n-gram — catches near-verbatim repeats that
+    whole-doc digests miss.  Runs on the augmented corpus so repeated
+    spans exist by construction."""
+    from ..operators.text_analysis import dup_span_coverage
+
+    return dup_span_coverage(dd.augment_docs(_docs(spark, sf_dir)))
+
+
+def q_x111_label_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the gold labels and nearest-centroid
+    predicted labels (the x6 quantizer as a 1-NN classifier) — the
+    chance-corrected agreement gate before trusting weak labels.
+    Exact-integer confusion-matrix arithmetic; centroids broadcast,
+    collection never shuffles."""
+    from ..operators.similarity import label_agreement_kappa
+
+    return label_agreement_kappa(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_x78_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of the IVF-pruned search (x6) against the exact
     brute-force top-k (x5), per query — the x43/x64 audit pattern
@@ -2536,6 +2573,9 @@ EXTENSION_QUERIES = {
     "x105_zipf_slope": q_x105_zipf_slope,
     "x107_pii_scan": q_x107_pii_scan,
     "x108_setsim_join": q_x108_setsim_join,
+    "x109_winnow_fingerprints": q_x109_winnow_fingerprints,
+    "x110_dup_span_coverage": q_x110_dup_span_coverage,
+    "x111_label_kappa": q_x111_label_kappa,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -2692,6 +2732,24 @@ def _setsim_join_oracle() -> str:
     from ..operators.dedup import setsim_join_sql
 
     return setsim_join_sql(dd.AUGMENT_SQL)
+
+
+def _winnow_oracle() -> str:
+    from ..operators.text_analysis import winnow_fingerprints_sql
+
+    return winnow_fingerprints_sql("SELECT doc_id, text FROM documents")
+
+
+def _dup_span_oracle() -> str:
+    from ..operators.text_analysis import dup_span_coverage_sql
+
+    return dup_span_coverage_sql(dd.AUGMENT_SQL)
+
+
+def _label_kappa_oracle() -> str:
+    from ..operators.similarity import LABEL_KAPPA_SQL
+
+    return LABEL_KAPPA_SQL
 
 
 def _quantize_oracle() -> str:
@@ -2994,6 +3052,9 @@ GROUP BY 1, 2""",
     "x106_label_noise": _label_noise_oracle(),
     "x107_pii_scan": _pii_scan_oracle(),
     "x108_setsim_join": _setsim_join_oracle(),
+    "x109_winnow_fingerprints": _winnow_oracle(),
+    "x110_dup_span_coverage": _dup_span_oracle(),
+    "x111_label_kappa": _label_kappa_oracle(),
     "x48_chunk_windows": chunk_windows_sql(),
     "x49_curriculum_order": curriculum_order_sql(
         "documents",

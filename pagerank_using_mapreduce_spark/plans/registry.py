@@ -1172,6 +1172,8 @@ _DRIVER_ROTATION: list[str] = [
     "g15_local_clustering", "x106_label_noise", "g16_assortativity",
     "w11_cusum_changepoint", "x107_pii_scan", "x108_setsim_join",
     # --- round-7 additions (no driver row possible before r07) ---
+    "x109_winnow_fingerprints", "x110_dup_span_coverage",
+    "x111_label_kappa", "d6_ks_drift",
     # --- staleness refresh: r02-era rows first ---
     "e3_pivot_activity", "g1_rollup", "g2_cube", "sj1_semi_join",
     "sj2_anti_join", "rj1_range_join", "st1_set_ops", "x1_exact_dedup",

@@ -2481,6 +2481,107 @@ FROM pq GROUP BY event_type
 
 
 # --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift (d6) — PSI's (d5) nonparametric
+# sibling: per event type, the KS statistic sup_v |F_ref(v) − F_cur(v)|
+# between the value distributions of the two event_id-parity halves.
+# PSI needs a bucket grid and smoothing; KS is binning-free and
+# catches shape shifts PSI's 10 coarse buckets can blur.
+#
+# EXACT-INTEGER statistic: both ECDFs are evaluated on the e2-quantized
+# value grid, and the sup is taken over |cum_ref·n_cur − cum_cur·n_ref|
+# (cross-multiplied — no float division until the final e6 quantize),
+# so both engines compare bit-identical integers.  Scale shape: one
+# (type, value)-keyed count with map-side partial aggregation first —
+# the running-sum windows then operate on the DISTINCT-VALUE GRID
+# (bounded: values live on the e2 grid, ≤ ~50k rows per type), never
+# on raw events — the d5/w10 histogram-first discipline.
+# --------------------------------------------------------------------------
+
+
+def ks_drift(ev: DataFrame) -> DataFrame:
+    """(event_type, n_ref, n_cur, ks_e6) over ``ev(event_id,
+    event_type, value)`` — see the block comment above."""
+    base = ev.select(
+        "event_type",
+        (F.col("event_id") % 2).alias("half"),
+        F.floor(F.col("value") * 100 + F.lit(0.5000001))
+        .cast("long")
+        .alias("v_e2"),
+    )
+    counts = base.groupBy("event_type", "v_e2").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c_cur"),
+    )
+    tw = Window.partitionBy("event_type")
+    cw = (
+        Window.partitionBy("event_type")
+        .orderBy("v_e2")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gaps = counts.select(
+        "event_type",
+        F.sum("c_ref").over(tw).alias("n_ref"),
+        F.sum("c_cur").over(tw).alias("n_cur"),
+        (
+            F.abs(
+                F.sum("c_ref").over(cw) * F.sum("c_cur").over(tw)
+                - F.sum("c_cur").over(cw) * F.sum("c_ref").over(tw)
+            )
+        ).alias("gap_num"),
+    )
+    return gaps.groupBy("event_type").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.floor(
+            F.max("gap_num").cast("double")
+            / (F.max("n_ref") * F.max("n_cur"))
+            * 1e6
+            + F.lit(0.5000001)
+        )
+        .cast("long")
+        .alias("ks_e6"),
+    )
+
+
+def d6_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ks_drift(load_table(spark, sf_dir, "events"))
+
+
+D6_SQL = """
+WITH base AS (
+  SELECT event_type, event_id % 2 AS half,
+         CAST(FLOOR(value * 100 + 0.5000001) AS BIGINT) AS v_e2
+  FROM events
+),
+counts AS (
+  SELECT event_type, v_e2,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c_ref,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c_cur
+  FROM base GROUP BY event_type, v_e2
+),
+gaps AS (
+  SELECT event_type,
+         SUM(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+         SUM(c_cur) OVER (PARTITION BY event_type) AS n_cur,
+         ABS(SUM(c_ref) OVER (PARTITION BY event_type ORDER BY v_e2
+                              ROWS UNBOUNDED PRECEDING)
+             * SUM(c_cur) OVER (PARTITION BY event_type)
+             - SUM(c_cur) OVER (PARTITION BY event_type ORDER BY v_e2
+                                ROWS UNBOUNDED PRECEDING)
+             * SUM(c_ref) OVER (PARTITION BY event_type)) AS gap_num
+  FROM counts
+)
+SELECT event_type,
+       CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+       CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+       CAST(FLOOR(CAST(MAX(gap_num) AS DOUBLE)
+                  / (MAX(n_ref) * MAX(n_cur)) * 1e6 + 0.5000001) AS BIGINT)
+         AS ks_e6
+FROM gaps GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
 # Inter-event gap histogram: the arrival-process shape per event type,
 # as power-of-two buckets of the per-user gap in seconds.  The bucket
 # is the integer MSB position — length(bin(gap)) - 1 == floor(log2) —
@@ -2839,6 +2940,7 @@ RELATIONAL_QUERIES = {
     "d4_forget_users": d4_forget_users,
     "w8_gap_histogram": w8_gap_histogram,
     "d5_drift_psi": d5_drift_psi,
+    "d6_ks_drift": d6_ks_drift,
     "w7_concurrency": w7_concurrency,
     "w9_session_splice": w9_session_splice,
     "w10_mad_outliers": w10_mad_outliers,
@@ -2896,6 +2998,7 @@ RELATIONAL_ORACLE = {
     "d4_forget_users": D4_SQL,
     "w8_gap_histogram": W8_SQL,
     "d5_drift_psi": D5_SQL,
+    "d6_ks_drift": D6_SQL,
     "w7_concurrency": W7_SQL,
     "w9_session_splice": W9_SQL,
     "w10_mad_outliers": W10_SQL,

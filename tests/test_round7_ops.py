@@ -1,0 +1,215 @@
+"""Goldens for the round-7 operators: x109 winnowing fingerprints,
+x110 duplicated-span coverage, x111 label-agreement kappa, d6 KS
+drift.  Each is checked against a hand-computed (or exact python
+replay) expectation on a tiny fixture — the engine-vs-engine hash gate
+lives in the DuckDB oracles; these pin the SEMANTICS."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagerank_using_mapreduce_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = get_spark(cpus=4, shuffle_partitions=4, app_name="test_r7")
+    yield s
+
+
+# ---------------------------------------------------------------------------
+# x109 winnowing
+# ---------------------------------------------------------------------------
+
+
+def _py_winnow(text: str, k: int, w: int) -> set[tuple[int, str]]:
+    """Exact python replay of the operator: k-gram md5s, per-window
+    min with rightmost tie-break, distinct selections."""
+    toks = [t for t in "".join(
+        c if c.isalpha() else " " for c in text.lower()
+    ).split() if t]
+    grams = [
+        " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+    ]
+    hs = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+    sel: set[tuple[int, str]] = set()
+    for s in range(len(hs) - w + 1):
+        window = hs[s : s + w]
+        mh = min(window)
+        # rightmost position of the min within the window
+        p = s + max(i for i, h in enumerate(window) if h == mh)
+        sel.add((p + 1, hs[p]))
+    return sel
+
+
+def test_x109_winnow_matches_python_replay(spark):
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon",
+        "one two three four five six seven one two three four five",
+        "tiny doc",  # < k + w - 1 tokens: no full window, no output
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(docs).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    assert got.get(0) == _py_winnow(texts[0], WINNOW_K, WINNOW_W)
+    assert got.get(1) == _py_winnow(texts[1], WINNOW_K, WINNOW_W)
+    assert 2 not in got
+
+
+def test_x109_shared_run_guarantee(spark):
+    """Two docs sharing a run of >= w + k - 1 tokens must share a
+    fingerprint HASH (the winnowing coverage guarantee); positions may
+    differ."""
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    shared = "red orange yellow green blue indigo violet ultra"  # 8 = w+k-1
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee " + shared + " ff gg hh"),
+            (2, shared + " zz yy xx ww vv uu tt"),
+        ],
+        "doc_id long, text string",
+    )
+    fps: dict[int, set] = {1: set(), 2: set()}
+    for r in winnow_fingerprints(docs).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[1] & fps[2], "shared 8-token run must share a fingerprint"
+
+
+# ---------------------------------------------------------------------------
+# x110 duplicated-span coverage
+# ---------------------------------------------------------------------------
+
+
+def test_x110_dup_span_golden(spark):
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        dup_span_coverage,
+    )
+
+    # docs 1 and 2 share tokens 1-6 ("common one two three four five"):
+    # two duplicated 5-grams covering positions 1..6 in each; doc 3 is
+    # all-unique
+    docs = spark.createDataFrame(
+        [
+            (1, "common one two three four five alpha beta gamma delta"),
+            (2, "common one two three four five zeta eta theta iota"),
+            (3, "lonely words that repeat nowhere else at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dup_span_coverage(docs).collect()}
+    assert got[1]["n_tokens"] == 10 and got[1]["covered"] == 6
+    assert got[1]["dup_frac_e6"] == 600_000
+    assert got[2]["covered"] == 6 and got[2]["dup_frac_e6"] == 600_000
+    assert got[3]["covered"] == 0 and got[3]["dup_frac_e6"] == 0
+
+
+def test_x110_within_doc_repeat_counts(spark):
+    """A 5-gram repeated WITHIN one doc also marks coverage (corpus
+    occurrence count > 1, not distinct-doc count)."""
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        dup_span_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e x a b c d e"), (2, "totally unrelated words here now")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dup_span_coverage(docs).collect()}
+    # "a b c d e" occurs twice in doc 1 -> covers positions 1-5 and 7-11
+    assert got[1]["n_tokens"] == 11 and got[1]["covered"] == 10
+    assert got[2]["covered"] == 0
+
+
+# ---------------------------------------------------------------------------
+# x111 label-agreement kappa
+# ---------------------------------------------------------------------------
+
+
+def test_x111_kappa_golden(spark):
+    """3 clean label-0 vectors, 3 clean label-1 vectors, one label-1
+    vector sitting in cluster 0: confusion = {(0,0):3, (1,1):3,
+    (1,0):1} -> kappa = (7*6 - 24) / (49 - 24) = 0.72 exactly."""
+    from pagerank_using_mapreduce_spark.operators.similarity import (
+        label_agreement_kappa,
+    )
+
+    rows = [(i, [1.0, 0.0], 0) for i in range(3)]
+    rows += [(3 + i, [0.0, 1.0], 1) for i in range(3)]
+    rows += [(6, [1.0, 0.01], 1)]  # mislabeled: lands in cluster 0
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    r = label_agreement_kappa(emb).collect()[0]
+    assert r["n"] == 7 and r["n_agree"] == 6
+    assert r["po_e6"] == 857_143  # 6/7
+    assert r["pe_e6"] == 489_796  # 24/49
+    assert r["kappa_e6"] == 720_000  # 18/25
+
+    plan = label_agreement_kappa(emb)._jdf.queryExecution().explainString(
+        emb.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # centroids broadcast TO the scan; the collection never shuffles
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_x111_perfect_agreement_is_one(spark):
+    from pagerank_using_mapreduce_spark.operators.similarity import (
+        label_agreement_kappa,
+    )
+
+    rows = [(i, [1.0, 0.0], 0) for i in range(3)]
+    rows += [(3 + i, [0.0, 1.0], 1) for i in range(3)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    r = label_agreement_kappa(emb).collect()[0]
+    assert r["n_agree"] == 6 and r["kappa_e6"] == 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# d6 KS drift
+# ---------------------------------------------------------------------------
+
+
+def test_d6_ks_golden(spark):
+    """Identical halves -> KS 0; disjoint supports -> KS 1; a known
+    partial shift -> the hand-computed sup gap."""
+    from pagerank_using_mapreduce_spark.plans.relational import ks_drift
+
+    rows = []
+    # type a: ref {1,2,3} (even ids), cur {1,2,3} (odd ids) -> ks 0
+    for i, v in enumerate([1.0, 1.0, 2.0, 2.0, 3.0, 3.0]):
+        rows.append((i, "a", v))
+    # type b: ref {1,1,2}, cur {3,3,4} -> disjoint -> ks 1
+    for j, (v_ref, v_cur) in enumerate([(1.0, 3.0), (1.0, 3.0), (2.0, 4.0)]):
+        rows.append((100 + 2 * j, "b", v_ref))
+        rows.append((101 + 2 * j, "b", v_cur))
+    # type c: ref {1,2}, cur {1,3}: gaps at v=1:0, v=2: |2*2-1*2|=2,
+    # v=3: 0 -> ks = 2/4 = 0.5
+    rows += [(200, "c", 1.0), (201, "c", 1.0), (202, "c", 2.0), (203, "c", 3.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    got = {r["event_type"]: r for r in ks_drift(ev).collect()}
+    assert got["a"]["ks_e6"] == 0
+    assert got["b"]["ks_e6"] == 1_000_000
+    assert got["c"]["ks_e6"] == 500_000
+    assert got["b"]["n_ref"] == 3 and got["b"]["n_cur"] == 3
