@@ -768,3 +768,97 @@ FROM dims d LEFT JOIN (
            AS cut_frames
   FROM cuts GROUP BY doc_id
 ) c ON d.doc_id = c.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hash (x112) — the aHash (average hash) family every
+# image near-dup pipeline starts with: integer luma per pixel
+# (299·R + 587·G + 114·B, the ITU-601 weights ×1000 so everything
+# stays integer), threshold each pixel against the image mean, read
+# the bits out in stored raster order.  Two images with the same
+# content but different encodings/bit-noise land at small hamming
+# distance; the hash is 1 bit/pixel of bounded state per image.
+#
+# The decode is the REAL byte-walk (decode_pixels' BMP raster parse in
+# mapInPandas — Arrow-vectorized, zero shuffle, no metadata trust);
+# the mean comparison is exact-integer (n_px·luma > Σ luma — no float
+# division), so the DuckDB oracle can replay the generative pixel
+# formula and must match bit-for-bit.  Bit order follows BMP storage
+# (bottom-up rows), identical on both sides.
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = (
+    "doc_id long, width long, height long, n_px long,"
+    " n_ones long, ahash string"
+)
+
+
+def ahash_images(binaries: DataFrame) -> DataFrame:
+    """(doc_id, width, height, n_px, n_ones, ahash): 1 bit per stored
+    pixel, '1' where 1000·luma·n_px > Σ(1000·luma) over the image."""
+    import numpy as np
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "width", "height", "n_px", "n_ones", "ahash"
+                )
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, w, h, hlen = parse_image_header(bytes(b))
+                assert fmt == "image/bmp"
+                rowsize = (3 * w + 3) // 4 * 4
+                arr = np.frombuffer(
+                    bytes(b), dtype=np.uint8, count=h * rowsize, offset=hlen
+                ).reshape(h, rowsize)
+                pix = arr[:, : 3 * w].reshape(h, w, 3).astype(np.int64)
+                # stored order: BGR triplets, bottom-up rows as on disk
+                luma = (
+                    299 * pix[:, :, 2] + 587 * pix[:, :, 1] + 114 * pix[:, :, 0]
+                )
+                total = int(luma.sum())
+                bits = (luma.reshape(-1) * luma.size > total).astype(np.uint8)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_px"].append(w * h)
+                out["n_ones"].append(int(bits.sum()))
+                out["ahash"].append("".join("1" if x else "0" for x in bits))
+            yield pd.DataFrame(out)
+
+    return binaries.mapInPandas(hash_batch, schema=AHASH_SCHEMA)
+
+
+AHASH_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         octet_length(CAST(text AS BLOB)) % {RASTER_MAX_W} + 1 AS w,
+         (octet_length(CAST(text AS BLOB)) * 7) % {RASTER_MAX_H} + 1 AS h
+  FROM documents
+),
+xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM dims),
+px AS (
+  SELECT doc_id, w, h, x, unnest(range(0, h)) AS r FROM xs
+),
+luma AS (
+  SELECT doc_id, w, h, r, x,
+         299 * ((x * 7 + r * 11 + doc_id * 3) % 256)
+         + 587 * ((x * 13 + r * 29 + doc_id * 7) % 256)
+         + 114 * ((x * 31 + r * 17 + doc_id) % 256) AS lm
+  FROM px
+),
+tot AS (
+  SELECT doc_id, SUM(lm) AS total, COUNT(*) AS n FROM luma GROUP BY doc_id
+)
+SELECT l.doc_id,
+       CAST(l.w AS BIGINT) AS width,
+       CAST(l.h AS BIGINT) AS height,
+       CAST(l.w * l.h AS BIGINT) AS n_px,
+       CAST(SUM(CASE WHEN l.lm * t.n > t.total THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ones,
+       string_agg(CASE WHEN l.lm * t.n > t.total THEN '1' ELSE '0' END, ''
+                  ORDER BY l.r, l.x) AS ahash
+FROM luma l JOIN tot t ON t.doc_id = l.doc_id
+GROUP BY l.doc_id, l.w, l.h"""

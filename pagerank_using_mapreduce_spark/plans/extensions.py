@@ -2398,6 +2398,46 @@ def q_x110_dup_span_coverage(
     return dup_span_coverage(dd.augment_docs(_docs(spark, sf_dir)))
 
 
+def q_x112_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash (aHash): real BMP raster byte-walk in
+    mapInPandas → integer ITU-601 luma → exact-integer mean threshold
+    → 1 bit/pixel in stored order.  The oracle replays the generative
+    pixel formula, so assembly, padding, decode AND thresholding must
+    all agree bit-for-bit."""
+    from ..operators.multimodal import ahash_images, binarize_raster
+
+    return ahash_images(binarize_raster(_docs(spark, sf_dir)))
+
+
+def q_x113_winnow_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Substring-level contamination screen composing x109: winnow
+    fingerprints over the augmented corpus, then join the held-out
+    side's fingerprints (the near-dup copies — planted 'eval leaks')
+    against the training side's on the fp key.  The winnowing
+    guarantee makes this complete for any shared run of >= w + k - 1
+    tokens; pairs need >= 2 shared fingerprints to fire (noise floor).
+    Scale shape: one fp-keyed join where the eval side is the small
+    relation — broadcast it, the training fingerprint index never
+    shuffles."""
+    from ..operators.text_analysis import winnow_fingerprints
+
+    fps = winnow_fingerprints(dd.augment_docs(_docs(spark, sf_dir)))
+    train = fps.where(F.col("doc_id") < dd.NEAR_DUP_OFFSET).select(
+        F.col("doc_id").alias("train_doc"), "fp"
+    )
+    ev = fps.where(F.col("doc_id") >= dd.NEAR_DUP_OFFSET).select(
+        F.col("doc_id").alias("eval_doc"), "fp"
+    )
+    return (
+        train.join(F.broadcast(ev), "fp")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.countDistinct("fp").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+    )
+
+
 def q_x111_label_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the gold labels and nearest-centroid
     predicted labels (the x6 quantizer as a 1-NN classifier) — the
@@ -2576,6 +2616,8 @@ EXTENSION_QUERIES = {
     "x109_winnow_fingerprints": q_x109_winnow_fingerprints,
     "x110_dup_span_coverage": q_x110_dup_span_coverage,
     "x111_label_kappa": q_x111_label_kappa,
+    "x112_image_ahash": q_x112_image_ahash,
+    "x113_winnow_contamination": q_x113_winnow_contamination,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -2750,6 +2792,25 @@ def _label_kappa_oracle() -> str:
     from ..operators.similarity import LABEL_KAPPA_SQL
 
     return LABEL_KAPPA_SQL
+
+
+def _ahash_oracle() -> str:
+    from ..operators.multimodal import AHASH_SQL
+
+    return AHASH_SQL
+
+
+def _winnow_contamination_oracle() -> str:
+    from ..operators.text_analysis import winnow_fingerprints_sql
+
+    return f"""
+WITH fps AS ({winnow_fingerprints_sql(dd.AUGMENT_SQL)})
+SELECT t.doc_id AS train_doc, e.doc_id AS eval_doc,
+       COUNT(DISTINCT t.fp) AS n_shared
+FROM fps t JOIN fps e ON e.fp = t.fp
+WHERE t.doc_id < {dd.NEAR_DUP_OFFSET} AND e.doc_id >= {dd.NEAR_DUP_OFFSET}
+GROUP BY t.doc_id, e.doc_id
+HAVING COUNT(DISTINCT t.fp) >= 2"""
 
 
 def _quantize_oracle() -> str:
@@ -3055,6 +3116,8 @@ GROUP BY 1, 2""",
     "x109_winnow_fingerprints": _winnow_oracle(),
     "x110_dup_span_coverage": _dup_span_oracle(),
     "x111_label_kappa": _label_kappa_oracle(),
+    "x112_image_ahash": _ahash_oracle(),
+    "x113_winnow_contamination": _winnow_contamination_oracle(),
     "x48_chunk_windows": chunk_windows_sql(),
     "x49_curriculum_order": curriculum_order_sql(
         "documents",

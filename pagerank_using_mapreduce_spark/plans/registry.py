@@ -1174,6 +1174,7 @@ _DRIVER_ROTATION: list[str] = [
     # --- round-7 additions (no driver row possible before r07) ---
     "x109_winnow_fingerprints", "x110_dup_span_coverage",
     "x111_label_kappa", "d6_ks_drift",
+    "x112_image_ahash", "x113_winnow_contamination",
     # --- staleness refresh: r02-era rows first ---
     "e3_pivot_activity", "g1_rollup", "g2_cube", "sj1_semi_join",
     "sj2_anti_join", "rj1_range_join", "st1_set_ops", "x1_exact_dedup",

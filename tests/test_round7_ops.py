@@ -213,3 +213,93 @@ def test_d6_ks_golden(spark):
     assert got["b"]["ks_e6"] == 1_000_000
     assert got["c"]["ks_e6"] == 500_000
     assert got["b"]["n_ref"] == 3 and got["b"]["n_cur"] == 3
+
+
+# ---------------------------------------------------------------------------
+# x112 image aHash
+# ---------------------------------------------------------------------------
+
+
+def test_x112_ahash_matches_generative_replay(spark):
+    """The mapInPandas byte-walk aHash must equal a python replay of
+    the generative pixel formula — assembly, padding, decode and the
+    exact-integer mean threshold all have to line up."""
+    from pagerank_using_mapreduce_spark.operators.multimodal import (
+        RASTER_MAX_H,
+        RASTER_MAX_W,
+        ahash_images,
+        binarize_raster,
+    )
+
+    docs = spark.createDataFrame(
+        [(5, "abc"), (11, "hello world"), (42, "x")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ahash_images(binarize_raster(docs)).collect()}
+    for doc_id, text in [(5, "abc"), (11, "hello world"), (42, "x")]:
+        blen = len(text.encode())
+        w = blen % RASTER_MAX_W + 1
+        h = (blen * 7) % RASTER_MAX_H + 1
+        lm = [
+            299 * ((x * 7 + r * 11 + doc_id * 3) % 256)
+            + 587 * ((x * 13 + r * 29 + doc_id * 7) % 256)
+            + 114 * ((x * 31 + r * 17 + doc_id) % 256)
+            for r in range(h)
+            for x in range(w)
+        ]
+        total, n = sum(lm), len(lm)
+        bits = "".join("1" if v * n > total else "0" for v in lm)
+        r = got[doc_id]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["ahash"] == bits and r["n_ones"] == bits.count("1")
+
+
+# ---------------------------------------------------------------------------
+# x113 winnow contamination
+# ---------------------------------------------------------------------------
+
+
+def test_x113_finds_planted_leaks(spark):
+    """augment_docs' near-dup copies are verbatim leaks of their source
+    (plus a tail): every eval doc must pair with exactly its source at
+    a high shared-fingerprint count, and unrelated docs must not pair."""
+    from pagerank_using_mapreduce_spark.plans.extensions import (
+        q_x113_winnow_contamination,
+    )
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        NEAR_DUP_OFFSET,
+        augment_docs,
+    )
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    # letters-only tokens: the tokenizer strips digits, so f"a{i}"-style
+    # names would collapse into one repeated word
+    abc = "abcdefghijkl"
+    words_a = " ".join(f"alpha{c} beta{c} gamma{c}" for c in abc)
+    words_b = " ".join(f"delta{c} eps{c} zeta{c}" for c in abc)
+    docs = spark.createDataFrame(
+        [(10, words_a), (20, words_b), (3, "short unrelated words here")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(augment_docs(docs))
+    train = fps.where(F.col("doc_id") < NEAR_DUP_OFFSET).select(
+        F.col("doc_id").alias("train_doc"), "fp"
+    )
+    ev = fps.where(F.col("doc_id") >= NEAR_DUP_OFFSET).select(
+        F.col("doc_id").alias("eval_doc"), "fp"
+    )
+    pairs = {
+        (r["train_doc"], r["eval_doc"]): r["n_shared"]
+        for r in train.join(ev, "fp")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.countDistinct("fp").alias("n_shared"))
+        .where(F.col("n_shared") >= 2)
+        .collect()
+    }
+    assert (10, 10 + NEAR_DUP_OFFSET) in pairs
+    assert (20, 20 + NEAR_DUP_OFFSET) in pairs
+    # no cross-contamination between unrelated sources
+    assert (10, 20 + NEAR_DUP_OFFSET) not in pairs
+    assert (20, 10 + NEAR_DUP_OFFSET) not in pairs
