@@ -2547,6 +2547,108 @@ def d6_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_drift(load_table(spark, sf_dir, "events"))
 
 
+# --------------------------------------------------------------------------
+# Conversion-lag percentiles (e11) — the latency summary behind e9's
+# attribution: for every purchase with an attributed click (backward
+# as-of within the window), the click→purchase lag in whole seconds,
+# summarized as EXACT p50/p90/p99 by histogram-CDF nearest rank.
+# No row sort anywhere: the as-of join is the e9 machinery (one key
+# shuffle + per-key sort), the percentile pass aggregates to the
+# integer lag GRID first (≤ ATTRIBUTION_WINDOW_S distinct values —
+# bounded by the tolerance, not the data), and the running-sum window
+# runs over that bounded grid (the w10/x96 discipline).
+# --------------------------------------------------------------------------
+
+
+def conversion_lag_percentiles(ev: DataFrame) -> DataFrame:
+    """One row: (n_conv, p50_s, p90_s, p99_s)."""
+    from ..operators.asof import asof_join
+
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    matched = asof_join(
+        purchases,
+        clicks,
+        left_on="user_id",
+        right_on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["click_ts"],
+        how="inner",
+        tolerance_s=ATTRIBUTION_WINDOW_S,
+    )
+    lags = matched.select(
+        (
+            (F.unix_micros("ts") - F.unix_micros("r_click_ts"))
+            / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("lag_s")
+    )
+    hist = lags.groupBy("lag_s").agg(F.count("*").alias("c"))
+    cw = Window.orderBy("lag_s").rowsBetween(Window.unboundedPreceding, 0)
+    tw = Window.partitionBy()
+    cdf = hist.select(
+        "lag_s",
+        F.sum("c").over(cw).alias("cum"),
+        F.sum("c").over(tw).alias("n"),
+    )
+    # nearest rank: smallest lag with cum >= ceil(q·n/100)
+    def pick(q: int):
+        rank = F.expr(f"CAST(({q} * n + 99) div 100 AS BIGINT)")
+        return F.min(
+            F.when(F.col("cum") >= rank, F.col("lag_s"))
+        ).cast("long")
+
+    return cdf.agg(
+        F.max("n").cast("long").alias("n_conv"),
+        pick(50).alias("p50_s"),
+        pick(90).alias("p90_s"),
+        pick(99).alias("p99_s"),
+    )
+
+
+def e11_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conversion_lag_percentiles(load_table(spark, sf_dir, "events"))
+
+
+E11_SQL = f"""
+WITH lags AS (
+  SELECT CAST((epoch_us(p.ts) - (
+           SELECT epoch_us(c.ts) FROM events c
+           WHERE c.event_type = 'click' AND c.user_id = p.user_id
+             AND epoch_us(c.ts) <= epoch_us(p.ts)
+             AND epoch_us(p.ts) - epoch_us(c.ts)
+                 <= {ATTRIBUTION_WINDOW_S} * 1000000
+           ORDER BY c.ts DESC LIMIT 1
+         )) // 1000000 AS BIGINT) AS lag_s
+  FROM events p WHERE p.event_type = 'purchase'
+),
+hist AS (
+  SELECT lag_s, COUNT(*) AS c FROM lags WHERE lag_s IS NOT NULL
+  GROUP BY lag_s
+),
+cdf AS (
+  SELECT lag_s,
+         SUM(c) OVER (ORDER BY lag_s ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER () AS n
+  FROM hist
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_conv,
+       CAST(MIN(CASE WHEN cum >= (50 * n + 99) // 100 THEN lag_s END)
+            AS BIGINT) AS p50_s,
+       CAST(MIN(CASE WHEN cum >= (90 * n + 99) // 100 THEN lag_s END)
+            AS BIGINT) AS p90_s,
+       CAST(MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN lag_s END)
+            AS BIGINT) AS p99_s
+FROM cdf
+"""
+
+
 D6_SQL = """
 WITH base AS (
   SELECT event_type, event_id % 2 AS half,
@@ -2941,6 +3043,7 @@ RELATIONAL_QUERIES = {
     "w8_gap_histogram": w8_gap_histogram,
     "d5_drift_psi": d5_drift_psi,
     "d6_ks_drift": d6_ks_drift,
+    "e11_conversion_lag": e11_conversion_lag,
     "w7_concurrency": w7_concurrency,
     "w9_session_splice": w9_session_splice,
     "w10_mad_outliers": w10_mad_outliers,
@@ -2999,6 +3102,7 @@ RELATIONAL_ORACLE = {
     "w8_gap_histogram": W8_SQL,
     "d5_drift_psi": D5_SQL,
     "d6_ks_drift": D6_SQL,
+    "e11_conversion_lag": E11_SQL,
     "w7_concurrency": W7_SQL,
     "w9_session_splice": W9_SQL,
     "w10_mad_outliers": W10_SQL,

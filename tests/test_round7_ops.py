@@ -303,3 +303,47 @@ def test_x113_finds_planted_leaks(spark):
     # no cross-contamination between unrelated sources
     assert (10, 20 + NEAR_DUP_OFFSET) not in pairs
     assert (20, 10 + NEAR_DUP_OFFSET) not in pairs
+
+
+# ---------------------------------------------------------------------------
+# e11 conversion-lag percentiles
+# ---------------------------------------------------------------------------
+
+
+def test_e11_lag_percentiles_golden(spark):
+    """10 conversions with lags 1..10 s: nearest-rank p50 = 5,
+    p90 = 9, p99 = 10; a purchase outside the window is dropped;
+    a purchase picks its MOST RECENT prior click."""
+    import datetime as dt
+
+    from pagerank_using_mapreduce_spark.plans.relational import (
+        ATTRIBUTION_WINDOW_S,
+        conversion_lag_percentiles,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for u in range(1, 11):  # user u: click at t0, purchase at t0 + u s
+        rows.append((eid, u, "click", t0)); eid += 1
+        rows.append((eid, u, "purchase", t0 + dt.timedelta(seconds=u))); eid += 1
+    # user 50: an EARLIER click then a later one 3 s before purchase —
+    # the as-of must use the most recent (lag 3, not 600)
+    rows.append((eid, 50, "click", t0)); eid += 1
+    rows.append((eid, 50, "click", t0 + dt.timedelta(seconds=597))); eid += 1
+    rows.append((eid, 50, "purchase", t0 + dt.timedelta(seconds=600))); eid += 1
+    # user 99: click far outside the window -> no conversion row
+    rows.append((eid, 99, "click", t0)); eid += 1
+    rows.append(
+        (eid, 99, "purchase",
+         t0 + dt.timedelta(seconds=ATTRIBUTION_WINDOW_S + 60))
+    ); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    r = conversion_lag_percentiles(ev).collect()[0]
+    # lags: 1..10 plus user 50's 3 -> n=11; sorted: 1,2,3,3,4,...,10
+    assert r["n_conv"] == 11
+    assert r["p50_s"] == 5  # rank ceil(0.5*11)=6 -> 6th smallest = 5
+    assert r["p90_s"] == 9  # rank 10 -> 9
+    assert r["p99_s"] == 10
