@@ -1883,3 +1883,133 @@ SELECT k.doc_id, CAST(len(k.t) AS BIGINT) AS n_tokens,
                             / len(k.t) * 1e6 + 0.5000001) AS BIGINT)
        END AS dup_frac_e6
 FROM toked k LEFT JOIN covered c ON c.doc_id = k.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span REMOVAL (x114) — the transform behind x110's
+# diagnostic (Lee et al. exact substring dedup): drop every token
+# position covered by a corpus-repeated n-gram and re-join the
+# survivors, emitting the cleaned token stream's fingerprint.  This is
+# the step that actually shrinks a training corpus; x110 only measures.
+#
+# Scale shape: x110's gram iceberg + linear join-back, then ONE
+# per-doc sort of the kept (pos, token) pairs — bounded by each doc's
+# own token count (sort_array over a collected per-doc array, the
+# a2/collect_list discipline; a doc's tokens always fit in a task or
+# the corpus couldn't have been read in the first place).
+# ---------------------------------------------------------------------------
+
+
+def dup_span_removal(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
+    """(doc_id, n_tokens, kept_tokens, cleaned_fp): tokens covered by a
+    repeated n-gram removed; cleaned_fp = md5 of the space-joined
+    survivors ('' stays hashable for fully-duplicated docs)."""
+    toked = docs.select("doc_id", _toks().alias("toks"))
+    grams = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= n,
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {n}), "
+                    f"i -> concat_ws(' ', {', '.join(f'toks[i + {j}]' for j in range(n))}))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("p0", "gram"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p0") + 1, F.col("p0") + n)).alias("cp"),
+        )
+        .distinct()
+    )
+    positions = toked.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.posexplode("toks").alias("p0", "tok"),
+    ).select(
+        "doc_id", "n_tokens", (F.col("p0") + 1).alias("pos"), "tok"
+    )
+    kept = positions.join(
+        covered,
+        (positions.doc_id == covered.doc_id) & (positions.pos == covered.cp),
+        "left_anti",
+    )
+    cleaned = kept.groupBy("doc_id", "n_tokens").agg(
+        F.count("*").cast("long").alias("kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+                " ",
+            )
+        ).alias("cleaned_fp"),
+    )
+    return (
+        toked.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(cleaned.drop("n_tokens"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+            F.coalesce("cleaned_fp", F.md5(F.lit(""))).alias("cleaned_fp"),
+        )
+    )
+
+
+def dup_span_removal_sql(docs_sql: str, n: int = DUP_SPAN_N) -> str:
+    """DuckDB twin of :func:`dup_span_removal`."""
+    joined = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, n + 1))
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+           lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '') AS t
+  FROM ({docs_sql})
+),
+grams AS (
+  SELECT doc_id, g.p0 AS p0, g.gram AS gram FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= {n}
+             THEN list_transform(generate_series(0, len(t) - {n}),
+                    i -> {{'p0': i, 'gram': {joined}}})
+             ELSE [] END) AS g
+    FROM toked
+  )
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
+covered AS (
+  SELECT DISTINCT g.doc_id, u.cp
+  FROM grams g JOIN dup d ON d.gram = g.gram
+  CROSS JOIN LATERAL unnest(generate_series(g.p0 + 1, g.p0 + {n})) AS u(cp)
+),
+positions AS (
+  SELECT doc_id, len(t) AS n_tokens, u.pos AS pos, t[u.pos] AS tok
+  FROM toked
+  CROSS JOIN LATERAL unnest(generate_series(1, len(t))) AS u(pos)
+),
+kept AS (
+  SELECT p.doc_id, p.pos, p.tok FROM positions p
+  LEFT JOIN covered c ON c.doc_id = p.doc_id AND c.cp = p.pos
+  WHERE c.cp IS NULL
+),
+cleaned AS (
+  SELECT doc_id, COUNT(*) AS kept_tokens,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_fp
+  FROM kept GROUP BY doc_id
+)
+SELECT k.doc_id, CAST(len(k.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       COALESCE(c.cleaned_fp, md5('')) AS cleaned_fp
+FROM toked k LEFT JOIN cleaned c ON c.doc_id = k.doc_id"""

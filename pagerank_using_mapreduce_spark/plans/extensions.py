@@ -1169,6 +1169,38 @@ def q_z10_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(stream, "t_z10_hist", output_mode="complete")
 
 
+def q_z17_stream_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KS drift: the (event_type, v_e2) half counts are the
+    ADDITIVE complete-mode state (bounded by the value grid), drained
+    with AvailableNow; the sup-gap finish runs as a batch post-pass
+    over the drained grid.  Oracle = the batch d6 SQL — the hash gate
+    proves streaming/batch parity on the same input."""
+    from ..plans.relational import ks_from_counts
+    from ..streaming.events import (
+        ks_counts_stream,
+        read_event_stream,
+        run_available_now,
+        stage_table_dir,
+    )
+
+    stream = ks_counts_stream(
+        read_event_stream(spark, stage_table_dir(sf_dir))
+    )
+    drained = run_available_now(stream, "t_z17_ks", output_mode="complete")
+    return ks_from_counts(drained)
+
+
+def q_x114_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-substring-dedup TRANSFORM behind x110's diagnostic:
+    every token position covered by a corpus-repeated n-gram is
+    dropped and the cleaned token stream fingerprinted — the step that
+    actually shrinks the corpus.  Runs on the augmented corpus so
+    repeated spans exist."""
+    from ..operators.text_analysis import dup_span_removal
+
+    return dup_span_removal(dd.augment_docs(_docs(spark, sf_dir)))
+
+
 def q_z1_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming rollup drained with AvailableNow — the
     oracle is the BATCH rollup SQL (e2), i.e. the hash check proves
@@ -2618,6 +2650,8 @@ EXTENSION_QUERIES = {
     "x111_label_kappa": q_x111_label_kappa,
     "x112_image_ahash": q_x112_image_ahash,
     "x113_winnow_contamination": q_x113_winnow_contamination,
+    "x114_dup_span_removal": q_x114_dup_span_removal,
+    "z17_stream_ks": q_z17_stream_ks,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -2798,6 +2832,18 @@ def _ahash_oracle() -> str:
     from ..operators.multimodal import AHASH_SQL
 
     return AHASH_SQL
+
+
+def _dup_span_removal_oracle() -> str:
+    from ..operators.text_analysis import dup_span_removal_sql
+
+    return dup_span_removal_sql(dd.AUGMENT_SQL)
+
+
+def _z17_oracle() -> str:
+    from .relational import D6_SQL
+
+    return D6_SQL
 
 
 def _winnow_contamination_oracle() -> str:
@@ -3118,6 +3164,8 @@ GROUP BY 1, 2""",
     "x111_label_kappa": _label_kappa_oracle(),
     "x112_image_ahash": _ahash_oracle(),
     "x113_winnow_contamination": _winnow_contamination_oracle(),
+    "x114_dup_span_removal": _dup_span_removal_oracle(),
+    "z17_stream_ks": _z17_oracle(),
     "x48_chunk_windows": chunk_windows_sql(),
     "x49_curriculum_order": curriculum_order_sql(
         "documents",

@@ -2498,9 +2498,10 @@ FROM pq GROUP BY event_type
 # --------------------------------------------------------------------------
 
 
-def ks_drift(ev: DataFrame) -> DataFrame:
-    """(event_type, n_ref, n_cur, ks_e6) over ``ev(event_id,
-    event_type, value)`` — see the block comment above."""
+def ks_grid_counts(ev: DataFrame) -> DataFrame:
+    """(event_type, v_e2, c_ref, c_cur): the e2-grid half counts — the
+    ADDITIVE state KS needs, shared with the streaming twin (z17),
+    whose complete-mode state is exactly this bounded grid."""
     base = ev.select(
         "event_type",
         (F.col("event_id") % 2).alias("half"),
@@ -2508,10 +2509,15 @@ def ks_drift(ev: DataFrame) -> DataFrame:
         .cast("long")
         .alias("v_e2"),
     )
-    counts = base.groupBy("event_type", "v_e2").agg(
+    return base.groupBy("event_type", "v_e2").agg(
         F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c_ref"),
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c_cur"),
     )
+
+
+def ks_from_counts(counts: DataFrame) -> DataFrame:
+    """The KS finish over the bounded grid relation — batch post-pass
+    for both d6 (batch counts) and z17 (drained streaming counts)."""
     tw = Window.partitionBy("event_type")
     cw = (
         Window.partitionBy("event_type")
@@ -2541,6 +2547,12 @@ def ks_drift(ev: DataFrame) -> DataFrame:
         .cast("long")
         .alias("ks_e6"),
     )
+
+
+def ks_drift(ev: DataFrame) -> DataFrame:
+    """(event_type, n_ref, n_cur, ks_e6) over ``ev(event_id,
+    event_type, value)`` — see the block comment above."""
+    return ks_from_counts(ks_grid_counts(ev))
 
 
 def d6_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

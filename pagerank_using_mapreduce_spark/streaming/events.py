@@ -589,3 +589,17 @@ def read_document_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(docs_dir)
+
+
+def ks_counts_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of d6's KS grid state: per-(event_type, v_e2)
+    half counts — ADDITIVE, so complete-mode state is the bounded e2
+    grid (value-range-bounded, not data-bounded) and the drained
+    counts equal the batch grid on the same input.  The sup-gap finish
+    (``plans.relational.ks_from_counts``) runs as a batch post-pass
+    over the drained grid, the same split as z10's histogram (a
+    non-time window after a streaming aggregate is unsupported, and
+    the finish is cheap on <= grid rows)."""
+    from ..plans.relational import ks_grid_counts
+
+    return ks_grid_counts(events)

@@ -347,3 +347,58 @@ def test_e11_lag_percentiles_golden(spark):
     assert r["p50_s"] == 5  # rank ceil(0.5*11)=6 -> 6th smallest = 5
     assert r["p90_s"] == 9  # rank 10 -> 9
     assert r["p99_s"] == 10
+
+
+# ---------------------------------------------------------------------------
+# x114 duplicated-span removal
+# ---------------------------------------------------------------------------
+
+
+def test_x114_removal_golden(spark):
+    """Covered positions are excised and the survivor stream
+    fingerprinted; a fully-duplicated doc cleans to the empty hash."""
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        dup_span_removal,
+    )
+
+    same = "aa bb cc dd ee"
+    docs = spark.createDataFrame(
+        [
+            (1, "common one two three four five alpha beta gamma delta"),
+            (2, "common one two three four five zeta eta theta iota"),
+            (3, same),
+            (4, same),  # exact pair: every position covered
+            (5, "all unique tokens nothing shared anywhere at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dup_span_removal(docs).collect()}
+    assert got[1]["kept_tokens"] == 4
+    assert got[1]["cleaned_fp"] == hashlib.md5(
+        b"alpha beta gamma delta"
+    ).hexdigest()
+    assert got[3]["kept_tokens"] == 0
+    assert got[3]["cleaned_fp"] == hashlib.md5(b"").hexdigest()
+    assert got[5]["kept_tokens"] == got[5]["n_tokens"] == 8
+    assert got[5]["cleaned_fp"] == hashlib.md5(
+        b"all unique tokens nothing shared anywhere at all"
+    ).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# z17 streaming KS
+# ---------------------------------------------------------------------------
+
+
+def test_z17_stream_equals_batch_d6(spark):
+    """The drained streaming KS grid finished with ks_from_counts must
+    row-for-row equal the batch d6 on the same input."""
+    from pagerank_using_mapreduce_spark.plans.extensions import q_z17_stream_ks
+    from pagerank_using_mapreduce_spark.plans.relational import d6_ks_drift
+
+    sf = "/root/testdata/sf0.001"
+    stream_rows = sorted(
+        tuple(r) for r in q_z17_stream_ks(spark, sf).collect()
+    )
+    batch_rows = sorted(tuple(r) for r in d6_ks_drift(spark, sf).collect())
+    assert stream_rows == batch_rows and stream_rows
