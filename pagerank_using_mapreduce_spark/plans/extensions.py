@@ -82,6 +82,7 @@ from ..operators.sampling import (
 )
 from ..sources.tables import load_table
 from .relational import E1_SQL as _E1_BATCH_SQL
+from .relational import E9_SQL as _E9_BATCH_SQL
 from .relational import E4_SQL as _E4_BATCH_SQL
 from .relational import E2_SQL as _E2_BATCH_SQL
 from .relational import W6_SQL as _W6_BATCH_SQL
@@ -1199,6 +1200,27 @@ def q_x114_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_analysis import dup_span_removal
 
     return dup_span_removal(dd.augment_docs(_docs(spark, sf_dir)))
+
+
+def q_z18_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState last-touch attribution vs the batch e9
+    as-of twin: per-user state carries the (click, purchase) sets
+    across micro-batches; each batch re-attributes, so out-of-order
+    clicks retroactively correct earlier answers (order-insensitive
+    fold, the z2 discipline).  Oracle = the batch e9 SQL."""
+    from ..plans.relational import ATTRIBUTION_WINDOW_S
+    from ..streaming.events import (
+        attribution_stream,
+        read_event_stream,
+        run_available_now,
+        stage_table_dir,
+    )
+
+    stream = attribution_stream(
+        read_event_stream(spark, stage_table_dir(sf_dir)),
+        window_s=ATTRIBUTION_WINDOW_S,
+    )
+    return run_available_now(stream, "drv_z18_attr", output_mode="update")
 
 
 def q_z1_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2652,6 +2674,7 @@ EXTENSION_QUERIES = {
     "x113_winnow_contamination": q_x113_winnow_contamination,
     "x114_dup_span_removal": q_x114_dup_span_removal,
     "z17_stream_ks": q_z17_stream_ks,
+    "z18_stream_attribution": q_z18_stream_attribution,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -3236,6 +3259,7 @@ FROM events GROUP BY event_type""",
     # streaming queries: oracle = the BATCH twin's SQL (parity proof)
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,
+    "z18_stream_attribution": _E9_BATCH_SQL,
     "z9_stream_bottomk": bottom_k_per_group_sql(
         "event_type, event_id", "events", "event_type", "event_id", 20
     ),

@@ -603,3 +603,97 @@ def ks_counts_stream(events: DataFrame) -> DataFrame:
     from ..plans.relational import ks_grid_counts
 
     return ks_grid_counts(events)
+
+
+# --------------------------------------------------------------------------
+# Streaming last-touch attribution (z18) — the stateful streaming twin
+# of batch e9: every purchase attributed to the user's most recent
+# click within the attribution window, with state carried across
+# micro-batches.
+#
+# Cross-batch ordering: the fold is ORDER-INSENSITIVE.  State is the
+# user's full (click, purchase) event sets; each batch merges its rows
+# in and RE-attributes every purchase of the user, so an out-of-order
+# click arriving in a later micro-batch retroactively corrects the
+# attribution to exactly the single-sorted-batch answer (update mode:
+# the corrected row is re-emitted).  Tie rule matches the e9 oracle:
+# latest click ts, then largest click event_id.
+#
+# State size: O(user events) here so totals stay exact and the oracle
+# can be the batch e9 SQL; a production variant seals events older
+# than watermark + window (their attribution can no longer change) and
+# evicts them — the same bound/exactness trade documented on the
+# sessionizer.
+# --------------------------------------------------------------------------
+
+_ATTR_OUT_SCHEMA = (
+    "event_id long, user_id long, attributed_click_id long"
+)
+_ATTR_STATE_SCHEMA = (
+    "c_ts array<long>, c_id array<long>, p_ts array<long>, p_id array<long>"
+)
+
+
+def attribution_stream(events: DataFrame, window_s: int = 1800) -> DataFrame:
+    """(event_id, user_id, attributed_click_id) per purchase, -1 when
+    no click within ``window_s`` seconds precedes it."""
+    win_us = window_s * 1_000_000
+
+    def update(key: tuple, pdfs, state: GroupState):
+        if state.exists:
+            c_ts, c_id, p_ts, p_id = (
+                list(x) for x in state.get
+            )
+        else:
+            c_ts, c_id, p_ts, p_id = [], [], [], []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            us = pdf["ts"].astype("int64").to_numpy() // 1000
+            kinds = pdf["event_type"].to_numpy()
+            ids = pdf["event_id"].astype("int64").to_numpy()
+            for t, kind, eid in zip(us, kinds, ids):
+                if kind == "click":
+                    c_ts.append(int(t)); c_id.append(int(eid))
+                elif kind == "purchase":
+                    p_ts.append(int(t)); p_id.append(int(eid))
+        state.update((c_ts, c_id, p_ts, p_id))
+        if not p_ts:
+            return iter(())
+        # re-attribute every purchase, vectorized: clicks sorted by
+        # (ts, id); the last entry with ct <= p_ts is the (max ts,
+        # max id) winner, valid if inside the window
+        pts = np.asarray(p_ts, dtype=np.int64)
+        if c_ts:
+            cts = np.asarray(c_ts, dtype=np.int64)
+            cid = np.asarray(c_id, dtype=np.int64)
+            order = np.lexsort((cid, cts))
+            cts, cid = cts[order], cid[order]
+            idx = np.searchsorted(cts, pts, side="right") - 1
+            safe = np.clip(idx, 0, None)
+            ok = (idx >= 0) & (pts - cts[safe] <= win_us)
+            attr = np.where(ok, cid[safe], -1)
+        else:
+            attr = np.full(len(pts), -1, dtype=np.int64)
+        return iter(
+            (
+                pd.DataFrame(
+                    {
+                        "event_id": np.asarray(p_id, dtype=np.int64),
+                        "user_id": np.full(len(pts), key[0], dtype=np.int64),
+                        "attributed_click_id": attr,
+                    }
+                ),
+            )
+        )
+
+    relevant = events.where(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_id", "user_id", "event_type", "ts")
+    return relevant.groupBy("user_id").applyInPandasWithState(
+        update,
+        _ATTR_OUT_SCHEMA,
+        _ATTR_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -402,3 +402,65 @@ def test_z17_stream_equals_batch_d6(spark):
     )
     batch_rows = sorted(tuple(r) for r in d6_ks_drift(spark, sf).collect())
     assert stream_rows == batch_rows and stream_rows
+
+
+# ---------------------------------------------------------------------------
+# z18 streaming attribution
+# ---------------------------------------------------------------------------
+
+
+def test_z18_out_of_order_click_corrects_attribution(spark, tmp_path):
+    """A click delivered in a LATER micro-batch than its purchase must
+    retroactively correct the attribution (order-insensitive state);
+    the final per-purchase answer equals the batch as-of rule."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pagerank_using_mapreduce_spark.streaming import events as se
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, kind, sec):
+        return {
+            "event_id": eid,
+            "ts": t0 + dt.timedelta(seconds=sec),
+            "user_id": uid,
+            "event_type": kind,
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    # batch a: user 1's purchase BEFORE its click arrives; user 2 in order
+    batch_a = [ev(100, 1, "purchase", 50), ev(201, 2, "click", 10),
+               ev(200, 2, "purchase", 20)]
+    # batch b: user 1's click (ts before the purchase) arrives late;
+    # plus a too-old click for user 3's purchase
+    batch_b = [ev(101, 1, "click", 40), ev(301, 3, "click", 0),
+               ev(300, 3, "purchase", 0 + 3000)]
+    d = tmp_path / "z18_split"
+    d.mkdir()
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("user_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64()), ("props", pa.string())]
+    )
+    pq.write_table(pa.Table.from_pylist(batch_a, schema=schema), d / "a.parquet")
+    pq.write_table(pa.Table.from_pylist(batch_b, schema=schema), d / "b.parquet")
+
+    latest: dict = {}
+
+    def collect(batch_df, _bid):
+        for r in batch_df.collect():
+            latest[r["event_id"]] = r["attributed_click_id"]
+
+    stream = se.attribution_stream(
+        se.read_event_stream(spark, str(d), max_files_per_trigger=1),
+        window_s=1800,
+    )
+    se.run_foreach_batch(stream, collect, output_mode="update")
+
+    assert latest[100] == 101  # corrected by the late click
+    assert latest[200] == 201  # in-order attribution
+    assert latest[300] == -1   # click outside the 1800 s window
