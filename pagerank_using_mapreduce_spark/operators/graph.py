@@ -1427,3 +1427,102 @@ SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
                             * 1e6 + 0.5000001) AS BIGINT) END
          AS assortativity_e6
 FROM sums"""
+
+
+# --------------------------------------------------------------------------
+# Local bridges (g17) — Granovetter's weak ties: a co-citation edge in
+# NO triangle (its endpoints share no common neighbor), so removing it
+# raises the endpoint distance to >= 3.  Local bridges are the edges
+# that connect communities — the curation signal for "this link is the
+# only path between two content clusters" (dedup clusters / topic
+# islands stay separate without them).
+#
+# Scale shape: rides the indeg-capped co-citation relation staged once
+# (hub fan-out blocked BEFORE pair enumeration, the g13/g15
+# discipline); triangle edges via the same lexicographic 3-join as
+# g15, then ONE anti join — the bridge set is edges minus
+# triangle-edges, never a per-edge neighborhood intersection.
+# --------------------------------------------------------------------------
+
+
+def local_bridges(
+    pages: DataFrame, max_indeg: int = COCITE_MAX_INDEG
+) -> DataFrame:
+    """(a, b, deg_a, deg_b): canonical (a < b) co-citation edges in no
+    triangle, with endpoint degrees (a local bridge with deg 1 on
+    either side is a pendant, not a community connector — callers
+    filter on the degrees)."""
+    e = cocitation_edges(pages, max_indeg)  # canonical a<b, pinned
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e.alias("e3"),
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tri_edges = (
+        tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+        .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+        .distinct()
+    )
+    both = e.select(F.col("a").alias("t")).unionAll(
+        e.select(F.col("b").alias("t"))
+    )
+    deg = both.groupBy("t").agg(F.count("*").alias("deg"))
+    bridges = e.join(tri_edges, ["a", "b"], "left_anti")
+    return (
+        bridges.join(deg.select(F.col("t").alias("a"), F.col("deg").alias("deg_a")), "a")
+        .join(deg.select(F.col("t").alias("b"), F.col("deg").alias("deg_b")), "b")
+        .select("a", "b", "deg_a", "deg_b")
+    )
+
+
+def local_bridges_sql(
+    pages_ctes: str, max_indeg: int = COCITE_MAX_INDEG
+) -> str:
+    """DuckDB twin: identical capped co-citation relation, triangle
+    edges, anti join, degrees."""
+    return f"""WITH {pages_ctes},
+ind AS (SELECT dst, COUNT(*) AS indeg FROM edges GROUP BY dst),
+capped AS (
+  SELECT e.src, e.dst FROM edges e
+  JOIN ind ON ind.dst = e.dst AND ind.indeg <= {max_indeg}
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT e1.src AS a, e2.src AS b
+  FROM capped e1 JOIN capped e2
+    ON e1.dst = e2.dst AND e1.src < e2.src
+),
+tri AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tri_edges AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT x AS a, y AS b FROM tri
+    UNION ALL SELECT y AS a, z AS b FROM tri
+    UNION ALL SELECT x AS a, z AS b FROM tri)
+),
+deg AS (
+  SELECT t, COUNT(*) AS deg FROM (
+    SELECT a AS t FROM e0 UNION ALL SELECT b AS t FROM e0)
+  GROUP BY t
+)
+SELECT e.a, e.b,
+       CAST(da.deg AS BIGINT) AS deg_a,
+       CAST(db.deg AS BIGINT) AS deg_b
+FROM e0 e
+LEFT JOIN tri_edges te ON te.a = e.a AND te.b = e.b
+JOIN deg da ON da.t = e.a
+JOIN deg db ON db.t = e.b
+WHERE te.a IS NULL"""

@@ -569,6 +569,16 @@ def q_g15_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_clustering(_pages(spark, sf_dir))
 
 
+def q_g17_local_bridges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granovetter local bridges over the indeg-capped co-citation
+    graph: edges in NO triangle (endpoints share no common neighbor) —
+    the weak ties connecting content communities; one lexicographic
+    triangle join + one anti join on the pinned pair relation."""
+    from ..operators.graph import local_bridges
+
+    return local_bridges(_pages(spark, sf_dir))
+
+
 def q_g16_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman degree assortativity over the undirected link graph:
     exact integer sufficient statistics (one degree aggregate, two
@@ -853,6 +863,7 @@ _CORE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g14_adamic_adar": q_g14_adamic_adar,
     "g15_local_clustering": q_g15_local_clustering,
     "g16_assortativity": q_g16_assortativity,
+    "g17_local_bridges": q_g17_local_bridges,
     "g6_kcore": q_g6_kcore,
     "g7_label_prop": q_g7_label_prop,
     "deg_stats": q_deg_stats,
@@ -890,6 +901,12 @@ def _g15_sql() -> str:
     from ..operators.graph import local_clustering_sql
 
     return local_clustering_sql(_PAGES_CTES)
+
+
+def _g17_sql() -> str:
+    from ..operators.graph import local_bridges_sql
+
+    return local_bridges_sql(_PAGES_CTES)
 
 
 def _g16_sql() -> str:
@@ -1063,6 +1080,7 @@ SELECT
     "g14_adamic_adar": _g14_sql(),
     "g15_local_clustering": _g15_sql(),
     "g16_assortativity": _g16_sql(),
+    "g17_local_bridges": _g17_sql(),
     "o1_ranking": f"""WITH {_PAGES_CTES},
 {_rank_ctes(10)},
 rounded AS (SELECT title, {_sql_e6('rank')} AS rank_e6 FROM r10)
@@ -1176,7 +1194,7 @@ _DRIVER_ROTATION: list[str] = [
     "x111_label_kappa", "d6_ks_drift",
     "x112_image_ahash", "x113_winnow_contamination",
     "e11_conversion_lag", "x114_dup_span_removal", "z17_stream_ks",
-    "z18_stream_attribution",
+    "z18_stream_attribution", "g17_local_bridges",
     # --- staleness refresh: r02-era rows first ---
     "e3_pivot_activity", "g1_rollup", "g2_cube", "sj1_semi_join",
     "sj2_anti_join", "rj1_range_join", "st1_set_ops", "x1_exact_dedup",

@@ -464,3 +464,30 @@ def test_z18_out_of_order_click_corrects_attribution(spark, tmp_path):
     assert latest[100] == 101  # corrected by the late click
     assert latest[200] == 201  # in-order attribution
     assert latest[300] == -1   # click outside the 1800 s window
+
+
+# ---------------------------------------------------------------------------
+# g17 local bridges
+# ---------------------------------------------------------------------------
+
+
+def test_g17_local_bridges_golden(spark):
+    """p1/p2/p3 co-cite t (a K3 — no edge there is a bridge); p4
+    shares only t2 with p1: the (p1, p4) edge closes no triangle and
+    is the one local bridge, carrying deg(p1)=3, deg(p4)=1."""
+    from pagerank_using_mapreduce_spark.operators.graph import local_bridges
+
+    pages = spark.createDataFrame(
+        [
+            ("p1", ["t", "t2"]),
+            ("p2", ["t"]),
+            ("p3", ["t"]),
+            ("p4", ["t2"]),
+            ("t", []),
+            ("t2", []),
+        ],
+        "title string, links array<string>",
+    )
+    got = {(r["a"], r["b"]): (r["deg_a"], r["deg_b"])
+           for r in local_bridges(pages).collect()}
+    assert got == {("p1", "p4"): (3, 1)}
