@@ -862,3 +862,98 @@ SELECT l.doc_id,
                   ORDER BY l.r, l.x) AS ahash
 FROM luma l JOIN tot t ON t.doc_id = l.doc_id
 GROUP BY l.doc_id, l.w, l.h"""
+
+
+# ---------------------------------------------------------------------------
+# Audio energy-contour fingerprint (x115) — the perceptual-hash analog
+# of x112 for audio: split the PCM stream into up to 8 balanced
+# windows, per-window integer energy Σs², and emit one bit per
+# adjacent window pair (1 = energy rose).  Loudness-profile matching
+# is the first stage of every audio near-dup pipeline (the same
+# "contour" idea behind dHash: compare neighbors, not absolutes, so
+# uniform gain changes barely move the bits).  Exact integers end to
+# end; the oracle replays the generative sample formula, so chunk
+# parsing, the int16 byte-walk, window assignment AND the comparisons
+# must all agree.  Same zero-shuffle Arrow-batched shape as
+# decode_audio.
+# ---------------------------------------------------------------------------
+
+CONTOUR_WINDOWS = 8
+
+CONTOUR_SCHEMA = (
+    "doc_id long, n_samples long, n_windows long, contour string"
+)
+
+
+def audio_contour(
+    binaries: DataFrame, n_windows: int = CONTOUR_WINDOWS
+) -> DataFrame:
+    """(doc_id, n_samples, n_windows, contour): sample i lands in
+    window (i·W) div n (W = min(n_windows, n)); contour bit w-1 is '1'
+    iff window w's energy exceeds window w-1's ('' when W < 2)."""
+    import numpy as np
+
+    def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_samples", "n_windows", "contour"
+            )}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+                dlen = struct.unpack("<I", b[40:44])[0]
+                s = np.frombuffer(b, dtype="<i2", count=dlen // 2, offset=44)
+                n = len(s)
+                w = min(n_windows, n)
+                idx = (np.arange(n, dtype=np.int64) * w) // n
+                e = np.zeros(w, dtype=np.int64)
+                s64 = s.astype(np.int64)
+                np.add.at(e, idx, s64 * s64)
+                bits = "".join(
+                    "1" if e[j] > e[j - 1] else "0" for j in range(1, w)
+                )
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["n_windows"].append(w)
+                out["contour"].append(bits)
+            yield pd.DataFrame(out)
+
+    return binaries.mapInPandas(fp, schema=CONTOUR_SCHEMA)
+
+
+AUDIO_CONTOUR_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         octet_length(CAST(text AS BLOB)) % {WAV_MAX_SAMPLES} + 1 AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims
+),
+v AS (
+  SELECT doc_id, n,
+         LEAST({CONTOUR_WINDOWS}, n) AS w,
+         (i * LEAST({CONTOUR_WINDOWS}, n)) // n AS win,
+         CASE WHEN (i * 37 + doc_id * 11) % 65536 >= 32768
+              THEN (i * 37 + doc_id * 11) % 65536 - 65536
+              ELSE (i * 37 + doc_id * 11) % 65536 END AS val
+  FROM s
+),
+we AS (
+  SELECT doc_id, n, w, win, SUM(val * val) AS energy
+  FROM v GROUP BY doc_id, n, w, win
+),
+bits AS (
+  SELECT doc_id, n, w, win,
+         CASE WHEN energy > LAG(energy)
+                OVER (PARTITION BY doc_id ORDER BY win)
+              THEN '1' ELSE '0' END AS bit
+  FROM we
+)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_samples,
+       CAST(MAX(w) AS BIGINT) AS n_windows,
+       COALESCE(string_agg(bit, '' ORDER BY win)
+                FILTER (WHERE win > 0), '') AS contour
+FROM bits GROUP BY doc_id
+"""

@@ -2452,6 +2452,16 @@ def q_x110_dup_span_coverage(
     return dup_span_coverage(dd.augment_docs(_docs(spark, sf_dir)))
 
 
+def q_x115_audio_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio energy-contour fingerprint (the aHash analog for PCM):
+    per-window integer energy over the REAL decoded WAV samples, one
+    bit per adjacent window pair — loudness-profile matching, stage 1
+    of audio near-dup.  Oracle replays the generative sample formula."""
+    from ..operators.multimodal import audio_contour, binarize_audio
+
+    return audio_contour(binarize_audio(_docs(spark, sf_dir)))
+
+
 def q_x112_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image hash (aHash): real BMP raster byte-walk in
     mapInPandas → integer ITU-601 luma → exact-integer mean threshold
@@ -2675,6 +2685,7 @@ EXTENSION_QUERIES = {
     "x114_dup_span_removal": q_x114_dup_span_removal,
     "z17_stream_ks": q_z17_stream_ks,
     "z18_stream_attribution": q_z18_stream_attribution,
+    "x115_audio_contour": q_x115_audio_contour,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -2855,6 +2866,12 @@ def _ahash_oracle() -> str:
     from ..operators.multimodal import AHASH_SQL
 
     return AHASH_SQL
+
+
+def _audio_contour_oracle() -> str:
+    from ..operators.multimodal import AUDIO_CONTOUR_SQL
+
+    return AUDIO_CONTOUR_SQL
 
 
 def _dup_span_removal_oracle() -> str:
@@ -3189,6 +3206,7 @@ GROUP BY 1, 2""",
     "x113_winnow_contamination": _winnow_contamination_oracle(),
     "x114_dup_span_removal": _dup_span_removal_oracle(),
     "z17_stream_ks": _z17_oracle(),
+    "x115_audio_contour": _audio_contour_oracle(),
     "x48_chunk_windows": chunk_windows_sql(),
     "x49_curriculum_order": curriculum_order_sql(
         "documents",

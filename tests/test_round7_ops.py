@@ -491,3 +491,41 @@ def test_g17_local_bridges_golden(spark):
     got = {(r["a"], r["b"]): (r["deg_a"], r["deg_b"])
            for r in local_bridges(pages).collect()}
     assert got == {("p1", "p4"): (3, 1)}
+
+
+# ---------------------------------------------------------------------------
+# x115 audio energy contour
+# ---------------------------------------------------------------------------
+
+
+def test_x115_audio_contour_matches_generative_replay(spark):
+    """The byte-walk contour equals a python replay of the generative
+    sample formula, including window assignment and the n < W edge."""
+    from pagerank_using_mapreduce_spark.operators.multimodal import (
+        CONTOUR_WINDOWS,
+        WAV_MAX_SAMPLES,
+        audio_contour,
+        binarize_audio,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "hello"), (13, "a longer text body here"), (99, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in audio_contour(binarize_audio(docs)).collect()}
+    for doc_id, text in [(7, "hello"), (13, "a longer text body here"), (99, "")]:
+        n = len(text.encode()) % WAV_MAX_SAMPLES + 1
+        vals = [
+            ((i * 37 + doc_id * 11) % 65536) - 65536
+            if ((i * 37 + doc_id * 11) % 65536) >= 32768
+            else ((i * 37 + doc_id * 11) % 65536)
+            for i in range(n)
+        ]
+        w = min(CONTOUR_WINDOWS, n)
+        e = [0] * w
+        for i, v in enumerate(vals):
+            e[(i * w) // n] += v * v
+        bits = "".join("1" if e[j] > e[j - 1] else "0" for j in range(1, w))
+        r = got[doc_id]
+        assert r["n_samples"] == n and r["n_windows"] == w
+        assert r["contour"] == bits
