@@ -1124,7 +1124,12 @@ LEFT JOIN counts a ON a.query_id = q.query_id AND a.label = q.own_label"""
 
 
 def label_agreement_kappa(embeddings: DataFrame) -> DataFrame:
-    """One row: (n, n_agree, po_e6, pe_e6, kappa_e6)."""
+    """One row: (n, n_agree, po_e6, pe_e6, kappa_e6).
+
+    Assumes the label set is classifier-sized (10s-1000s of classes):
+    the L×dim centroid table must broadcast.  For open-vocabulary
+    label spaces, swap the coarse quantizer for the learned-k-means
+    cells (ivf_kmeans_topk) whose k_cells ∝ √n stays broadcastable."""
     dim_cols = F.posexplode(F.col("embedding"))
     comp = embeddings.select("vec_id", "label", dim_cols.alias("dim", "val"))
     centroids = (

@@ -2482,9 +2482,11 @@ def q_x113_winnow_contamination(
     against the training side's on the fp key.  The winnowing
     guarantee makes this complete for any shared run of >= w + k - 1
     tokens; pairs need >= 2 shared fingerprints to fire (noise floor).
-    Scale shape: one fp-keyed join where the eval side is the small
-    relation — broadcast it, the training fingerprint index never
-    shuffles."""
+    Scale shape: one fp-keyed SHUFFLE join — fp keys are md5-uniform
+    so the join is skew-free at any eval-set size (here the held-out
+    side is ~10% of the corpus; when the eval side is a genuinely
+    small benchmark suite, AQE broadcasts it automatically — never
+    force a broadcast of a corpus-proportional relation)."""
     from ..operators.text_analysis import winnow_fingerprints
 
     fps = winnow_fingerprints(dd.augment_docs(_docs(spark, sf_dir)))
@@ -2495,7 +2497,7 @@ def q_x113_winnow_contamination(
         F.col("doc_id").alias("eval_doc"), "fp"
     )
     return (
-        train.join(F.broadcast(ev), "fp")
+        train.join(ev, "fp")
         .groupBy("train_doc", "eval_doc")
         .agg(F.countDistinct("fp").alias("n_shared"))
         .where(F.col("n_shared") >= 2)

@@ -40,6 +40,8 @@ PYTHON_OK = {
     "x71_wav_decode",    # real PCM sample byte-walk
     "x85_audio_features",  # real PCM feature byte-walk (energy/ZCR)
     "x98_scene_cuts",  # real luma-plane byte-walk (SAD shot detection)
+    "x112_image_ahash",  # real raster byte-walk (perceptual hash bits)
+    "x115_audio_contour",  # real PCM byte-walk (energy-contour bits)
     "z1_stream_rollup",
     "z2_stream_sessions",
     "z11_stream_funnel",  # applyInPandasWithState state machine
