@@ -2462,6 +2462,47 @@ def q_x115_audio_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_contour(binarize_audio(_docs(spark, sf_dir)))
 
 
+def q_x116_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the production MinHash/LSH near-dup pipeline
+    (x4: 12 hashes, 4 bands) against EXACT ground truth — the salted
+    AllPairs join (x108) run at x4's own threshold (J >= 1/2).  x72
+    compares two approximations to each other; this one compares
+    against the deterministic-complete truth, which is what you
+    actually need before trusting a band config at production scale
+    (the x78 ANN-recall pattern applied to dedup).  Both sides are the
+    existing candidate-bounded pipelines; the audit itself is one
+    pair-keyed left join + one scalar row."""
+    from ..operators.dedup import setsim_join
+
+    docs = dd.augment_docs(_docs(spark, sf_dir))
+    exact = setsim_join(docs, num=1, den=2).select("doc_a", "doc_b")
+    lsh = (
+        dd.near_dup_pipeline(docs)
+        .select("doc_a", "doc_b")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        exact.join(lsh, ["doc_a", "doc_b"], "left")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_found"),
+            (F.count("*") - F.coalesce(F.sum("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_missed"),
+            F.when(F.count("*") == 0, F.lit(1_000_000).cast("long"))
+            .otherwise(
+                F.floor(
+                    F.coalesce(F.sum("_hit"), F.lit(0)).cast("double")
+                    / F.count("*")
+                    * 1e6
+                    + F.lit(0.5000001)
+                ).cast("long")
+            )
+            .alias("recall_e6"),
+        )
+    )
+
+
 def q_x112_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image hash (aHash): real BMP raster byte-walk in
     mapInPandas → integer ITU-601 luma → exact-integer mean threshold
@@ -2688,6 +2729,7 @@ EXTENSION_QUERIES = {
     "z17_stream_ks": q_z17_stream_ks,
     "z18_stream_attribution": q_z18_stream_attribution,
     "x115_audio_contour": q_x115_audio_contour,
+    "x116_lsh_recall": q_x116_lsh_recall,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -2874,6 +2916,23 @@ def _audio_contour_oracle() -> str:
     from ..operators.multimodal import AUDIO_CONTOUR_SQL
 
     return AUDIO_CONTOUR_SQL
+
+
+def _lsh_recall_oracle() -> str:
+    from ..operators.dedup import near_dup_sql, setsim_join_sql
+
+    return f"""
+WITH exact_pairs AS ({setsim_join_sql(dd.AUGMENT_SQL, num=1, den=2)}),
+lsh_pairs AS ({near_dup_sql(dd.AUGMENT_SQL)})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(l.doc_a) AS BIGINT) AS n_found,
+       CAST(COUNT(*) - COUNT(l.doc_a) AS BIGINT) AS n_missed,
+       CASE WHEN COUNT(*) = 0 THEN CAST(1000000 AS BIGINT)
+            ELSE CAST(FLOOR(CAST(COUNT(l.doc_a) AS DOUBLE) / COUNT(*) * 1e6
+                            + 0.5000001) AS BIGINT)
+       END AS recall_e6
+FROM exact_pairs e
+LEFT JOIN lsh_pairs l ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b"""
 
 
 def _dup_span_removal_oracle() -> str:
@@ -3209,6 +3268,7 @@ GROUP BY 1, 2""",
     "x114_dup_span_removal": _dup_span_removal_oracle(),
     "z17_stream_ks": _z17_oracle(),
     "x115_audio_contour": _audio_contour_oracle(),
+    "x116_lsh_recall": _lsh_recall_oracle(),
     "x48_chunk_windows": chunk_windows_sql(),
     "x49_curriculum_order": curriculum_order_sql(
         "documents",

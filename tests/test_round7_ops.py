@@ -529,3 +529,39 @@ def test_x115_audio_contour_matches_generative_replay(spark):
         r = got[doc_id]
         assert r["n_samples"] == n and r["n_windows"] == w
         assert r["contour"] == bits
+
+
+# ---------------------------------------------------------------------------
+# x116 LSH recall vs exact truth
+# ---------------------------------------------------------------------------
+
+
+def test_x116_lsh_pairs_are_subset_of_exact(spark):
+    """Both pipelines verify the same exact-Jaccard threshold, so the
+    LSH pair set must be a SUBSET of the AllPairs ground truth (the
+    only possible error is a banding miss), and the audit row's counts
+    must be consistent."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        augment_docs,
+        near_dup_pipeline,
+        setsim_join,
+    )
+    from pagerank_using_mapreduce_spark.plans.extensions import (
+        q_x116_lsh_recall,
+    )
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    docs = augment_docs(
+        load_table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", "text"
+        ).limit(150)
+    )
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in setsim_join(docs, num=1, den=2).collect()}
+    lsh = {(r["doc_a"], r["doc_b"])
+           for r in near_dup_pipeline(docs).collect()}
+    assert lsh <= exact and exact
+
+    r = q_x116_lsh_recall(spark, "/root/testdata/sf0.001").collect()[0]
+    assert r["n_found"] + r["n_missed"] == r["n_exact"]
+    assert 0 <= r["recall_e6"] <= 1_000_000
