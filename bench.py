@@ -278,16 +278,25 @@ def _run(spark, name: str, sf_dir: str, reps: int) -> list[float]:
 
 
 def _sf1_dir() -> str | None:
-    """Locate (or build) the synthetic sf1; None if building fails."""
+    """Locate (or build) the synthetic sf1; None if building fails.
+
+    A generator-version marker gates reuse: a cached sf1 built by an
+    OLDER make_scaled_sf (e.g. the pre-r07 unmutated replicas) would
+    silently change what the sf1 section measures — x108's cost is
+    quadratic on verbatim replicas — so any dir without the current
+    marker is rebuilt."""
+    from tools.make_scaled_sf import GENERATOR_VERSION, make_scaled
+
     repo = os.path.dirname(os.path.abspath(__file__))
     d = os.environ.get(
         "SPARK_GRAFT_SF1_DIR", os.path.join(repo, ".benchdata", "sf1")
     )
-    if os.path.exists(os.path.join(d, "documents.parquet")):
+    marker = os.path.join(d, f".generated_by_{GENERATOR_VERSION}")
+    if os.path.exists(os.path.join(d, "documents.parquet")) and os.path.exists(
+        marker
+    ):
         return d
     try:
-        from tools.make_scaled_sf import make_scaled
-
         make_scaled("/root/testdata/sf0.1", d, 10)
         return d
     except Exception:
@@ -380,7 +389,7 @@ def main() -> None:
                 "sf1_queries": sf1_timings,
                 "sf1_note": (
                     "synthetic 10x sf0.1 documents (doc_id replication,"
-                    " replicas k>=1 token-mutated at rate 6 —"
+                    " replicas k>=1 token-mutated 1-in-4 —"
                     " tools/make_scaled_sf.py); min of"
                     f" {sf1_reps} rep(s)"
                 ),

@@ -177,7 +177,12 @@ def _train_batched(
             _batch_merge_expr([(l, r) for l, r, _ in kept]).alias("syms"),
             "freq",
         ).localCheckpoint(eager=True)
-        vocab.unpersist()
+        # no explicit release: localCheckpoint blocks are not
+        # CacheManager entries (unpersist() would be a no-op); dropping
+        # the reference here lets the ContextCleaner reclaim the
+        # previous round's blocks, and each round's vocab is
+        # Heaps-law-bounded so at most a handful of rounds' blocks
+        # coexist between GC cycles
         vocab = nxt
     return out, vocab
 
@@ -201,8 +206,7 @@ def bpe_merges(
     in training order.  Stops early if the vocabulary runs out of
     adjacent pairs."""
     spark = documents.sparkSession
-    out, vocab = _train(documents, n_merges)
-    vocab.unpersist()
+    out, _vocab = _train(documents, n_merges)  # blocks freed by GC
     return spark.createDataFrame(
         out, "merge_idx long, left string, right string, pair_count long"
     )
@@ -224,8 +228,10 @@ def bpe_merges_batched(
     ``pair_count`` is the pre-batch count, exact for every survivor
     because survivors are pairwise symbol-disjoint."""
     spark = documents.sparkSession
-    out, vocab = _train_batched(documents, rounds, batch, lookahead)
-    vocab.unpersist()
+    # final vocab unused here; its checkpoint blocks are reclaimed by
+    # the ContextCleaner once the reference drops (unpersist() is a
+    # no-op on localCheckpoint blocks — not CacheManager entries)
+    out, _vocab = _train_batched(documents, rounds, batch, lookahead)
     return spark.createDataFrame(
         out,
         "merge_idx long, round long, left string, right string,"

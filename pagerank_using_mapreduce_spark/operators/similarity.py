@@ -1204,14 +1204,19 @@ def label_agreement_kappa(embeddings: DataFrame) -> DataFrame:
         )
         .cast("long")
         .alias("pe_e6"),
-        F.floor(
-            (F.col("n") * F.col("diag") - F.col("sum_rc")).cast("double")
-            / (F.col("n") * F.col("n") - F.col("sum_rc"))
-            * 1e6
-            + F.lit(0.5000001)
-        )
-        .cast("long")
-        .alias("kappa_e6"),
+        # kappa is UNDEFINED when pe = 1 (one label everywhere:
+        # n² == Σ row·col) — emit NULL, never a NaN-cast 0 (the g16
+        # zero-variance guard; DuckDB's 0/0 is NULL, Spark's would
+        # CAST(NaN AS LONG) = 0 and silently hash-mismatch)
+        F.when(
+            F.col("n") * F.col("n") != F.col("sum_rc"),
+            F.floor(
+                (F.col("n") * F.col("diag") - F.col("sum_rc")).cast("double")
+                / (F.col("n") * F.col("n") - F.col("sum_rc"))
+                * 1e6
+                + F.lit(0.5000001)
+            ).cast("long"),
+        ).alias("kappa_e6"),
     )
 
 
@@ -1269,8 +1274,9 @@ SELECT CAST(n AS BIGINT) AS n,
          AS po_e6,
        CAST(FLOOR(CAST(sum_rc AS DOUBLE) / (n * n) * 1e6 + 0.5000001)
             AS BIGINT) AS pe_e6,
-       CAST(FLOOR(CAST(n * diag - sum_rc AS DOUBLE)
-                  / (n * n - sum_rc) * 1e6 + 0.5000001) AS BIGINT)
-         AS kappa_e6
+       CASE WHEN n * n = sum_rc THEN NULL
+            ELSE CAST(FLOOR(CAST(n * diag - sum_rc AS DOUBLE)
+                            / (n * n - sum_rc) * 1e6 + 0.5000001) AS BIGINT)
+       END AS kappa_e6
 FROM tot, rc
 """

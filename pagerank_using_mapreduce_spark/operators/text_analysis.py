@@ -1789,9 +1789,12 @@ SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos, h AS fp FROM sel"""
 DUP_SPAN_N = 5  # tokens per duplicated span
 
 
-def dup_span_coverage(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
-    """(doc_id, n_tokens, covered, dup_frac_e6): per-doc fraction of
-    token positions covered by a corpus-repeated n-gram."""
+def _dup_span_base(
+    docs: DataFrame, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared x110/x114 core: (toked(doc_id, toks), covered(doc_id,
+    cp)) — the iceberg-cut repeated-gram positions.  ONE definition so
+    the diagnostic and the removal transform cannot diverge."""
     toked = docs.select("doc_id", _toks().alias("toks"))
     grams = toked.select(
         "doc_id",
@@ -1820,8 +1823,48 @@ def dup_span_coverage(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
             ).alias("cp"),
         )
         .distinct()
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("covered"))
+    )
+    return toked, covered
+
+
+def _dup_span_ctes(docs_sql: str, n: int) -> str:
+    """Shared DuckDB CTE block (toked/grams/dup/covered) for the
+    x110/x114 twins — covered is the DISTINCT (doc_id, cp) relation."""
+    joined = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, n + 1))
+    return f"""toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+           lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '') AS t
+  FROM ({docs_sql})
+),
+grams AS (
+  SELECT doc_id, g.p0 AS p0, g.gram AS gram FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= {n}
+             THEN list_transform(generate_series(0, len(t) - {n}),
+                    i -> {{'p0': i, 'gram': {joined}}})
+             ELSE [] END) AS g
+    FROM toked
+  )
+),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1
+),
+covered AS (
+  SELECT DISTINCT g.doc_id, u.cp
+  FROM grams g
+  JOIN dup d ON d.gram = g.gram
+  CROSS JOIN LATERAL unnest(generate_series(g.p0 + 1, g.p0 + {n})) AS u(cp)
+)"""
+
+
+def dup_span_coverage(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
+    """(doc_id, n_tokens, covered, dup_frac_e6): per-doc fraction of
+    token positions covered by a corpus-repeated n-gram."""
+    toked, covered_pos = _dup_span_base(docs, n)
+    covered = covered_pos.groupBy("doc_id").agg(
+        F.count("*").alias("covered")
     )
     return (
         toked.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
@@ -1846,35 +1889,10 @@ def dup_span_coverage(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
 
 def dup_span_coverage_sql(docs_sql: str, n: int = DUP_SPAN_N) -> str:
     """DuckDB twin of :func:`dup_span_coverage`."""
-    joined = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, n + 1))
     return f"""
-WITH toked AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(
-           lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
-           t -> t != '') AS t
-  FROM ({docs_sql})
-),
-grams AS (
-  SELECT doc_id, g.p0 AS p0, g.gram AS gram FROM (
-    SELECT doc_id,
-           unnest(CASE WHEN len(t) >= {n}
-             THEN list_transform(generate_series(0, len(t) - {n}),
-                    i -> {{'p0': i, 'gram': {joined}}})
-             ELSE [] END) AS g
-    FROM toked
-  )
-),
-dup AS (
-  SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1
-),
-covered AS (
-  SELECT doc_id, COUNT(*) AS covered FROM (
-    SELECT DISTINCT g.doc_id, u.cp
-    FROM grams g
-    JOIN dup d ON d.gram = g.gram
-    CROSS JOIN LATERAL unnest(generate_series(g.p0 + 1, g.p0 + {n})) AS u(cp)
-  ) GROUP BY doc_id
+WITH {_dup_span_ctes(docs_sql, n)},
+cov AS (
+  SELECT doc_id, COUNT(*) AS covered FROM covered GROUP BY doc_id
 )
 SELECT k.doc_id, CAST(len(k.t) AS BIGINT) AS n_tokens,
        CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered,
@@ -1882,7 +1900,7 @@ SELECT k.doc_id, CAST(len(k.t) AS BIGINT) AS n_tokens,
             ELSE CAST(FLOOR(CAST(COALESCE(c.covered, 0) AS DOUBLE)
                             / len(k.t) * 1e6 + 0.5000001) AS BIGINT)
        END AS dup_frac_e6
-FROM toked k LEFT JOIN covered c ON c.doc_id = k.doc_id"""
+FROM toked k LEFT JOIN cov c ON c.doc_id = k.doc_id"""
 
 
 # ---------------------------------------------------------------------------
@@ -1903,34 +1921,10 @@ FROM toked k LEFT JOIN covered c ON c.doc_id = k.doc_id"""
 def dup_span_removal(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
     """(doc_id, n_tokens, kept_tokens, cleaned_fp): tokens covered by a
     repeated n-gram removed; cleaned_fp = md5 of the space-joined
-    survivors ('' stays hashable for fully-duplicated docs)."""
-    toked = docs.select("doc_id", _toks().alias("toks"))
-    grams = toked.select(
-        "doc_id",
-        F.posexplode(
-            F.when(
-                F.size("toks") >= n,
-                F.expr(
-                    f"transform(sequence(0, size(toks) - {n}), "
-                    f"i -> concat_ws(' ', {', '.join(f'toks[i + {j}]' for j in range(n))}))"
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("p0", "gram"),
-    )
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.count("*").alias("cnt"))
-        .where(F.col("cnt") > 1)
-        .select("gram")
-    )
-    covered = (
-        grams.join(dup, "gram")
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("p0") + 1, F.col("p0") + n)).alias("cp"),
-        )
-        .distinct()
-    )
+    survivors ('' stays hashable for fully-duplicated docs).  Shares
+    :func:`_dup_span_base` with the x110 diagnostic — the two cannot
+    diverge on tokenization, the gram window, or the cnt>1 rule."""
+    toked, covered = _dup_span_base(docs, n)
     positions = toked.select(
         "doc_id",
         F.size("toks").cast("long").alias("n_tokens"),
@@ -1968,32 +1962,10 @@ def dup_span_removal(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
 
 
 def dup_span_removal_sql(docs_sql: str, n: int = DUP_SPAN_N) -> str:
-    """DuckDB twin of :func:`dup_span_removal`."""
-    joined = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, n + 1))
+    """DuckDB twin of :func:`dup_span_removal` (shares
+    :func:`_dup_span_ctes` with the x110 twin)."""
     return f"""
-WITH toked AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(
-           lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
-           t -> t != '') AS t
-  FROM ({docs_sql})
-),
-grams AS (
-  SELECT doc_id, g.p0 AS p0, g.gram AS gram FROM (
-    SELECT doc_id,
-           unnest(CASE WHEN len(t) >= {n}
-             THEN list_transform(generate_series(0, len(t) - {n}),
-                    i -> {{'p0': i, 'gram': {joined}}})
-             ELSE [] END) AS g
-    FROM toked
-  )
-),
-dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
-covered AS (
-  SELECT DISTINCT g.doc_id, u.cp
-  FROM grams g JOIN dup d ON d.gram = g.gram
-  CROSS JOIN LATERAL unnest(generate_series(g.p0 + 1, g.p0 + {n})) AS u(cp)
-),
+WITH {_dup_span_ctes(docs_sql, n)},
 positions AS (
   SELECT doc_id, len(t) AS n_tokens, u.pos AS pos, t[u.pos] AS tok
   FROM toked

@@ -2538,14 +2538,19 @@ def ks_from_counts(counts: DataFrame) -> DataFrame:
     return gaps.groupBy("event_type").agg(
         F.max("n_ref").alias("n_ref"),
         F.max("n_cur").alias("n_cur"),
-        F.floor(
-            F.max("gap_num").cast("double")
-            / (F.max("n_ref") * F.max("n_cur"))
-            * 1e6
-            + F.lit(0.5000001)
-        )
-        .cast("long")
-        .alias("ks_e6"),
+        # KS is UNDEFINED when either sample is empty — emit NULL,
+        # never a NaN-cast 0 (Spark CAST(0.0/0 AS LONG) = 0 would
+        # silently report "no drift" for a one-sided type AND
+        # hash-mismatch DuckDB's NULL)
+        F.when(
+            (F.max("n_ref") > 0) & (F.max("n_cur") > 0),
+            F.floor(
+                F.max("gap_num").cast("double")
+                / (F.max("n_ref") * F.max("n_cur"))
+                * 1e6
+                + F.lit(0.5000001)
+            ).cast("long"),
+        ).alias("ks_e6"),
     )
 
 
@@ -2688,9 +2693,11 @@ gaps AS (
 SELECT event_type,
        CAST(MAX(n_ref) AS BIGINT) AS n_ref,
        CAST(MAX(n_cur) AS BIGINT) AS n_cur,
-       CAST(FLOOR(CAST(MAX(gap_num) AS DOUBLE)
-                  / (MAX(n_ref) * MAX(n_cur)) * 1e6 + 0.5000001) AS BIGINT)
-         AS ks_e6
+       CASE WHEN MAX(n_ref) = 0 OR MAX(n_cur) = 0 THEN NULL
+            ELSE CAST(FLOOR(CAST(MAX(gap_num) AS DOUBLE)
+                            / (MAX(n_ref) * MAX(n_cur)) * 1e6 + 0.5000001)
+                      AS BIGINT)
+       END AS ks_e6
 FROM gaps GROUP BY event_type
 """
 

@@ -565,3 +565,34 @@ def test_x116_lsh_pairs_are_subset_of_exact(spark):
     r = q_x116_lsh_recall(spark, "/root/testdata/sf0.001").collect()[0]
     assert r["n_found"] + r["n_missed"] == r["n_exact"]
     assert 0 <= r["recall_e6"] <= 1_000_000
+
+
+def test_x111_single_label_kappa_is_null(spark):
+    """pe = 1 (one label everywhere) makes kappa UNDEFINED: the
+    column must be NULL, never a NaN-cast 0 (DuckDB's 0/0 is NULL)."""
+    from pagerank_using_mapreduce_spark.operators.similarity import (
+        label_agreement_kappa,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.01 * i], 5) for i in range(4)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r = label_agreement_kappa(emb).collect()[0]
+    assert r["n"] == 4 and r["n_agree"] == 4
+    assert r["po_e6"] == 1_000_000 and r["pe_e6"] == 1_000_000
+    assert r["kappa_e6"] is None
+
+
+def test_d6_one_sided_type_is_null(spark):
+    """An event_type whose events all share one event_id parity has an
+    empty sample on one side: KS is UNDEFINED -> NULL, not 0."""
+    from pagerank_using_mapreduce_spark.plans.relational import ks_drift
+
+    ev = spark.createDataFrame(
+        [(0, "only_ref", 1.0), (2, "only_ref", 2.0), (4, "only_ref", 3.0)],
+        "event_id long, event_type string, value double",
+    )
+    r = ks_drift(ev).collect()[0]
+    assert r["n_ref"] == 3 and r["n_cur"] == 0
+    assert r["ks_e6"] is None

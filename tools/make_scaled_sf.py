@@ -40,6 +40,11 @@ import pyarrow.parquet as pq
 
 MUTATE_RATE = 4  # replace every 4th token in replicas k >= 1
 
+# Bumped whenever the generated data changes semantically; consumers
+# (bench._sf1_dir) gate cached-dir reuse on a marker file carrying it,
+# so a dir built by an older generator is rebuilt, never reused.
+GENERATOR_VERSION = "v2_mutrate4"
+
 
 def _alpha(n: int) -> str:
     """Letters-only encoding of an int (digits map a-j) — survives the
@@ -81,6 +86,10 @@ def make_scaled(
     pq.write_table(
         pa.Table.from_pandas(out, preserve_index=False), out_path
     )
+    with open(
+        os.path.join(out_dir, f".generated_by_{GENERATOR_VERSION}"), "w"
+    ) as f:
+        f.write(f"factor={factor} mutate_rate={mutate_rate}\n")
     return out_path
 
 
