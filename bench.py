@@ -285,18 +285,18 @@ def _sf1_dir() -> str | None:
     silently change what the sf1 section measures — x108's cost is
     quadratic on verbatim replicas — so any dir without the current
     marker is rebuilt."""
-    from tools.make_scaled_sf import GENERATOR_VERSION, make_scaled
-
     repo = os.path.dirname(os.path.abspath(__file__))
     d = os.environ.get(
         "SPARK_GRAFT_SF1_DIR", os.path.join(repo, ".benchdata", "sf1")
     )
-    marker = os.path.join(d, f".generated_by_{GENERATOR_VERSION}")
-    if os.path.exists(os.path.join(d, "documents.parquet")) and os.path.exists(
-        marker
-    ):
-        return d
     try:
+        from tools.make_scaled_sf import GENERATOR_VERSION, make_scaled
+
+        marker = os.path.join(d, f".generated_by_{GENERATOR_VERSION}")
+        if os.path.exists(
+            os.path.join(d, "documents.parquet")
+        ) and os.path.exists(marker):
+            return d
         make_scaled("/root/testdata/sf0.1", d, 10)
         return d
     except Exception:
