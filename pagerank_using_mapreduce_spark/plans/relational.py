@@ -2633,6 +2633,98 @@ def e11_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conversion_lag_percentiles(load_table(spark, sf_dir, "events"))
 
 
+# --------------------------------------------------------------------------
+# Hour-of-week seasonality profile (w12) — the diurnal/weekly shape of
+# each event type: counts per hour-of-week slot plus each slot's share
+# of the type's total and the type's peak slot.  The ingest-health
+# check behind "is this crawl source day-batched or continuous", and
+# the denominator a seasonal anomaly rule needs before calling a
+# quiet Sunday an outage.
+#
+# The slot is PURE EPOCH ARITHMETIC — (epoch_hours + anchor) % 168,
+# week anchored at Monday 00:00 UTC — so both engines compute the
+# identical integer without touching locale-dependent dayofweek
+# conventions (Spark counts Sunday=1, DuckDB Sunday=0: a classic
+# cross-engine trap).  Scale shape: ONE (type, slot) count with
+# map-side combine (grid ≤ types × 168), a type-total window over the
+# bounded grid, and an argmin-as-MIN-struct peak — no row ever passes
+# a window.
+# --------------------------------------------------------------------------
+
+# 1970-01-01 00:00 is a Thursday, so Monday 00:00 sits 96 h into the
+# epoch week; adding 168-96 = 72 re-anchors slot 0 to Monday 00:00 UTC
+_HOW_ANCHOR_H = 72
+
+
+def hourweek_profile(ev: DataFrame) -> DataFrame:
+    """(event_type, how, n, share_e6, peak_how) — how ∈ [0, 168),
+    0 = Monday 00:00 UTC."""
+    slots = ev.select(
+        "event_type",
+        (
+            (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long")
+            + _HOW_ANCHOR_H
+        ).alias("h"),
+    ).select("event_type", (F.col("h") % 168).alias("how"))
+    grid = slots.groupBy("event_type", "how").agg(F.count("*").alias("n"))
+    tw = Window.partitionBy("event_type")
+    return (
+        grid.withColumn("total", F.sum("n").over(tw))
+        .withColumn(
+            "peak",
+            F.min(
+                F.struct((-F.col("n")).alias("negn"), F.col("how").alias("hw"))
+            ).over(tw),
+        )
+        .select(
+            "event_type",
+            "how",
+            "n",
+            F.floor(
+                F.col("n").cast("double") / F.col("total") * 1e6
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("share_e6"),
+            F.col("peak.hw").cast("long").alias("peak_how"),
+        )
+    )
+
+
+def w12_hourweek_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourweek_profile(load_table(spark, sf_dir, "events"))
+
+
+W12_SQL = f"""
+WITH slots AS (
+  SELECT event_type,
+         ((epoch_us(ts) // 3600000000) + {_HOW_ANCHOR_H}) % 168 AS how
+  FROM events
+),
+grid AS (
+  SELECT event_type, how, COUNT(*) AS n FROM slots GROUP BY event_type, how
+),
+tot AS (
+  SELECT event_type, how, n,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM grid
+),
+peak AS (
+  SELECT event_type, how AS peak_how FROM (
+    SELECT event_type, how,
+           ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY n DESC, how ASC) AS rn
+    FROM grid
+  ) WHERE rn = 1
+)
+SELECT t.event_type, CAST(t.how AS BIGINT) AS how, CAST(t.n AS BIGINT) AS n,
+       CAST(FLOOR(CAST(t.n AS DOUBLE) / t.total * 1e6 + 0.5000001)
+            AS BIGINT) AS share_e6,
+       CAST(p.peak_how AS BIGINT) AS peak_how
+FROM tot t JOIN peak p ON p.event_type = t.event_type
+"""
+
+
 E11_SQL = f"""
 WITH lags AS (
   SELECT CAST((epoch_us(p.ts) - (
@@ -3063,6 +3155,7 @@ RELATIONAL_QUERIES = {
     "d5_drift_psi": d5_drift_psi,
     "d6_ks_drift": d6_ks_drift,
     "e11_conversion_lag": e11_conversion_lag,
+    "w12_hourweek_profile": w12_hourweek_profile,
     "w7_concurrency": w7_concurrency,
     "w9_session_splice": w9_session_splice,
     "w10_mad_outliers": w10_mad_outliers,
@@ -3122,6 +3215,7 @@ RELATIONAL_ORACLE = {
     "d5_drift_psi": D5_SQL,
     "d6_ks_drift": D6_SQL,
     "e11_conversion_lag": E11_SQL,
+    "w12_hourweek_profile": W12_SQL,
     "w7_concurrency": W7_SQL,
     "w9_session_splice": W9_SQL,
     "w10_mad_outliers": W10_SQL,

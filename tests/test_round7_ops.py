@@ -596,3 +596,32 @@ def test_d6_one_sided_type_is_null(spark):
     r = ks_drift(ev).collect()[0]
     assert r["n_ref"] == 3 and r["n_cur"] == 0
     assert r["ks_e6"] is None
+
+
+# ---------------------------------------------------------------------------
+# w12 hour-of-week profile
+# ---------------------------------------------------------------------------
+
+
+def test_w12_hourweek_anchor_and_shares(spark):
+    """2024-01-01 is a Monday: midnight UTC must land in slot 0 and
+    Tuesday 05:00 in slot 29; shares sum to ~1e6 per type and the peak
+    slot ties to the smallest how."""
+    import datetime as dt
+
+    from pagerank_using_mapreduce_spark.plans.relational import (
+        hourweek_profile,
+    )
+
+    mon = dt.datetime(2024, 1, 1, 0, 30, tzinfo=dt.timezone.utc)
+    tue5 = dt.datetime(2024, 1, 2, 5, 10, tzinfo=dt.timezone.utc)
+    rows = [(1, "a", mon), (2, "a", mon), (3, "a", tue5), (4, "b", tue5)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp"
+    )
+    got = {(r["event_type"], r["how"]): r for r in hourweek_profile(ev).collect()}
+    assert got[("a", 0)]["n"] == 2 and got[("a", 0)]["share_e6"] == 666_667
+    assert got[("a", 29)]["n"] == 1
+    assert got[("a", 0)]["peak_how"] == 0 == got[("a", 29)]["peak_how"]
+    assert got[("b", 29)]["share_e6"] == 1_000_000
+    assert got[("b", 29)]["peak_how"] == 29
