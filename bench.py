@@ -110,7 +110,9 @@ BENCH_QUERIES = [
     "g14_adamic_adar",
     "x103_bigram_perplexity",
     # round-7: the salted exact set-sim join (skew-capped AllPairs)
+    # and the recall audit that runs BOTH near-dup pipelines
     "x108_setsim_join",
+    "x116_lsh_recall",
 ]
 
 # Canary pair (VERDICT r06 #7): one trivial scan-bound query and one
