@@ -95,11 +95,17 @@ def connected_components_until(
     the fixed-k variant stops at k regardless.  On the synthetic corpus
     the fixpoint lands around k≈10-12, scaling ~log N).
 
-    The stop test is one count action per round over the old/new label
-    join — same partitioning, no extra wide op on the adjacency.  At
-    extreme diameters a production system would switch to pointer
-    jumping (large/small-star) for O(log d) rounds; hash-min keeps the
-    per-round plan identical to the oracle-checked fixed-k operator.
+    Stop test (the cc_star count-first discipline applied to labels):
+    per round ONE narrow aggregate — the label-multiset fingerprint
+    Σ xxhash64(title, component) — and the exact old-vs-new label join
+    runs ONLY when consecutive fingerprints match (labels are
+    min-monotone, so multiset equality ⟺ no change; the join guards
+    the astronomically-unlikely sum collision, never the common path).
+    The old per-round changed-count join doubled every round's wide-op
+    count.  At extreme diameters a production system would switch to
+    pointer jumping (large/small-star) for O(log d) rounds; hash-min
+    keeps the per-round plan identical to the oracle-checked fixed-k
+    operator.
     """
     spark = pages.sparkSession
     shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -111,8 +117,14 @@ def connected_components_until(
     sym.count()
     pages_c.unpersist()
 
+    def _fingerprint(lbl: DataFrame) -> int:
+        # decimal(38) sum: n·2^63 overflows a long under ANSI mode
+        return lbl.agg(
+            F.sum(F.xxhash64("title", "component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
     labels = titles.select("title", F.col("title").alias("component")).persist()
-    labels.count()
+    fp = _fingerprint(labels)  # doubles as the eager materialize
     done = 0
     for i in range(max_iterations):
         neigh_min = (
@@ -136,16 +148,23 @@ def connected_components_until(
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "title")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        new_fp = _fingerprint(new_labels)
+        converged = False
+        if new_fp == fp:
+            # fingerprints agree: confirm exactly (one join, taken at
+            # most once per run on non-adversarial inputs)
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "title")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+                == 0
+            )
         labels.unpersist()
         labels = new_labels
+        fp = new_fp
         done = i + 1
-        if changed == 0:
+        if converged:
             break
     return labels.select("title", "component", F.lit(done).alias("iterations"))
 
