@@ -639,17 +639,28 @@ def kcore_survivors(
     sym = undirected_edges(pages).repartition(shuffle, "src").persist()
     sym.count()
     nodes = sym.select(F.col("src").alias("title")).distinct()
-    for _ in range(rounds):
+    for i in range(rounds):
         alive_a = nodes.select(F.col("title").alias("src"))
         alive_b = nodes.select(F.col("title").alias("dst"))
-        deg = (
+        # materialize the strictly-shrinking survivor edge relation
+        # each round (eager checkpoint): keeps the otherwise
+        # 2-joins-per-round unrolled lineage flat AND makes later
+        # rounds scan only surviving edges — on power-law graphs most
+        # peeling happens up front, so this is a fraction of the
+        # original relation almost immediately
+        alive_edges = (
             sym.join(alive_a, "src", "left_semi")
             .join(alive_b, "dst", "left_semi")
-            .groupBy("src")
-            .agg(F.count("*").alias("deg"))
+            .localCheckpoint(eager=True)
         )
-        nodes = deg.where(F.col("deg") >= k).select(
-            F.col("src").alias("title")
+        if i == 0:
+            sym.unpersist()  # later syms are checkpoint blocks
+        sym = alive_edges
+        nodes = (
+            alive_edges.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select(F.col("src").alias("title"))
         )
     return nodes
 
@@ -677,16 +688,28 @@ def kcore_until(
     for i in range(max_rounds):
         alive_a = nodes.select(F.col("title").alias("src"))
         alive_b = nodes.select(F.col("title").alias("dst"))
+        # the SURVIVOR edge relation replaces sym each round (eager
+        # checkpoint: it is referenced by both next round's semi-joins
+        # AND the degree agg, and it strictly shrinks — on power-law
+        # graphs most peeling happens in the first rounds, so later
+        # rounds scan a fraction of the original edges instead of
+        # re-filtering the full relation every time)
+        alive_edges = (
+            sym.join(alive_a, "src", "left_semi")
+            .join(alive_b, "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if i == 0:
+            sym.unpersist()  # the original persisted relation; later
+            # rounds' syms are checkpoint blocks (ContextCleaner frees
+            # them on reference drop — unpersist() is a no-op there)
+        sym = alive_edges
         # nodes appears TWICE per round (both endpoints), so lineage
         # would double per round — an eager checkpoint EVERY round
         # keeps the plan flat (unlike cc_until's single-reference
-        # recurrence, where a cadence of 5 suffices).  The survivor
-        # relation shrinks monotonically, so each materialization is
-        # cheaper than the last.
+        # recurrence, where a cadence of 5 suffices).
         nxt = (
-            sym.join(alive_a, "src", "left_semi")
-            .join(alive_b, "dst", "left_semi")
-            .groupBy("src")
+            alive_edges.groupBy("src")
             .agg(F.count("*").alias("deg"))
             .where(F.col("deg") >= k)
             .select(F.col("src").alias("title"))
