@@ -552,3 +552,21 @@ def test_d5_psi_identical_halves_is_zero(spark):
             assert pred(got["click"]), got
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_x106_audit_budget_is_bounded_in_plan(spark):
+    """VERDICT r06 #2 done-criterion: the audit election compiles to
+    TakeOrderedAndProject (bottom-k, O(P*k) driver merge — a fixed row
+    budget at any collection size) and the collection is never
+    hash-shuffled on vec_id (queries broadcast, the x5 shape)."""
+    plan = _plan(QUERIES["x106_label_noise"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "hashpartitioning(vec_id" not in plan
+
+
+def test_x108_hot_shingle_join_is_salted_in_plan(spark):
+    """VERDICT r06 #3 done-criterion: the hot-shingle candidate join
+    carries the salt columns as join keys — per-key candidates are
+    bounded by cap² regardless of shingle df."""
+    plan = _plan(QUERIES["x108_setsim_join"](spark, SF))
+    assert "salt_p" in plan and "salt_q" in plan
