@@ -1280,3 +1280,272 @@ SELECT CAST(n AS BIGINT) AS n,
        END AS kappa_e6
 FROM tot, rc
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (x117) — the codebook path real billion-vector
+# ANN runs on (IVF-PQ): split the 64-dim embedding into M=2 subspaces,
+# learn a K=4 codebook per subspace with the SAME deterministic seeded
+# Lloyd machinery as ivf_kmeans, encode every vector as M small codes,
+# and answer queries by Asymmetric Distance Computation — per query,
+# one M×K table of subspace scores, each candidate's approximate score
+# a TABLE LOOKUP SUM instead of a 64-dim dot product.
+#
+# Inner-product flavor (MIPS): subspace similarity is the plain dot
+# product — Σ_m dot(q_m, c_{code_m}) is exactly the ADC approximation
+# of dot(q, x) — which also avoids cosine's zero-norm edge on
+# sub-slices.  Determinism: sub-centroids are e6-quantized per Lloyd
+# round (the x6 rule) and all scores are e6 integers, so the DuckDB
+# twin replays the identical trajectory.
+#
+# Scale shape: codebooks are M×K×(dim/M) doubles — always broadcast;
+# the code table is the COMPRESSED collection (M small ints per
+# vector — 2×2 bits here, 8×8 bits in production: a 256-byte vector
+# becomes 8 bytes); scoring is codes_wide × broadcast(query tables)
+# with the lookup sum as a column expression — the collection never
+# shuffles, and the only wide op is the final per-query top-k window.
+# At 10⁹ vectors this is the difference between scanning 256 GB of
+# floats and 8 GB of codes per query batch.
+# ---------------------------------------------------------------------------
+
+PQ_M = 2        # subspaces
+PQ_K = 4        # codewords per subspace
+PQ_ITERS = 2    # Lloyd rounds per subspace
+
+
+def _dot_e6(a: Column, b: Column) -> Column:
+    return F.floor(_dot(a, b) * 1e6 + F.lit(0.5000001)).cast("long")
+
+
+def _pq_assign(sub: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cell): nearest sub-centroid by e6-quantized DOT,
+    smallest cell as tiebreak (max_by over struct, an aggregate)."""
+    scored = sub.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        _dot_e6(F.col("emb"), F.col("centroid")).alias("s"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.expr("max_by(cell, struct(s, -cell))").alias("cell")
+    )
+
+
+def _pq_codebook(sub: DataFrame, k: int, iters: int) -> DataFrame:
+    """(cell, centroid) for ONE subspace: seeded deterministic Lloyd
+    (seeds = first k by (md5(vec_id), vec_id), the kmeans_centroids
+    rule), dot-product assignment, e6-quantized means."""
+    seeds = (
+        sub.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(k)
+        .coalesce(1)
+        .select(
+            "emb",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+                )
+            )
+            .alias("rn"),
+        )
+        .select((F.col("rn") - 1).cast("int").alias("cell"), F.col("emb").alias("centroid"))
+    )
+    cent = seeds
+    for _ in range(iters):
+        assigned = (
+            _pq_assign(sub, cent).join(sub, "vec_id").select("cell", "emb")
+        )
+        cent = _quantized_mean_centroids(assigned)
+    return cent
+
+
+def _pq_code_expr(sub: Column, book: list[list[float]]) -> Column:
+    """Inline argmax-by-(dot, -cell) over the LITERAL codebook: one
+    pure column expression, no join, no aggregate — the production
+    serving shape (codebooks are driver-known constants after
+    training)."""
+    dots = [
+        _dot_e6(sub, F.array(*[F.lit(float(v)) for v in cvec]))
+        for cvec in book
+    ]
+    best = F.lit(0)
+    best_s = dots[0]
+    for j in range(1, len(dots)):
+        cond = dots[j] > best_s
+        best = F.when(cond, F.lit(j)).otherwise(best)
+        best_s = F.when(cond, dots[j]).otherwise(best_s)
+    return best
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    k: int = TOP_K,
+    m_sub: int = PQ_M,
+    k_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    books: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """(query_id, rank, vec_id, adc_e6): ADC top-k per query
+    (vec_id < N_QUERIES), self-match excluded.
+
+    Serving is SHUFFLE-FREE up to the final top-k window: after Lloyd
+    training, each M×K×(dim/M) codebook crosses to the driver once
+    (the S4 scalar channel — e6-quantized, so engine-portable) and
+    folds back as literals; per-vector codes, per-query tables and the
+    ADC lookup sum are then ONE projection over the collection scan
+    crossed with the broadcast Q-row query tables.
+
+    ``books`` serves with a FROZEN pre-trained codebook (the real
+    production flow: train once, serve many query batches); None
+    trains in-line."""
+    base = _as_double(embeddings)
+    # sub-dimension from one first-row peek (a single tiny action)
+    d_total = (
+        embeddings.select(F.size("embedding").alias("d")).limit(1).collect()[0]["d"]
+    )
+    d_sub = d_total // m_sub
+
+    if books is None:
+        # train per-subspace codebooks, then pin them driver-side
+        books = []
+        for m in range(m_sub):
+            sub = base.select(
+                "vec_id", F.slice("emb", m * d_sub + 1, d_sub).alias("emb")
+            )
+            cent = _pq_codebook(sub, k_codes, iters)
+            rows = sorted(cent.collect(), key=lambda r: r["cell"])
+            books.append([list(r["centroid"]) for r in rows])
+
+    # per-vector codes: inline argmax per subspace (pure projection)
+    coded = base.select(
+        "vec_id",
+        *[
+            _pq_code_expr(
+                F.slice("emb", m * d_sub + 1, d_sub), books[m]
+            ).alias(f"c{m}")
+            for m in range(m_sub)
+        ],
+    )
+    # per-query subspace tables: K dot scores per subspace, Q rows
+    qtables = base.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[
+            F.array(
+                *[
+                    _dot_e6(
+                        F.slice("emb", m * d_sub + 1, d_sub),
+                        F.array(*[F.lit(float(v)) for v in cvec]),
+                    )
+                    for cvec in books[m]
+                ]
+            ).alias(f"t{m}")
+            for m in range(m_sub)
+        ],
+    )
+    adc = sum(
+        F.element_at(F.col(f"t{m}"), F.col(f"c{m}") + 1)
+        for m in range(m_sub)
+    )
+    scored = (
+        coded.crossJoin(F.broadcast(qtables))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", adc.cast("long").alias("adc_e6")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_e6"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "adc_e6")
+    )
+
+
+def _pq_dot_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(FLOOR(list_dot_product({a}, {b}) * 1e6 + 0.5000001) AS BIGINT)"
+    )
+
+
+def pq_topk_sql(
+    k: int = TOP_K,
+    m_sub: int = PQ_M,
+    k_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of :func:`pq_topk`: per-subspace Lloyd rounds
+    unrolled as chained CTEs (the _ivf_kmeans_sql pattern), identical
+    seeding, dot-assignment, e6 quantization, and ADC lookup sum."""
+    d_sub = dim // m_sub
+    ctes = [
+        "base AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)",
+        f"q AS (SELECT vec_id AS query_id, emb AS q_emb FROM base WHERE vec_id < {N_QUERIES})",
+    ]
+    code_selects, tab_selects = [], []
+    for m in range(m_sub):
+        lo, hi = m * d_sub + 1, (m + 1) * d_sub
+        sub = f"sub{m}"
+        ctes.append(
+            f"{sub} AS MATERIALIZED (SELECT vec_id, emb[{lo}:{hi}] AS emb FROM base)"
+        )
+        ctes.append(f"""c{m}_0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS INTEGER) AS cell,
+         emb AS centroid
+  FROM (SELECT vec_id, emb FROM {sub} ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {k_codes})
+)""")
+        for t in range(1, iters + 1):
+            ctes.append(f"""a{m}_{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY {_pq_dot_sql("s.emb", "c.centroid")} DESC, c.cell ASC) AS rn
+    FROM {sub} s, c{m}_{t - 1} c
+  ) WHERE rn = 1
+)""")
+            ctes.append(f"""c{m}_{t} AS MATERIALIZED (
+  SELECT cell, list(FLOOR(cval * 1e6 + 0.5000001) / 1e6 ORDER BY dim) AS centroid
+  FROM (
+    SELECT cell, u.dim AS dim, SUM(u.val) / COUNT(*) AS cval FROM (
+      SELECT a.cell, unnest(list_transform(s.emb, (x, i) -> {{'dim': i - 1, 'val': x}})) AS u
+      FROM a{m}_{t} a JOIN {sub} s USING (vec_id)
+    ) GROUP BY cell, u.dim
+  ) GROUP BY cell
+)""")
+        final = f"c{m}_{iters}"
+        ctes.append(f"""code{m} AS (
+  SELECT vec_id, cell AS code FROM (
+    SELECT s.vec_id, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY {_pq_dot_sql("s.emb", "c.centroid")} DESC, c.cell ASC) AS rn
+    FROM {sub} s, {final} c
+  ) WHERE rn = 1
+)""")
+        code_selects.append(
+            f"SELECT vec_id, {m} AS m, code FROM code{m}"
+        )
+        tab_selects.append(
+            f"""SELECT q.query_id, {m} AS m, c.cell,
+       {_pq_dot_sql(f"q.q_emb[{lo}:{hi}]", "c.centroid")} AS s
+FROM q, {final} c"""
+        )
+    ctes.append("codes AS (" + " UNION ALL ".join(code_selects) + ")")
+    ctes.append("tabs AS (" + " UNION ALL ".join(tab_selects) + ")")
+    ctes.append("""scored AS (
+  SELECT t.query_id, c.vec_id, SUM(t.s) AS adc_e6
+  FROM codes c JOIN tabs t ON t.m = c.m AND t.cell = c.code
+  WHERE c.vec_id != t.query_id
+  GROUP BY t.query_id, c.vec_id
+)""")
+    joined = ",\n".join(ctes)
+    return f"""WITH {joined}
+SELECT query_id, rank, vec_id, CAST(adc_e6 AS BIGINT) AS adc_e6 FROM (
+  SELECT query_id, vec_id, adc_e6,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc_e6 DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}"""

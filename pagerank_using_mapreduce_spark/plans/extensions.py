@@ -2462,6 +2462,18 @@ def q_x115_audio_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_contour(binarize_audio(_docs(spark, sf_dir)))
 
 
+def q_x117_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the IVF-PQ codebook path): M=2
+    per-subspace codebooks via the deterministic seeded Lloyd, vectors
+    compressed to M codes, queries answered by the ADC table-lookup
+    sum — the representation that turns a 10⁹×256-byte scan into a
+    10⁹×M-byte scan.  Codebooks/tables broadcast; the collection never
+    shuffles; oracle replays the unrolled per-subspace trajectory."""
+    from ..operators.similarity import pq_topk
+
+    return pq_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_x116_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall of the production MinHash/LSH near-dup pipeline
     (x4: 12 hashes, 4 bands) against EXACT ground truth — the salted
@@ -2730,6 +2742,7 @@ EXTENSION_QUERIES = {
     "z18_stream_attribution": q_z18_stream_attribution,
     "x115_audio_contour": q_x115_audio_contour,
     "x116_lsh_recall": q_x116_lsh_recall,
+    "x117_pq_topk": q_x117_pq_topk,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -2916,6 +2929,12 @@ def _audio_contour_oracle() -> str:
     from ..operators.multimodal import AUDIO_CONTOUR_SQL
 
     return AUDIO_CONTOUR_SQL
+
+
+def _pq_oracle() -> str:
+    from ..operators.similarity import pq_topk_sql
+
+    return pq_topk_sql()
 
 
 def _lsh_recall_oracle() -> str:
@@ -3269,6 +3288,7 @@ GROUP BY 1, 2""",
     "z17_stream_ks": _z17_oracle(),
     "x115_audio_contour": _audio_contour_oracle(),
     "x116_lsh_recall": _lsh_recall_oracle(),
+    "x117_pq_topk": _pq_oracle(),
     "x48_chunk_windows": chunk_windows_sql(),
     "x49_curriculum_order": curriculum_order_sql(
         "documents",

@@ -625,3 +625,56 @@ def test_w12_hourweek_anchor_and_shares(spark):
     assert got[("a", 0)]["peak_how"] == 0 == got[("a", 29)]["peak_how"]
     assert got[("b", 29)]["share_e6"] == 1_000_000
     assert got[("b", 29)]["peak_how"] == 29
+
+
+# ---------------------------------------------------------------------------
+# x117 product quantization
+# ---------------------------------------------------------------------------
+
+
+def test_x117_pq_exact_when_quantization_is_lossless(spark):
+    """Served with a codebook that contains every sub-vector exactly,
+    ADC == the exact e6 dot product for every (query, vector) pair —
+    the zero-distortion identity (in-line training on so degenerate a
+    fixture can collapse cells when md5 seeding draws two identical
+    sub-vectors, so the frozen-codebook serving path is the right
+    surface for this property)."""
+    from pagerank_using_mapreduce_spark.operators.similarity import (
+        pq_topk,
+    )
+
+    # 4-dim vectors, 2 subspaces of 2 dims; sub-vectors drawn from
+    # {(1,0), (0,2)} in each subspace -> 4 distinct combos, repeated
+    subs = [(1.0, 0.0), (0.0, 2.0)]
+    rows = []
+    vid = 0
+    for a in subs:
+        for b in subs:
+            for _ in range(2):
+                rows.append((vid, list(a) + list(b)))
+                vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = [[list(s) for s in subs], [list(s) for s in subs]]
+    out = pq_topk(emb, k=100, m_sub=2, books=books).collect()
+    vecs = dict(rows)
+    assert len(out) == 5 * 7  # N_QUERIES x (n - self)
+    for r in out:
+        q, v = vecs[r["query_id"]], vecs[r["vec_id"]]
+        exact = sum(x * y for x, y in zip(q, v))
+        assert r["adc_e6"] == round(exact * 1e6), r
+
+
+def test_x117_serving_is_projection_only(spark):
+    """After training, the serving path is one projection over the
+    collection × a broadcast of the Q query tables: the ONLY hash
+    exchange in the plan is the final per-query top-k window."""
+    from pagerank_using_mapreduce_spark.plans.registry import QUERIES
+
+    df = QUERIES["x117_pq_topk"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
