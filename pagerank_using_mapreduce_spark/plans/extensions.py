@@ -1223,6 +1223,28 @@ def q_z18_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(stream, "drv_z18_attr", output_mode="update")
 
 
+def q_z19_stream_hourweek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hour-of-week seasonality: the additive (type, how)
+    grid is the complete-mode state (bounded at types x 168), drained
+    with AvailableNow; the share/peak finish runs as a batch post-pass.
+    Oracle = the batch w12 SQL (stream/batch parity)."""
+    from ..plans.relational import hourweek_from_grid
+    from ..streaming.events import (
+        hourweek_counts_stream,
+        read_event_stream,
+        run_available_now,
+        stage_table_dir,
+    )
+
+    stream = hourweek_counts_stream(
+        read_event_stream(spark, stage_table_dir(sf_dir))
+    )
+    drained = run_available_now(
+        stream, "t_z19_hourweek", output_mode="complete"
+    )
+    return hourweek_from_grid(drained)
+
+
 def q_z1_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming rollup drained with AvailableNow — the
     oracle is the BATCH rollup SQL (e2), i.e. the hash check proves
@@ -2743,6 +2765,7 @@ EXTENSION_QUERIES = {
     "x115_audio_contour": q_x115_audio_contour,
     "x116_lsh_recall": q_x116_lsh_recall,
     "x117_pq_topk": q_x117_pq_topk,
+    "z19_stream_hourweek": q_z19_stream_hourweek,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -2958,6 +2981,12 @@ def _dup_span_removal_oracle() -> str:
     from ..operators.text_analysis import dup_span_removal_sql
 
     return dup_span_removal_sql(dd.AUGMENT_SQL)
+
+
+def _z19_oracle() -> str:
+    from .relational import W12_SQL
+
+    return W12_SQL
 
 
 def _z17_oracle() -> str:
@@ -3360,6 +3389,7 @@ FROM events GROUP BY event_type""",
     "z1_stream_rollup": _E2_BATCH_SQL,
     "z2_stream_sessions": _E1_BATCH_SQL,
     "z18_stream_attribution": _E9_BATCH_SQL,
+    "z19_stream_hourweek": _z19_oracle(),
     "z9_stream_bottomk": bottom_k_per_group_sql(
         "event_type, event_id", "events", "event_type", "event_id", 20
     ),

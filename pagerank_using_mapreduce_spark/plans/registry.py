@@ -1196,6 +1196,7 @@ _DRIVER_ROTATION: list[str] = [
     "e11_conversion_lag", "x114_dup_span_removal", "z17_stream_ks",
     "z18_stream_attribution", "g17_local_bridges", "x115_audio_contour",
     "x116_lsh_recall", "w12_hourweek_profile", "x117_pq_topk",
+    "z19_stream_hourweek",
     # --- staleness refresh: r02-era rows first ---
     "e3_pivot_activity", "g1_rollup", "g2_cube", "sj1_semi_join",
     "sj2_anti_join", "rj1_range_join", "st1_set_ops", "x1_exact_dedup",

@@ -2656,9 +2656,10 @@ def e11_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HOW_ANCHOR_H = 72
 
 
-def hourweek_profile(ev: DataFrame) -> DataFrame:
-    """(event_type, how, n, share_e6, peak_how) — how ∈ [0, 168),
-    0 = Monday 00:00 UTC."""
+def hourweek_grid(ev: DataFrame) -> DataFrame:
+    """(event_type, how, n): the additive hour-of-week grid — shared
+    with the streaming twin (z19), whose complete-mode state is
+    exactly this ≤ types×168 relation."""
     slots = ev.select(
         "event_type",
         (
@@ -2666,7 +2667,12 @@ def hourweek_profile(ev: DataFrame) -> DataFrame:
             + _HOW_ANCHOR_H
         ).alias("h"),
     ).select("event_type", (F.col("h") % 168).alias("how"))
-    grid = slots.groupBy("event_type", "how").agg(F.count("*").alias("n"))
+    return slots.groupBy("event_type", "how").agg(F.count("*").alias("n"))
+
+
+def hourweek_from_grid(grid: DataFrame) -> DataFrame:
+    """The share/peak finish over the bounded grid — batch post-pass
+    for both w12 (batch grid) and z19 (drained streaming grid)."""
     tw = Window.partitionBy("event_type")
     return (
         grid.withColumn("total", F.sum("n").over(tw))
@@ -2689,6 +2695,12 @@ def hourweek_profile(ev: DataFrame) -> DataFrame:
             F.col("peak.hw").cast("long").alias("peak_how"),
         )
     )
+
+
+def hourweek_profile(ev: DataFrame) -> DataFrame:
+    """(event_type, how, n, share_e6, peak_how) — how ∈ [0, 168),
+    0 = Monday 00:00 UTC."""
+    return hourweek_from_grid(hourweek_grid(ev))
 
 
 def w12_hourweek_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

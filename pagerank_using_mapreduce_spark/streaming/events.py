@@ -697,3 +697,15 @@ def attribution_stream(events: DataFrame, window_s: int = 1800) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def hourweek_counts_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of w12's hour-of-week grid: per-(event_type,
+    how) counts — ADDITIVE, so complete-mode state is the bounded
+    ≤ types×168 grid and the drained counts equal the batch grid on
+    the same input.  The share/peak finish
+    (``plans.relational.hourweek_from_grid``) runs as a batch
+    post-pass over the drained grid (the z10/z17 split)."""
+    from ..plans.relational import hourweek_grid
+
+    return hourweek_grid(events)

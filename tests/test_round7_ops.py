@@ -678,3 +678,19 @@ def test_x117_serving_is_projection_only(spark):
     )
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_z19_stream_equals_batch_w12(spark):
+    """The drained streaming hour-of-week grid finished with
+    hourweek_from_grid must row-for-row equal batch w12."""
+    from pagerank_using_mapreduce_spark.plans.extensions import (
+        q_z19_stream_hourweek,
+    )
+    from pagerank_using_mapreduce_spark.plans.relational import (
+        w12_hourweek_profile,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream_rows = sorted(tuple(r) for r in q_z19_stream_hourweek(spark, sf).collect())
+    batch_rows = sorted(tuple(r) for r in w12_hourweek_profile(spark, sf).collect())
+    assert stream_rows == batch_rows and stream_rows
