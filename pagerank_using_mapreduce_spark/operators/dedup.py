@@ -596,10 +596,13 @@ def cluster_pairs(
     LSH-verified near-dups), so the min-label iteration runs on the
     pair-member subset; the full corpus only appears in the final left
     join that fills in singletons.  Per round: one join into the
-    (persisted) symmetric pair relation + one min-agg + one count
-    action on the O(|pair members|) label join for the stop test —
-    same wide-op budget as hash-min components on an O(|pairs|)
-    relation.
+    (persisted) symmetric pair relation + one min-agg + ONE NARROW
+    fingerprint aggregate for the stop test — the exact old-vs-new
+    label join runs only when consecutive Σ xxhash64(doc_id, label)
+    fingerprints match (labels are min-monotone, so multiset equality
+    ⟺ no change; the join guards the astronomically-unlikely sum
+    collision) — the cc_converged count-first discipline on an
+    O(|pairs|) relation.
     """
     pairs = pairs.select("doc_a", "doc_b").persist()
     # size the iteration's partitioning from the MEASURED pair count
@@ -627,7 +630,13 @@ def cluster_pairs(
         .repartition(parts, "doc_id")
         .persist()
     )
-    labels.count()
+    def _fingerprint(lbl: DataFrame) -> int:
+        # decimal(38) sum: n·2^63 overflows a long under ANSI mode
+        return lbl.agg(
+            F.sum(F.xxhash64("doc_id", "label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    fp = _fingerprint(labels)
     for i in range(max_rounds):
         pulled = (
             sym.alias("e")
@@ -643,15 +652,20 @@ def cluster_pairs(
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        new_fp = _fingerprint(new_labels)
+        converged = False
+        if new_fp == fp:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .count()
+                == 0
+            )
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        fp = new_fp
+        if converged:
             break
     out = (
         docs.select("doc_id")
