@@ -239,15 +239,21 @@ def bpe_merges_batched(
     )
 
 
-def _batched_round_ctes(rounds: int, batch: int) -> list[str]:
+def _batched_round_ctes(
+    rounds: int, batch: int, lookahead: int | None = None
+) -> list[str]:
     """Unrolled CTE chain replaying the batched trajectory: per round,
-    pair counts -> ranked top-m -> GREEDY disjoint selection (a linear
-    recursive CTE carrying the used-symbol set, one row per rank —
-    exactly :func:`_keep_disjoint`) -> a 1-row (ls, rs) batch relation
-    -> the simultaneous indexed fold.  Static in ``rounds`` (the
-    per-round survivor count is data-dependent; the round count is
-    not), so the twin needs no data access to generate.  The caller
-    must emit ``WITH RECURSIVE``."""
+    pair counts -> ranked top-``lookahead`` -> GREEDY disjoint
+    selection capped at ``batch`` kept (a linear recursive CTE
+    carrying the used-symbol set AND the kept counter, one row per
+    rank — exactly :func:`_keep_disjoint` with the candidate
+    lookahead) -> a 1-row (ls, rs) batch relation -> the simultaneous
+    indexed fold.  ``lookahead=None`` degenerates to ``batch`` (the
+    registry default, where the two caps coincide).  Static in
+    ``rounds`` (the per-round survivor count is data-dependent; the
+    round count is not), so the twin needs no data access to
+    generate.  The caller must emit ``WITH RECURSIVE``."""
+    lookahead = batch if lookahead is None else max(lookahead, batch)
     ctes = [
         """wf AS MATERIALIZED (
   SELECT word, COUNT(*) AS freq FROM (
@@ -279,10 +285,10 @@ t{k} AS MATERIALIZED (
   SELECT lft, rgt, cnt,
          row_number() OVER (ORDER BY cnt DESC, lft ASC, rgt ASC) AS rk
   FROM p{k}
-  QUALIFY rk <= {batch}
+  QUALIFY rk <= {lookahead}
 ),
 sel{k} AS (
-  SELECT 0 AS rk, CAST([] AS VARCHAR[]) AS used,
+  SELECT 0 AS rk, CAST([] AS VARCHAR[]) AS used, 0 AS nkept,
          CAST(NULL AS VARCHAR) AS lft, CAST(NULL AS VARCHAR) AS rgt,
          CAST(NULL AS BIGINT) AS cnt, FALSE AS kept
   UNION ALL
@@ -291,9 +297,12 @@ sel{k} AS (
                         OR list_contains(s.used, t.rgt))
               THEN list_append(list_append(s.used, t.lft), t.rgt)
               ELSE s.used END,
+         s.nkept + CASE WHEN list_contains(s.used, t.lft)
+                        OR list_contains(s.used, t.rgt)
+                   THEN 0 ELSE 1 END,
          t.lft, t.rgt, t.cnt,
          NOT (list_contains(s.used, t.lft) OR list_contains(s.used, t.rgt))
-  FROM sel{k} s JOIN t{k} t ON t.rk = s.rk + 1
+  FROM sel{k} s JOIN t{k} t ON t.rk = s.rk + 1 AND s.nkept < {batch}
 ),
 kept{k} AS MATERIALIZED (
   SELECT lft, rgt, cnt, rk FROM sel{k} WHERE kept
@@ -330,16 +339,21 @@ v{k + 1} AS MATERIALIZED (
 
 
 def bpe_merges_batched_sql(
-    rounds: int = BATCH_ROUNDS, batch: int = BATCH_M
+    rounds: int = BATCH_ROUNDS,
+    batch: int = BATCH_M,
+    lookahead: int | None = None,
 ) -> str:
-    """DuckDB twin of :func:`bpe_merges_batched`."""
+    """DuckDB twin of :func:`bpe_merges_batched` — including the
+    candidate ``lookahead`` (deeper ranked scan before the disjoint
+    cap), so non-default-lookahead trainings (bench's 1k-merge
+    evidence row) have an oracle replay too."""
     union = "\nUNION ALL\n".join(
         f"SELECT {k} AS round, lft, rgt, cnt, rk FROM kept{k}"
         for k in range(rounds)
     )
     return (
         "WITH RECURSIVE "
-        + ",\n".join(_batched_round_ctes(rounds, batch))
+        + ",\n".join(_batched_round_ctes(rounds, batch, lookahead))
         + f""",
 allkept AS ({union})
 SELECT row_number() OVER (ORDER BY round, rk) - 1 AS merge_idx,

@@ -1220,7 +1220,16 @@ def q_z18_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_event_stream(spark, stage_table_dir(sf_dir)),
         window_s=ATTRIBUTION_WINDOW_S,
     )
-    return run_available_now(stream, "drv_z18_attr", output_mode="update")
+    # last_write_key: update-mode re-emits every touched purchase each
+    # batch; keep each event_id's LAST emission so the result is
+    # correct under multi-batch delivery, not just the single-batch
+    # staging dir shipped today.
+    return run_available_now(
+        stream,
+        "drv_z18_attr",
+        output_mode="update",
+        last_write_key=["event_id"],
+    )
 
 
 def q_z19_stream_hourweek(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2660,10 +2660,15 @@ def hourweek_grid(ev: DataFrame) -> DataFrame:
     """(event_type, how, n): the additive hour-of-week grid — shared
     with the streaming twin (z19), whose complete-mode state is
     exactly this ≤ types×168 relation."""
+    # FLOOR division (not double-divide-then-truncate): DuckDB's `//`
+    # floors, and trunc != floor for negative micros — pre-1970
+    # timestamps would diverge between the engines otherwise.
     slots = ev.select(
         "event_type",
         (
-            (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long")
+            F.floor(
+                F.unix_micros("ts") / F.lit(3_600_000_000)
+            ).cast("long")
             + _HOW_ANCHOR_H
         ).alias("h"),
     ).select("event_type", (F.col("h") % 168).alias("how"))

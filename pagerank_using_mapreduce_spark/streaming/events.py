@@ -276,10 +276,55 @@ def run_foreach_batch(
 
 
 def run_available_now(
-    stream: DataFrame, query_name: str, output_mode: str = "complete"
+    stream: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+    last_write_key: list[str] | None = None,
 ) -> DataFrame:
     """Drain all available input into an in-memory table and return it
-    (test/driver harness helper)."""
+    (test/driver harness helper).
+
+    ``last_write_key``: for UPDATE-mode stateful queries that re-emit a
+    key's answer every micro-batch (e.g. last-touch attribution, which
+    re-attributes every touched purchase per batch), the memory sink
+    APPENDS rather than upserting — multi-batch delivery (multi-file
+    stage dir, ``maxFilesPerTrigger``) would leave duplicate and
+    contradictory rows per key.  Pass the logical key columns and the
+    drained table is reduced to each key's LAST emission (max batch
+    id), restoring upsert semantics regardless of how many batches the
+    drain took.  Uses a ``foreachBatch`` parquet stage (batch id is not
+    visible through the memory sink)."""
+    if last_write_key:
+        import tempfile
+
+        from pyspark.sql import Window
+
+        out_dir = tempfile.mkdtemp(prefix=f"drain_{query_name}_")
+        spark = stream.sparkSession
+
+        def _sink(df: DataFrame, batch_id: int) -> None:
+            df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out_dir)
+
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        cols = stream.columns
+        drained = spark.read.parquet(out_dir)
+        w = Window.partitionBy(*last_write_key).orderBy(
+            F.col("_batch_id").desc()
+        )
+        return (
+            drained.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(*cols)
+        )
     q = (
         stream.writeStream.format("memory")
         .queryName(query_name)

@@ -184,3 +184,41 @@ def test_batched_sql_twin_agrees(spark):
         .collect()
     ]
     assert got == want and len(got) > 2
+
+
+def test_batched_sql_twin_agrees_with_lookahead(spark):
+    """ADVICE r07: the candidate lookahead (deeper ranked scan before
+    the disjoint cap) changes the training trajectory, so the SQL twin
+    must replay it — trajectory parity at lookahead > batch, and the
+    lookahead must land MORE merges per round than the default (the
+    reason the knob exists)."""
+    import duckdb
+
+    from pagerank_using_mapreduce_spark.operators.bpe import (
+        bpe_merges_batched,
+        bpe_merges_batched_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = [
+        (int(r["merge_idx"]), int(r["round"]), r["left"], r["right"],
+         int(r["pair_count"]))
+        for _, r in con.execute(
+            bpe_merges_batched_sql(2, 6, lookahead=48)
+        ).df().iterrows()
+    ]
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = [
+        (r["merge_idx"], r["round"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_merges_batched(docs, rounds=2, batch=6, lookahead=48)
+        .orderBy("merge_idx")
+        .collect()
+    ]
+    assert got == want
+    # deeper scan fills the batch fuller than the default cap=lookahead
+    default_rows = con.execute(bpe_merges_batched_sql(2, 6)).df()
+    assert len(got) >= len(default_rows)

@@ -694,3 +694,54 @@ def test_z19_stream_equals_batch_w12(spark):
     stream_rows = sorted(tuple(r) for r in q_z19_stream_hourweek(spark, sf).collect())
     batch_rows = sorted(tuple(r) for r in w12_hourweek_profile(spark, sf).collect())
     assert stream_rows == batch_rows and stream_rows
+
+
+def test_z18_drain_last_write_wins_multibatch(spark, tmp_path):
+    """ADVICE r07: the DRIVER drain path (run_available_now) must hold
+    under multi-batch delivery, not only the single-file staging dir —
+    with ``last_write_key`` the drained table keeps each event_id's
+    LAST emission, so duplicate/contradictory re-emissions from
+    update-mode re-attribution collapse to the corrected answer."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pagerank_using_mapreduce_spark.streaming import events as se
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, kind, sec):
+        return {
+            "event_id": eid,
+            "ts": t0 + dt.timedelta(seconds=sec),
+            "user_id": uid,
+            "event_type": kind,
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    batch_a = [ev(100, 1, "purchase", 50), ev(201, 2, "click", 10),
+               ev(200, 2, "purchase", 20)]
+    batch_b = [ev(101, 1, "click", 40)]
+    d = tmp_path / "z18_lww"
+    d.mkdir()
+    schema = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("user_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64()), ("props", pa.string())]
+    )
+    pq.write_table(pa.Table.from_pylist(batch_a, schema=schema), d / "a.parquet")
+    pq.write_table(pa.Table.from_pylist(batch_b, schema=schema), d / "b.parquet")
+
+    stream = se.attribution_stream(
+        se.read_event_stream(spark, str(d), max_files_per_trigger=1),
+        window_s=1800,
+    )
+    out = se.run_available_now(
+        stream, "t_z18_lww", output_mode="update",
+        last_write_key=["event_id"],
+    ).collect()
+    got = {r["event_id"]: r["attributed_click_id"] for r in out}
+    assert len(out) == len(got), "duplicate event_id rows survived drain"
+    assert got == {100: 101, 200: 201}
