@@ -1449,3 +1449,175 @@ FROM inter i
 JOIN sz za ON za.doc_id = i.doc_a
 JOIN sz zb ON zb.doc_id = i.doc_b
 WHERE {den} * i.inter >= {num} * (za.sz + zb.sz - i.inter)"""
+
+
+# ---------------------------------------------------------------------------
+# LSH band-config frontier (x119) — VERDICT r07 #6: generalize the
+# one-config recall audit (x116) into the (bands, rows) sweep you run
+# BEFORE committing a banding to a 100-TB dedup pass.  For every way
+# of slicing the same 12-minhash signature into bands, measure BOTH
+# sides of the S-curve trade: candidate volume (what you pay) and
+# recall against the exact Jaccard>=1/2 truth (what you get).  More
+# bands × fewer rows → steeper collision probability → higher recall
+# AND more candidates; the frontier row set makes the elbow visible.
+#
+# Scale shape: signatures are computed ONCE (one scan + one groupBy);
+# every config's band keys are projected from the SAME sig row and
+# exploded — one tall (config, band, bucket) relation, NOT one plan
+# branch per config (a union of per-config pipelines would rescan the
+# corpus |configs| times).  The bucket self-join is the x3 candidate
+# join with the config id folded into the join key, so configs never
+# cross-collide; the truth side is the salted AllPairs join (itself
+# candidate-bounded, x108).  Output is |configs| rows.
+# ---------------------------------------------------------------------------
+
+# every divisor slicing of the 12-hash signature; n_bands is unique
+# per row and doubles as the config key
+FRONTIER_CONFIGS: tuple[tuple[int, int], ...] = (
+    (2, 6), (3, 4), (4, 3), (6, 2), (12, 1),
+)
+
+
+def lsh_band_frontier(
+    docs: DataFrame,
+    configs: tuple[tuple[int, int], ...] = FRONTIER_CONFIGS,
+    num: int = 1,
+    den: int = 2,
+) -> DataFrame:
+    """(n_bands, rows_per_band, n_candidates, n_exact, n_found,
+    recall_e6): one row per banding config of the 12-hash MinHash
+    signature, recall measured against the exact AllPairs truth at
+    Jaccard >= num/den (x116's convention, swept)."""
+    assert len({nb for nb, _ in configs}) == len(configs)
+    sigs = minhash_signatures(shingles(docs))
+    entries = []
+    for nb, rows in configs:
+        assert nb * rows == N_HASHES
+        for b in range(nb):
+            key = F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]
+                )
+            )
+            entries.append(
+                F.struct(
+                    F.lit(nb).cast("long").alias("n_bands"),
+                    F.lit(b).alias("band"),
+                    key.alias("bucket"),
+                )
+            )
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "e.*")
+    a = bands.alias("a")
+    b_ = bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.n_bands") == F.col("b.n_bands"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.n_bands").alias("n_bands"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    exact = setsim_join(docs, num=num, den=den).select("doc_a", "doc_b")
+    n_exact_row = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    cfg_df = docs.sparkSession.createDataFrame(
+        [(int(nb), int(rows)) for nb, rows in configs],
+        "n_bands long, rows_per_band long",
+    )
+    per_cand = cand.groupBy("n_bands").agg(
+        F.count("*").cast("long").alias("n_candidates")
+    )
+    found = (
+        cand.join(exact, ["doc_a", "doc_b"])
+        .groupBy("n_bands")
+        .agg(F.count("*").cast("long").alias("n_found"))
+    )
+    return (
+        cfg_df.join(per_cand, "n_bands", "left")
+        .join(found, "n_bands", "left")
+        .crossJoin(n_exact_row)  # broadcast one-row scalar
+        .select(
+            "n_bands",
+            "rows_per_band",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            "n_exact",
+            F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
+            F.when(F.col("n_exact") == 0, F.lit(1_000_000).cast("long"))
+            .otherwise(
+                F.floor(
+                    F.coalesce("n_found", F.lit(0)).cast("double")
+                    / F.col("n_exact")
+                    * 1e6
+                    + F.lit(0.5000001)
+                ).cast("long")
+            )
+            .alias("recall_e6"),
+        )
+    )
+
+
+def lsh_band_frontier_sql(
+    docs_sql: str,
+    configs: tuple[tuple[int, int], ...] = FRONTIER_CONFIGS,
+    num: int = 1,
+    den: int = 2,
+) -> str:
+    """DuckDB twin of :func:`lsh_band_frontier` — same 12-hash
+    signature, same per-config band keys, same AllPairs truth (the
+    algorithm-independent full-index form)."""
+    band_selects = []
+    for nb, rows in configs:
+        for b in range(nb):
+            cols = " || '|' || ".join(
+                f"sig_{b * rows + r}" for r in range(rows)
+            )
+            band_selects.append(
+                f"SELECT doc_id, {nb} AS n_bands, {b} AS band, "
+                f"md5({cols}) AS bucket FROM sigs"
+            )
+    bands_union = " UNION ALL ".join(band_selects)
+    cfg_values = ", ".join(f"({nb}, {rows})" for nb, rows in configs)
+    return f"""
+WITH sh AS ({shingles_sql(docs_sql)}),
+sigs AS ({minhash_signatures_sql("SELECT doc_id, shingle FROM sh")}),
+bands AS ({bands_union}),
+cand AS (
+  SELECT DISTINCT a.n_bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.n_bands = b.n_bands AND a.band = b.band
+   AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+exact AS (
+  SELECT doc_a, doc_b FROM ({setsim_join_sql(docs_sql, num=num, den=den)})
+),
+cfg(n_bands, rows_per_band) AS (VALUES {cfg_values}),
+nx AS (SELECT COUNT(*) AS n_exact FROM exact),
+percand AS (
+  SELECT n_bands, COUNT(*) AS n_candidates FROM cand GROUP BY n_bands
+),
+found AS (
+  SELECT c.n_bands, COUNT(*) AS n_found
+  FROM cand c JOIN exact e ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+  GROUP BY c.n_bands
+)
+SELECT CAST(c.n_bands AS BIGINT) AS n_bands,
+       CAST(c.rows_per_band AS BIGINT) AS rows_per_band,
+       CAST(COALESCE(p.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(nx.n_exact AS BIGINT) AS n_exact,
+       CAST(COALESCE(f.n_found, 0) AS BIGINT) AS n_found,
+       CASE WHEN nx.n_exact = 0 THEN CAST(1000000 AS BIGINT)
+            ELSE CAST(FLOOR(CAST(COALESCE(f.n_found, 0) AS DOUBLE)
+                            / nx.n_exact * 1e6 + 0.5000001) AS BIGINT)
+       END AS recall_e6
+FROM cfg c
+LEFT JOIN percand p ON p.n_bands = c.n_bands
+LEFT JOIN found f ON f.n_bands = c.n_bands
+CROSS JOIN nx"""

@@ -1985,3 +1985,111 @@ SELECT k.doc_id, CAST(len(k.t) AS BIGINT) AS n_tokens,
        CAST(COALESCE(c.kept_tokens, 0) AS BIGINT) AS kept_tokens,
        COALESCE(c.cleaned_fp, md5('')) AS cleaned_fp
 FROM toked k LEFT JOIN cleaned c ON c.doc_id = k.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# EXACT-span contamination screen (x118) — the fixed-length exact
+# k-gram variant of x113 (VERDICT r07 #5).  x113 joins WINNOWED
+# fingerprints, whose guarantee only covers shared runs of
+# >= WINNOW_W + WINNOW_K - 1 tokens (= 8 with the shipped 5/4 config):
+# a shared span of 6-7 tokens can be sampled AWAY by the per-window
+# min-hash election and silently pass the screen.  This variant hashes
+# EVERY k-gram (k = 6, below the winnowing floor) so any shared run of
+# >= k tokens fires deterministically — the Lee-et-al "exact span"
+# discipline applied to train/eval contamination, at (w+1)/2 ≈ 3× the
+# index density of x109's winnowed stream (the density/recall trade
+# stated in SIGMOD'03; here recall wins because a leaked eval span is
+# exactly the thing you cannot afford to sample away).
+#
+# Scale shape: one distinct per-doc gram relation (iceberg-prunable),
+# one TRAIN-side df aggregate whose cap (df > EXACT_CONTAM_DF_CAP
+# training docs) removes boilerplate phrases AND bounds the join
+# fan-out per gram key — the x108 hot-key discipline, except dropping
+# hot grams is semantically CORRECT here (a phrase in 65+ training
+# docs is boilerplate, not leakage evidence).  The gram join is then
+# md5-uniform and per-key bounded at any corpus size; never broadcast
+# (both sides are corpus-proportional).
+# ---------------------------------------------------------------------------
+
+EXACT_CONTAM_K = 6  # tokens per exact gram — below the 8-token winnow floor
+EXACT_CONTAM_DF_CAP = 64  # grams in more training docs are boilerplate
+
+
+def doc_kgrams(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, gram): DISTINCT space-joined token k-grams per doc —
+    the exact-span sibling of x109's winnowed stream (same tokenizer,
+    same gram join, no sampling)."""
+    toked = docs.select("doc_id", _toks().alias("toks"))
+    return toked.select(
+        "doc_id", F.explode(_gram_windows(F.col("toks"), k)).alias("gram")
+    ).distinct()
+
+
+def exact_contamination(
+    docs: DataFrame,
+    split_at: int,
+    k: int = EXACT_CONTAM_K,
+    df_cap: int = EXACT_CONTAM_DF_CAP,
+) -> DataFrame:
+    """(train_doc, eval_doc, n_shared): pairs sharing >= 1 exact
+    k-token span, boilerplate grams (train-df > df_cap) excluded.
+    Threshold is 1 because each gram IS a k-token exact match — unlike
+    x113's fingerprints there is no sampling noise floor to clear."""
+    grams = doc_kgrams(docs, k)
+    train = grams.where(F.col("doc_id") < split_at).select(
+        F.col("doc_id").alias("train_doc"), "gram"
+    )
+    ev = grams.where(F.col("doc_id") >= split_at).select(
+        F.col("doc_id").alias("eval_doc"), "gram"
+    )
+    keep = (
+        train.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= df_cap)
+        .select("gram")
+    )
+    return (
+        train.join(keep, "gram")
+        .join(ev, "gram")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
+def exact_contamination_sql(
+    docs_sql: str,
+    split_at: int,
+    k: int = EXACT_CONTAM_K,
+    df_cap: int = EXACT_CONTAM_DF_CAP,
+) -> str:
+    """DuckDB twin of :func:`exact_contamination`."""
+    joined = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, k + 1))
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+           lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '') AS t
+  FROM ({docs_sql})
+),
+grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= {k}
+             THEN list_transform(generate_series(0, len(t) - {k}),
+                    i -> {joined})
+             ELSE [] END) AS gram
+    FROM toked
+  )
+),
+train AS (SELECT doc_id AS train_doc, gram FROM grams
+          WHERE doc_id < {split_at}),
+ev AS (SELECT doc_id AS eval_doc, gram FROM grams
+       WHERE doc_id >= {split_at}),
+keep AS (SELECT gram FROM train GROUP BY gram
+         HAVING COUNT(*) <= {df_cap})
+SELECT t.train_doc, e.eval_doc, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM train t
+JOIN keep USING (gram)
+JOIN ev e USING (gram)
+GROUP BY t.train_doc, e.eval_doc"""

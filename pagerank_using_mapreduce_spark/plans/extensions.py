@@ -2588,6 +2588,42 @@ def q_x113_winnow_contamination(
     )
 
 
+def q_x118_exact_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT-span contamination screen (the fixed-length k-gram
+    variant of x113, VERDICT r07 #5): every 6-token gram hashed — no
+    winnowing sampling, so shared spans BELOW the 8-token winnow
+    guarantee floor (which x113 can sample away) fire
+    deterministically.  Same train/eval split as x113; boilerplate
+    grams (train-df > 64) excluded, which also bounds the gram join's
+    per-key fan-out at any corpus size (the x108 hot-key discipline,
+    here semantically correct: a phrase in 65+ training docs is
+    boilerplate, not leakage)."""
+    from ..operators.text_analysis import exact_contamination
+
+    return exact_contamination(
+        dd.augment_docs(_docs(spark, sf_dir)), dd.NEAR_DUP_OFFSET
+    )
+
+
+def q_x119_lsh_band_frontier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LSH band-config frontier (VERDICT r07 #6): the x116 recall
+    audit swept over every divisor slicing of the 12-hash MinHash
+    signature — (2 bands × 6 rows) … (12 × 1) — each row reporting
+    candidate volume AND recall against the same exact AllPairs truth.
+    The tuning tool you run before committing a banding to a 100-TB
+    dedup pass; the shipped (4, 3) config appears as one frontier row
+    and must reproduce x116's recall.  Signatures computed once and
+    exploded per-config — one tall band relation, not |configs| plan
+    branches over the corpus."""
+    from ..operators.dedup import lsh_band_frontier
+
+    return lsh_band_frontier(dd.augment_docs(_docs(spark, sf_dir)))
+
+
 def q_x111_label_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the gold labels and nearest-centroid
     predicted labels (the x6 quantizer as a 1-NN classifier) — the
@@ -2775,6 +2811,8 @@ EXTENSION_QUERIES = {
     "x116_lsh_recall": q_x116_lsh_recall,
     "x117_pq_topk": q_x117_pq_topk,
     "z19_stream_hourweek": q_z19_stream_hourweek,
+    "x118_exact_contamination": q_x118_exact_contamination,
+    "x119_lsh_band_frontier": q_x119_lsh_band_frontier,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -3015,6 +3053,18 @@ FROM fps t JOIN fps e ON e.fp = t.fp
 WHERE t.doc_id < {dd.NEAR_DUP_OFFSET} AND e.doc_id >= {dd.NEAR_DUP_OFFSET}
 GROUP BY t.doc_id, e.doc_id
 HAVING COUNT(DISTINCT t.fp) >= 2"""
+
+
+def _exact_contamination_oracle() -> str:
+    from ..operators.text_analysis import exact_contamination_sql
+
+    return exact_contamination_sql(dd.AUGMENT_SQL, dd.NEAR_DUP_OFFSET)
+
+
+def _lsh_band_frontier_oracle() -> str:
+    from ..operators.dedup import lsh_band_frontier_sql
+
+    return lsh_band_frontier_sql(dd.AUGMENT_SQL)
 
 
 def _quantize_oracle() -> str:
@@ -3327,6 +3377,8 @@ GROUP BY 1, 2""",
     "x115_audio_contour": _audio_contour_oracle(),
     "x116_lsh_recall": _lsh_recall_oracle(),
     "x117_pq_topk": _pq_oracle(),
+    "x118_exact_contamination": _exact_contamination_oracle(),
+    "x119_lsh_band_frontier": _lsh_band_frontier_oracle(),
     "x48_chunk_windows": chunk_windows_sql(),
     "x49_curriculum_order": curriculum_order_sql(
         "documents",

@@ -1176,44 +1176,35 @@ ORACLE_SQL: dict[str, str] = {
 # that round).  With 175 registered queries a fixed order would leave
 # most queries without a hard oracle row forever, so the registry
 # front-loads the names with the fewest prior driver checks each round.
-# Round-7 ordering (VERDICT r06 priority #1): the 6 registry entries
-# verified only by the r06 judge's bare-session re-run (the two names
-# the r06 cap squeezed out plus the four post-rotation additions) go
-# FIRST so they gain hard driver rows; round-7 additions slot in right
-# after them; the tail of the 50 is the staleness refresh — the names
-# whose most recent driver row is oldest (20 last checked r02, then the
-# r03 tier), in registry order within each tier (COVERAGE.md's computed
-# r07 head).  Every query keeps its oracle either way; this permutes
-# presentation order only.
+# Round-8 ordering (VERDICT r07 priority #2, COVERAGE.md's computed
+# r08 head): after r07's 50 rows landed, every registered query has a
+# driver row and the stalest tier is r03.  r08 additions go FIRST (no
+# driver row possible before r08), then the r03-staleness tier in
+# registry order — the names whose most recent driver row is oldest.
+# The two names past slot 50 (x14/x15) overflow to r09.  Every query
+# keeps its oracle either way; this permutes presentation order only.
 _DRIVER_ROTATION: list[str] = [
-    # --- judge-only in r06 (no driver row yet) ---
-    "g15_local_clustering", "x106_label_noise", "g16_assortativity",
-    "w11_cusum_changepoint", "x107_pii_scan", "x108_setsim_join",
-    # --- round-7 additions (no driver row possible before r07) ---
-    "x109_winnow_fingerprints", "x110_dup_span_coverage",
-    "x111_label_kappa", "d6_ks_drift",
-    "x112_image_ahash", "x113_winnow_contamination",
-    "e11_conversion_lag", "x114_dup_span_removal", "z17_stream_ks",
-    "z18_stream_attribution", "g17_local_bridges", "x115_audio_contour",
-    "x116_lsh_recall", "w12_hourweek_profile", "x117_pq_topk",
-    "z19_stream_hourweek",
-    # --- staleness refresh: r02-era rows first ---
-    "e3_pivot_activity", "g1_rollup", "g2_cube", "sj1_semi_join",
-    "sj2_anti_join", "rj1_range_join", "st1_set_ops", "x1_exact_dedup",
-    "x2_minhash_signatures", "x3_lsh_candidates", "x4_near_dups",
-    "x5_cosine_topk", "x6_ivf_topk", "x7_lang_id", "x8_quality_score",
-    "x9_token_count", "x10_fingerprint", "x11_multimodal_decode",
-    "x12_asof_join", "x13_simhash",
-    # --- staleness refresh: r03-era rows (overflow waits for r08) ---
-    "i1_pagerank2", "i1_pagerank10", "i1_pagerank_converged",
-    "i2_personalized_pagerank", "o1_ranking", "o1_topk",
-    "cc_components", "cc_converged", "cc_star", "g3_triangles", "g4_hits",
-    "g5_bfs_depths", "g6_kcore", "deg_stats", "a6_inverted_index",
-    "a6_inverted_index_wiki", "p678_token_counts", "tfidf",
+    # --- round-8 additions (no driver row possible before r08) ---
+    "x118_exact_contamination", "x119_lsh_band_frontier",
+    # --- staleness refresh: r03-era rows, registry order ---
+    "cc_star", "g3_triangles", "g4_hits", "g5_bfs_depths", "g6_kcore",
+    "deg_stats", "a6_inverted_index", "a6_inverted_index_wiki",
+    "p678_token_counts", "tfidf",
     "q1_pricing_summary", "q3_top_orders", "q4_order_priority",
     "q5_region_revenue", "q6_forecast_revenue", "q7_volume_shipping",
     "q8_market_share", "q9_profit", "q10_returned_items",
     "q12_priority_lines", "q13_customer_distribution", "q14_promo_revenue",
+    "s1_corpus_scan", "p1_titles", "p3_doc_ids", "p45_links",
+    "a1_count_n", "a23_linkgraph", "j2_contributions",
+    "p9_codec_roundtrip",
+    "q15_top_supplier", "q17_small_quantity", "q18_large_orders",
+    "q19_disjunctive", "q22_sales_opportunity",
+    "j1_json_extract", "s1_value_stats", "s2_grouped_quantiles",
+    "w1_window_top3", "w2_rolling_mean",
+    "e1_sessions", "e2_hourly_rollup", "g7_label_prop",
+    "e4_session_windows", "e5_unpivot_activity",
+    "w3_time_weighted", "d1_snapshot_diff", "d2_scd2_versions",
+    "x14_simhash_near_dups", "x15_embedding_near_dups",
 ]
 
 

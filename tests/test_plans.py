@@ -260,24 +260,21 @@ def test_driver_rotation_head_is_intact():
     assert names[: len(implemented)] == implemented
     assert list(ORACLE_SQL) == names  # oracle table mirrors query order
     assert set(implemented) <= set(ORACLE_SQL)
-    # The 6 r06 judge-only names are a hard requirement in the first 6
-    # slots — they are the point of the r07 rotation (VERDICT r06 #1).
-    judge_only = [
-        "g15_local_clustering", "x106_label_noise", "g16_assortativity",
-        "w11_cusum_changepoint", "x107_pii_scan", "x108_setsim_join",
+    # r08 additions are a hard requirement in the first slots — they
+    # have no driver row before r08 (VERDICT r07 #2).
+    additions = ["x118_exact_contamination", "x119_lsh_band_frontier"]
+    assert names[: len(additions)] == additions
+    # The r03-staleness refresh head must stay inside the 50-row
+    # driver cap even as round-8 additions slot in ahead of it.
+    r03_head = [
+        "cc_star", "g3_triangles", "g4_hits", "g5_bfs_depths", "g6_kcore",
+        "deg_stats", "a6_inverted_index", "a6_inverted_index_wiki",
+        "p678_token_counts", "tfidf", "q1_pricing_summary",
+        "q3_top_orders", "q4_order_priority", "q5_region_revenue",
+        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+        "q9_profit", "q10_returned_items", "q12_priority_lines",
     ]
-    assert names[:6] == judge_only
-    # The staleness refresh (r02-era rows first) must stay inside the
-    # 50-row driver cap even as round-7 additions slot in ahead of it.
-    r02_era = [
-        "e3_pivot_activity", "g1_rollup", "g2_cube", "sj1_semi_join",
-        "sj2_anti_join", "rj1_range_join", "st1_set_ops", "x1_exact_dedup",
-        "x2_minhash_signatures", "x3_lsh_candidates", "x4_near_dups",
-        "x5_cosine_topk", "x6_ivf_topk", "x7_lang_id", "x8_quality_score",
-        "x9_token_count", "x10_fingerprint", "x11_multimodal_decode",
-        "x12_asof_join", "x13_simhash",
-    ]
-    assert set(r02_era) <= set(names[:50])
+    assert set(r03_head) <= set(names[:50])
 
 
 def test_partsupp_filter_precedes_explode(spark):
