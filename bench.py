@@ -113,6 +113,16 @@ BENCH_QUERIES = [
     # and the recall audit that runs BOTH near-dup pipelines
     "x108_setsim_join",
     "x116_lsh_recall",
+    # round-8 (VERDICT r07 #7): the remaining round-7 heavies, so
+    # regressions in them hit the canary-normalized comparison, not
+    # only the sweep artifact
+    "x109_winnow_fingerprints",
+    "x113_winnow_contamination",
+    "g17_local_bridges",
+    "x117_pq_topk",
+    # round-8 additions
+    "x118_exact_contamination",
+    "x119_lsh_band_frontier",
 ]
 
 # Canary pair (VERDICT r06 #7): one trivial scan-bound query and one
@@ -319,11 +329,42 @@ def main() -> None:
     only = {
         n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if n
     }
+
+    # Mid-run canary probe (r08, from the x94 post-mortem): the r07
+    # "3.2x regression" was a transient host-load window covering ONE
+    # query's reps mid-session (builder session x94 1.27 s vs the
+    # driver's 0.42 s the same day, neighbors before it at 1.0x, a
+    # decaying 1.5-1.7x band after) — invisible to a start/end canary
+    # (drift read 1.0).  A 1-rep s1 probe every PROBE_EVERY tracked
+    # queries timestamps the load profile ACROSS the session; queries
+    # bracketed by an inflated probe land in `load_suspects` so a
+    # one-session spike reads as environment, not regression.
+    probe_name = "s1_corpus_scan"
+    canary_series: list[dict] = []
+
+    def _probe(after: str) -> None:
+        t0 = time.time()
+        QUERIES[probe_name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        canary_series.append(
+            {"after": after, "sec": round(time.time() - t0, 3)}
+        )
+
+    PROBE_EVERY = 10
+    _probe("WARMUP-COLD")  # pays s1 codegen; excluded from drift stats
+    _probe("START")
+    done = 0
+    probe_at: dict[str, int] = {}
     for name in BENCH_QUERIES:
         if name not in QUERIES or (only and name not in only):
             continue
+        probe_at[name] = len(canary_series)
         samples = _run(spark, name, sf_dir, reps)
         runs[name] = samples
+        done += 1
+        if done % PROBE_EVERY == 0:
+            _probe(name)
         # rep 0 pays one-time costs (scan caching, codegen) — keep it
         # in `runs` for auditability but exclude it from the stats
         warm = samples[1:] if len(samples) >= 3 else samples
@@ -336,7 +377,33 @@ def main() -> None:
         spread[name] = (
             round((max(trimmed) - min(trimmed)) / med, 3) if med else 0.0
         )
+    _probe("END")
     total = round(sum(timings.values()), 3)
+
+    # per-window load audit over the probe series: a query bracketed
+    # by an inflated probe (>1.5x the pinned s1 baseline) was measured
+    # under transient load — its raw number is suspect regardless of
+    # the session-level drift figure
+    probe_base = CANARY_BASELINE.get(probe_name)
+    load_suspects: list[str] = []
+    series_max_drift = None
+    if probe_base:
+        warm_probes = [
+            p for p in canary_series if p["after"] != "WARMUP-COLD"
+        ]
+        series_max_drift = round(
+            max(p["sec"] / probe_base for p in warm_probes), 3
+        )
+        for name, k in probe_at.items():
+            brackets = [canary_series[k - 1]]
+            if k < len(canary_series):
+                brackets.append(canary_series[k])
+            if any(
+                p["after"] != "WARMUP-COLD"
+                and p["sec"] / probe_base > 1.5
+                for p in brackets
+            ):
+                load_suspects.append(name)
 
     # canary drift: geometric mean of observed/baseline over the pair;
     # normalized numbers divide by the drift so a loaded host reads the
@@ -385,6 +452,9 @@ def main() -> None:
                 "canary": canary,
                 "canary_baseline": CANARY_BASELINE,
                 "canary_drift": drift,
+                "canary_series": canary_series,
+                "canary_series_max_drift": series_max_drift,
+                "load_suspects": load_suspects,
                 "queries_canary_normalized": timings_norm,
                 "value_canary_normalized": total_norm,
                 "bpe_batched": bpe_ev,
@@ -413,6 +483,8 @@ def main() -> None:
                 "value_canary_normalized": total_norm,
                 "canary": canary,
                 "canary_drift": drift,
+                "canary_series_max_drift": series_max_drift,
+                "load_suspects": load_suspects,
                 "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "sf1_queries": sf1_timings,

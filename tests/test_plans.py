@@ -277,6 +277,27 @@ def test_driver_rotation_head_is_intact():
     assert set(r03_head) <= set(names[:50])
 
 
+def test_x94_vocab_join_shape(spark):
+    """Pins x94's skew-free vocab-join plan (VERDICT r07 #1): the r07
+    '3.2x regression' was measured to be a transient host-load window
+    in one bench session (driver's same-day record: 0.42 s ~= r06's
+    0.40; isolation today: same), not a plan change — this test makes
+    any FUTURE plan drift visible.  Invariants: no cartesian product;
+    anything on a broadcast build side is post-aggregation (vocab- or
+    doc-scale), never the raw exploded token stream; the word-freq
+    aggregate shuffles on word and the per-doc aggregates on doc_id
+    (hapax keys are globally unique by construction, so the word join
+    is skew-free at any corpus size)."""
+    plan = _plan(QUERIES["x94_rare_token_docs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    for sub in _broadcast_subtrees(plan):
+        assert "HashAggregate" in sub, (
+            "raw token stream on a broadcast build side:\n" + sub
+        )
+    assert "hashpartitioning(word" in plan
+    assert "hashpartitioning(doc_id" in plan
+
+
 def test_partsupp_filter_precedes_explode(spark):
     """q2's part-side filters are applied BEFORE the 4x partsupp
     explode: the type/size predicates reach the part parquet scan as
