@@ -2,7 +2,12 @@
 ``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB,
 compare row-count + schema-ish + order-insensitive values.
 
-Usage: PYTHONPATH=/root/repo python tools/check_oracle.py [sf_dir] [name ...]
+Usage: PYTHONPATH=/root/repo python tools/check_oracle.py [--changed-only[=REF]] [sf_dir] [name ...]
+
+``--changed-only`` (default REF HEAD~1) restricts the sweep to the
+queries whose code plausibly changed vs REF (per-function module
+attribution; core-file edits select everything) — the mid-round
+iteration mode.  The FULL sweep stays the round-close gate.
 
 Set ``ORACLE_SWEEP_JSON=/path/out.json`` to also write a structured
 artifact: {name: {"status": "...", "rows": N, "spark_sec": s,
@@ -48,9 +53,127 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _changed_query_names(base: str) -> set[str]:
+    """Names of registered queries whose code plausibly changed vs
+    ``base`` (VERDICT r07 #8): a query is selected when its defining
+    plans module, or any package module its SOURCE references
+    (``operators.foo`` / ``functions`` / ``streaming`` / ``sources``),
+    is among the git-diff-touched files.  Edits to cross-cutting core
+    files (session, registry, tables, textops) select EVERYTHING —
+    conservative by design.  Module granularity, so a one-function
+    edit re-checks its whole module's queries; the FULL sweep stays
+    the round-close gate."""
+    import inspect
+    import re
+    import subprocess
+
+    pkg = "pagerank_using_mapreduce_spark"
+    out = subprocess.run(
+        ["git", "diff", "--name-only", base, "--"],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    touched = {
+        ln.strip() for ln in out.splitlines() if ln.strip().endswith(".py")
+    }
+    pkg_touched = {p for p in touched if p.startswith(pkg + "/")}
+    core = {
+        f"{pkg}/session.py",
+        f"{pkg}/plans/registry.py",
+        f"{pkg}/sources/tables.py",
+        f"{pkg}/functions/textops.py",
+        "__spark_entry__.py",
+    }
+    qs = entrymod.queries()
+    if touched & core:
+        return set(qs)
+    if not pkg_touched:
+        return set()
+
+    # attribution is PER QUERY FUNCTION, not per defining module:
+    # plans/extensions.py holds ~140 queries and a module-level
+    # `dedup as dd` alias, so whole-module scanning would select 60%
+    # of the registry for any dedup.py edit.  A query references a
+    # package module through (a) a lazy `from ..operators.x import`
+    # in its own body, (b) a module-level alias (`dd.`) used in its
+    # body, or (c) a same-module helper it calls that does either —
+    # one level of helper closure covers the _docs/_oracle pattern.
+    direct_re = re.compile(
+        r"from \.\.(operators|functions|streaming|sources)\.(\w+) import"
+    )
+    alias_re = re.compile(
+        r"from \.\.(operators|functions|streaming|sources) import "
+        r"(\w+)(?:\s+as\s+(\w+))?"
+    )
+    call_re = re.compile(r"\b(\w+)\s*\(")
+
+    mod_cache: dict[str, tuple[dict, dict]] = {}
+
+    def _module_maps(fn):
+        modname = fn.__module__
+        if modname not in mod_cache:
+            module = sys.modules[modname]
+            msrc = inspect.getsource(module)
+            aliases = {}
+            for m in alias_re.finditer(msrc):
+                sub, leaf, al = m.group(1), m.group(2), m.group(3)
+                aliases[al or leaf] = f"{pkg}/{sub}/{leaf}.py"
+            helpers = {
+                n: f
+                for n, f in inspect.getmembers(module, inspect.isfunction)
+                if getattr(f, "__module__", None) == modname
+            }
+            mod_cache[modname] = (aliases, helpers)
+        return mod_cache[modname]
+
+    def _fn_files(fn, depth=1) -> set[str]:
+        files: set[str] = set()
+        try:
+            files.add(os.path.relpath(inspect.getfile(fn), "/root/repo"))
+            src = inspect.getsource(fn)
+        except (TypeError, OSError):
+            return {"<unattributable>"}
+        aliases, helpers = _module_maps(fn)
+        for m in direct_re.finditer(src):
+            files.add(f"{pkg}/{m.group(1)}/{m.group(2)}.py")
+        for al, f in aliases.items():
+            if re.search(rf"\b{al}\.", src):
+                files.add(f)
+        if depth > 0:
+            for callee in set(call_re.findall(src)):
+                h = helpers.get(callee)
+                if h is not None and h is not fn:
+                    files |= _fn_files(h, depth - 1)
+        return files
+
+    sel: set[str] = set()
+    for name, fn in qs.items():
+        files = _fn_files(fn)
+        if "<unattributable>" in files or files & pkg_touched:
+            sel.add(name)
+    return sel
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:]]
+    changed_base = None
+    for a in list(args):
+        if a.startswith("--changed-only"):
+            changed_base = a.split("=", 1)[1] if "=" in a else "HEAD~1"
+            args.remove(a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    if changed_base is not None:
+        sel = _changed_query_names(changed_base)
+        print(
+            f"--changed-only vs {changed_base}: {len(sel)} queries selected"
+        )
+        if not sel:
+            print("nothing touched; all green (vacuously)")
+            return 0
+        only = sel if not only else (only & sel)
     spark = bare_spark()
     con = duckdb.connect()
     for t in TABLES:
