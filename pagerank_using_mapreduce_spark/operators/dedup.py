@@ -1282,29 +1282,41 @@ def _setsim_prefix(
     docs: DataFrame, k: int, num: int, den: int
 ) -> DataFrame:
     """(doc_id, shingle, df, sz): the rarest-first prefix entries —
-    shingle rank <= sz - ceil(t*sz) + 1 within each doc."""
+    shingle rank <= sz - ceil(t*sz) + 1 within each doc.
+
+    sz and rk are ONE stacked window pass (r08, from the sf10 stage
+    profile: the old per-doc size agg + join-back was a second full
+    sort-merge join of the 30M-row gram relation; partitioning by
+    doc_id is skew-free — a doc's grams are bounded by its own length
+    — so both the size count and the rank evaluate on a single
+    exchange).  df deliberately STAYS an aggregate + join-back, NOT a
+    window: the dfreq groupBy combines map-side, so a boilerplate
+    shingle appearing in 10% of a 100-TB corpus costs each partition a
+    partial count — a partitionBy(shingle) window would instead ship
+    every one of its rows to one partition (the exact hot-key failure
+    the salted candidate join downstream exists to prevent)."""
     from pyspark.sql import Window
 
     s = shingles(docs, k)  # already DISTINCT (doc_id, shingle)
-    sz = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
     dfreq = s.groupBy("shingle").agg(F.count("*").alias("df"))
-    ranked = s.join(dfreq, "shingle").withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "shingle")
-        ),
+    w_doc = Window.partitionBy("doc_id")
+    ranked = (
+        s.join(dfreq, "shingle")
+        .withColumn("sz", F.count("*").over(w_doc))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
     )
     # prefix length p = sz - ceil(t*sz) + 1, integer ceil
-    return (
-        ranked.join(sz, "doc_id")
-        .where(
-            F.col("rk")
-            <= F.col("sz")
-            - F.floor((F.lit(num) * F.col("sz") + (den - 1)) / den)
-            + 1
-        )
-        .select("doc_id", "shingle", "df", "sz")
-    )
+    return ranked.where(
+        F.col("rk")
+        <= F.col("sz")
+        - F.floor((F.lit(num) * F.col("sz") + (den - 1)) / den)
+        + 1
+    ).select("doc_id", "shingle", "df", "sz")
 
 
 def _setsim_candidates(
