@@ -1464,6 +1464,81 @@ WHERE {den} * i.inter >= {num} * (za.sz + zb.sz - i.inter)"""
 
 
 # ---------------------------------------------------------------------------
+# Cross-source duplication matrix (x120) — which sources duplicate
+# which: every verified near-dup pair annotated with the two docs'
+# sources, aggregated to one row per unordered source pair.  The
+# curation question this answers ("is source B a scrape of source A?
+# how much of the news crawl is mirrored in the web crawl?") decides
+# which whole SOURCES to drop or downweight before any per-doc dedup
+# runs — at 100 TB, dropping a mirrored source is free; deduping it
+# pairwise is not.
+#
+# Scale shape: rides the existing candidate-bounded near-dup pair
+# relation (≪ corpus); source attribution is two id-keyed shuffle
+# joins of the pair relation against the (doc_id, source) projection
+# (uniform keys — never broadcast the corpus-scale source map); the
+# output is bounded by |sources|² regardless of corpus size.
+# Augmented copies inherit their base doc's source via the id-offset
+# arithmetic (doc_id % NEAR_DUP_OFFSET maps both the +1e9 and +2e9
+# copies back; both engines share the constant).
+# ---------------------------------------------------------------------------
+
+
+def cross_source_dups(
+    docs_with_source: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """(source_a, source_b, n_pairs): unordered source pairs ranked by
+    how many verified near-dup pairs cross them (source_a <= source_b
+    lexicographically; same-source dups land on the diagonal)."""
+    src = docs_with_source.select("doc_id", "source")
+    attributed = (
+        pairs.select(
+            F.pmod(F.col("doc_a"), F.lit(NEAR_DUP_OFFSET)).alias("base_a"),
+            F.pmod(F.col("doc_b"), F.lit(NEAR_DUP_OFFSET)).alias("base_b"),
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("base_a"),
+                F.col("source").alias("sa"),
+            ),
+            "base_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("base_b"),
+                F.col("source").alias("sb"),
+            ),
+            "base_b",
+        )
+    )
+    return (
+        attributed.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+
+
+def cross_source_dups_sql(docs_sql: str) -> str:
+    """DuckDB twin of :func:`cross_source_dups` over the near-dup
+    pairs of the augmented corpus (sources from the raw documents
+    table via the same id-offset arithmetic)."""
+    return f"""
+WITH pairs AS ({near_dup_sql(docs_sql)}),
+attributed AS (
+  SELECT da.source AS sa, db.source AS sb
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a % {NEAR_DUP_OFFSET}
+  JOIN documents db ON db.doc_id = p.doc_b % {NEAR_DUP_OFFSET}
+)
+SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM attributed GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
 # LSH band-config frontier (x119) — VERDICT r07 #6: generalize the
 # one-config recall audit (x116) into the (bands, rows) sweep you run
 # BEFORE committing a banding to a 100-TB dedup pass.  For every way

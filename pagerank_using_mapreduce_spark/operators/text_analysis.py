@@ -1988,6 +1988,74 @@ FROM toked k LEFT JOIN cleaned c ON c.doc_id = k.doc_id"""
 
 
 # ---------------------------------------------------------------------------
+# Duplication spectrum (x121) — the memorization-risk profile behind
+# Lee et al.'s analysis tables: for each power-of-two bucket of
+# occurrence count, how many distinct n-grams fall in it and how many
+# total occurrences they carry.  A fat tail (grams occurring 100s of
+# times) predicts verbatim memorization and tells you whether exact
+# span dedup (x110/x114) is worth a full pass BEFORE paying for it;
+# the spectrum's shape is also the standard before/after evidence
+# that a dedup pass worked.
+#
+# Scale shape: one gram aggregate with map-side combine (the
+# overwhelming singleton mass dies in partial aggregation's combiner
+# output — same iceberg property as x92), then a <= 64-row bucket
+# aggregate.  The bucket is the integer MSB position
+# (length(bin(cnt)) - 1 == floor(log2 cnt)) — the w8 discipline: no
+# floating log whose ulp at exact powers of two could flip a bucket
+# cross-engine.
+# ---------------------------------------------------------------------------
+
+
+def gram_spectrum(docs: DataFrame, n: int = DUP_SPAN_N) -> DataFrame:
+    """(log2_bucket, n_grams, n_occurrences): bucket 0 = singleton
+    grams, 1 = 2-3x, 2 = 4-7x, ...; occurrence counts include
+    within-doc repeats (memorization pressure counts every exposure,
+    so the gram stream is NOT per-doc deduped)."""
+    toked = docs.select(_toks().alias("toks"))
+    grams = toked.select(
+        F.explode(_gram_windows(F.col("toks"), n)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+    bucket = (F.length(F.expr("bin(cnt)")) - 1).cast("long")
+    return (
+        counts.select(bucket.alias("log2_bucket"), "cnt")
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("cnt").cast("long").alias("n_occurrences"),
+        )
+    )
+
+
+def gram_spectrum_sql(docs_sql: str, n: int = DUP_SPAN_N) -> str:
+    """DuckDB twin of :func:`gram_spectrum` (same tokenizer, same
+    MSB bucketing via bin-string arithmetic)."""
+    joined = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, n + 1))
+    return f"""
+WITH toked AS (
+  SELECT list_filter(string_split_regex(
+           lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '') AS t
+  FROM ({docs_sql})
+),
+grams AS (
+  SELECT unnest(CASE WHEN len(t) >= {n}
+           THEN list_transform(generate_series(0, len(t) - {n}),
+                  i -> {joined})
+           ELSE [] END) AS gram
+  FROM toked
+),
+counts AS (SELECT gram, COUNT(*) AS cnt FROM grams GROUP BY gram)
+SELECT CAST(length(bin(cnt))
+            - length(regexp_extract(bin(cnt), '^0*', 0)) - 1
+       AS BIGINT) AS log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+FROM counts GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
 # EXACT-span contamination screen (x118) — the fixed-length exact
 # k-gram variant of x113 (VERDICT r07 #5).  x113 joins WINNOWED
 # fingerprints, whose guarantee only covers shared runs of

@@ -2624,6 +2624,37 @@ def q_x119_lsh_band_frontier(
     return lsh_band_frontier(dd.augment_docs(_docs(spark, sf_dir)))
 
 
+def q_x120_cross_source_dups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source duplication matrix: verified near-dup pairs
+    aggregated to one row per unordered source pair — the "is source B
+    a mirror of source A" audit that decides source-level drops
+    before any per-doc dedup pass.  Pairs ride the candidate-bounded
+    LSH pipeline; source attribution is two id-keyed shuffle joins;
+    output bounded by |sources|²."""
+    from ..operators.dedup import cross_source_dups
+
+    docs = _docs(spark, sf_dir)
+    pairs = dd.near_dup_pipeline(
+        dd.augment_docs(docs.select("doc_id", "text"))
+    )
+    return cross_source_dups(docs, pairs)
+
+
+def q_x121_gram_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication spectrum (Lee et al. memorization analysis): how
+    many distinct 5-grams occur 1x, 2-3x, 4-7x, ... and the total
+    occurrences per bucket — the before/after evidence for a dedup
+    pass and the cheap screen for whether exact-span dedup is worth
+    running.  One map-side-combinable gram agg + a <= 64-row bucket
+    agg; MSB bucketing is pure integer (the w8 discipline).  Runs on
+    the augmented corpus so the duplicated mass is visible."""
+    from ..operators.text_analysis import gram_spectrum
+
+    return gram_spectrum(dd.augment_docs(_docs(spark, sf_dir)))
+
+
 def q_x111_label_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the gold labels and nearest-centroid
     predicted labels (the x6 quantizer as a 1-NN classifier) — the
@@ -2813,6 +2844,8 @@ EXTENSION_QUERIES = {
     "z19_stream_hourweek": q_z19_stream_hourweek,
     "x118_exact_contamination": q_x118_exact_contamination,
     "x119_lsh_band_frontier": q_x119_lsh_band_frontier,
+    "x120_cross_source_dups": q_x120_cross_source_dups,
+    "x121_gram_spectrum": q_x121_gram_spectrum,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -3053,6 +3086,18 @@ FROM fps t JOIN fps e ON e.fp = t.fp
 WHERE t.doc_id < {dd.NEAR_DUP_OFFSET} AND e.doc_id >= {dd.NEAR_DUP_OFFSET}
 GROUP BY t.doc_id, e.doc_id
 HAVING COUNT(DISTINCT t.fp) >= 2"""
+
+
+def _cross_source_dups_oracle() -> str:
+    from ..operators.dedup import cross_source_dups_sql
+
+    return cross_source_dups_sql(dd.AUGMENT_SQL)
+
+
+def _gram_spectrum_oracle() -> str:
+    from ..operators.text_analysis import gram_spectrum_sql
+
+    return gram_spectrum_sql(dd.AUGMENT_SQL)
 
 
 def _exact_contamination_oracle() -> str:
@@ -3379,6 +3424,8 @@ GROUP BY 1, 2""",
     "x117_pq_topk": _pq_oracle(),
     "x118_exact_contamination": _exact_contamination_oracle(),
     "x119_lsh_band_frontier": _lsh_band_frontier_oracle(),
+    "x120_cross_source_dups": _cross_source_dups_oracle(),
+    "x121_gram_spectrum": _gram_spectrum_oracle(),
     "x48_chunk_windows": chunk_windows_sql(),
     "x49_curriculum_order": curriculum_order_sql(
         "documents",

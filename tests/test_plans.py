@@ -262,7 +262,10 @@ def test_driver_rotation_head_is_intact():
     assert set(implemented) <= set(ORACLE_SQL)
     # r08 additions are a hard requirement in the first slots — they
     # have no driver row before r08 (VERDICT r07 #2).
-    additions = ["x118_exact_contamination", "x119_lsh_band_frontier"]
+    additions = [
+        "x118_exact_contamination", "x119_lsh_band_frontier",
+        "x120_cross_source_dups", "x121_gram_spectrum",
+    ]
     assert names[: len(additions)] == additions
     # The r03-staleness refresh head must stay inside the 50-row
     # driver cap even as round-8 additions slot in ahead of it.

@@ -1,6 +1,7 @@
 """Goldens for the round-8 operators: x118 exact-span contamination
-(the fixed-length k-gram variant of x113) and x119 LSH band-config
-frontier (the x116 recall audit swept over bandings).  The
+(the fixed-length k-gram variant of x113), x119 LSH band-config
+frontier (the x116 recall audit swept over bandings), x120
+cross-source duplication matrix, and x121 duplication spectrum.  The
 engine-vs-engine hash gate lives in the DuckDB oracles; these pin the
 SEMANTICS — in particular the one claim that justifies x118's
 existence: a shared span BELOW the winnowing guarantee floor that the
@@ -182,3 +183,92 @@ def test_x119_shipped_config_reproduces_x116(spark, frontier_rows):
     # on this corpus the verified pipeline keeps every true pair the
     # banding surfaced, so the numbers coincide exactly
     assert row.n_found == n_found_pipeline
+
+
+# ---------------------------------------------------------------------------
+# x120 cross-source duplication matrix
+# ---------------------------------------------------------------------------
+
+
+def test_x120_unordered_pairs_and_offset_arithmetic(spark):
+    """Pairs are unordered (least/greatest), same-source dups land on
+    the diagonal, and augmented copies (+1e9 / +2e9 ids) inherit their
+    base doc's source via the id-offset arithmetic."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        NEAR_DUP_OFFSET,
+        cross_source_dups,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "web"), (2, "news"), (3, "web")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [
+            # news->web and web->news: must collapse into ONE cell
+            (2, 1), (1 + NEAR_DUP_OFFSET, 2),
+            # same-source diagonal, one side an augmented copy
+            (3, 1 + 2 * NEAR_DUP_OFFSET),
+        ],
+        "doc_a long, doc_b long",
+    )
+    out = {
+        (r.source_a, r.source_b): r.n_pairs
+        for r in cross_source_dups(docs, pairs).collect()
+    }
+    assert out == {("news", "web"): 2, ("web", "web"): 1}
+
+
+# ---------------------------------------------------------------------------
+# x121 duplication spectrum
+# ---------------------------------------------------------------------------
+
+
+def test_x121_buckets_and_within_doc_repeats(spark):
+    """Bucket = floor(log2 cnt); within-doc repeats count as separate
+    occurrences (memorization pressure counts every exposure)."""
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        gram_spectrum,
+    )
+
+    # n=2 grams: doc 1 emits "a b","b a","a b","b c" -> "a b" twice
+    # WITHIN one doc; doc 2 emits "a b","b c" -> "a b" x3 (bucket 1),
+    # "b c" x2 (bucket 1), "b a" x1 (bucket 0).
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {
+        r.log2_bucket: (r.n_grams, r.n_occurrences)
+        for r in gram_spectrum(docs, n=2).collect()
+    }
+    assert out == {0: (1, 1), 1: (2, 5)}
+
+
+def test_x121_exact_power_of_two_bucket_edge(spark):
+    """cnt=4 must land in bucket 2, not 1 — the exact-power-of-two
+    edge that a floating log2 could flip by one ulp."""
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        gram_spectrum,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "same exact phrase") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = gram_spectrum(docs, n=3).collect()
+    assert [(r.log2_bucket, r.n_grams, r.n_occurrences) for r in out] == [
+        (2, 1, 4)
+    ]
+
+
+def test_x121_short_docs_emit_no_grams(spark):
+    """Docs shorter than n tokens contribute nothing (no empty-array
+    explode rows, no NULL gram)."""
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        gram_spectrum,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "also tiny")], "doc_id long, text string"
+    )
+    assert gram_spectrum(docs, n=5).collect() == []
