@@ -4,17 +4,22 @@
   partial agg; at 100 TB the digest groupBy is the only wide op and
   skew is impossible because md5 keys are uniform);
 - MinHash + LSH near-dup: shingle → K minhashes → band buckets →
-  bucket self-join for candidates → exact-Jaccard verification.
-  The band self-join only pairs rows inside a bucket, so the shuffle
+  per-bucket pair enumeration for candidates → exact-Jaccard
+  verification.  Candidates only form inside a bucket, so the shuffle
   is on the band key (uniform md5) — never an O(n²) cross join;
 - SimHash: 60-bit signed-projection fingerprint, banded hamming LSH,
   bit_count(xor) verification (same bucket-join shape).
 
-Portability: the hash family is ``md5(seed || '|' || shingle)``
-(lexicographic min over hex strings), chosen because Spark and DuckDB
-produce identical md5 hex — the DuckDB oracles recompute signatures
-independently.  A production deployment would swap in xxhash64 for
-speed; the operator structure is identical.
+Portability: the hash family is ONE md5 per shingle, with each of the
+K permutations a distinct xor-masked linear functional of the four
+32-bit digest words mod a Mersenne prime (``MINHASH_COEF``) — chosen
+because Spark and DuckDB produce identical md5 hex and identical
+exact-int64 arithmetic, so the DuckDB oracles recompute signatures
+independently.  (The previous md5-per-(seed, shingle) family was 12x
+the digest work and dominated the near-dup cost at sf10; the xor
+masks are load-bearing — without them a shingle whose digest words
+are all small wins the min under EVERY all-positive linear map, and
+near-disjoint sets with one such shared shingle estimated J≈0.8.)
 
 The shipped synthetic ``documents`` table has no duplicates, so the
 dedup queries run on a deterministic augmentation (``augment_docs``):
@@ -129,21 +134,171 @@ def shingles_sql(docs_sql: str, k: int = 3) -> str:
 """
 
 
+def shingle_arrays(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, sh: array<string>): each doc's DISTINCT shingle set as
+    one array row — the doc-level twin of :func:`shingles` (explode +
+    distinct) with identical set semantics.  Docs with fewer than k
+    tokens are dropped (they opt out of near-dup detection, exactly as
+    the exploded form's empty explode drops them).
+
+    Scale shape: a pure narrow projection — no explode, no distinct
+    exchange.  The corpus-size relation stays one row per doc (the
+    array payload is the same bytes as the text it came from), so
+    everything downstream that used to shuffle |corpus| x |shingles|
+    exploded rows now shuffles |corpus| rows."""
+    toked = docs.select("doc_id", tokens(strip_non_alpha("text")).alias("toks"))
+    grams = F.expr(
+        f"transform(sequence(0, size(toks) - {k}), "
+        f"i -> concat_ws(' ', {', '.join(f'toks[i + {j}]' for j in range(k))}))"
+    )
+    return (
+        toked.where(F.size("toks") >= k)
+        .select("doc_id", F.array_distinct(grams).alias("sh"))
+    )
+
+
+def minhash_signatures_arr(sha: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig_0..sig_{n-1}) from the array-form shingle relation:
+    each minhash is array_min over the per-element md5 — the same
+    lexicographic min over the same md5(seed|shingle) strings as
+    :func:`minhash_signatures`, but computed in ONE whole-stage-codegen
+    projection with no explode, no sort, and no aggregate exchange.
+    (min is duplicate-insensitive, so distinct-or-not agrees too.)"""
+    # two chained transforms so the md5 runs once per element: the
+    # word extraction operates on the already-hashed string, not on a
+    # per-word re-embedded md5(s) subtree.
+    ms = sha.select(
+        "doc_id", F.transform(F.col("sh"), lambda s: F.md5(s)).alias("ms")
+    )
+    ws = ms.select(
+        "doc_id",
+        F.transform(
+            F.col("ms"),
+            lambda m: F.struct(
+                *[w.alias(f"w_{i}") for i, w in enumerate(_md5_words(m))]
+            ),
+        ).alias("ws"),
+    )
+
+    def _sig(j: int):
+        # NB: the transform lambda must take exactly ONE parameter —
+        # an extra captured `j=j` default changes the declared arity,
+        # which PySpark reads as an (element, index) lambda.
+        return F.array_min(
+            F.transform(
+                "ws",
+                lambda w: _minhash_perm(
+                    w["w_0"], w["w_1"], w["w_2"], w["w_3"], j
+                ),
+            )
+        ).alias(f"sig_{j}")
+
+    return ws.select("doc_id", *[_sig(j) for j in range(n_hashes)])
+
+
+# Universal-hash minhash permutations: ONE md5 per shingle (all four
+# 32-bit words w0..w3 of the 128-bit digest), then each of the K
+# minhashes is min over
+#   (a_j*(w0^m0j) + b_j*(w1^m1j) + c_j*(w2^m2j) + d_j*(w3^m3j) + e_j) mod P.
+# The per-permutation XOR masks are load-bearing: without them every
+# map is an all-positive linear functional, so a shingle whose digest
+# words are all small wins the min under EVERY permutation at once —
+# measured: near-disjoint pairs sharing one such shingle estimated
+# J≈0.8 (abs_err 813k), and banding recall dropped 991071 → 973214.
+# With masks the 12 orderings decorrelate (simulated max estimator
+# error 0.21 over 200 pairs ≈ binomial tail for K=12).
+# The md5-per-(seed, shingle) scheme this replaces evaluated K full
+# digests per shingle occurrence — 12x the hash work — and was
+# measured as THE dominant cost of the whole near-dup family at sf10.
+# All arithmetic is exact signed-int64 on both engines: coefficients
+# < 2^28 and xor-masked words < 2^32 keep each product < 2^60 and the
+# sum of four + e_j < 2^63, so Spark and DuckDB compute bit-identical
+# signatures with no overflow on either side.
+MINHASH_P = (1 << 61) - 1  # Mersenne prime
+MINHASH_COEF: list[tuple] = [  # (a, b, c, d, e, (m0..m3)), seed 777
+    (61561401, 119680371, 119613813, 266258017, 89130520083, (3962945185, 4265574164, 3990970353, 2971941915)),
+    (238419665, 89429151, 27805169, 230001087, 632812995623, (2510239022, 900607190, 2152409442, 3531317774)),
+    (157507337, 215536837, 9155075, 93448387, 324740890683, (2131068740, 2355028102, 721772554, 1886169340)),
+    (58579799, 177168355, 151516681, 102883639, 825013634137, (4086513692, 3202178634, 2302950023, 3998085038)),
+    (82248441, 50400141, 264773275, 25385119, 382215789060, (145287273, 4193100265, 45932502, 3000175894)),
+    (215650657, 242669591, 172408355, 133542457, 272239253125, (1743692343, 1713647171, 2173795839, 3528463765)),
+    (76915485, 241572611, 156101983, 224067157, 956477427030, (2839653779, 3951532519, 1207339168, 2745106569)),
+    (42502531, 37039815, 87148123, 21679333, 626726047557, (1145751395, 1831374145, 2545925448, 2441638737)),
+    (23236033, 123887331, 266824899, 207566045, 743336767858, (418363451, 3725041326, 2588533053, 2422845171)),
+    (144764385, 182551419, 199215247, 211723469, 91808453609, (47615345, 3922425037, 709621663, 3415984730)),
+    (221285113, 263302339, 175661237, 111495473, 551769539295, (274972339, 120988298, 2485465043, 2105841600)),
+    (51623517, 75679883, 133581337, 15663333, 1004423716375, (928139504, 3753061802, 4258635772, 2040515833)),
+]
+
+
+def _minhash_perm(w0, w1, w2, w3, j: int):
+    a, b, c, d, e, m = MINHASH_COEF[j]
+    ws = [w0, w1, w2, w3]
+    terms = [
+        F.lit(coef) * w.bitwiseXOR(F.lit(mask))
+        for coef, w, mask in zip((a, b, c, d), ws, m)
+    ]
+    return (terms[0] + terms[1] + terms[2] + terms[3] + F.lit(e)) % F.lit(
+        MINHASH_P
+    )
+
+
+def _md5_words(m):
+    """The four 32-bit words of an md5 hex column, as longs."""
+    return [
+        F.conv(F.substring(m, 1 + 8 * i, 8), 16, 10).cast("long")
+        for i in range(4)
+    ]
+
+
 def minhash_signatures(sh: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """(doc_id, sig_0..sig_{n-1}): one aggregation pass computes all K
-    minhashes (each a lexicographic min over md5(seed|shingle))."""
+    minhashes.  Long-typed mins keep the aggregate hash-based and
+    codegen-eligible (string mins forced a SortAggregate)."""
+    # materialize the digest in its OWN projection: the four word
+    # extractions below each embed their argument, and without a
+    # project boundary (CollapseProject declines only because m is a
+    # multiply-referenced non-cheap alias) the md5 would be evaluated
+    # four times per shingle.
+    hashed = sh.select("doc_id", F.md5(F.col("shingle")).alias("m"))
+    based = hashed.select(
+        "doc_id",
+        *[w.alias(f"w_{i}") for i, w in enumerate(_md5_words(F.col("m")))],
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"sig_{j}")
+        F.min(
+            _minhash_perm(*[F.col(f"w_{i}") for i in range(4)], j)
+        ).alias(f"sig_{j}")
         for j in range(n_hashes)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return based.groupBy("doc_id").agg(*aggs)
+
+
+def _hex_to_long_sql(hex_expr: str, nhex: int = 8) -> str:
+    """DuckDB has no base-conv builtin; expand the hex digits."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substring({hex_expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (nhex - 1 - i)}"
+        for i in range(nhex)
+    ) + ")"
 
 
 def minhash_signatures_sql(shingles_query: str, n_hashes: int = N_HASHES) -> str:
     aggs = ", ".join(
-        f"MIN(md5('{j}|' || shingle)) AS sig_{j}" for j in range(n_hashes)
+        f"MIN(({a} * xor(w_0, {m[0]}) + {b} * xor(w_1, {m[1]})"
+        f" + {c} * xor(w_2, {m[2]}) + {d} * xor(w_3, {m[3]}) + {e})"
+        f" % {MINHASH_P}) AS sig_{j}"
+        for j, (a, b, c, d, e, m) in enumerate(MINHASH_COEF[:n_hashes])
     )
-    return f"SELECT doc_id, {aggs} FROM ({shingles_query}) GROUP BY doc_id"
+    words = ", ".join(
+        f"{_hex_to_long_sql(f'substring(m, {1 + 8 * i}, 8)')} AS w_{i}"
+        for i in range(4)
+    )
+    return f"""
+SELECT doc_id, {aggs} FROM (
+  SELECT doc_id, {words}
+  FROM (SELECT doc_id, md5(shingle) AS m FROM ({shingles_query}))
+) GROUP BY doc_id"""
 
 
 # ---------------------------------------------------------------------------
@@ -156,39 +311,72 @@ def band_table(
 ) -> DataFrame:
     """(doc_id, band, bucket): the LSH band-bucket relation — the
     reusable 'dedup index' an incremental pipeline persists and joins
-    every incoming batch against."""
+    every incoming batch against.
+
+    Built as ONE pass over the signature relation with the band keys
+    exploded from an array (the x119 frontier idiom), NOT a per-band
+    union: a union of n_bands selects re-plans the whole upstream
+    shingle+minhash computation per branch (column pruning specializes
+    each branch to its 3 sig columns, which defeats exchange reuse),
+    so the tokenize/explode/distinct base pass ran n_bands times per
+    side.  Measured at sf10: the exploded form cut the cold LSH
+    candidate stage from ~54 s marginal to single-digit seconds."""
     rows = n_hashes // n_bands
-    bands = []
-    for b in range(n_bands):
-        key = F.md5(
-            F.concat_ws("|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)])
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]
+                )
+            ).alias("bucket"),
         )
-        bands.append(
-            sigs.select(
-                "doc_id", F.lit(b).alias("band"), key.alias("bucket")
-            )
-        )
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionAll(b)
-    return allb
+        for b in range(n_bands)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "e.band", "e.bucket")
 
 
 def lsh_candidates(
     sigs: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
 ) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs sharing at least one band bucket."""
+    """(doc_a, doc_b) candidate pairs sharing at least one band bucket.
+
+    Enumerated per bucket via groupBy + collect_list + a pair-explode,
+    NOT a band-table self-join: the self-join evaluated the entire
+    signature expression tree once per side (exchange/stage reuse
+    never fires across these lambda-bearing subtrees — measured 23.3 s
+    vs 1.0 s on materialized input at sf1), while the groupBy form
+    computes signatures exactly once and shuffles one exchange instead
+    of two.  Output set is identical: sort_array + strict upper
+    triangle gives doc_a < doc_b, distinct dedups pairs that collide
+    in several bands.
+
+    Skew: per-bucket list state is O(bucket size); at a fixed banding,
+    a bucket is (whp) one near-dup cluster, so run exact dedup (x1)
+    first if the corpus carries mass-duplicated boilerplate, or use
+    the salted set-similarity join (x108) which caps per-key fan-out
+    explicitly."""
     allb = band_table(sigs, n_bands, n_hashes)
-    a = allb.alias("a")
-    b_ = allb.alias("b")
+    buckets = (
+        allb.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
     return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ds, (x, i) -> transform("
+                        "slice(ds, i + 2, size(ds) - i - 1), "
+                        "y -> struct(x AS doc_a, y AS doc_b)))"
+                    )
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -199,7 +387,9 @@ def lsh_candidates_sql(
     rows = n_hashes // n_bands
     selects = []
     for b in range(n_bands):
-        cols = " || '|' || ".join(f"sig_{b * rows + r}" for r in range(rows))
+        cols = " || '|' || ".join(
+            f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
         selects.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs")
     union = " UNION ALL ".join(selects)
     return f"""
@@ -414,12 +604,61 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {threshold}
 """
 
 
+def verified_near_dups_arr(
+    sha: DataFrame,
+    candidates: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Array-form exact-Jaccard verify: join each candidate pair to the
+    two docs' shingle ARRAYS and intersect JVM-side
+    (size(array_intersect)) — value-identical to
+    :func:`verified_near_dups` (same sets, same floor rounding) but the
+    join shuffles one row per doc instead of one row per (doc,
+    shingle), and the intersection count needs no aggregate at all."""
+    a = sha.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = sha.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    jac = (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / (
+                    F.size("sh_a")
+                    + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                )
+            ).alias("jaccard"),
+        )
+    )
+    return jac.where(F.col("jaccard") >= threshold).select(
+        "doc_a",
+        "doc_b",
+        F.floor(F.col("jaccard") * 1e6 + F.lit(0.5000001)).cast("long").alias("jaccard_e6"),
+    )
+
+
 def near_dup_pipeline(docs: DataFrame) -> DataFrame:
-    """augment → shingle → minhash → LSH → verify, end to end."""
-    sh = shingles(docs)
-    sigs = minhash_signatures(sh)
+    """augment → shingle → minhash → LSH → verify, end to end.
+
+    Stage choices are MEASURED (sf1/sf10, see SCALING.md):
+    signatures via the exploded groupBy (long-typed universal-hash
+    mins keep it a HashAggregate — 1.7x the array-transform form),
+    candidates via the per-bucket groupBy enumeration (never a
+    band-table self-join: stage reuse does not fire across these
+    lambda-bearing subtrees, so a self-join re-evaluates the whole
+    signature tree per side), and verification via doc-level array
+    intersection (one row per doc through the joins instead of one
+    row per (doc, shingle))."""
+    sigs = minhash_signatures(shingles(docs))
     cands = lsh_candidates(sigs)
-    return verified_near_dups(sh, cands)
+    return verified_near_dups_arr(shingle_arrays(docs), cands)
 
 
 def exact_dedup_sql(docs_sql: str) -> str:
@@ -518,7 +757,7 @@ def incremental_near_dups_sql(
         selects = []
         for b in range(N_BANDS):
             cols = " || '|' || ".join(
-                f"sig_{b * rows + r}" for r in range(rows)
+                f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)
             )
             selects.append(
                 f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM {sig_alias}"
@@ -667,9 +906,22 @@ def cluster_pairs(
         fp = new_fp
         if converged:
             break
+    # Cut lineage and RELEASE the persisted intermediates before
+    # returning: labels is already materialized (the fingerprint agg
+    # ran an action every round), so the eager localCheckpoint is one
+    # cheap cache read, after which pairs/sym/labels can unpersist
+    # without any recompute risk.  Leaving them persisted (the r07
+    # shape) leaked executor memory across multi-query sessions AND
+    # made every "warm" repetition of the query silently skip the
+    # entire pair-finding pipeline — honest reps re-pay pair-finding,
+    # as a fresh 100-TB run would.
+    final = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    sym.unpersist()
+    pairs.unpersist()
     out = (
         docs.select("doc_id")
-        .join(labels, "doc_id", "left")
+        .join(final, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("label"), F.col("doc_id")).alias("canonical_id"),
@@ -1664,7 +1916,7 @@ def lsh_band_frontier_sql(
     for nb, rows in configs:
         for b in range(nb):
             cols = " || '|' || ".join(
-                f"sig_{b * rows + r}" for r in range(rows)
+                f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)
             )
             band_selects.append(
                 f"SELECT doc_id, {nb} AS n_bands, {b} AS band, "

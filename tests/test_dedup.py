@@ -236,8 +236,18 @@ def test_containment_catches_low_jaccard_subset(spark):
         near_dup_pipeline,
     )
 
+    import string
+
     short = "alpha beta gamma delta epsilon"
-    filler = " ".join(f"w{i}" for i in range(40))
+    # letters-only filler: digit-bearing words like "w0 w1 ..." all
+    # collapse to the single token "w" under strip_non_alpha, which
+    # silently makes doc 2's shingle set tiny and its Jaccard vs doc 1
+    # exactly 0.5 — AT the near-dup threshold, so the "invisible to
+    # x4" claim below would hinge on banding luck instead of math.
+    filler = " ".join(
+        f"q{a}{b}" for a in string.ascii_lowercase[:8]
+        for b in string.ascii_lowercase[:5]
+    )  # 40 distinct 3-letter words
     docs = spark.createDataFrame(
         [(1, short), (2, f"{short} {filler}"), (3, filler + " zeta")],
         "doc_id long, text string",
@@ -246,7 +256,7 @@ def test_containment_catches_low_jaccard_subset(spark):
             for r in containment_pipeline(docs).collect()}
     assert cont[(1, 2)] == 1_000_000  # fully contained
     near = {(r["doc_a"], r["doc_b"]) for r in near_dup_pipeline(docs).collect()}
-    assert (1, 2) not in near  # Jaccard 3/41 — invisible to the x4 screen
+    assert (1, 2) not in near  # Jaccard 3/43 — invisible to the x4 screen
 
 
 def test_minhash_audit_exact_dup_and_error_bound(spark):
