@@ -1848,21 +1848,26 @@ def lsh_band_frontier(
     bands = sigs.select(
         "doc_id", F.explode(F.array(*entries)).alias("e")
     ).select("doc_id", "e.*")
-    a = bands.alias("a")
-    b_ = bands.alias("b")
+    # per-bucket pair enumeration, same reasoning as lsh_candidates:
+    # a self-join would re-evaluate the whole signature tree per side
+    # (stage reuse never fires across lambda-bearing subtrees).
     cand = (
-        a.join(
-            b_,
-            (F.col("a.n_bands") == F.col("b.n_bands"))
-            & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        bands.groupBy("n_bands", "band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") >= 2)
         .select(
-            F.col("a.n_bands").alias("n_bands"),
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "n_bands",
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ds, (x, i) -> transform("
+                        "slice(ds, i + 2, size(ds) - i - 1), "
+                        "y -> struct(x AS doc_a, y AS doc_b)))"
+                    )
+                )
+            ).alias("p"),
         )
+        .select("n_bands", "p.doc_a", "p.doc_b")
         .distinct()
     )
     exact = setsim_join(docs, num=num, den=den).select("doc_a", "doc_b")
