@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     # round-8 additions
     "x118_exact_contamination",
     "x119_lsh_band_frontier",
+    "x120_cross_source_dups",
+    "x121_gram_spectrum",
 ]
 
 # Canary pair (VERDICT r06 #7): one trivial scan-bound query and one
