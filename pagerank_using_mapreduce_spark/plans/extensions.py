@@ -2223,7 +2223,11 @@ def q_x76_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard-merge story) for the third cardinality tool.  The window
     ranks distinct hashes, never corpus rows; the merge input is
     <= n_sources * k rows.  A source with < k distinct words is
-    exact by construction."""
+    exact by construction.  two_phase: each per-group window sorts
+    only <= P*k local-bottom-k survivors — without it one source's
+    whole distinct vocabulary sorts in a single task, which the sf10
+    decade exposed (mutated replicas grow the vocabulary with the
+    corpus: 38.4 s single-phase -> two-phase caps the fragment)."""
     from ..functions.textops import strip_non_alpha, tokens
     from ..operators.sketches import kmv_estimates, kmv_merge, kmv_sketch
 
@@ -2235,7 +2239,9 @@ def q_x76_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("word") != "")
     )
-    sk = kmv_sketch(words, key="word", group_col="source").persist()
+    sk = kmv_sketch(
+        words, key="word", group_col="source", two_phase=True
+    ).persist()
     out = kmv_estimates(sk.unionAll(kmv_merge(sk))).select(
         F.col("grp").alias("source"), "n_kept", "est_distinct"
     )
@@ -2738,7 +2744,9 @@ def q_x82_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("word") != "")
     )
-    return kmv_overlap(kmv_sketch(words, key="word", group_col="source"))
+    return kmv_overlap(
+        kmv_sketch(words, key="word", group_col="source", two_phase=True)
+    )
 
 
 def _x82_sql() -> str:
