@@ -724,9 +724,12 @@ def incremental_near_dups(
     corpus per batch (band derivation is a pure function of the text,
     so a stored index is exactly the recomputed one — x89 proves the
     parquet roundtrip through the hash gate)."""
-    sh_e, sh_n = shingles(existing), shingles(new)
-    be = index if index is not None else band_table(minhash_signatures(sh_e))
-    bn = band_table(minhash_signatures(sh_n))
+    be = (
+        index
+        if index is not None
+        else band_table(minhash_signatures(shingles(existing)))
+    )
+    bn = band_table(minhash_signatures(shingles(new)))
     cand = (
         bn.alias("n")
         .join(
@@ -739,7 +742,12 @@ def incremental_near_dups(
         )
         .distinct()
     )
-    return verified_near_dups(sh_n.unionAll(sh_e), cand, threshold).select(
+    # array-form verify: one row per doc through the candidate joins
+    # (the new x existing join above is genuinely two-sided, but the
+    # verification is doc-keyed and wins from the doc-level relation
+    # exactly as near_dup_pipeline does).
+    sha = shingle_arrays(new).unionAll(shingle_arrays(existing))
+    return verified_near_dups_arr(sha, cand, threshold).select(
         F.col("doc_a").alias("new_doc"),
         F.col("doc_b").alias("existing_doc"),
         "jaccard_e6",
