@@ -981,6 +981,54 @@ FROM docs d LEFT JOIN l{rounds} l USING (doc_id)"""
 
 
 # ---------------------------------------------------------------------------
+# Soft-dedup sampling weights (x122) — the "down-weight, don't drop"
+# curation strategy: every doc gets weight 1/|its near-dup cluster|,
+# so a cluster's total sampling mass equals one document's.  Keeps
+# the diversity of near-duplicate variants while removing their
+# frequency advantage — the standard soft alternative to canonical-
+# only filtering when duplicates carry real variation (boilerplate
+# frames around distinct payloads).
+#
+# Scale shape: inherits x33's fixpoint (pair graph only), then one
+# cluster-size aggregate on the LABEL relation (corpus-sized rows but
+# a one-column groupBy with map-side combine) and one join back.
+# Weight is e6-quantized with the repo's floor(x + 0.5000001) rule.
+# ---------------------------------------------------------------------------
+
+
+def dedup_weights(docs: DataFrame, max_rounds: int = MAX_CLUSTER_ROUNDS) -> DataFrame:
+    """(doc_id, canonical_id, cluster_size, weight_e6): soft-dedup
+    sampling weight 1/cluster_size per document (singletons weigh
+    1.0).  Sum of weights == number of distinct clusters."""
+    labels = dedup_clusters(docs, max_rounds)
+    sizes = labels.groupBy("canonical_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return labels.join(sizes, "canonical_id").select(
+        "doc_id",
+        "canonical_id",
+        "cluster_size",
+        F.floor(F.lit(1e6) / F.col("cluster_size") + F.lit(0.5000001))
+        .cast("long")
+        .alias("weight_e6"),
+    )
+
+
+def dedup_weights_sql(docs_sql: str, rounds: int = CLUSTER_ROUNDS) -> str:
+    """DuckDB twin of :func:`dedup_weights` over the unrolled cluster
+    fixpoint."""
+    return f"""
+WITH clusters AS ({dedup_clusters_sql(docs_sql)}),
+sizes AS (
+  SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM clusters GROUP BY canonical_id
+)
+SELECT c.doc_id, c.canonical_id, s.cluster_size,
+       CAST(FLOOR(1e6 / s.cluster_size + 0.5000001) AS BIGINT) AS weight_e6
+FROM clusters c JOIN sizes s USING (canonical_id)"""
+
+
+# ---------------------------------------------------------------------------
 # Paragraph-level exact dedup (CCNet-style): dedup at sub-document
 # grain, keeping each distinct paragraph only at its globally-first
 # occurrence.  Catches boilerplate repeated ACROSS documents that

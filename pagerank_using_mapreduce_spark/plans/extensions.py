@@ -2661,6 +2661,17 @@ def q_x121_gram_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_spectrum(dd.augment_docs(_docs(spark, sf_dir)))
 
 
+def q_x122_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-dedup sampling weights: every document weighted
+    1/|its near-dup cluster| (singletons 1.0) — the down-weight-not-
+    drop curation strategy; a cluster's total sampling mass equals one
+    document's.  Inherits x33's pair-graph fixpoint + one map-side-
+    combinable size agg + one join back."""
+    from ..operators.dedup import dedup_weights
+
+    return dedup_weights(dd.augment_docs(_docs(spark, sf_dir)))
+
+
 def q_x111_label_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the gold labels and nearest-centroid
     predicted labels (the x6 quantizer as a 1-NN classifier) — the
@@ -2854,6 +2865,7 @@ EXTENSION_QUERIES = {
     "x119_lsh_band_frontier": q_x119_lsh_band_frontier,
     "x120_cross_source_dups": q_x120_cross_source_dups,
     "x121_gram_spectrum": q_x121_gram_spectrum,
+    "x122_dedup_weights": q_x122_dedup_weights,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -3100,6 +3112,12 @@ def _cross_source_dups_oracle() -> str:
     from ..operators.dedup import cross_source_dups_sql
 
     return cross_source_dups_sql(dd.AUGMENT_SQL)
+
+
+def _dedup_weights_oracle() -> str:
+    from ..operators.dedup import dedup_weights_sql
+
+    return dedup_weights_sql(dd.AUGMENT_SQL)
 
 
 def _gram_spectrum_oracle() -> str:
@@ -3434,6 +3452,7 @@ GROUP BY 1, 2""",
     "x119_lsh_band_frontier": _lsh_band_frontier_oracle(),
     "x120_cross_source_dups": _cross_source_dups_oracle(),
     "x121_gram_spectrum": _gram_spectrum_oracle(),
+    "x122_dedup_weights": _dedup_weights_oracle(),
     "x48_chunk_windows": chunk_windows_sql(),
     "x49_curriculum_order": curriculum_order_sql(
         "documents",

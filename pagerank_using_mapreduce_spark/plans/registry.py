@@ -1187,6 +1187,7 @@ _DRIVER_ROTATION: list[str] = [
     # --- round-8 additions (no driver row possible before r08) ---
     "x118_exact_contamination", "x119_lsh_band_frontier",
     "x120_cross_source_dups", "x121_gram_spectrum",
+    "x122_dedup_weights",
     # --- staleness refresh: r03-era rows, registry order ---
     "cc_star", "g3_triangles", "g4_hits", "g5_bfs_depths", "g6_kcore",
     "deg_stats", "a6_inverted_index", "a6_inverted_index_wiki",

@@ -265,6 +265,7 @@ def test_driver_rotation_head_is_intact():
     additions = [
         "x118_exact_contamination", "x119_lsh_band_frontier",
         "x120_cross_source_dups", "x121_gram_spectrum",
+        "x122_dedup_weights",
     ]
     assert names[: len(additions)] == additions
     # The r03-staleness refresh head must stay inside the 50-row

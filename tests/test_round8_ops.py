@@ -272,3 +272,33 @@ def test_x121_short_docs_emit_no_grams(spark):
         [(1, "too short"), (2, "also tiny")], "doc_id long, text string"
     )
     assert gram_spectrum(docs, n=5).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# x122 soft-dedup sampling weights
+# ---------------------------------------------------------------------------
+
+
+def test_x122_cluster_mass_equals_one_doc(spark):
+    """A 3-chain cluster weighs 1/3 each; the singleton weighs 1.0;
+    total sampling mass == number of clusters."""
+    from pagerank_using_mapreduce_spark.operators.dedup import dedup_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "alpha beta gamma delta epsilon zeta eta theta"),
+            (4, "completely different words entirely unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup_weights(docs).collect()}
+    assert {rows[i].canonical_id for i in (1, 2, 3)} == {1}
+    for i in (1, 2, 3):
+        assert (rows[i].cluster_size, rows[i].weight_e6) == (3, 333333)
+    assert (rows[4].cluster_size, rows[4].weight_e6) == (1, 1_000_000)
+    n_clusters = len({r.canonical_id for r in rows.values()})
+    total_e6 = sum(r.weight_e6 for r in rows.values())
+    # 3 * 333333 + 1000000 = 1999999 ~ 2 clusters (floor quantization)
+    assert abs(total_e6 - n_clusters * 1_000_000) <= len(rows)
