@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "x119_lsh_band_frontier",
     "x120_cross_source_dups",
     "x121_gram_spectrum",
+    "x122_dedup_weights",
 ]
 
 # Canary pair (VERDICT r06 #7): one trivial scan-bound query and one
@@ -156,7 +157,8 @@ SF1_QUERIES = [
     #                    compression should make this near-flat
     "g9_weighted_pagerank",
     "x60_paragraph_dedup",
-    "x76_kmv_distinct",   # vocab-bound: distinct domain constant at 10x corpus
+    "x76_kmv_distinct",   # r08: mutated replicas GROW the vocab with the
+    #                       corpus (decade finding) — two-phase KMV caps the sort
     "x79_shard_manifest",
     "c4_training_manifest",
     "g12_landmark_closeness",  # the registry's most expensive query
