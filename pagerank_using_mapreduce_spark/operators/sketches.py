@@ -636,6 +636,18 @@ def hll_merge(parts: list[DataFrame]) -> DataFrame:
 KMV_K = 128
 _KMV_HEX = 12  # 48 bits of estimate material: exact in a double
 _KMV_SPACE = 16 ** _KMV_HEX
+# Two-phase hash-space prefilter: only md5 values below this prefix
+# (first hex digit 0 — 1/16 of the space) ever reach the distinct
+# exchange.  A group with >= k distinct survivors is EXACT (its true
+# bottom-k lies entirely below the threshold); smaller groups fall
+# back to the unfiltered path.  1/16 keeps the exchange 16x smaller
+# than the full vocabulary while proving every group whose distinct
+# domain is >~ 16k comfortably (E[survivors] = vocab/16 >= k needs
+# vocab >= 2048; the margin above that makes under-sampling noise
+# irrelevant — and a group that fails the proof is still exact via
+# the fallback, just not cheap).
+_KMV_PREFILTER = "1"
+_KMV_PREFILTER_FRAC = 16
 
 
 def kmv_sketch(
@@ -645,35 +657,74 @@ def kmv_sketch(
     k: int = KMV_K,
     two_phase: bool = False,
 ) -> DataFrame:
-    """(grp, pos, h): the ``k`` smallest md5 values of the DISTINCT
+    """(grp, h, pos): the ``k`` smallest md5 values of the DISTINCT
     ``key`` values per group.  One distinct aggregate (map-side
     partial, dedups before anything ranks) + one per-group window over
     distinct hashes only — never the raw rows.
 
-    ``two_phase=True`` is the skew armor for the 100 TB case where ONE
-    group's distinct domain dominates (a giant source whose vocabulary
-    would otherwise sort in a single task): a local bottom-k per
-    (grp, input partition) first — each sort group is a partition
-    fragment, never a whole group — then the exact per-group window
-    runs over <= P x k survivors.  Identical output (the global
-    bottom-k is contained in the union of fragment bottom-ks, the same
-    containment that makes kmv_merge exact); one extra shuffle is the
-    price, equality is asserted in tests."""
+    ``two_phase=True`` is the scale armor for the 100 TB case where the
+    distinct domain GROWS with the corpus (the sf10 decade exposed it:
+    a mutated-vocabulary corpus made the plain ``.distinct()`` exchange
+    the whole vocabulary — 38.4 s at sf10 — to build a k=128-row
+    sketch).  A hash-space threshold prefilter caps the exchange
+    instead of merely capping the sort: rows whose md5 >= the
+    ``_KMV_PREFILTER`` bound collapse map-side to ONE ``(grp, NULL)``
+    marker per partition (the NULL keeps every group visible without a
+    second scan), so the distinct exchange carries ~vocab/256 survivor
+    rows plus O(P x groups) markers.  A group with >= k distinct
+    survivors is EXACT — its true bottom-k is entirely below the
+    threshold; any group not proven (small vocabulary, < k survivors)
+    is recomputed by the unfiltered path over just that group's rows
+    (broadcast semi-join; at scale the set is empty and the fallback
+    scan never runs — decided by one ``isEmpty`` on the tiny
+    checkpointed survivor relation).  Identical output to the
+    single-phase sketch in all cases; equality is asserted in tests.
+
+    NOTE: eager — materializes the (tiny) masked survivor relation at
+    call time to decide the fallback, like the fixpoint operators."""
     h = F.md5(F.concat_ws("|", F.lit("kmv"), F.col(key).cast("string")))
-    distinct = df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
-    if two_phase:
-        w0 = Window.partitionBy("grp", "_pid").orderBy("h")
-        distinct = (
-            distinct.withColumn("_pid", F.spark_partition_id())
-            .withColumn("_r", F.row_number().over(w0))
-            .where(F.col("_r") <= k)
-            .drop("_pid", "_r")
-        )
     w = Window.partitionBy("grp").orderBy("h")
-    return (
-        distinct.withColumn("pos", F.row_number().over(w).cast("long"))
-        .where(F.col("pos") <= k)
+
+    def _rank(distinct: DataFrame) -> DataFrame:
+        return distinct.withColumn(
+            "pos", F.row_number().over(w).cast("long")
+        ).where(F.col("pos") <= k)
+
+    if not two_phase:
+        return _rank(
+            df.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+        )
+    masked = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.when(h < F.lit(_KMV_PREFILTER), h).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+    surv = masked.where(F.col("h").isNotNull())
+    sketch = _rank(surv)
+    # count("h") skips the NULL markers, so one agg yields both the
+    # group universe (every group has at least a marker row) and its
+    # exact survivor count.
+    unproven = (
+        masked.groupBy("grp")
+        .agg(F.count("h").alias("_n"))
+        .where(F.col("_n") < k)
+        .select("grp")
+    )
+    if unproven.isEmpty():
+        return sketch
+    proven = sketch.join(F.broadcast(unproven), "grp", "left_anti")
+    fb_base = df.join(
+        F.broadcast(unproven),
+        df[group_col] == unproven["grp"],
+        "left_semi",
+    )
+    fb = _rank(
+        fb_base.select(F.col(group_col).alias("grp"), h.alias("h")).distinct()
+    )
+    return proven.unionAll(fb)
 
 
 def kmv_estimates(sketch: DataFrame, k: int = KMV_K) -> DataFrame:

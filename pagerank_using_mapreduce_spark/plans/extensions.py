@@ -2223,11 +2223,15 @@ def q_x76_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard-merge story) for the third cardinality tool.  The window
     ranks distinct hashes, never corpus rows; the merge input is
     <= n_sources * k rows.  A source with < k distinct words is
-    exact by construction.  two_phase: each per-group window sorts
-    only <= P*k local-bottom-k survivors — without it one source's
-    whole distinct vocabulary sorts in a single task, which the sf10
-    decade exposed (mutated replicas grow the vocabulary with the
-    corpus: 38.4 s single-phase -> two-phase caps the fragment)."""
+    exact by construction.  two_phase: the hash-space threshold
+    prefilter — only md5 values in the bottom 1/16 of the space reach
+    the distinct exchange (non-survivors collapse map-side to one
+    NULL marker per partition), so the vocabulary-sized shuffle the
+    sf10 decade exposed (mutated replicas grow the vocabulary with
+    the corpus: 38.4 s single-phase at sf10) becomes a vocab/16
+    exchange; sources not proven (>= k distinct survivors) fall back
+    to the exact unfiltered path, so toy vocabularies cost one extra
+    scan and huge ones never touch it."""
     from ..functions.textops import strip_non_alpha, tokens
     from ..operators.sketches import kmv_estimates, kmv_merge, kmv_sketch
 

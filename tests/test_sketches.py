@@ -291,9 +291,10 @@ def test_kmv_overlap_bounds_vs_exact(spark):
 
 
 def test_kmv_two_phase_identical(spark):
-    """The skew-armored two-phase bottom-k must produce the IDENTICAL
-    sketch (the global bottom-k is contained in the union of
-    fragment bottom-ks), regardless of physical layout."""
+    """The scale-armored two-phase sketch (hash-space prefilter + exact
+    fallback for unproven groups) must produce the IDENTICAL sketch,
+    regardless of physical layout.  Small-vocabulary groups here all
+    take the fallback branch — the proven branch is covered below."""
     from pagerank_using_mapreduce_spark.operators.sketches import kmv_sketch
 
     li = load_table(spark, SF, "lineitem").select(
@@ -309,3 +310,35 @@ def test_kmv_two_phase_identical(spark):
         )
     )
     assert one == two
+
+
+def test_kmv_two_phase_proven_and_mixed(spark):
+    """Exercise the prefilter's PROVEN branch (a group with enough
+    distinct keys that >= k survivors land below the 1/256 hash-space
+    threshold, so its bottom-k never touches the fallback scan) and the
+    mixed case where a tiny group rides the fallback in the same call.
+    Both must equal the single-phase sketch exactly."""
+    from pagerank_using_mapreduce_spark.operators.sketches import (
+        KMV_K,
+        _KMV_PREFILTER_FRAC,
+        kmv_sketch,
+    )
+
+    # big group: ~100k distinct keys -> E[survivors] ~ 390 >> k=128
+    need = KMV_K * _KMV_PREFILTER_FRAC * 3
+    big = spark.range(need).select(
+        F.lit("big").alias("source"), F.col("id").cast("string").alias("key")
+    )
+    tiny = spark.range(40).select(
+        F.lit("tiny").alias("source"),
+        (F.col("id") + 9_000_000).cast("string").alias("key"),
+    )
+    df = big.unionAll(tiny)
+    one = sorted(map(tuple, kmv_sketch(df, "key", "source").collect()))
+    two = sorted(
+        map(tuple, kmv_sketch(df.repartition(13), "key", "source", two_phase=True).collect())
+    )
+    assert one == two
+    # the tiny group is exact (saw every key): 40 sketch rows
+    assert sum(1 for g, _, _ in two if g == "tiny") == 40
+    assert sum(1 for g, _, _ in two if g == "big") == KMV_K
