@@ -145,11 +145,19 @@ def shingle_arrays(docs: DataFrame, k: int = 3) -> DataFrame:
     exchange.  The corpus-size relation stays one row per doc (the
     array payload is the same bytes as the text it came from), so
     everything downstream that used to shuffle |corpus| x |shingles|
-    exploded rows now shuffles |corpus| rows."""
+    exploded rows now shuffles |corpus| rows.
+
+    Indexing uses null-safe get(), not toks[..]: identical on the
+    valid range (i <= size-k keeps every i+j in bounds), but immune
+    to ANSI INVALID_ARRAY_INDEX when a downstream generate/filter gets
+    subexpression-hoisted ABOVE the size(toks) >= k guard (observed:
+    explode over this relation compiled the transform into the
+    predicate itself, evaluating it on short docs the where() was
+    about to drop)."""
     toked = docs.select("doc_id", tokens(strip_non_alpha("text")).alias("toks"))
     grams = F.expr(
         f"transform(sequence(0, size(toks) - {k}), "
-        f"i -> concat_ws(' ', {', '.join(f'toks[i + {j}]' for j in range(k))}))"
+        f"i -> concat_ws(' ', {', '.join(f'get(toks, i + {j})' for j in range(k))}))"
     )
     return (
         toked.where(F.size("toks") >= k)
@@ -339,7 +347,10 @@ def band_table(
 
 
 def lsh_candidates(
-    sigs: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
+    sigs: DataFrame,
+    n_bands: int = N_BANDS,
+    n_hashes: int = N_HASHES,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs sharing at least one band bucket.
 
@@ -357,8 +368,21 @@ def lsh_candidates(
     a bucket is (whp) one near-dup cluster, so run exact dedup (x1)
     first if the corpus carries mass-duplicated boilerplate, or use
     the salted set-similarity join (x108) which caps per-key fan-out
-    explicitly."""
+    explicitly.  ``max_bucket`` is the OOM fuse for corpora where that
+    discipline was skipped: the count is taken BEFORE any list is
+    collected, oversized buckets are dropped (their members are by
+    construction a mass-duplicated blob that exact dedup owns), and
+    :func:`lsh_bucket_stats` is the pre-flight audit that tells you
+    whether the fuse would blow and at what size."""
     allb = band_table(sigs, n_bands, n_hashes)
+    if max_bucket is not None:
+        counted = allb.groupBy("band", "bucket").agg(
+            F.count("*").alias("_n")
+        )
+        allb = allb.join(
+            counted.where(F.col("_n") <= max_bucket).select("band", "bucket"),
+            ["band", "bucket"],
+        )
     buckets = (
         allb.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
@@ -399,6 +423,60 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 """
+
+
+def lsh_bucket_stats(
+    sigs: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """Per-band LSH bucket-occupancy audit: (band, n_buckets,
+    max_bucket, n_multi, sum_pairs) — the pre-flight check for
+    :func:`lsh_candidates`'s per-bucket collect_list (its task state is
+    O(max bucket) and its output is Σ C(size, 2)).  Run this BEFORE a
+    production LSH pass: a max_bucket in the thousands means the corpus
+    carries a mass-duplicated blob that exact dedup (x1) should absorb
+    first, or that the ``max_bucket`` fuse should be armed.  Pure
+    two-level aggregate of the band table — no lists, no pairs, so the
+    audit itself is safe at any skew."""
+    per = band_table(sigs, n_bands, n_hashes).groupBy("band", "bucket").agg(
+        F.count("*").alias("sz")
+    )
+    return (
+        per.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.max("sz").cast("long").alias("max_bucket"),
+            F.sum(F.when(F.col("sz") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_multi"),
+            F.sum(F.expr("sz * (sz - 1) div 2"))
+            .cast("long")
+            .alias("sum_pairs"),
+        )
+        .select("band", "n_buckets", "max_bucket", "n_multi", "sum_pairs")
+    )
+
+
+def lsh_bucket_stats_sql(
+    sigs_query: str, n_bands: int = N_BANDS, n_hashes: int = N_HASHES
+) -> str:
+    rows = n_hashes // n_bands
+    selects = []
+    for b in range(n_bands):
+        cols = " || '|' || ".join(
+            f"CAST(sig_{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        selects.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sigs")
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH sigs AS ({sigs_query}),
+bands AS ({union}),
+per AS (SELECT band, bucket, COUNT(*) AS sz FROM bands GROUP BY band, bucket)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(sz) AS BIGINT) AS max_bucket,
+       CAST(SUM(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+       CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS sum_pairs
+FROM per GROUP BY band"""
 
 
 def verified_near_dups(
@@ -644,7 +722,7 @@ def verified_near_dups_arr(
     )
 
 
-def near_dup_pipeline(docs: DataFrame) -> DataFrame:
+def near_dup_pipeline(docs: DataFrame, sha: DataFrame | None = None) -> DataFrame:
     """augment → shingle → minhash → LSH → verify, end to end.
 
     Stage choices are MEASURED (sf1/sf10, see SCALING.md):
@@ -655,10 +733,23 @@ def near_dup_pipeline(docs: DataFrame) -> DataFrame:
     lambda-bearing subtrees, so a self-join re-evaluates the whole
     signature tree per side), and verification via doc-level array
     intersection (one row per doc through the joins instead of one
-    row per (doc, shingle))."""
-    sigs = minhash_signatures(shingles(docs))
+    row per (doc, shingle)).
+
+    ``sha``: optional pre-built :func:`shingle_arrays` relation whose
+    MATERIALIZATION LIFETIME THE CALLER CONTROLS.  Every consumer here
+    (signature explode, both verify sides) reads from it, so a caller
+    that persists/localCheckpoints it pays the tokenize pass ONCE
+    instead of three times — stage reuse cannot fire across the
+    lambda-bearing tokenize subtrees, so without materialization each
+    plan subtree re-tokenizes the corpus (the measured 3-pass cost of
+    the x33 family at sf10).  At 100 TB persist it to disk
+    (StorageLevel.DISK_ONLY or a parquet stage), not memory."""
+    if sha is None:
+        sha = shingle_arrays(docs)
+    sh = sha.select("doc_id", F.explode("sh").alias("shingle"))
+    sigs = minhash_signatures(sh)
     cands = lsh_candidates(sigs)
-    return verified_near_dups_arr(shingle_arrays(docs), cands)
+    return verified_near_dups_arr(sha, cands)
 
 
 def exact_dedup_sql(docs_sql: str) -> str:
@@ -940,13 +1031,16 @@ def cluster_pairs(
 
 
 def dedup_clusters(
-    docs: DataFrame, max_rounds: int = MAX_CLUSTER_ROUNDS
+    docs: DataFrame,
+    max_rounds: int = MAX_CLUSTER_ROUNDS,
+    sha: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, canonical_id, is_canonical): every document mapped to
     the min doc_id of its near-duplicate cluster (transitive closure of
     :func:`near_dup_pipeline` pairs, run to the fixpoint); docs in no
-    pair map to themselves."""
-    return cluster_pairs(docs, near_dup_pipeline(docs), max_rounds)
+    pair map to themselves.  ``sha``: caller-materialized shingle base
+    (see :func:`near_dup_pipeline`)."""
+    return cluster_pairs(docs, near_dup_pipeline(docs, sha), max_rounds)
 
 
 def dedup_clusters_sql(docs_sql: str, rounds: int = CLUSTER_ROUNDS) -> str:
@@ -996,11 +1090,15 @@ FROM docs d LEFT JOIN l{rounds} l USING (doc_id)"""
 # ---------------------------------------------------------------------------
 
 
-def dedup_weights(docs: DataFrame, max_rounds: int = MAX_CLUSTER_ROUNDS) -> DataFrame:
+def dedup_weights(
+    docs: DataFrame,
+    max_rounds: int = MAX_CLUSTER_ROUNDS,
+    sha: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, canonical_id, cluster_size, weight_e6): soft-dedup
     sampling weight 1/cluster_size per document (singletons weigh
     1.0).  Sum of weights == number of distinct clusters."""
-    labels = dedup_clusters(docs, max_rounds)
+    labels = dedup_clusters(docs, max_rounds, sha)
     sizes = labels.groupBy("canonical_id").agg(
         F.count("*").cast("long").alias("cluster_size")
     )
@@ -1018,7 +1116,7 @@ def dedup_weights_sql(docs_sql: str, rounds: int = CLUSTER_ROUNDS) -> str:
     """DuckDB twin of :func:`dedup_weights` over the unrolled cluster
     fixpoint."""
     return f"""
-WITH clusters AS ({dedup_clusters_sql(docs_sql)}),
+WITH clusters AS ({dedup_clusters_sql(docs_sql, rounds)}),
 sizes AS (
   SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
   FROM clusters GROUP BY canonical_id
@@ -1026,6 +1124,70 @@ sizes AS (
 SELECT c.doc_id, c.canonical_id, s.cluster_size,
        CAST(FLOOR(1e6 / s.cluster_size + 0.5000001) AS BIGINT) AS weight_e6
 FROM clusters c JOIN sizes s USING (canonical_id)"""
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    scores: DataFrame,
+    max_rounds: int = MAX_CLUSTER_ROUNDS,
+    sha: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, keep_id, is_kept, quality_e6): quality-aware canonical
+    selection — per near-dup cluster KEEP the member with the highest
+    ``quality_e6`` in ``scores`` (tie: min doc_id), instead of
+    :func:`dedup_clusters`'s arbitrary min-id rule.  This is what a
+    real curation pipeline ships: dedup decides WHICH text survives,
+    and "lowest id" keeps a random variant while the cluster may
+    contain a longer / cleaner one.
+
+    Scale shape: the fixpoint runs on the pair graph only (inherited
+    from :func:`cluster_pairs`); the argmax is ONE corpus-keyed window
+    partitioned by canonical_id — uniform keys (clusters are tiny and
+    most docs are singletons), so one exchange, no skew exposure short
+    of a mega-cluster, which exact dedup (x1) owns.  ``scores`` joins
+    on doc_id (uniform id-keyed shuffle; never broadcast — it is
+    corpus-sized)."""
+    from pyspark.sql import Window
+
+    cl = cluster_pairs(docs, near_dup_pipeline(docs, sha), max_rounds)
+    scored = cl.join(scores.select("doc_id", "quality_e6"), "doc_id")
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("quality_e6"), F.asc("doc_id")
+    )
+    best = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select("canonical_id", F.col("doc_id").alias("keep_id"))
+    )
+    return scored.join(best, "canonical_id").select(
+        "doc_id",
+        "keep_id",
+        (F.col("doc_id") == F.col("keep_id")).alias("is_kept"),
+        "quality_e6",
+    )
+
+
+def dedup_keep_best_sql(
+    docs_sql: str, quality_sql: str, rounds: int = CLUSTER_ROUNDS
+) -> str:
+    """DuckDB twin of :func:`dedup_keep_best`: the unrolled cluster
+    fixpoint joined to the quality relation, argmax via ROW_NUMBER."""
+    return f"""
+WITH cl AS ({dedup_clusters_sql(docs_sql, rounds)}),
+q AS ({quality_sql}),
+scored AS (
+  SELECT cl.doc_id, cl.canonical_id, q.quality_e6
+  FROM cl JOIN q USING (doc_id)
+),
+best AS (
+  SELECT canonical_id, doc_id AS keep_id FROM (
+    SELECT canonical_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY canonical_id
+                              ORDER BY quality_e6 DESC, doc_id ASC) AS rk
+    FROM scored) WHERE rk = 1
+)
+SELECT s.doc_id, b.keep_id, s.doc_id = b.keep_id AS is_kept, s.quality_e6
+FROM scored s JOIN best b USING (canonical_id)"""
 
 
 # ---------------------------------------------------------------------------
@@ -1587,7 +1749,7 @@ SETSIM_DF_CAP = 64  # max prefix entries per candidate-join key side
 
 
 def _setsim_prefix(
-    docs: DataFrame, k: int, num: int, den: int
+    docs: DataFrame, k: int, num: int, den: int, s: DataFrame | None = None
 ) -> DataFrame:
     """(doc_id, shingle, df, sz): the rarest-first prefix entries —
     shingle rank <= sz - ceil(t*sz) + 1 within each doc.
@@ -1605,7 +1767,8 @@ def _setsim_prefix(
     the salted candidate join downstream exists to prevent)."""
     from pyspark.sql import Window
 
-    s = shingles(docs, k)  # already DISTINCT (doc_id, shingle)
+    if s is None:
+        s = shingles(docs, k)  # already DISTINCT (doc_id, shingle)
     dfreq = s.groupBy("shingle").agg(F.count("*").alias("df"))
     w_doc = Window.partitionBy("doc_id")
     ranked = (
@@ -1702,13 +1865,23 @@ def setsim_join(
     num: int = SETSIM_NUM,
     den: int = SETSIM_DEN,
     df_cap: int = SETSIM_DF_CAP,
+    sha: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, inter, sz_a, sz_b, jacc_e6): all unordered doc
     pairs whose k-shingle sets have Jaccard >= num/den, by
-    prefix-filtered AllPairs join (hot shingles salted, see above)."""
-    s = shingles(docs, k)  # already DISTINCT (doc_id, shingle)
+    prefix-filtered AllPairs join (hot shingles salted, see above).
+
+    ``sha``: optional caller-materialized :func:`shingle_arrays`
+    relation (MUST have been built with the same ``k``) — the gram
+    base pass (tokenize + explode) is the linear bulk of this operator
+    at scale, and every consumer (df counts, prefix ranks, intersect
+    join) derives from it, so a persisted base is paid once."""
+    if sha is not None:
+        s = sha.select("doc_id", F.explode("sh").alias("shingle"))
+    else:
+        s = shingles(docs, k)  # already DISTINCT (doc_id, shingle)
     sz = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    pref = _setsim_prefix(docs, k, num, den)
+    pref = _setsim_prefix(docs, k, num, den, s=s)
     cand = (
         _setsim_candidates(pref, num, den, df_cap)
         .select("doc_a", "doc_b")
@@ -1878,13 +2051,21 @@ def lsh_band_frontier(
     configs: tuple[tuple[int, int], ...] = FRONTIER_CONFIGS,
     num: int = 1,
     den: int = 2,
+    sha: DataFrame | None = None,
 ) -> DataFrame:
     """(n_bands, rows_per_band, n_candidates, n_exact, n_found,
     recall_e6): one row per banding config of the 12-hash MinHash
     signature, recall measured against the exact AllPairs truth at
-    Jaccard >= num/den (x116's convention, swept)."""
+    Jaccard >= num/den (x116's convention, swept).  ``sha``: caller-
+    materialized shingle base shared by the signature side AND the
+    AllPairs truth side (see :func:`near_dup_pipeline`)."""
     assert len({nb for nb, _ in configs}) == len(configs)
-    sigs = minhash_signatures(shingles(docs))
+    if sha is not None:
+        sigs = minhash_signatures(
+            sha.select("doc_id", F.explode("sh").alias("shingle"))
+        )
+    else:
+        sigs = minhash_signatures(shingles(docs))
     entries = []
     for nb, rows in configs:
         assert nb * rows == N_HASHES
@@ -1926,7 +2107,9 @@ def lsh_band_frontier(
         .select("n_bands", "p.doc_a", "p.doc_b")
         .distinct()
     )
-    exact = setsim_join(docs, num=num, den=den).select("doc_a", "doc_b")
+    exact = setsim_join(docs, num=num, den=den, sha=sha).select(
+        "doc_a", "doc_b"
+    )
     n_exact_row = exact.agg(F.count("*").cast("long").alias("n_exact"))
     cfg_df = docs.sparkSession.createDataFrame(
         [(int(nb), int(rows)) for nb, rows in configs],

@@ -142,7 +142,10 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
-QUALITY_SQL = f"""
+def quality_sql(docs_sql: str = "SELECT * FROM documents") -> str:
+    """DuckDB twin of :func:`quality_score`, parameterized over the
+    document relation (the augmented corpus for dedup compositions)."""
+    return f"""
 WITH toked AS (
   SELECT doc_id,
          length(text) AS n_chars,
@@ -150,7 +153,7 @@ WITH toked AS (
          list_filter(string_split_regex(
            lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
            t -> t != '') AS toks
-  FROM documents
+  FROM ({docs_sql})
 ),
 m AS (
   SELECT doc_id, n_chars, n_alpha,
@@ -171,6 +174,9 @@ SELECT doc_id,
          + CAST(LEAST(n_tok, 200) AS DOUBLE) / 200 * 0.3
        ) * 1e6 + 0.5000001) AS BIGINT) AS quality_e6
 FROM m"""
+
+
+QUALITY_SQL = quality_sql()
 
 
 # BPE-ish pre-tokenization: letter runs, single digits, single

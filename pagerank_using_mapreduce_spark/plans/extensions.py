@@ -117,6 +117,19 @@ def _roundtrip_dir(tag: str) -> str:
 _roundtrip_dir._claimed = set()  # type: ignore[attr-defined]
 
 
+def _sha_base(docs: DataFrame) -> DataFrame:
+    """Materialized shingle base shared by every near-dup consumer
+    inside ONE query (VERDICT r08 #2): stage reuse never fires across
+    the lambda-bearing tokenize subtrees, so without this each plan
+    subtree (signatures, both verify sides, the AllPairs truth side)
+    re-tokenizes the corpus.  The CALLER (this registry layer) owns
+    the lifetime: eager localCheckpoint per query invocation — honest
+    under bench repetitions (every rep re-pays the one tokenize pass),
+    released with the query's lineage.  At 100 TB the same hook takes
+    a DISK_ONLY-persisted or parquet-staged relation instead."""
+    return dd.shingle_arrays(docs).localCheckpoint(eager=True)
+
+
 def q_x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(dd.augment_docs(_docs(spark, sf_dir)))
 
@@ -132,13 +145,15 @@ def q_x3_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x4_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.near_dup_pipeline(dd.augment_docs(_docs(spark, sf_dir)))
+    docs = dd.augment_docs(_docs(spark, sf_dir))
+    return dd.near_dup_pipeline(docs, sha=_sha_base(docs))
 
 
 def q_x33_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → transitive closure → canonical doc per cluster
     (operators/dedup.py:dedup_clusters)."""
-    return dd.dedup_clusters(dd.augment_docs(_docs(spark, sf_dir)))
+    docs = dd.augment_docs(_docs(spark, sf_dir))
+    return dd.dedup_clusters(docs, sha=_sha_base(docs))
 
 
 def q_x35_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,7 +201,9 @@ def q_x38_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = dd.augment_docs(_docs(spark, sf_dir))
     splits = hash_split(docs, "doc_id").select("doc_id", "split")
-    pairs = dd.near_dup_pipeline(docs).select("doc_a", "doc_b")
+    pairs = dd.near_dup_pipeline(docs, sha=_sha_base(docs)).select(
+        "doc_a", "doc_b"
+    )
     sa = splits.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
     )
@@ -2143,7 +2160,7 @@ def q_x88_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the savings ratio.  Pure composition: the cluster relation joined
     once against byte lengths, two bounded aggregates."""
     aug = dd.augment_docs(_docs(spark, sf_dir))
-    clusters = dd.dedup_clusters(aug)
+    clusters = dd.dedup_clusters(aug, sha=_sha_base(aug))
     sized = clusters.join(
         aug.select(
             "doc_id",
@@ -2464,7 +2481,8 @@ def q_x108_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter dropped nothing."""
     from ..operators.dedup import setsim_join
 
-    return setsim_join(dd.augment_docs(_docs(spark, sf_dir)))
+    docs = dd.augment_docs(_docs(spark, sf_dir))
+    return setsim_join(docs, sha=_sha_base(docs))
 
 
 def q_x109_winnow_fingerprints(
@@ -2528,9 +2546,10 @@ def q_x116_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import setsim_join
 
     docs = dd.augment_docs(_docs(spark, sf_dir))
-    exact = setsim_join(docs, num=1, den=2).select("doc_a", "doc_b")
+    sha = _sha_base(docs)
+    exact = setsim_join(docs, num=1, den=2, sha=sha).select("doc_a", "doc_b")
     lsh = (
-        dd.near_dup_pipeline(docs)
+        dd.near_dup_pipeline(docs, sha=sha)
         .select("doc_a", "doc_b")
         .withColumn("_hit", F.lit(1))
     )
@@ -2631,7 +2650,8 @@ def q_x119_lsh_band_frontier(
     branches over the corpus."""
     from ..operators.dedup import lsh_band_frontier
 
-    return lsh_band_frontier(dd.augment_docs(_docs(spark, sf_dir)))
+    docs = dd.augment_docs(_docs(spark, sf_dir))
+    return lsh_band_frontier(docs, sha=_sha_base(docs))
 
 
 def q_x120_cross_source_dups(
@@ -2646,9 +2666,8 @@ def q_x120_cross_source_dups(
     from ..operators.dedup import cross_source_dups
 
     docs = _docs(spark, sf_dir)
-    pairs = dd.near_dup_pipeline(
-        dd.augment_docs(docs.select("doc_id", "text"))
-    )
+    aug = dd.augment_docs(docs.select("doc_id", "text"))
+    pairs = dd.near_dup_pipeline(aug, sha=_sha_base(aug))
     return cross_source_dups(docs, pairs)
 
 
@@ -2673,7 +2692,35 @@ def q_x122_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable size agg + one join back."""
     from ..operators.dedup import dedup_weights
 
-    return dedup_weights(dd.augment_docs(_docs(spark, sf_dir)))
+    docs = dd.augment_docs(_docs(spark, sf_dir))
+    return dedup_weights(docs, sha=_sha_base(docs))
+
+
+def q_x123_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection (VERDICT r08 #4): per near-dup
+    cluster keep the member with the HIGHEST x8 quality score (tie:
+    min doc_id) instead of x33's arbitrary min-id — the rule a real
+    curation pipeline ships (near-dup copies here carry an appended
+    tail, so the kept doc is frequently NOT the min-id one: the
+    composite favours the longer variant).  Fixpoint on the pair graph
+    only; argmax is one canonical_id-keyed window over uniform keys."""
+    from ..operators.text_analysis import quality_score
+
+    docs = dd.augment_docs(_docs(spark, sf_dir))
+    return dd.dedup_keep_best(
+        docs, quality_score(docs), sha=_sha_base(docs)
+    )
+
+
+def q_x124_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-occupancy audit: per band, bucket count, max bucket
+    size, multi-doc buckets, and the pair-enumeration bound Σ C(sz,2)
+    — the pre-flight check before a production LSH pass (x3/x4's
+    per-bucket collect_list has O(max_bucket) task state; this audit
+    is a pure two-level aggregate, safe at any skew) and the signal
+    for arming lsh_candidates' max_bucket fuse."""
+    docs = dd.augment_docs(_docs(spark, sf_dir))
+    return dd.lsh_bucket_stats(dd.minhash_signatures(dd.shingles(docs)))
 
 
 def q_x111_label_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2870,6 +2917,8 @@ EXTENSION_QUERIES = {
     "x120_cross_source_dups": q_x120_cross_source_dups,
     "x121_gram_spectrum": q_x121_gram_spectrum,
     "x122_dedup_weights": q_x122_dedup_weights,
+    "x123_quality_canonical": q_x123_quality_canonical,
+    "x124_lsh_bucket_stats": q_x124_lsh_bucket_stats,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -3128,6 +3177,25 @@ def _gram_spectrum_oracle() -> str:
     from ..operators.text_analysis import gram_spectrum_sql
 
     return gram_spectrum_sql(dd.AUGMENT_SQL)
+
+
+def _quality_canonical_oracle() -> str:
+    from ..operators.dedup import dedup_keep_best_sql
+    from ..operators.text_analysis import quality_sql
+
+    return dedup_keep_best_sql(dd.AUGMENT_SQL, quality_sql(dd.AUGMENT_SQL))
+
+
+def _lsh_bucket_stats_oracle() -> str:
+    from ..operators.dedup import (
+        lsh_bucket_stats_sql,
+        minhash_signatures_sql,
+        shingles_sql,
+    )
+
+    return lsh_bucket_stats_sql(
+        minhash_signatures_sql(shingles_sql(dd.AUGMENT_SQL))
+    )
 
 
 def _exact_contamination_oracle() -> str:
@@ -3457,6 +3525,8 @@ GROUP BY 1, 2""",
     "x120_cross_source_dups": _cross_source_dups_oracle(),
     "x121_gram_spectrum": _gram_spectrum_oracle(),
     "x122_dedup_weights": _dedup_weights_oracle(),
+    "x123_quality_canonical": _quality_canonical_oracle(),
+    "x124_lsh_bucket_stats": _lsh_bucket_stats_oracle(),
     "x48_chunk_windows": chunk_windows_sql(),
     "x49_curriculum_order": curriculum_order_sql(
         "documents",

@@ -1184,29 +1184,29 @@ ORACLE_SQL: dict[str, str] = {
 # The two names past slot 50 (x14/x15) overflow to r09.  Every query
 # keeps its oracle either way; this permutes presentation order only.
 _DRIVER_ROTATION: list[str] = [
-    # --- round-8 additions (no driver row possible before r08) ---
-    "x118_exact_contamination", "x119_lsh_band_frontier",
-    "x120_cross_source_dups", "x121_gram_spectrum",
-    "x122_dedup_weights",
-    # --- staleness refresh: r03-era rows, registry order ---
-    "cc_star", "g3_triangles", "g4_hits", "g5_bfs_depths", "g6_kcore",
-    "deg_stats", "a6_inverted_index", "a6_inverted_index_wiki",
-    "p678_token_counts", "tfidf",
-    "q1_pricing_summary", "q3_top_orders", "q4_order_priority",
-    "q5_region_revenue", "q6_forecast_revenue", "q7_volume_shipping",
-    "q8_market_share", "q9_profit", "q10_returned_items",
-    "q12_priority_lines", "q13_customer_distribution", "q14_promo_revenue",
-    "s1_corpus_scan", "p1_titles", "p3_doc_ids", "p45_links",
-    "a1_count_n", "a23_linkgraph", "j2_contributions",
-    "p9_codec_roundtrip",
-    "q15_top_supplier", "q17_small_quantity", "q18_large_orders",
-    "q19_disjunctive", "q22_sales_opportunity",
-    "j1_json_extract", "s1_value_stats", "s2_grouped_quantiles",
-    "w1_window_top3", "w2_rolling_mean",
-    "e1_sessions", "e2_hourly_rollup", "g7_label_prop",
-    "e4_session_windows", "e5_unpivot_activity",
+    # --- round-9 additions (no driver row possible before r09) ---
+    "x123_quality_canonical", "x124_lsh_bucket_stats",
+    # --- staleness refresh: r08 overflow (w3/d1/d2/x14/x15), then the
+    # --- r04 tier, registry order (COVERAGE.md "Computed r09 head")
     "w3_time_weighted", "d1_snapshot_diff", "d2_scd2_versions",
     "x14_simhash_near_dups", "x15_embedding_near_dups",
+    "x16_salted_agg", "x17_resize", "x18_features",
+    "x19_sharded_index", "x20_srp_lsh_near_dups", "x21_ivf_kmeans",
+    "x22_srp_multiprobe", "x23_format_roundtrip",
+    "x24_frame_sample", "c1_curation_pipeline", "x25_train_test_split",
+    "x26_stratified_sample", "x27_bigram_counts",
+    "x28_redact_numbers", "x29_quantile_bins", "x30_asof_forward",
+    "x31_embedding_norms", "x32_weighted_mix",
+    "x33_dedup_clusters", "x34_repetition_stats", "x35_hll_registers",
+    "x36_cms_counts", "x37_bloom_join_audit",
+    "x38_contamination_audit", "x39_top_pc", "x40_pc_projection",
+    "x41_phrase_search", "x42_hll_by_source",
+    "x43_join_size_estimate", "x44_cms_heavy_hitters",
+    "x45_sequence_packing", "x46_bottomk_sample", "x47_groupwise_sample",
+    "z1_stream_rollup", "z2_stream_sessions", "z9_stream_bottomk",
+    "z3_stream_stream_join", "z4_sliding_rollup",
+    "z5_stream_enrich", "z6_stream_hll", "z7_session_window_stream",
+    "z8_stream_cms", "a7_anchor_stats",
 ]
 
 

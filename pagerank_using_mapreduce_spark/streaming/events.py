@@ -293,38 +293,48 @@ def run_available_now(
     drained table is reduced to each key's LAST emission (max batch
     id), restoring upsert semantics regardless of how many batches the
     drain took.  Uses a ``foreachBatch`` parquet stage (batch id is not
-    visible through the memory sink)."""
+    visible through the memory sink).  ASSUMES the stateful query
+    emits at most ONE row per key per micro-batch (true of any keyed
+    aggregate, e.g. z18's per-purchase attribution) — with several
+    same-key rows in one batch the within-batch pick would be
+    arbitrary.  The staged parquet is deleted before returning; the
+    result is materialized (eager localCheckpoint) first, so the
+    returned frame never references the deleted directory."""
     if last_write_key:
+        import shutil
         import tempfile
 
         from pyspark.sql import Window
 
         out_dir = tempfile.mkdtemp(prefix=f"drain_{query_name}_")
         spark = stream.sparkSession
+        try:
+            def _sink(df: DataFrame, batch_id: int) -> None:
+                df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(out_dir)
 
-        def _sink(df: DataFrame, batch_id: int) -> None:
-            df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(out_dir)
-
-        q = (
-            stream.writeStream.foreachBatch(_sink)
-            .queryName(query_name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        cols = stream.columns
-        drained = spark.read.parquet(out_dir)
-        w = Window.partitionBy(*last_write_key).orderBy(
-            F.col("_batch_id").desc()
-        )
-        return (
-            drained.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select(*cols)
-        )
+            q = (
+                stream.writeStream.foreachBatch(_sink)
+                .queryName(query_name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            cols = stream.columns
+            drained = spark.read.parquet(out_dir)
+            w = Window.partitionBy(*last_write_key).orderBy(
+                F.col("_batch_id").desc()
+            )
+            return (
+                drained.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select(*cols)
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
     q = (
         stream.writeStream.format("memory")
         .queryName(query_name)

@@ -423,3 +423,78 @@ def test_update_band_index_idempotent_and_matches_rebuild(spark):
     )
     assert rows(appended) == rows(rebuilt)
     assert rows(update_band_index(appended, b)) == rows(appended)
+
+
+def test_keep_best_prefers_quality_over_min_id(spark):
+    """Quality-aware canonical selection (x123): the kept cluster
+    member is the HIGHEST-quality one even when it is NOT the min id
+    — the exact gap the min-id rule leaves open.  Doc 11 and 12 are
+    near-dups; 12 carries extra stopword-rich tokens, so its composite
+    quality (stopword ratio + length score) strictly exceeds 11's."""
+    from pagerank_using_mapreduce_spark.operators.dedup import dedup_keep_best
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame(
+        [
+            (11, base),
+            (12, base + " and the of is to in"),
+            (40, "completely different words entirely unrelated content"),
+        ],
+        "doc_id long, text string",
+    )
+    scores = quality_score(docs)
+    q = {r["doc_id"]: r["quality_e6"] for r in scores.collect()}
+    assert q[12] > q[11], q  # fixture sanity: quality must disagree with id
+    got = {r["doc_id"]: r for r in dedup_keep_best(docs, scores).collect()}
+    assert got[11]["keep_id"] == 12 and not got[11]["is_kept"]
+    assert got[12]["keep_id"] == 12 and got[12]["is_kept"]
+    # singleton keeps itself
+    assert got[40]["keep_id"] == 40 and got[40]["is_kept"]
+
+
+def test_lsh_bucket_stats_and_max_bucket_fuse(spark):
+    """lsh_bucket_stats must account for every band-table row, and the
+    max_bucket fuse must drop oversized buckets' pairs while leaving
+    small buckets untouched (detectable degradation, never OOM)."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        N_BANDS,
+        band_table,
+        lsh_bucket_stats,
+        lsh_candidates,
+        minhash_signatures,
+        shingles,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(1, 8)]  # 7 identical docs: one bucket/band
+        + [(100, "totally different unrelated words appear only here")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(shingles(docs))
+    stats = {r["band"]: r for r in lsh_bucket_stats(sigs).collect()}
+    assert set(stats) == set(range(N_BANDS))
+    for b, r in stats.items():
+        assert r["max_bucket"] == 7
+        assert r["n_multi"] == 1
+        assert r["sum_pairs"] == 21  # C(7,2)
+    # every band-table row lands in some bucket
+    total_rows = band_table(sigs).count()
+    assert total_rows == sum(
+        rr["sz"]
+        for rr in band_table(sigs).groupBy("band", "bucket").agg(
+            F.count("*").alias("sz")
+        ).collect()
+    )
+    # unfused: complete pair set among the 7 identical docs
+    assert lsh_candidates(sigs).count() == 21
+    # fuse below the blob size: the mass-dup bucket is dropped entirely
+    assert lsh_candidates(sigs, max_bucket=5).count() == 0
+    # fuse above it: unchanged
+    assert lsh_candidates(sigs, max_bucket=7).count() == 21

@@ -260,25 +260,22 @@ def test_driver_rotation_head_is_intact():
     assert names[: len(implemented)] == implemented
     assert list(ORACLE_SQL) == names  # oracle table mirrors query order
     assert set(implemented) <= set(ORACLE_SQL)
-    # r08 additions are a hard requirement in the first slots — they
-    # have no driver row before r08 (VERDICT r07 #2).
+    # r09 additions are a hard requirement in the first slots — they
+    # have no driver row before r09 (VERDICT r08 #3).
     additions = [
-        "x118_exact_contamination", "x119_lsh_band_frontier",
-        "x120_cross_source_dups", "x121_gram_spectrum",
-        "x122_dedup_weights",
+        "x123_quality_canonical", "x124_lsh_bucket_stats",
     ]
     assert names[: len(additions)] == additions
-    # The r03-staleness refresh head must stay inside the 50-row
-    # driver cap even as round-8 additions slot in ahead of it.
-    r03_head = [
-        "cc_star", "g3_triangles", "g4_hits", "g5_bfs_depths", "g6_kcore",
-        "deg_stats", "a6_inverted_index", "a6_inverted_index_wiki",
-        "p678_token_counts", "tfidf", "q1_pricing_summary",
-        "q3_top_orders", "q4_order_priority", "q5_region_revenue",
-        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-        "q9_profit", "q10_returned_items", "q12_priority_lines",
+    # the head must fill all 50 driver slots (anything less wastes
+    # hash-gate coverage; anything more silently drops the tail)
+    assert len(implemented) == 50, len(implemented)
+    # The r08-overflow tier (squeezed out of the r08 head by its five
+    # additions) must lead the staleness refresh this round.
+    overflow = [
+        "w3_time_weighted", "d1_snapshot_diff", "d2_scd2_versions",
+        "x14_simhash_near_dups", "x15_embedding_near_dups",
     ]
-    assert set(r03_head) <= set(names[:50])
+    assert names[2:7] == overflow
 
 
 def test_x94_vocab_join_shape(spark):
