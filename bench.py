@@ -126,6 +126,18 @@ BENCH_QUERIES = [
     "x120_cross_source_dups",
     "x121_gram_spectrum",
     "x122_dedup_weights",
+    # round-9 (VERDICT r08 #5): the sweep heavies previously tracked
+    # nowhere — their cost could drift without any round-over-round
+    # signal (cc_converged is the registry's slowest sweep query)
+    "cc_converged",
+    "cc_components",
+    "g4_hits",
+    "x39_top_pc",
+    "x40_pc_projection",
+    "z3_stream_stream_join",
+    # round-9 additions
+    "x123_quality_canonical",
+    "x124_lsh_bucket_stats",
 ]
 
 # Canary pair (VERDICT r06 #7): one trivial scan-bound query and one
@@ -168,6 +180,15 @@ SF1_QUERIES = [
     # relation scales LINEARLY — x33 (above) and x108 are measurable at
     # sf1/sf10 now
     "x108_setsim_join",
+    # round-9 (VERDICT r08 #6): decade coverage for the r08/r09
+    # dedup-family additions (all documents-only)
+    "x118_exact_contamination",
+    "x119_lsh_band_frontier",
+    "x120_cross_source_dups",
+    "x121_gram_spectrum",
+    "x122_dedup_weights",
+    "x123_quality_canonical",
+    "x124_lsh_bucket_stats",
 ]
 
 
@@ -466,7 +487,9 @@ def main() -> None:
                 "sf1_note": (
                     "synthetic 10x sf0.1 documents (doc_id replication,"
                     " replicas k>=1 token-mutated 1-in-4 —"
-                    " tools/make_scaled_sf.py); min of"
+                    " tools/make_scaled_sf.py v3: 32 part files, so the"
+                    " scan parallelizes; pre-v3 decade numbers measured a"
+                    " single-task scan artifact); min of"
                     f" {sf1_reps} rep(s)"
                 ),
             },

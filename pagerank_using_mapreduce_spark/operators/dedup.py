@@ -736,16 +736,23 @@ def near_dup_pipeline(docs: DataFrame, sha: DataFrame | None = None) -> DataFram
     row per (doc, shingle)).
 
     ``sha``: optional pre-built :func:`shingle_arrays` relation whose
-    MATERIALIZATION LIFETIME THE CALLER CONTROLS.  Every consumer here
-    (signature explode, both verify sides) reads from it, so a caller
-    that persists/localCheckpoints it pays the tokenize pass ONCE
-    instead of three times — stage reuse cannot fire across the
-    lambda-bearing tokenize subtrees, so without materialization each
-    plan subtree re-tokenizes the corpus (the measured 3-pass cost of
-    the x33 family at sf10).  At 100 TB persist it to disk
-    (StorageLevel.DISK_ONLY or a parquet stage), not memory."""
+    MATERIALIZATION LIFETIME THE CALLER CONTROLS — it MUST actually be
+    materialized (persist/localCheckpoint/parquet stage).  Every
+    consumer here (signature explode, both verify sides) reads from
+    it, so the tokenize pass is paid ONCE instead of three times —
+    stage reuse cannot fire across the lambda-bearing tokenize
+    subtrees, so without materialization each plan subtree
+    re-tokenizes the corpus (the measured 3-pass cost of the x33
+    family at sf10).  A LAZY sha would be far worse than no sha:
+    exploding a computed array column makes InferFiltersFromGenerate
+    clone the whole gram pipeline into an interpreted non-empty
+    pre-filter under the Generate (measured 30x at sf0.1), which a
+    materialized column reference is immune to.  At 100 TB persist it
+    to disk (StorageLevel.DISK_ONLY or a parquet stage), not memory."""
     if sha is None:
-        sha = shingle_arrays(docs)
+        sigs = minhash_signatures(shingles(docs))
+        cands = lsh_candidates(sigs)
+        return verified_near_dups_arr(shingle_arrays(docs), cands)
     sh = sha.select("doc_id", F.explode("sh").alias("shingle"))
     sigs = minhash_signatures(sh)
     cands = lsh_candidates(sigs)

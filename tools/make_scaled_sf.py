@@ -39,11 +39,19 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 MUTATE_RATE = 4  # replace every 4th token in replicas k >= 1
+N_FILES = 32  # splittable input: one task per file floor (see below)
 
 # Bumped whenever the generated data changes semantically; consumers
 # (bench._sf1_dir) gate cached-dir reuse on a marker file carrying it,
 # so a dir built by an older generator is rebuilt, never reused.
-GENERATOR_VERSION = "v2_mutrate4"
+# v3: documents.parquet is a DIRECTORY of N_FILES part files instead
+# of one single-row-group file.  The old layout was unsplittable
+# (55 MB < maxPartitionBytes AND one row group), so EVERY decade scan
+# ran as ONE task — sf10's 27M-token tokenize pass measured 22 s of
+# single-core work on a 32-core box, an artifact no 100 TB input
+# (thousands of files) would ever exhibit.  Decade numbers before the
+# v3 re-base measure that artifact; see BENCH_LOCAL_r09 notes.
+GENERATOR_VERSION = "v3_mutrate4_split32"
 
 
 def _alpha(n: int) -> str:
@@ -65,6 +73,11 @@ def make_scaled(
 ) -> str:
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, "documents.parquet")
+    if os.path.isfile(out_path):  # pre-v3 single-file layout
+        os.remove(out_path)
+    for stale in os.listdir(out_dir):  # drop pre-v3 version markers
+        if stale.startswith(".generated_by_"):
+            os.remove(os.path.join(out_dir, stale))
     table = pq.read_table(os.path.join(src_dir, "documents.parquet"))
     df = table.to_pandas()
     n = int(df["doc_id"].max()) + 1
@@ -83,9 +96,18 @@ def make_scaled(
     import pandas as pd
 
     out = pd.concat(copies, ignore_index=True)
-    pq.write_table(
-        pa.Table.from_pandas(out, preserve_index=False), out_path
-    )
+    # shard round-robin by doc_id so every part file carries a uniform
+    # slice of every replica (a contiguous split would give file-local
+    # id ranges, which some id-arithmetic queries could exploit)
+    os.makedirs(out_path, exist_ok=True)
+    for old in os.listdir(out_path):
+        os.remove(os.path.join(out_path, old))
+    for s in range(N_FILES):
+        shard = out[out["doc_id"] % N_FILES == s]
+        pq.write_table(
+            pa.Table.from_pandas(shard, preserve_index=False),
+            os.path.join(out_path, f"part-{s:05d}.parquet"),
+        )
     with open(
         os.path.join(out_dir, f".generated_by_{GENERATOR_VERSION}"), "w"
     ) as f:
