@@ -125,9 +125,20 @@ def _sha_base(docs: DataFrame) -> DataFrame:
     re-tokenizes the corpus.  The CALLER (this registry layer) owns
     the lifetime: eager localCheckpoint per query invocation — honest
     under bench repetitions (every rep re-pays the one tokenize pass),
-    released with the query's lineage.  At 100 TB the same hook takes
-    a DISK_ONLY-persisted or parquet-staged relation instead."""
-    return dd.shingle_arrays(docs).localCheckpoint(eager=True)
+    released with the query's lineage.  DISK_ONLY storage is
+    load-bearing: checkpoint blocks cannot be dropped (lineage is
+    truncated, so they are not recomputable) and are only freed when
+    the referencing plan is GC'd — on the default MEMORY_AND_DISK
+    level a bench/sweep session accumulating one base per query rep
+    pinned the whole driver heap ahead of GC (measured: 8g heap OOM
+    ~25 min into the r09 bench).  On disk the blocks cost zero heap,
+    reads ride the OS page cache, and the same setting is what a
+    100 TB caller would use."""
+    from pyspark import StorageLevel
+
+    return dd.shingle_arrays(docs).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
 
 
 def q_x1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
