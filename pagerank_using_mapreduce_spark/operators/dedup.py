@@ -2053,19 +2053,38 @@ FRONTIER_CONFIGS: tuple[tuple[int, int], ...] = (
 )
 
 
+FRONTIER_MAX_BUCKET = 1024  # see lsh_band_frontier docstring
+
+
 def lsh_band_frontier(
     docs: DataFrame,
     configs: tuple[tuple[int, int], ...] = FRONTIER_CONFIGS,
     num: int = 1,
     den: int = 2,
     sha: DataFrame | None = None,
+    max_bucket: int = FRONTIER_MAX_BUCKET,
 ) -> DataFrame:
-    """(n_bands, rows_per_band, n_candidates, n_exact, n_found,
-    recall_e6): one row per banding config of the 12-hash MinHash
-    signature, recall measured against the exact AllPairs truth at
-    Jaccard >= num/den (x116's convention, swept).  ``sha``: caller-
-    materialized shingle base shared by the signature side AND the
-    AllPairs truth side (see :func:`near_dup_pipeline`)."""
+    """(n_bands, rows_per_band, n_candidates, n_oversized, n_exact,
+    n_found, recall_e6): one row per banding config of the 12-hash
+    MinHash signature, recall measured against the exact AllPairs
+    truth at Jaccard >= num/den (x116's convention, swept).  ``sha``:
+    caller-materialized shingle base shared by the signature side AND
+    the AllPairs truth side (see :func:`near_dup_pipeline`).
+
+    ``max_bucket`` is MANDATORY armor, not an option: loose bandings
+    ((12,1) — one minhash per band) put every doc sharing one popular
+    min-shingle into a single bucket, and that bucket grows with the
+    corpus (measured at sf10: 41,708 docs in one (12,1) bucket —
+    Σ C(sz,2) over the config is 1.03e9 pairs, and enumerating one
+    such bucket's pairs in a task OOMed a 24g heap).  Buckets above
+    the cap are EXCLUDED from enumeration, counted per config in
+    ``n_oversized``, and the oracle replays the identical rule — so a
+    config that needs mega-buckets shows a nonzero exclusion column
+    and a correspondingly honest (lower) recall, which is itself the
+    audit's verdict on that config at scale.  At the driver-gate and
+    bench scales (sf <= 0.1) every bucket is far below the default
+    cap, so the column reads 0 and the counts equal the uncapped
+    ones."""
     assert len({nb for nb, _ in configs}) == len(configs)
     if sha is not None:
         sigs = minhash_signatures(
@@ -2092,13 +2111,28 @@ def lsh_band_frontier(
     bands = sigs.select(
         "doc_id", F.explode(F.array(*entries)).alias("e")
     ).select("doc_id", "e.*")
-    # per-bucket pair enumeration, same reasoning as lsh_candidates:
-    # a self-join would re-evaluate the whole signature tree per side
-    # (stage reuse never fires across lambda-bearing subtrees).
+    # bucket sizes FIRST (counts only — safe at any skew), then the
+    # per-bucket pair enumeration runs solely over <= max_bucket
+    # buckets, so no task ever materializes a mega-bucket's pairs.
+    # Per-bucket enumeration rather than a self-join for the same
+    # reason as lsh_candidates: a self-join would re-evaluate the
+    # whole signature tree per side (stage reuse never fires across
+    # lambda-bearing subtrees).
+    counted = bands.groupBy("n_bands", "band", "bucket").agg(
+        F.count("*").alias("_n")
+    )
+    oversized = (
+        counted.where(F.col("_n") > max_bucket)
+        .groupBy("n_bands")
+        .agg(F.count("*").cast("long").alias("n_oversized"))
+    )
+    ok = counted.where(
+        (F.col("_n") <= max_bucket) & (F.col("_n") >= 2)
+    ).select("n_bands", "band", "bucket")
     cand = (
-        bands.groupBy("n_bands", "band", "bucket")
+        bands.join(ok, ["n_bands", "band", "bucket"])
+        .groupBy("n_bands", "band", "bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .where(F.size("ds") >= 2)
         .select(
             "n_bands",
             F.explode(
@@ -2132,12 +2166,14 @@ def lsh_band_frontier(
     )
     return (
         cfg_df.join(per_cand, "n_bands", "left")
+        .join(oversized, "n_bands", "left")
         .join(found, "n_bands", "left")
         .crossJoin(n_exact_row)  # broadcast one-row scalar
         .select(
             "n_bands",
             "rows_per_band",
             F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+            F.coalesce("n_oversized", F.lit(0)).cast("long").alias("n_oversized"),
             "n_exact",
             F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
             F.when(F.col("n_exact") == 0, F.lit(1_000_000).cast("long"))
@@ -2159,10 +2195,11 @@ def lsh_band_frontier_sql(
     configs: tuple[tuple[int, int], ...] = FRONTIER_CONFIGS,
     num: int = 1,
     den: int = 2,
+    max_bucket: int = FRONTIER_MAX_BUCKET,
 ) -> str:
     """DuckDB twin of :func:`lsh_band_frontier` — same 12-hash
     signature, same per-config band keys, same AllPairs truth (the
-    algorithm-independent full-index form)."""
+    algorithm-independent full-index form), same bucket cap."""
     band_selects = []
     for nb, rows in configs:
         for b in range(nb):
@@ -2179,9 +2216,23 @@ def lsh_band_frontier_sql(
 WITH sh AS ({shingles_sql(docs_sql)}),
 sigs AS ({minhash_signatures_sql("SELECT doc_id, shingle FROM sh")}),
 bands AS ({bands_union}),
+szs AS (
+  SELECT n_bands, band, bucket, COUNT(*) AS sz
+  FROM bands GROUP BY n_bands, band, bucket
+),
+over_cfg AS (
+  SELECT n_bands, COUNT(*) AS n_oversized
+  FROM szs WHERE sz > {max_bucket} GROUP BY n_bands
+),
+bands_ok AS (
+  SELECT b.* FROM bands b
+  JOIN szs s ON s.n_bands = b.n_bands AND s.band = b.band
+            AND s.bucket = b.bucket
+  WHERE s.sz <= {max_bucket}
+),
 cand AS (
   SELECT DISTINCT a.n_bands, a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM bands_ok a JOIN bands_ok b
     ON a.n_bands = b.n_bands AND a.band = b.band
    AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 ),
@@ -2201,6 +2252,7 @@ found AS (
 SELECT CAST(c.n_bands AS BIGINT) AS n_bands,
        CAST(c.rows_per_band AS BIGINT) AS rows_per_band,
        CAST(COALESCE(p.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(o.n_oversized, 0) AS BIGINT) AS n_oversized,
        CAST(nx.n_exact AS BIGINT) AS n_exact,
        CAST(COALESCE(f.n_found, 0) AS BIGINT) AS n_found,
        CASE WHEN nx.n_exact = 0 THEN CAST(1000000 AS BIGINT)
@@ -2209,5 +2261,6 @@ SELECT CAST(c.n_bands AS BIGINT) AS n_bands,
        END AS recall_e6
 FROM cfg c
 LEFT JOIN percand p ON p.n_bands = c.n_bands
+LEFT JOIN over_cfg o ON o.n_bands = c.n_bands
 LEFT JOIN found f ON f.n_bands = c.n_bands
 CROSS JOIN nx"""

@@ -498,3 +498,33 @@ def test_lsh_bucket_stats_and_max_bucket_fuse(spark):
     assert lsh_candidates(sigs, max_bucket=5).count() == 0
     # fuse above it: unchanged
     assert lsh_candidates(sigs, max_bucket=7).count() == 21
+
+
+def test_band_frontier_max_bucket_cap_visible(spark):
+    """The frontier's mandatory bucket cap (the sf10 OOM armor): with
+    the cap below a mass-dup blob's bucket size, every config reports
+    the excluded buckets in n_oversized and enumerates no pairs from
+    them; with the default cap nothing is excluded and counts match."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        lsh_band_frontier,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(1, 9)]  # 8 identical docs
+        + [(100, "totally different unrelated words appear only here")],
+        "doc_id long, text string",
+    )
+    capped = {
+        r["n_bands"]: r for r in lsh_band_frontier(docs, max_bucket=5).collect()
+    }
+    free = {
+        r["n_bands"]: r for r in lsh_band_frontier(docs).collect()
+    }
+    for nb, r in capped.items():
+        # identical docs share every band bucket: one 8-doc bucket per
+        # band, all above the cap of 5
+        assert r["n_oversized"] == nb, r
+        assert r["n_candidates"] == 0, r
+        assert free[nb]["n_oversized"] == 0
+        assert free[nb]["n_candidates"] == 28  # C(8,2)
