@@ -589,3 +589,32 @@ def test_x108_hot_shingle_join_is_salted_in_plan(spark):
     bounded by cap² regardless of shingle df."""
     plan = _plan(QUERIES["x108_setsim_join"](spark, SF))
     assert "salt_p" in plan and "salt_q" in plan
+
+
+def test_x123_keep_best_plan_shape(spark):
+    """Pins the quality-canonical plan: no cartesian product, and the
+    corpus-scale relations (the quality-score side and the label
+    relation) never land on a broadcast build side — the argmax is a
+    canonical_id-keyed window over uniform keys, and the scores join
+    is an id-keyed shuffle.  Tiny broadcast sides (the pair-graph
+    fixpoint's label relation is pair-members-only at this sf, and
+    AQE may legitimately broadcast it) must at least be
+    post-aggregation/post-join, never the raw token stream."""
+    plan = _plan(QUERIES["x123_quality_canonical"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    for sub in _broadcast_subtrees(plan):
+        assert "Generate" not in sub, (
+            "exploded token stream on a broadcast build side:\n" + sub
+        )
+
+
+def test_x124_bucket_stats_plan_shape(spark):
+    """Pins the bucket-occupancy audit's safety property: a pure
+    aggregate pipeline — no collect_list, no pair explosion, no join
+    at all (the reason the audit is safe to run at any skew before
+    arming the lsh_candidates fuse)."""
+    plan = _plan(QUERIES["x124_lsh_bucket_stats"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "collect_list" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
