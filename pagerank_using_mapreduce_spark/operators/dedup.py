@@ -373,9 +373,16 @@ def lsh_candidates(
     collected, oversized buckets are dropped (their members are by
     construction a mass-duplicated blob that exact dedup owns), and
     :func:`lsh_bucket_stats` is the pre-flight audit that tells you
-    whether the fuse would blow and at what size."""
+    whether the fuse would blow and at what size.
+
+    Arming the fuse consumes the band table TWICE (once counted, once
+    joined), and stage reuse never fires across its lambda-bearing
+    minhash subtree — so the fused path eagerly localCheckpoints the
+    (narrow: doc_id, band, bucket) band relation first, paying one
+    materialization instead of two signature passes."""
     allb = band_table(sigs, n_bands, n_hashes)
     if max_bucket is not None:
+        allb = allb.localCheckpoint(eager=True)
         counted = allb.groupBy("band", "bucket").agg(
             F.count("*").alias("_n")
         )
@@ -1153,11 +1160,22 @@ def dedup_keep_best(
     most docs are singletons), so one exchange, no skew exposure short
     of a mega-cluster, which exact dedup (x1) owns.  ``scores`` joins
     on doc_id (uniform id-keyed shuffle; never broadcast — it is
-    corpus-sized)."""
+    corpus-sized).
+
+    ``scores`` need not cover every doc_id: the join is LEFT, and a
+    doc absent from ``scores`` gets the sentinel quality -1 (below any
+    real ``quality_e6``, which is >= 0), so it stays in the output and
+    can only win its cluster if NO member is scored (then min doc_id
+    decides, matching :func:`dedup_clusters`).  Unlike an inner join,
+    missing scores can never silently drop docs or flip an argmax."""
     from pyspark.sql import Window
 
     cl = cluster_pairs(docs, near_dup_pipeline(docs, sha), max_rounds)
-    scored = cl.join(scores.select("doc_id", "quality_e6"), "doc_id")
+    scored = cl.join(
+        scores.select("doc_id", "quality_e6"), "doc_id", "left"
+    ).withColumn(
+        "quality_e6", F.coalesce(F.col("quality_e6"), F.lit(-1).cast("long"))
+    )
     w = Window.partitionBy("canonical_id").orderBy(
         F.desc("quality_e6"), F.asc("doc_id")
     )
@@ -1178,13 +1196,15 @@ def dedup_keep_best_sql(
     docs_sql: str, quality_sql: str, rounds: int = CLUSTER_ROUNDS
 ) -> str:
     """DuckDB twin of :func:`dedup_keep_best`: the unrolled cluster
-    fixpoint joined to the quality relation, argmax via ROW_NUMBER."""
+    fixpoint LEFT-joined to the quality relation (unscored docs get
+    the -1 sentinel, same as the Spark side), argmax via ROW_NUMBER."""
     return f"""
 WITH cl AS ({dedup_clusters_sql(docs_sql, rounds)}),
 q AS ({quality_sql}),
 scored AS (
-  SELECT cl.doc_id, cl.canonical_id, q.quality_e6
-  FROM cl JOIN q USING (doc_id)
+  SELECT cl.doc_id, cl.canonical_id,
+         COALESCE(q.quality_e6, CAST(-1 AS BIGINT)) AS quality_e6
+  FROM cl LEFT JOIN q USING (doc_id)
 ),
 best AS (
   SELECT canonical_id, doc_id AS keep_id FROM (

@@ -670,8 +670,8 @@ def kmv_sketch(
     instead of merely capping the sort: rows whose md5 >= the
     ``_KMV_PREFILTER`` bound collapse map-side to ONE ``(grp, NULL)``
     marker per partition (the NULL keeps every group visible without a
-    second scan), so the distinct exchange carries ~vocab/256 survivor
-    rows plus O(P x groups) markers.  A group with >= k distinct
+    second scan), so the distinct exchange carries ~vocab/16 survivor
+    rows (``_KMV_PREFILTER_FRAC``) plus O(P x groups) markers.  A group with >= k distinct
     survivors is EXACT — its true bottom-k is entirely below the
     threshold; any group not proven (small vocabulary, < k survivors)
     is recomputed by the unfiltered path over just that group's rows

@@ -458,6 +458,39 @@ def test_keep_best_prefers_quality_over_min_id(spark):
     assert got[40]["keep_id"] == 40 and got[40]["is_kept"]
 
 
+def test_keep_best_unscored_docs_survive(spark):
+    """Score coverage is OPTIONAL (ADVICE r09): a doc absent from
+    ``scores`` must stay in the output with sentinel quality -1 and
+    lose the argmax to any scored cluster-mate; a cluster with NO
+    scored member falls back to min-id.  An inner join would have
+    silently dropped doc 11 and crowned 12 by forfeit."""
+    from pagerank_using_mapreduce_spark.operators.dedup import dedup_keep_best
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame(
+        [
+            (11, base),
+            (12, base + " extra"),
+            (40, "completely different words entirely unrelated content"),
+        ],
+        "doc_id long, text string",
+    )
+    # only the HIGHER id of the near-dup pair is scored; singleton 40
+    # is unscored too (its cluster falls back to min-id = itself).
+    scores = spark.createDataFrame(
+        [(12, 500_000)], "doc_id long, quality_e6 long"
+    )
+    got = {r["doc_id"]: r for r in dedup_keep_best(docs, scores).collect()}
+    assert set(got) == {11, 12, 40}  # nobody dropped
+    assert got[11]["keep_id"] == 12 and got[11]["quality_e6"] == -1
+    assert got[12]["keep_id"] == 12 and got[12]["is_kept"]
+    assert got[40]["keep_id"] == 40 and got[40]["is_kept"]
+    assert got[40]["quality_e6"] == -1
+
+
 def test_lsh_bucket_stats_and_max_bucket_fuse(spark):
     """lsh_bucket_stats must account for every band-table row, and the
     max_bucket fuse must drop oversized buckets' pairs while leaving

@@ -314,7 +314,7 @@ def test_kmv_two_phase_identical(spark):
 
 def test_kmv_two_phase_proven_and_mixed(spark):
     """Exercise the prefilter's PROVEN branch (a group with enough
-    distinct keys that >= k survivors land below the 1/256 hash-space
+    distinct keys that >= k survivors land below the 1/16 hash-space
     threshold, so its bottom-k never touches the fallback scan) and the
     mixed case where a tiny group rides the fallback in the same call.
     Both must equal the single-phase sketch exactly."""
@@ -324,7 +324,7 @@ def test_kmv_two_phase_proven_and_mixed(spark):
         kmv_sketch,
     )
 
-    # big group: ~100k distinct keys -> E[survivors] ~ 390 >> k=128
+    # big group: 6144 distinct keys -> E[survivors] = 6144/16 = 384 >> k=128
     need = KMV_K * _KMV_PREFILTER_FRAC * 3
     big = spark.range(need).select(
         F.lit("big").alias("source"), F.col("id").cast("string").alias("key")
