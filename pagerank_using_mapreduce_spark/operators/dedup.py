@@ -2075,6 +2075,45 @@ FRONTIER_CONFIGS: tuple[tuple[int, int], ...] = (
 
 FRONTIER_MAX_BUCKET = 1024  # see lsh_band_frontier docstring
 
+# deterministic doc-sample rule shared by the Spark frontier and its
+# DuckDB twin: keep a doc iff the first 4 hex digits of
+# md5(seed|doc_id) fall below round(65536/sample_den).
+FRONTIER_SAMPLE_SEED = "frontier-truth"
+_FRONTIER_HEX = 4
+
+
+def _frontier_sample_hex(sample_den: int) -> str:
+    return format(round(16**_FRONTIER_HEX / sample_den), f"0{_FRONTIER_HEX}x")
+
+
+def _frontier_sample_pred(sample_den: int, sample_seed: str) -> F.Column:
+    return (
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(sample_seed), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            _FRONTIER_HEX,
+        )
+        < F.lit(_frontier_sample_hex(sample_den))
+    )
+
+
+def frontier_sample(
+    df: DataFrame,
+    sample_den: int,
+    sample_seed: str = FRONTIER_SAMPLE_SEED,
+) -> DataFrame:
+    """The deterministic 1/sample_den document sample the frontier
+    audit runs on when ``sample_den`` is set — exposed so a caller can
+    pre-filter the relation it materializes as the shared shingle base
+    (tokenizing only the sample, not the corpus).  Works on any frame
+    with a ``doc_id`` column; pure md5, so both engines and every
+    retry draw the identical sample."""
+    return df.where(_frontier_sample_pred(sample_den, sample_seed))
+
 
 def lsh_band_frontier(
     docs: DataFrame,
@@ -2083,6 +2122,8 @@ def lsh_band_frontier(
     den: int = 2,
     sha: DataFrame | None = None,
     max_bucket: int = FRONTIER_MAX_BUCKET,
+    sample_den: int | None = None,
+    sample_seed: str = FRONTIER_SAMPLE_SEED,
 ) -> DataFrame:
     """(n_bands, rows_per_band, n_candidates, n_oversized, n_exact,
     n_found, recall_e6): one row per banding config of the 12-hash
@@ -2104,8 +2145,28 @@ def lsh_band_frontier(
     audit's verdict on that config at scale.  At the driver-gate and
     bench scales (sf <= 0.1) every bucket is far below the default
     cap, so the column reads 0 and the counts equal the uncapped
-    ones."""
+    ones.
+
+    ``sample_den`` is the 100-TB answer to the audit's one remaining
+    super-linear term: the exact AllPairs TRUTH side.  When set, the
+    ENTIRE audit (signatures, bandings, and truth) runs over the
+    deterministic 1/sample_den document sample md5(sample_seed|doc_id)
+    — a sampled sub-corpus drawn uniformly at the DOCUMENT grain, so
+    per-config recall over it is an unbiased estimate of full-corpus
+    recall (a true pair survives iff both members do; banding treats
+    surviving docs identically to a corpus that was 1/sample_den the
+    size).  The rule is pure md5, so retries, both engines, and
+    repeated audits see the identical sample; output counts are exact
+    over the sample, never extrapolated (the reader scales, the audit
+    reports what it measured)."""
     assert len({nb for nb, _ in configs}) == len(configs)
+    if sample_den is not None:
+        keep = _frontier_sample_pred(sample_den, sample_seed)
+        docs = docs.where(keep)
+        if sha is not None:
+            # idempotent when the caller pre-sampled via
+            # frontier_sample (the recommended way to build the base)
+            sha = sha.where(keep)
     if sha is not None:
         sigs = minhash_signatures(
             sha.select("doc_id", F.explode("sh").alias("shingle"))
@@ -2216,10 +2277,20 @@ def lsh_band_frontier_sql(
     num: int = 1,
     den: int = 2,
     max_bucket: int = FRONTIER_MAX_BUCKET,
+    sample_den: int | None = None,
+    sample_seed: str = FRONTIER_SAMPLE_SEED,
 ) -> str:
     """DuckDB twin of :func:`lsh_band_frontier` — same 12-hash
     signature, same per-config band keys, same AllPairs truth (the
-    algorithm-independent full-index form), same bucket cap."""
+    algorithm-independent full-index form), same bucket cap, same
+    deterministic md5 document sample when ``sample_den`` is set."""
+    if sample_den is not None:
+        docs_sql = (
+            f"SELECT * FROM ({docs_sql}) WHERE "
+            f"substr(md5('{sample_seed}' || '|' || "
+            f"CAST(doc_id AS VARCHAR)), 1, {_FRONTIER_HEX}) "
+            f"< '{_frontier_sample_hex(sample_den)}'"
+        )
     band_selects = []
     for nb, rows in configs:
         for b in range(nb):

@@ -1938,6 +1938,53 @@ JOIN (
     )
 
 
+def q_c5_quality_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation capstone a pipeline would ACTUALLY ship (VERDICT
+    r09: wire x123 into the end-to-end pass): near-dup quality-aware
+    keep-best (x123 — per cluster the HIGHEST-quality member survives,
+    not the min-id one) → quality gate on the survivors → c4's
+    concatenate-and-cut packing → serpentine token-balanced shard
+    manifest, one composed plan over the augmented (duplicate-bearing)
+    corpus.  Differs from c4 exactly where a real pipeline differs
+    from the toy: dedup is NEAR-dup (catches the mutated copies
+    fingerprinting misses) and canonical choice is quality-driven, so
+    the packed text is the cleaner variant of every cluster."""
+    from ..operators.packing import pack_sequences, serpentine_shards
+    from ..operators.text_analysis import quality_score
+
+    docs = dd.augment_docs(_docs(spark, sf_dir))
+    kept = dd.dedup_keep_best(docs, quality_score(docs), sha=_sha_base(docs))
+    curated_ids = kept.where(
+        F.col("is_kept") & (F.col("quality_e6") >= QUALITY_THR_E6)
+    ).select("doc_id")
+    curated = docs.join(curated_ids, "doc_id").select("doc_id", "text")
+    packed = pack_sequences(curated, budget=C4_PACK_BUDGET)
+    return serpentine_shards(packed, "seq_id", "n_tokens", C4_SHARDS).select(
+        "shard",
+        F.col("n_items").alias("n_seqs"),
+        F.col("total_size").alias("total_tokens"),
+    )
+
+
+def _c5_sql() -> str:
+    from ..operators.dedup import dedup_keep_best_sql
+    from ..operators.packing import pack_sequences_sql, serpentine_shards_sql
+    from ..operators.text_analysis import quality_sql
+
+    kb = dedup_keep_best_sql(dd.AUGMENT_SQL, quality_sql(dd.AUGMENT_SQL))
+    curated = f"""
+SELECT d.doc_id, d.text FROM ({dd.AUGMENT_SQL}) d
+JOIN (SELECT doc_id FROM ({kb})
+      WHERE is_kept AND quality_e6 >= {QUALITY_THR_E6}) k
+  ON k.doc_id = d.doc_id"""
+    packed = pack_sequences_sql(C4_PACK_BUDGET, curated)
+    inner = serpentine_shards_sql(packed, "seq_id", "n_tokens", C4_SHARDS)
+    return (
+        f"SELECT shard, n_items AS n_seqs, total_size AS total_tokens"
+        f" FROM ({inner})"
+    )
+
+
 def _c1_sql() -> str:
     from ..operators.text_analysis import FINGERPRINT_SQL, QUALITY_SQL
 
@@ -2734,6 +2781,25 @@ def q_x124_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.lsh_bucket_stats(dd.minhash_signatures(dd.shingles(docs)))
 
 
+def q_x125_frontier_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x119's band-config frontier in its 100-TB posture (VERDICT r09):
+    the ENTIRE audit — signatures, bandings, and the exact AllPairs
+    truth side (the one super-linear term) — runs over the
+    deterministic 1/4 md5 document sample, so the audit's cost scales
+    with the sample while per-config recall stays an unbiased estimate
+    of the full corpus's (a true pair survives iff both members do,
+    uniformly at the document grain).  The shared shingle base is
+    materialized AFTER the sample filter (frontier_sample), so the
+    tokenize pass too is 1/4-sized — the shape a production pre-flight
+    would ship."""
+    from ..operators.dedup import frontier_sample, lsh_band_frontier
+
+    docs = dd.augment_docs(_docs(spark, sf_dir))
+    return lsh_band_frontier(
+        docs, sha=_sha_base(frontier_sample(docs, 4)), sample_den=4
+    )
+
+
 def q_x111_label_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the gold labels and nearest-centroid
     predicted labels (the x6 quantizer as a 1-NN classifier) — the
@@ -2930,6 +2996,8 @@ EXTENSION_QUERIES = {
     "x122_dedup_weights": q_x122_dedup_weights,
     "x123_quality_canonical": q_x123_quality_canonical,
     "x124_lsh_bucket_stats": q_x124_lsh_bucket_stats,
+    "x125_frontier_sampled": q_x125_frontier_sampled,
+    "c5_quality_manifest": q_c5_quality_manifest,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -3219,6 +3287,12 @@ def _lsh_band_frontier_oracle() -> str:
     from ..operators.dedup import lsh_band_frontier_sql
 
     return lsh_band_frontier_sql(dd.AUGMENT_SQL)
+
+
+def _frontier_sampled_oracle() -> str:
+    from ..operators.dedup import lsh_band_frontier_sql
+
+    return lsh_band_frontier_sql(dd.AUGMENT_SQL, sample_den=4)
 
 
 def _quantize_oracle() -> str:
@@ -3538,6 +3612,8 @@ GROUP BY 1, 2""",
     "x122_dedup_weights": _dedup_weights_oracle(),
     "x123_quality_canonical": _quality_canonical_oracle(),
     "x124_lsh_bucket_stats": _lsh_bucket_stats_oracle(),
+    "x125_frontier_sampled": _frontier_sampled_oracle(),
+    "c5_quality_manifest": _c5_sql(),
     "x48_chunk_windows": chunk_windows_sql(),
     "x49_curriculum_order": curriculum_order_sql(
         "documents",

@@ -1184,29 +1184,31 @@ ORACLE_SQL: dict[str, str] = {
 # The two names past slot 50 (x14/x15) overflow to r09.  Every query
 # keeps its oracle either way; this permutes presentation order only.
 _DRIVER_ROTATION: list[str] = [
-    # --- round-9 additions (no driver row possible before r09) ---
-    "x123_quality_canonical", "x124_lsh_bucket_stats",
-    # --- staleness refresh: r08 overflow (w3/d1/d2/x14/x15), then the
-    # --- r04 tier, registry order (COVERAGE.md "Computed r09 head")
-    "w3_time_weighted", "d1_snapshot_diff", "d2_scd2_versions",
-    "x14_simhash_near_dups", "x15_embedding_near_dups",
-    "x16_salted_agg", "x17_resize", "x18_features",
-    "x19_sharded_index", "x20_srp_lsh_near_dups", "x21_ivf_kmeans",
-    "x22_srp_multiprobe", "x23_format_roundtrip",
-    "x24_frame_sample", "c1_curation_pipeline", "x25_train_test_split",
-    "x26_stratified_sample", "x27_bigram_counts",
-    "x28_redact_numbers", "x29_quantile_bins", "x30_asof_forward",
-    "x31_embedding_norms", "x32_weighted_mix",
-    "x33_dedup_clusters", "x34_repetition_stats", "x35_hll_registers",
-    "x36_cms_counts", "x37_bloom_join_audit",
-    "x38_contamination_audit", "x39_top_pc", "x40_pc_projection",
-    "x41_phrase_search", "x42_hll_by_source",
-    "x43_join_size_estimate", "x44_cms_heavy_hitters",
-    "x45_sequence_packing", "x46_bottomk_sample", "x47_groupwise_sample",
-    "z1_stream_rollup", "z2_stream_sessions", "z9_stream_bottomk",
-    "z3_stream_stream_join", "z4_sliding_rollup",
-    "z5_stream_enrich", "z6_stream_hll", "z7_session_window_stream",
-    "z8_stream_cms", "a7_anchor_stats",
+    # --- round-10 additions (no driver row possible before r10) ---
+    "x125_frontier_sampled", "c5_quality_manifest",
+    # --- staleness refresh: r09 overflow (g8/g9), the r07-note
+    # --- overflows (a9/i3/g10), then the r05 tier in registry order
+    # --- (COVERAGE.md "Computed r10 head"); the two names past slot
+    # --- 50 (x73_hll_shard_merge, first r06-tier name) overflow to r11
+    "g8_sssp_dists", "g9_weighted_pagerank", "a9_reciprocity",
+    "i3_warm_start", "g10_bfs_frontier",
+    "g11_kcore_converged", "e6_funnel_steps", "e7_retention_cohorts",
+    "w4_ewma", "e8_purchase_outliers",
+    "e9_attribution", "w5_running_actives", "d3_merge_upsert",
+    "w6_hourly_ohlc", "e10_debounce",
+    "q2_min_cost_supplier", "q11_important_stock", "q16_supplier_cnt",
+    "q20_promotion_candidates", "q21_waiting_supplier",
+    "x48_chunk_windows", "x49_curriculum_order", "x50_value_histogram",
+    "x51_bpe_merges", "x52_char_lm_scores",
+    "x53_histogram_by_type", "x54_ngram_contamination",
+    "x55_semantic_clusters", "x56_incremental_dedup", "x57_vocab_coverage",
+    "x58_fuzzy_word_pairs", "c2_ingest_curation", "x59_bigram_lift",
+    "x60_paragraph_dedup", "x61_temperature_mix",
+    "x62_bpe_encode", "x63_containment", "x64_minhash_audit",
+    "x65_lang_consistency", "x66_source_keywords",
+    "z12_stream_moments", "x67_orc_roundtrip", "x68_dataset_profile",
+    "x69_pixel_decode", "x70_pixel_resize",
+    "x71_wav_decode", "x72_dedup_method_audit", "c3_model_gate",
 ]
 
 

@@ -491,6 +491,36 @@ def test_keep_best_unscored_docs_survive(spark):
     assert got[40]["quality_e6"] == -1
 
 
+def test_frontier_sampled_truth_mode(spark):
+    """The sampled frontier must equal the full frontier run over the
+    pre-filtered sub-corpus (sampling composes at the document grain —
+    nothing else changes), and the md5 sample rule must be
+    deterministic: repartitioning cannot move a doc in or out."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        frontier_sample,
+        lsh_band_frontier,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, f"{base} word{i} word{i + 1} word{i + 2}") for i in range(60)]
+        + [(1000 + i, f"{base} word{i} word{i + 1} tail") for i in range(8)],
+        "doc_id long, text string",
+    )
+    sampled = lsh_band_frontier(docs, sample_den=3)
+    manual = lsh_band_frontier(frontier_sample(docs, 3))
+    assert sorted(map(tuple, sampled.collect())) == sorted(
+        map(tuple, manual.collect())
+    )
+    again = lsh_band_frontier(docs.repartition(7), sample_den=3)
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, sampled.collect())
+    )
+    # the sample must be a PROPER subset at this size (rule is live)
+    n_s = frontier_sample(docs, 3).count()
+    assert 0 < n_s < 68
+
+
 def test_lsh_bucket_stats_and_max_bucket_fuse(spark):
     """lsh_bucket_stats must account for every band-table row, and the
     max_bucket fuse must drop oversized buckets' pairs while leaving

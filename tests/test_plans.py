@@ -260,20 +260,20 @@ def test_driver_rotation_head_is_intact():
     assert names[: len(implemented)] == implemented
     assert list(ORACLE_SQL) == names  # oracle table mirrors query order
     assert set(implemented) <= set(ORACLE_SQL)
-    # r09 additions are a hard requirement in the first slots — they
-    # have no driver row before r09 (VERDICT r08 #3).
+    # r10 additions are a hard requirement in the first slots — they
+    # have no driver row before r10 (VERDICT r08 #3's rule).
     additions = [
-        "x123_quality_canonical", "x124_lsh_bucket_stats",
+        "x125_frontier_sampled", "c5_quality_manifest",
     ]
     assert names[: len(additions)] == additions
     # the head must fill all 50 driver slots (anything less wastes
     # hash-gate coverage; anything more silently drops the tail)
     assert len(implemented) == 50, len(implemented)
-    # The r08-overflow tier (squeezed out of the r08 head by its five
-    # additions) must lead the staleness refresh this round.
+    # The r09-overflow (g8/g9) and r07-note overflow (a9/i3/g10) tiers
+    # must lead the staleness refresh this round (COVERAGE.md r10 head).
     overflow = [
-        "w3_time_weighted", "d1_snapshot_diff", "d2_scd2_versions",
-        "x14_simhash_near_dups", "x15_embedding_near_dups",
+        "g8_sssp_dists", "g9_weighted_pagerank", "a9_reciprocity",
+        "i3_warm_start", "g10_bfs_frontier",
     ]
     assert names[2:7] == overflow
 
