@@ -191,6 +191,24 @@ SF1_QUERIES = [
     "x124_lsh_bucket_stats",
 ]
 
+# Vocabulary-growth decade (VERDICT r09 #1): the operators whose scale
+# story is keyed to the DISTINCT-WORD domain, not the corpus volume —
+# two-phase KMV, the vocab²-scale gram-model join, the hapax join,
+# SymSpell delete-variant blocking, top-K coverage, the Zipf rank
+# window.  The default replica-vocab decade keeps sf10 vocabulary at
+# ~50k (mutation spellings are (replica, position)-bounded), so these
+# ops never met the regime they are armored for; vocab="growing" data
+# (~190k spellings at factor 10, ~1.9M at factor 100) is the regime.
+SF1_VG_QUERIES = [
+    "x76_kmv_distinct",   # proven branch fires: per-source vocab/16 >> k
+    "x82_kmv_overlap",
+    "x103_bigram_perplexity",  # gram-model shuffle join at vocab² scale
+    "x94_rare_token_docs",     # hapax relation grows with the corpus
+    "x57_vocab_coverage",
+    "x58_fuzzy_word_pairs",    # delete-variant keys ~ O(len²) x vocab
+    "x105_zipf_slope",
+]
+
 
 def _env_fingerprint() -> dict:
     """CPU model / core count / load / turbo state: the r05 A/B showed
@@ -314,30 +332,37 @@ def _run(spark, name: str, sf_dir: str, reps: int) -> list[float]:
     return samples
 
 
-def _sf1_dir() -> str | None:
-    """Locate (or build) the synthetic sf1; None if building fails.
+def _scaled_dir(
+    name: str, vocab: str, factor: int, env_var: str | None = None
+) -> str | None:
+    """Locate (or build) a synthetic decade dir; None if building
+    fails.
 
-    A generator-version marker gates reuse: a cached sf1 built by an
+    A generator-version marker gates reuse: a cached dir built by an
     OLDER make_scaled_sf (e.g. the pre-r07 unmutated replicas) would
-    silently change what the sf1 section measures — x108's cost is
+    silently change what the section measures — x108's cost is
     quadratic on verbatim replicas — so any dir without the current
     marker is rebuilt."""
     repo = os.path.dirname(os.path.abspath(__file__))
-    d = os.environ.get(
-        "SPARK_GRAFT_SF1_DIR", os.path.join(repo, ".benchdata", "sf1")
-    )
+    d = os.path.join(repo, ".benchdata", name)
+    if env_var:
+        d = os.environ.get(env_var, d)
     try:
-        from tools.make_scaled_sf import GENERATOR_VERSION, make_scaled
+        from tools.make_scaled_sf import make_scaled, marker_name
 
-        marker = os.path.join(d, f".generated_by_{GENERATOR_VERSION}")
+        marker = os.path.join(d, marker_name(vocab))
         if os.path.exists(
             os.path.join(d, "documents.parquet")
         ) and os.path.exists(marker):
             return d
-        make_scaled("/root/testdata/sf0.1", d, 10)
+        make_scaled("/root/testdata/sf0.1", d, factor, vocab=vocab)
         return d
     except Exception:
         return None
+
+
+def _sf1_dir() -> str | None:
+    return _scaled_dir("sf1", "replica", 10, env_var="SPARK_GRAFT_SF1_DIR")
 
 
 def main() -> None:
@@ -458,6 +483,15 @@ def main() -> None:
             samples = _run(spark, name, sf1_dir, sf1_reps)
             sf1_timings[name] = round(min(samples), 3)
 
+    sf1_vg_timings: dict[str, float] = {}
+    sf1_vg_dir = _scaled_dir("sf1_vg", "growing", 10) if sf1_reps else None
+    if sf1_vg_dir:
+        for name in SF1_VG_QUERIES:
+            if name not in QUERIES:
+                continue
+            samples = _run(spark, name, sf1_vg_dir, sf1_reps)
+            sf1_vg_timings[name] = round(min(samples), 3)
+
     env = _env_fingerprint()
     try:
         bpe_ev = _bpe_batched_evidence(spark) if not only else {}
@@ -484,6 +518,16 @@ def main() -> None:
                 "value_canary_normalized": total_norm,
                 "bpe_batched": bpe_ev,
                 "sf1_queries": sf1_timings,
+                "sf1_vg_queries": sf1_vg_timings,
+                "sf1_vg_note": (
+                    "vocab='growing' 10x decade (make_scaled_sf v4):"
+                    " mutation spellings carry a doc_id%251 component, so"
+                    " the distinct domain grows ~linearly with the corpus"
+                    " (~190k spellings / ~30k per source at factor 10 vs"
+                    " ~1k in replica mode) — the regime the vocab-scale"
+                    " operators are armored for; min of"
+                    f" {sf1_reps} rep(s)"
+                ),
                 "sf1_note": (
                     "synthetic 10x sf0.1 documents (doc_id replication,"
                     " replicas k>=1 token-mutated 1-in-4 —"
@@ -515,6 +559,7 @@ def main() -> None:
                 "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "sf1_queries": sf1_timings,
+                "sf1_vg_queries": sf1_vg_timings,
                 "env": env,
                 "bpe_batched": bpe_ev,
             }
