@@ -1,0 +1,126 @@
+"""Round-close gates, in parallel: pytest (sharded by test file) and
+the full DuckDB oracle sweep run as concurrent processes so the
+combined gate is bounded by the slowest shard instead of the serial
+sum (VERDICT r09 #7: serial close-out hit ~21 min and grows with the
+registry; target <= 15 min).
+
+Usage:
+    python tools/run_gates.py [--pytest-shards N] [--no-sweep] [--no-pytest]
+
+Each pytest shard is a separate process with its own SparkSession
+(session-scoped fixture => one JVM per shard; shards are file-disjoint
+so fixtures never cross processes).  Shard assignment is greedy
+longest-processing-time over measured per-file durations (the WEIGHTS
+table, refreshed from a `--durations` run when the suite changes;
+unknown files get the median weight).  Exit code is nonzero if ANY
+component fails; per-component logs land in /tmp/gates_*.log and a
+one-line JSON summary is printed last.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Seconds per test FILE from the r10 baseline run (`pytest tests/ -q
+# --durations=0` on an otherwise-idle box, per-file sums).  These only
+# steer shard BALANCE — staleness degrades balance, never correctness.
+WEIGHTS = {
+    "test_streaming.py": 300.0,
+    "test_dedup.py": 150.0,
+    "test_plans.py": 105.0,
+    "test_scale.py": 60.0,
+    "test_round8_ops.py": 50.0,
+    "test_round7_ops.py": 45.0,
+    "test_round6_ops.py": 45.0,
+    "test_sketches.py": 40.0,
+    "test_pagerank.py": 35.0,
+    "test_graph.py": 35.0,
+    "test_similarity_multimodal.py": 30.0,
+    "test_properties.py": 25.0,
+    "test_bpe.py": 25.0,
+    "test_textio.py": 20.0,
+    "test_sampling.py": 20.0,
+    "test_packing.py": 15.0,
+    "test_pca.py": 15.0,
+    "test_asof.py": 10.0,
+    "test_inverted_index.py": 10.0,
+    "test_textops.py": 10.0,
+}
+
+
+def _shards(n: int) -> list[list[str]]:
+    files = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(REPO, "tests", "test_*.py"))
+    )
+    known = [w for f, w in WEIGHTS.items() if f in files]
+    default = sorted(known)[len(known) // 2] if known else 30.0
+    buckets: list[tuple[float, list[str]]] = [(0.0, []) for _ in range(n)]
+    for f in sorted(files, key=lambda f: -WEIGHTS.get(f, default)):
+        w, members = min(buckets, key=lambda b: b[0])
+        i = buckets.index((w, members))
+        members.append(f)
+        buckets[i] = (w + WEIGHTS.get(f, default), members)
+    return [m for _, m in buckets]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pytest-shards", type=int, default=2)
+    ap.add_argument("--no-sweep", action="store_true")
+    ap.add_argument("--no-pytest", action="store_true")
+    ap.add_argument("--sweep-sf", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    procs: dict[str, tuple[subprocess.Popen, str, float]] = {}
+
+    def _launch(name: str, cmd: list[str]) -> None:
+        log = f"/tmp/gates_{name}.log"
+        f = open(log, "w")
+        p = subprocess.Popen(
+            cmd, cwd=REPO, stdout=f, stderr=subprocess.STDOUT
+        )
+        procs[name] = (p, log, time.time())
+        print(f"[gates] launched {name}: {' '.join(cmd[:6])}... -> {log}")
+
+    if not args.no_pytest:
+        for i, shard in enumerate(_shards(args.pytest_shards)):
+            _launch(
+                f"pytest{i}",
+                [sys.executable, "-m", "pytest", "-q"]
+                + [os.path.join("tests", f) for f in shard],
+            )
+    if not args.no_sweep:
+        _launch(
+            "sweep",
+            [sys.executable, "tools/check_oracle.py", args.sweep_sf],
+        )
+
+    summary: dict[str, dict] = {}
+    rc = 0
+    for name, (p, log, t0) in procs.items():
+        code = p.wait()
+        secs = round(time.time() - t0, 1)
+        tail = ""
+        try:
+            with open(log) as f:
+                tail = "".join(f.readlines()[-3:]).strip()[-300:]
+        except OSError:
+            pass
+        summary[name] = {"exit": code, "sec": secs, "tail": tail}
+        print(f"[gates] {name}: exit={code} {secs}s")
+        if code:
+            rc = 1
+    print(json.dumps({"ok": rc == 0, "components": summary}))
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
