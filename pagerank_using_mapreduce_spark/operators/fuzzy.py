@@ -43,11 +43,40 @@ def _variant_keys() -> F.Column:
 
 
 def fuzzy_word_pairs(
-    documents: DataFrame, max_dist: int = FUZZY_MAX_DIST
+    documents: DataFrame,
+    max_dist: int = FUZZY_MAX_DIST,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(word_a, word_b, dist): distinct corpus-vocabulary word pairs
     within Levenshtein distance ``max_dist`` (<= 2 — the blocking
-    depth is fixed at 2 delete levels)."""
+    depth is fixed at 2 delete levels).
+
+    Plan shape (the r10 vocab-growth decade exposed both):
+
+    - The keys relation is explicitly ``repartition(P, "k")``-ed before
+      the self-join.  Without it, AQE coalesces the post-distinct keys
+      exchange by its INPUT size (~180 MB at sf1_vg -> a handful of
+      partitions) and the join stage — whose OUTPUT is the candidate
+      fan-out, ~35x its input rows on a vocab-growth corpus — inherits
+      that task count: 253 s at ~5 busy cores vs ~80 s at 32.  An
+      explicit numPartitions is user-specified, so AQE leaves it alone;
+      both self-join sides reuse the one exchange.
+    - ``levenshtein`` runs BEFORE the pair ``distinct``, so the wide
+      dedup exchange carries only verified pairs (the candidate
+      superset is pairs within delete-distance <= 2·depth, i.e. up to
+      lev 4 — the false 2/3 never shuffles).
+
+    ``max_bucket`` (default None = exact) is the skew fuse, same
+    discipline as ``lsh_candidates``: variant keys shared by more than
+    ``max_bucket`` words are excluded from candidate generation — each
+    such key contributes C(size, 2) join rows, and degenerate keys
+    (the empty string collects every word of length <= depth) grow
+    with the vocabulary.  Arming it drops any true pair whose ONLY
+    shared variants are oversized keys; run :func:`variant_bucket_stats`
+    first to see whether/where it would bite.  When armed, the keys
+    relation is localCheckpoint-ed: the fuse's size-count pass and the
+    join would otherwise evaluate the lambda-bearing variant explode
+    twice (stage reuse never fires across lambda subtrees)."""
     if not 1 <= max_dist <= 2:
         raise ValueError("blocking depth supports max_dist in {1, 2}")
     keys = (
@@ -55,22 +84,58 @@ def fuzzy_word_pairs(
         .select("word", F.explode(_variant_keys()).alias("k"))
         .distinct()
     )
+    if max_bucket is not None:
+        keys = keys.localCheckpoint(eager=True)
+        oversized = (
+            keys.groupBy("k")
+            .agg(F.count("*").alias("_sz"))
+            .where(F.col("_sz") > max_bucket)
+            .select("k")
+        )
+        keys = keys.join(F.broadcast(oversized), "k", "left_anti")
+    n_part = int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    keys = keys.repartition(n_part, "k")
     a, b = keys.alias("a"), keys.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.word") < F.col("b.word")),
-        )
-        .select(
-            F.col("a.word").alias("word_a"), F.col("b.word").alias("word_b")
-        )
+    cand = a.join(
+        b,
+        (F.col("a.k") == F.col("b.k")) & (F.col("a.word") < F.col("b.word")),
+    ).select(F.col("a.word").alias("word_a"), F.col("b.word").alias("word_b"))
+    dist = F.levenshtein("word_a", "word_b")
+    return (
+        cand.select("word_a", "word_b", dist.cast("long").alias("dist"))
+        .where(F.col("dist") <= max_dist)
         .distinct()
     )
-    dist = F.levenshtein("word_a", "word_b")
-    return cand.select("word_a", "word_b", dist.cast("long").alias("dist")).where(
-        F.col("dist") <= max_dist
+
+
+def variant_bucket_stats(documents: DataFrame) -> DataFrame:
+    """One-row delete-variant-index occupancy audit: (n_entries, n_keys,
+    max_bucket, n_multi, sum_pairs) — the pre-flight check for
+    :func:`fuzzy_word_pairs`, mirroring :func:`..dedup.lsh_bucket_stats`
+    for the LSH family.  ``sum_pairs`` = Σ C(size, 2) over variant keys
+    is the exact candidate-join row count the blocking will produce;
+    ``max_bucket`` in the tens-of-thousands means a degenerate key (mass
+    short words, a pathological spelling cluster) that the ``max_bucket``
+    fuse should exclude.  Pure two-level aggregate — no join, no pair
+    enumeration, safe at any skew."""
+    per = (
+        word_freqs(documents)
+        .select("word", F.explode(_variant_keys()).alias("k"))
+        .distinct()
+        .groupBy("k")
+        .agg(F.count("*").alias("sz"))
     )
+    return per.agg(
+        F.sum("sz").cast("long").alias("n_entries"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("sz").cast("long").alias("max_bucket"),
+        F.sum(F.when(F.col("sz") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_multi"),
+        F.sum(F.expr("sz * (sz - 1) div 2")).cast("long").alias("sum_pairs"),
+    ).select("n_entries", "n_keys", "max_bucket", "n_multi", "sum_pairs")
 
 
 def fuzzy_word_pairs_sql(max_dist: int = FUZZY_MAX_DIST) -> str:
@@ -98,3 +163,33 @@ cand AS (
 )
 SELECT word_a, word_b, CAST(levenshtein(word_a, word_b) AS BIGINT) AS dist
 FROM cand WHERE levenshtein(word_a, word_b) <= {max_dist}"""
+
+
+def variant_bucket_stats_sql() -> str:
+    del1 = (
+        "list_transform(range(1, length({w}) + 1), i -> "
+        "substr({w}, 1, CAST(i - 1 AS INT)) || substr({w}, CAST(i + 1 AS INT), length({w})))"
+    )
+    d1 = del1.format(w="word")
+    d2 = f"flatten(list_transform({d1}, v -> {del1.format(w='v')}))"
+    return f"""
+WITH wf AS (
+  SELECT DISTINCT unnest(list_filter(
+           string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '')) AS word
+  FROM documents
+),
+keys AS (
+  SELECT DISTINCT word, unnest(list_distinct(
+           list_concat(list_concat([word], {d1}), {d2}))) AS k
+  FROM wf
+),
+per AS (
+  SELECT k, COUNT(*) AS sz FROM keys GROUP BY k
+)
+SELECT CAST(SUM(sz) AS BIGINT) AS n_entries,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(sz) AS BIGINT) AS max_bucket,
+       CAST(SUM(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+       CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS sum_pairs
+FROM per"""

@@ -2808,6 +2808,26 @@ def q_x125_frontier_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_x126_variant_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-variant-index occupancy audit for the SymSpell blocking
+    (x58) — x124's pre-flight discipline applied to the fuzzy-join
+    family.  sum_pairs is the exact candidate-join row count x58 will
+    produce; the r10 vocab-growth decade measured it at 255M for a
+    188k-word vocabulary (vs 82k for the 31-word shipped corpus), which
+    is what made x58 the decade's one superlinear-looking query until
+    its join parallelism was pinned.  Pure two-level aggregate — no
+    join, safe at any skew."""
+    from ..operators.fuzzy import variant_bucket_stats
+
+    return variant_bucket_stats(_docs(spark, sf_dir))
+
+
+def _x126_sql() -> str:
+    from ..operators.fuzzy import variant_bucket_stats_sql
+
+    return variant_bucket_stats_sql()
+
+
 def q_x111_label_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the gold labels and nearest-centroid
     predicted labels (the x6 quantizer as a 1-NN classifier) — the
@@ -3008,6 +3028,7 @@ EXTENSION_QUERIES = {
     "x124_lsh_bucket_stats": q_x124_lsh_bucket_stats,
     "x125_frontier_sampled": q_x125_frontier_sampled,
     "c5_quality_manifest": q_c5_quality_manifest,
+    "x126_variant_bucket_stats": q_x126_variant_bucket_stats,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -3624,6 +3645,7 @@ GROUP BY 1, 2""",
     "x124_lsh_bucket_stats": _lsh_bucket_stats_oracle(),
     "x125_frontier_sampled": _frontier_sampled_oracle(),
     "c5_quality_manifest": _c5_sql(),
+    "x126_variant_bucket_stats": _x126_sql(),
     "x48_chunk_windows": chunk_windows_sql(),
     "x49_curriculum_order": curriculum_order_sql(
         "documents",

@@ -227,6 +227,82 @@ def test_fuzzy_word_pairs_complete_vs_brute_force(spark):
     assert ("cat", "dog") not in got  # distance 3 excluded
 
 
+def test_variant_bucket_stats_matches_manual(spark):
+    """The x126 audit's one row equals a hand-computed delete-variant
+    index over the same vocabulary, and sum_pairs is exactly the
+    candidate-join row count the blocking will produce."""
+    from pagerank_using_mapreduce_spark.operators.fuzzy import (
+        variant_bucket_stats,
+    )
+
+    text = "cat bat cart ca act dog carts zebra zebro"
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    got = variant_bucket_stats(df).collect()[0].asDict()
+
+    def dels(w):
+        out = {w}
+        d1 = {w[:i] + w[i + 1 :] for i in range(len(w))}
+        out |= d1
+        for v in d1:
+            out |= {v[:i] + v[i + 1 :] for i in range(len(v))}
+        return out
+
+    index: dict[str, int] = {}
+    for w in set(text.split()):
+        for k in dels(w):
+            index[k] = index.get(k, 0) + 1
+    want = {
+        "n_entries": sum(index.values()),
+        "n_keys": len(index),
+        "max_bucket": max(index.values()),
+        "n_multi": sum(1 for c in index.values() if c >= 2),
+        "sum_pairs": sum(c * (c - 1) // 2 for c in index.values()),
+    }
+    assert got == want
+
+
+def test_fuzzy_max_bucket_fuse_excludes_detectably(spark):
+    """Arming the skew fuse drops only pairs whose every shared variant
+    key is oversized: a generous cap reproduces the exact output, a
+    cap of 1 kills all multi-word keys (no candidates at all), and the
+    audit's max_bucket says which regime a corpus is in."""
+    from pagerank_using_mapreduce_spark.operators.fuzzy import (
+        fuzzy_word_pairs,
+        variant_bucket_stats,
+    )
+
+    text = "cat bat cart ca act dog carts zebra zebro"
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    exact = {
+        (r["word_a"], r["word_b"]) for r in fuzzy_word_pairs(df).collect()
+    }
+    stats = variant_bucket_stats(df).collect()[0]
+    wide = {
+        (r["word_a"], r["word_b"])
+        for r in fuzzy_word_pairs(df, max_bucket=stats["max_bucket"]).collect()
+    }
+    assert wide == exact and len(exact) > 0
+    assert fuzzy_word_pairs(df, max_bucket=1).count() == 0
+
+
+def test_fuzzy_join_parallelism_pinned(spark):
+    """The candidate self-join must read a USER-specified exchange
+    (repartition by variant key with explicit numPartitions), not an
+    AQE-coalesced one: the r10 vocab-growth decade measured 253 s vs
+    60 s at sf1_vg when AQE sized the join stage by its ~180 MB input
+    while its output was the 255M-row candidate fan-out."""
+    from pagerank_using_mapreduce_spark.operators.fuzzy import fuzzy_word_pairs
+
+    df = spark.createDataFrame([(0, "cat bat dog")], ["doc_id", "text"])
+    out = fuzzy_word_pairs(df)
+    plan = out._jdf.queryExecution().explainString(
+        out.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "REPARTITION_BY_NUM" in plan
+
+
 def test_containment_catches_low_jaccard_subset(spark):
     """A short doc quoted wholesale inside a long one: Jaccard is far
     below the near-dup threshold (so x4 misses the pair by design),
