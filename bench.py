@@ -138,6 +138,13 @@ BENCH_QUERIES = [
     # round-9 additions
     "x123_quality_canonical",
     "x124_lsh_bucket_stats",
+    # round-10 additions: the sampled-truth frontier (the 100-TB audit
+    # posture — its cost vs x119's full-truth row is the point), the
+    # keep-best capstone, and the variant-index audit (x58's pre-flight)
+    "x125_frontier_sampled",
+    "c5_quality_manifest",
+    "x126_variant_bucket_stats",
+    "x58_fuzzy_word_pairs",
 ]
 
 # Canary pair (VERDICT r06 #7): one trivial scan-bound query and one

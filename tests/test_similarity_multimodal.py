@@ -126,6 +126,57 @@ def test_embedding_near_dups_planted_pairs(spark):
         assert r["cosine_e6"] >= 950_000
 
 
+def test_embedding_near_dups_matches_jvm_fold_exactly(spark):
+    """The Arrow/numpy cell scorer must be BIT-identical to the JVM
+    interpreted zip_with+aggregate fold it replaced (r10, 12.7x at
+    sf10): the numpy accumulation is dim-sequential, so per pair the
+    IEEE operation sequence — round each product to double, then add
+    left-to-right — is the same.  Compared at a LOW threshold so
+    thousands of non-planted pairs (dense in quantization boundaries)
+    participate, on both the fast path and the SRP-refined path."""
+    from pyspark.sql import functions as F
+
+    from pagerank_using_mapreduce_spark.operators.similarity import (
+        _dot,
+        _norm,
+        augment_embeddings,
+        embedding_near_dups,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def jvm_pairs(threshold_e6):
+        e = augment_embeddings(emb).select("vec_id", "label", "emb")
+        e = e.withColumn("nrm", _norm(F.col("emb")))
+        j = e.alias("a").join(
+            e.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        cos = F.floor(
+            _dot(F.col("a.emb"), F.col("b.emb"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+            * 1e6
+            + F.lit(0.5000001)
+        ).cast("long")
+        return j.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine_e6"),
+        ).where(F.col("cosine_e6") >= threshold_e6)
+
+    for thr in (950_000, 100_000):
+        want = {
+            (r["vec_a"], r["vec_b"]): r["cosine_e6"]
+            for r in jvm_pairs(thr).collect()
+        }
+        got = {
+            (r["vec_a"], r["vec_b"]): r["cosine_e6"]
+            for r in embedding_near_dups(emb, threshold_e6=thr).collect()
+        }
+        assert got == want and len(want) > 0
+
+
 def test_embedding_near_dups_cell_cap(spark):
     """With a cap smaller than every label cell, the SRP refinement
     path activates: the result must stay a subset of the uncapped
