@@ -20,7 +20,7 @@ verification is the built-in `levenshtein`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .bpe import word_freqs
@@ -163,6 +163,86 @@ cand AS (
 )
 SELECT word_a, word_b, CAST(levenshtein(word_a, word_b) AS BIGINT) AS dist
 FROM cand WHERE levenshtein(word_a, word_b) <= {max_dist}"""
+
+
+def vocab_normalize(
+    documents: DataFrame, max_dist: int = FUZZY_MAX_DIST
+) -> DataFrame:
+    """(word, canonical, canonical_freq): map every corpus word to the
+    HIGHEST-FREQUENCY word within Levenshtein distance ``max_dist`` of
+    it (itself included; frequency tie → lexicographically smallest) —
+    the end use the SymSpell blocking exists for: a typo-normalization
+    table that collapses spelling noise onto the dominant form before
+    token counting, dedup shingling, or vocabulary budgeting.
+
+    One-hop semantics, deliberately: the canonical is chosen among the
+    word's DIRECT edit-neighborhood, not a transitive closure (chains
+    a→b→c with dist(a,c) > max_dist stay separate — collapsing them
+    would merge unrelated words through a bridge typo).
+
+    Scale shape: the pair relation comes from :func:`fuzzy_word_pairs`
+    (blocked, skew-fusable); candidates per word are bounded by its
+    edit-neighborhood degree, so the argmax window partitions on
+    uniform word keys — never a global sort; the freq join is
+    vocab-keyed, map-side combinable upstream.  Output is exactly
+    vocab-sized."""
+    wf = word_freqs(documents)
+    pairs = fuzzy_word_pairs(documents, max_dist=max_dist)
+    # both directions + self so every word has at least one candidate
+    neigh = (
+        pairs.select(F.col("word_a").alias("word"), F.col("word_b").alias("cand"))
+        .unionAll(
+            pairs.select(
+                F.col("word_b").alias("word"), F.col("word_a").alias("cand")
+            )
+        )
+        .unionAll(wf.select("word", F.col("word").alias("cand")))
+    )
+    cand = neigh.join(
+        wf.select(F.col("word").alias("cand"), F.col("freq").alias("cand_freq")),
+        "cand",
+    )
+    w = Window.partitionBy("word").orderBy(
+        F.desc("cand_freq"), F.asc("cand")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "word",
+            F.col("cand").alias("canonical"),
+            F.col("cand_freq").alias("canonical_freq"),
+        )
+    )
+
+
+def vocab_normalize_sql(max_dist: int = FUZZY_MAX_DIST) -> str:
+    return f"""
+WITH pairs AS ({fuzzy_word_pairs_sql(max_dist)}),
+wf AS (
+  SELECT word, COUNT(*) AS freq FROM (
+    SELECT unnest(list_filter(
+             string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+             t -> t != '')) AS word
+    FROM documents) GROUP BY word
+),
+neigh AS (
+  SELECT word_a AS word, word_b AS cand FROM pairs
+  UNION ALL SELECT word_b AS word, word_a AS cand FROM pairs
+  UNION ALL SELECT word AS word, word AS cand FROM wf
+),
+cand AS (
+  SELECT n.word, n.cand, wf.freq AS cand_freq
+  FROM neigh n JOIN wf ON n.cand = wf.word
+),
+ranked AS (
+  SELECT word, cand, cand_freq,
+         ROW_NUMBER() OVER (PARTITION BY word
+                            ORDER BY cand_freq DESC, cand ASC) AS rn
+  FROM cand
+)
+SELECT word, cand AS canonical, CAST(cand_freq AS BIGINT) AS canonical_freq
+FROM ranked WHERE rn = 1"""
 
 
 def variant_bucket_stats_sql() -> str:

@@ -727,6 +727,56 @@ def kmv_sketch(
     return proven.unionAll(fb)
 
 
+def kmv_proof_audit(
+    df: DataFrame, key: str, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """(grp, survivors, proven): the observable form of
+    :func:`kmv_sketch`'s two-phase decision — per group, how many
+    distinct keys fall below the 1/16 hash-space prefilter, and whether
+    that count proves the group (>= ``k`` survivors means the true
+    bottom-k lies entirely below the threshold, so the cheap filtered
+    sketch is exact and the fallback scan never runs).  The x124/x126
+    pre-flight discipline applied to the cardinality family: run this
+    before a production two-phase pass to see which regime the corpus
+    is in — zero unproven groups is the 100-TB posture (the r10
+    vocab-growth decade measured survivors 1774-2001 at sf1_vg and
+    19616-22151 at sf10_vg vs k=128; the shipped toy corpus sits at 2,
+    all-fallback).  Exactly the ``masked`` relation from the sketch:
+    one distinct (map-side combine, non-survivors collapse to a NULL
+    marker that keeps every group visible) + one aggregate."""
+    h = F.md5(F.concat_ws("|", F.lit("kmv"), F.col(key).cast("string")))
+    masked = df.select(
+        F.col(group_col).alias("grp"),
+        F.when(h < F.lit(_KMV_PREFILTER), h).alias("h"),
+    ).distinct()
+    return masked.groupBy("grp").agg(
+        F.count("h").cast("long").alias("survivors")
+    ).select(
+        "grp",
+        "survivors",
+        (F.col("survivors") >= k).cast("long").alias("proven"),
+    )
+
+
+def kmv_proof_audit_sql(pairs_sql: str, k: int = KMV_K) -> str:
+    """DuckDB twin of :func:`kmv_proof_audit` over a (grp, key)
+    relation given by ``pairs_sql``."""
+    return f"""
+WITH pairs AS ({pairs_sql}),
+dw AS (SELECT DISTINCT grp, md5('kmv' || '|' || CAST(key AS VARCHAR)) AS h
+       FROM pairs),
+surv AS (
+  SELECT grp,
+         COUNT(DISTINCT CASE WHEN h < '{_KMV_PREFILTER}' THEN h END)
+           AS survivors
+  FROM dw GROUP BY grp
+)
+SELECT grp, CAST(survivors AS BIGINT) AS survivors,
+       CAST(CASE WHEN survivors >= {k} THEN 1 ELSE 0 END AS BIGINT)
+         AS proven
+FROM surv"""
+
+
 def kmv_estimates(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
     """(grp, n_kept, est_distinct) per group from a :func:`kmv_sketch`
     table.  A group with fewer than ``k`` distinct keys is EXACT (the

@@ -2828,6 +2828,67 @@ def _x126_sql() -> str:
     return variant_bucket_stats_sql()
 
 
+def q_x127_kmv_proof_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KMV two-phase proof audit: how many distinct words
+    survive the 1/16 hash-space prefilter, and whether that proves the
+    source (>= k=128 survivors -> the filtered sketch is exact and
+    x76's fallback scan never runs).  Makes the branch the two-phase
+    armor takes OBSERVABLE per corpus — on the shipped testdata every
+    source reads (2, proven=0); on the r10 vocab-growth decade every
+    source is proven (survivors 1774+ at sf1_vg).  One distinct + one
+    aggregate, map-side combinable; the x124/x126 pre-flight pattern
+    for the cardinality family."""
+    from ..functions.textops import strip_non_alpha, tokens
+    from ..operators.sketches import kmv_proof_audit
+
+    words = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.explode(tokens(strip_non_alpha(F.col("text")))).alias("word"),
+        )
+        .where(F.col("word") != "")
+    )
+    return kmv_proof_audit(words, key="word", group_col="source").select(
+        F.col("grp").alias("source"), "survivors", "proven"
+    )
+
+
+def _x127_sql() -> str:
+    from ..operators.sketches import kmv_proof_audit_sql
+
+    pairs = """
+SELECT source AS grp,
+       unnest(list_filter(
+         string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+         t -> t != '')) AS key
+FROM documents"""
+    return (
+        f"SELECT grp AS source, survivors, proven FROM ("
+        f"{kmv_proof_audit_sql(pairs)})"
+    )
+
+
+def q_x128_vocab_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-normalization table: every corpus word mapped to the
+    highest-frequency word in its Levenshtein-2 neighborhood (itself
+    included; tie -> lexicographically smallest) — the end use of the
+    x58 blocking: collapse spelling noise onto the dominant form
+    before token counting, shingling, or vocabulary budgeting.
+    One-hop by design (no transitive closure — bridge typos must not
+    merge unrelated words).  Output is exactly vocab-sized; the argmax
+    is a per-word window over the bounded edit-neighborhood."""
+    from ..operators.fuzzy import vocab_normalize
+
+    return vocab_normalize(_docs(spark, sf_dir))
+
+
+def _x128_sql() -> str:
+    from ..operators.fuzzy import vocab_normalize_sql
+
+    return vocab_normalize_sql()
+
+
 def q_x111_label_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the gold labels and nearest-centroid
     predicted labels (the x6 quantizer as a 1-NN classifier) — the
@@ -3029,6 +3090,8 @@ EXTENSION_QUERIES = {
     "x125_frontier_sampled": q_x125_frontier_sampled,
     "c5_quality_manifest": q_c5_quality_manifest,
     "x126_variant_bucket_stats": q_x126_variant_bucket_stats,
+    "x127_kmv_proof_audit": q_x127_kmv_proof_audit,
+    "x128_vocab_normalize": q_x128_vocab_normalize,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -3646,6 +3709,8 @@ GROUP BY 1, 2""",
     "x125_frontier_sampled": _frontier_sampled_oracle(),
     "c5_quality_manifest": _c5_sql(),
     "x126_variant_bucket_stats": _x126_sql(),
+    "x127_kmv_proof_audit": _x127_sql(),
+    "x128_vocab_normalize": _x128_sql(),
     "x48_chunk_windows": chunk_windows_sql(),
     "x49_curriculum_order": curriculum_order_sql(
         "documents",

@@ -303,6 +303,33 @@ def test_fuzzy_join_parallelism_pinned(spark):
     assert "REPARTITION_BY_NUM" in plan
 
 
+def test_vocab_normalize_neighborhood_argmax(spark):
+    """x128 golden: each word maps to the highest-frequency word in
+    its DIRECT lev-2 neighborhood (itself included), frequency tie ->
+    lexicographically smallest; and normalization is one-hop — a
+    bridge typo must NOT merge words farther than max_dist apart."""
+    from pagerank_using_mapreduce_spark.operators.fuzzy import vocab_normalize
+
+    # freqs: cat x4, cart x2, carts x1, dog x4, dig x4, zebra x1
+    # chain: cat(4) -2- carts? lev(cat,carts)=2 yes; carts -1- cart
+    text = "cat cat cat cat cart cart carts dog dog dog dog dig dig dig dig zebra"
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    got = {
+        r["word"]: (r["canonical"], r["canonical_freq"])
+        for r in vocab_normalize(df).collect()
+    }
+    assert got["cart"] == ("cat", 4)     # neighbor beats self (2 < 4)
+    assert got["carts"] == ("cat", 4)    # lev(carts,cat)=2: direct neighbor
+    assert got["cat"] == ("cat", 4)      # self is the argmax
+    # tie between dog(4) and dig(4) at lev 1: lexicographically smallest
+    assert got["dog"] == ("dig", 4)
+    assert got["dig"] == ("dig", 4)
+    assert got["zebra"] == ("zebra", 1)  # isolated word keeps itself
+    # one-hop: carts maps via its OWN neighborhood; nothing chains it
+    # through cart onto a word at lev > 2 from carts
+    assert set(got) == {"cat", "cart", "carts", "dog", "dig", "zebra"}
+
+
 def test_containment_catches_low_jaccard_subset(spark):
     """A short doc quoted wholesale inside a long one: Jaccard is far
     below the near-dup threshold (so x4 misses the pair by design),

@@ -264,7 +264,8 @@ def test_driver_rotation_head_is_intact():
     # have no driver row before r10 (VERDICT r08 #3's rule).
     additions = [
         "x125_frontier_sampled", "c5_quality_manifest",
-        "x126_variant_bucket_stats",
+        "x126_variant_bucket_stats", "x127_kmv_proof_audit",
+        "x128_vocab_normalize",
     ]
     assert names[: len(additions)] == additions
     # the head must fill all 50 driver slots (anything less wastes
@@ -276,7 +277,7 @@ def test_driver_rotation_head_is_intact():
         "g8_sssp_dists", "g9_weighted_pagerank", "a9_reciprocity",
         "i3_warm_start", "g10_bfs_frontier",
     ]
-    assert names[3:8] == overflow
+    assert names[5:10] == overflow
 
 
 def test_x94_vocab_join_shape(spark):

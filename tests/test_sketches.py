@@ -342,3 +342,54 @@ def test_kmv_two_phase_proven_and_mixed(spark):
     # the tiny group is exact (saw every key): 40 sketch rows
     assert sum(1 for g, _, _ in two if g == "tiny") == 40
     assert sum(1 for g, _, _ in two if g == "big") == KMV_K
+
+
+def test_kmv_proof_audit_matches_branch_rule(spark):
+    """x127's per-group verdict must equal the decision relation inside
+    kmv_sketch(two_phase=True): survivors = |distinct keys whose md5
+    falls below the 1/16 threshold| (replayed here with hashlib), and
+    proven <=> survivors >= k.  Same proven+fallback fixture as the
+    two-phase law test, plus repartition-invariance."""
+    import hashlib
+
+    from pagerank_using_mapreduce_spark.operators.sketches import (
+        KMV_K,
+        _KMV_PREFILTER,
+        _KMV_PREFILTER_FRAC,
+        kmv_proof_audit,
+    )
+
+    need = KMV_K * _KMV_PREFILTER_FRAC * 3
+    big = spark.range(need).select(
+        F.lit("big").alias("source"), F.col("id").cast("string").alias("key")
+    )
+    tiny = spark.range(40).select(
+        F.lit("tiny").alias("source"),
+        (F.col("id") + 9_000_000).cast("string").alias("key"),
+    )
+    df = big.unionAll(tiny)
+    got = {
+        r["grp"]: (r["survivors"], r["proven"])
+        for r in kmv_proof_audit(df, "key", "source").collect()
+    }
+
+    def survivors(keys):
+        return sum(
+            1
+            for v in keys
+            if hashlib.md5(f"kmv|{v}".encode()).hexdigest() < _KMV_PREFILTER
+        )
+
+    want = {
+        "big": survivors(str(i) for i in range(need)),
+        "tiny": survivors(str(i + 9_000_000) for i in range(40)),
+    }
+    assert got == {
+        g: (s, int(s >= KMV_K)) for g, s in want.items()
+    }
+    assert got["big"][1] == 1 and got["tiny"][1] == 0
+    rep = {
+        r["grp"]: (r["survivors"], r["proven"])
+        for r in kmv_proof_audit(df.repartition(13), "key", "source").collect()
+    }
+    assert rep == got
