@@ -145,6 +145,10 @@ BENCH_QUERIES = [
     "c5_quality_manifest",
     "x126_variant_bucket_stats",
     "x58_fuzzy_word_pairs",
+    # round-10b additions: the classifier-filter stage (broadcast-join
+    # scoring pass) and its per-source calibration
+    "x129_classifier_scores",
+    "x130_classifier_calibration",
 ]
 
 # Canary pair (VERDICT r06 #7): one trivial scan-bound query and one

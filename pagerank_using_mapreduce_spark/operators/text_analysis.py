@@ -2167,3 +2167,220 @@ FROM train t
 JOIN keep USING (gram)
 JOIN ev e USING (gram)
 GROUP BY t.train_doc, e.eval_doc"""
+
+
+# --------------------------------------------------------------------------
+# Hashed linear quality classifier (x129/x130): the fastText-style
+# quality filter every production pretraining pipeline runs (CCNet,
+# LLaMA, GPT-3 data work): hash each token into one of D buckets,
+# score a document as the mean learned bucket weight, keep documents
+# above a threshold.  The model here is a deterministic stand-in
+# (weights derived from the bucket id's md5, so the DuckDB oracle can
+# rebuild the identical table), but the PLAN is the production shape:
+# the model is a D-row relation BROADCAST to every executor, scoring
+# is explode -> broadcast hash join (NO shuffle) -> one doc-keyed
+# aggregate with map-side partial sums.  At 100 TB the corpus-side
+# cost is one pass + one balanced doc_id shuffle; the model side is a
+# fixed 4096-row broadcast regardless of corpus size.  Integer
+# milli-weights keep the dot product exact until one final quantized
+# division, so both engines agree bit-for-bit.
+# --------------------------------------------------------------------------
+
+CLASSIFIER_BUCKETS = 4096
+_CLS_HASH_HEX = 10  # 40-bit md5-prefix hashes, same idiom as simhash
+
+
+def _cls_hash(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, _CLS_HASH_HEX), 16, 10).cast(
+        "long"
+    )
+
+
+def _cls_hash_sql(expr: str) -> str:
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (_CLS_HASH_HEX - 1 - i)}"
+        for i in range(_CLS_HASH_HEX)
+    )
+    return f"({digits})"
+
+
+def classifier_weights(spark, n_buckets: int = CLASSIFIER_BUCKETS) -> DataFrame:
+    """(bucket, w): the model relation — integer milli-weights in
+    [-1000, 1000], derived from md5('w#' || bucket) so they are
+    reproducible in any engine.  A trained model would be loaded from
+    a table instead; the shape (D rows, broadcast at score time) is
+    identical."""
+    b = F.col("id").cast("long")
+    return spark.range(n_buckets).select(
+        b.alias("bucket"),
+        (_cls_hash(F.concat(F.lit("w#"), b.cast("string"))) % 2001 - 1000)
+        .cast("long")
+        .alias("w"),
+    )
+
+
+def _weights_sql(n_buckets: int = CLASSIFIER_BUCKETS) -> str:
+    h = _cls_hash_sql("'w#' || CAST(b AS VARCHAR)")
+    return f"""
+SELECT b AS bucket, CAST({h} % 2001 - 1000 AS BIGINT) AS w
+FROM (SELECT unnest(generate_series(0, {n_buckets - 1})) AS b)"""
+
+
+def classifier_score(
+    documents: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = CLASSIFIER_BUCKETS,
+) -> DataFrame:
+    """(doc_id, n_tokens, sum_w, score_e6): per-document linear score
+    under the hashed bag-of-words model; score = mean token weight in
+    [-1, 1], e6-quantized.  Every doc survives (docs with no tokens
+    score 0), so the relation composes with filters downstream.
+
+    Plan: explode -> broadcast join against the D-row model (no
+    shuffle on the corpus side) -> groupBy(doc_id) with map-side
+    partial sum -> left join back to the doc list.  sum_w stays an
+    exact integer; the single double division at the end is the same
+    op tree in Spark and DuckDB."""
+    toks = documents.select("doc_id", F.explode(_toks()).alias("tok"))
+    feats = toks.select(
+        "doc_id", (_cls_hash(F.col("tok")) % n_buckets).alias("bucket")
+    )
+    per = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("w").alias("sum_w"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("sum_w", F.lit(0)).alias("sum_w"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.floor(
+                    F.col("sum_w").cast("double")
+                    / (F.col("n_tokens").cast("double") * 1000.0)
+                    * 1e6
+                    + F.lit(0.5000001)
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("score_e6"),
+        )
+    )
+
+
+def classifier_score_sql(
+    docs_sql: str = "SELECT * FROM documents",
+    n_buckets: int = CLASSIFIER_BUCKETS,
+) -> str:
+    """DuckDB twin of :func:`classifier_score`."""
+    return f"""
+WITH docs AS ({docs_sql}),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(
+           lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '')) AS tok
+  FROM docs
+),
+wt AS ({_weights_sql(n_buckets)}),
+feats AS (SELECT doc_id, {_cls_hash_sql("tok")} % {n_buckets} AS bucket
+          FROM toks),
+per AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(w) AS BIGINT) AS sum_w
+  FROM feats JOIN wt USING (bucket)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_tokens, 0) AS n_tokens,
+       COALESCE(sum_w, 0) AS sum_w,
+       CASE WHEN COALESCE(n_tokens, 0) > 0
+            THEN CAST(FLOOR(CAST(sum_w AS DOUBLE)
+                            / (CAST(n_tokens AS DOUBLE) * 1000.0)
+                            * 1e6 + 0.5000001) AS BIGINT)
+            ELSE 0 END AS score_e6
+FROM (SELECT doc_id FROM docs) d
+LEFT JOIN per USING (doc_id)"""
+
+
+def classifier_calibration(
+    documents: DataFrame,
+    weights: DataFrame,
+    threshold_e6: int = 0,
+    n_buckets: int = CLASSIFIER_BUCKETS,
+) -> DataFrame:
+    """(source, n_docs, mean_score_e6, min_score_e6, max_score_e6,
+    n_keep, keep_frac_e6): what a classifier threshold would DO to the
+    corpus, per source — the pre-flight you run before committing a
+    filter pass at 100 TB (a threshold that keeps 90% of one source
+    and 4% of another is a data-mix decision, not a default).
+
+    One x129 scoring pass, one source-keyed aggregate over exact
+    integers (sum/count, never engine-AVG, so partial-aggregation
+    order cannot perturb the mean)."""
+    scores = classifier_score(documents, weights, n_buckets)
+    j = documents.select("doc_id", "source").join(scores, "doc_id")
+    agg = j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("score_e6").alias("sum_score"),
+        F.min("score_e6").alias("min_score_e6"),
+        F.max("score_e6").alias("max_score_e6"),
+        F.sum(
+            F.when(F.col("score_e6") >= threshold_e6, 1).otherwise(0)
+        ).alias("n_keep"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        F.floor(
+            F.col("sum_score").cast("double") / F.col("n_docs").cast("double")
+            + F.lit(0.5000001)
+        )
+        .cast("long")
+        .alias("mean_score_e6"),
+        "min_score_e6",
+        "max_score_e6",
+        "n_keep",
+        F.floor(
+            F.col("n_keep").cast("double") / F.col("n_docs").cast("double")
+            * 1e6
+            + F.lit(0.5000001)
+        )
+        .cast("long")
+        .alias("keep_frac_e6"),
+    )
+
+
+def classifier_calibration_sql(
+    docs_sql: str = "SELECT * FROM documents",
+    threshold_e6: int = 0,
+    n_buckets: int = CLASSIFIER_BUCKETS,
+) -> str:
+    """DuckDB twin of :func:`classifier_calibration`."""
+    return f"""
+WITH scored AS ({classifier_score_sql(docs_sql, n_buckets)}),
+j AS (
+  SELECT d.source, s.score_e6
+  FROM ({docs_sql}) d JOIN scored s USING (doc_id)
+),
+agg AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(score_e6) AS BIGINT) AS sum_score,
+         MIN(score_e6) AS min_score_e6,
+         MAX(score_e6) AS max_score_e6,
+         CAST(SUM(CASE WHEN score_e6 >= {threshold_e6} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_keep
+  FROM j GROUP BY source
+)
+SELECT source, n_docs,
+       CAST(FLOOR(CAST(sum_score AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                  + 0.5000001) AS BIGINT) AS mean_score_e6,
+       min_score_e6, max_score_e6, n_keep,
+       CAST(FLOOR(CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1e6
+                  + 0.5000001) AS BIGINT) AS keep_frac_e6
+FROM agg"""

@@ -2889,6 +2889,48 @@ def _x128_sql() -> str:
     return vocab_normalize_sql()
 
 
+def q_x129_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier: every doc
+    scored as the mean model weight of its hashed tokens — the
+    classifier-filter stage of a CCNet/LLaMA-class curation pipeline.
+    The 4096-row model relation is BROADCAST (the production shape for
+    a learned model table): scoring is explode -> broadcast hash join
+    (no corpus-side shuffle) -> one balanced doc_id aggregate.  Exact
+    integer milli-weights until one final quantized division."""
+    from ..operators.text_analysis import classifier_score, classifier_weights
+
+    docs = _docs(spark, sf_dir)
+    return classifier_score(docs, classifier_weights(spark))
+
+
+def _x129_sql() -> str:
+    from ..operators.text_analysis import classifier_score_sql
+
+    return classifier_score_sql()
+
+
+def q_x130_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source calibration of the x129 classifier at threshold 0:
+    doc counts, mean/min/max score, and the keep fraction the
+    threshold would ship — the pre-flight a 100-TB filter pass runs
+    before committing (a cut keeping 90% of one source and 4% of
+    another is a data-mix decision).  Sum/count exact-integer
+    aggregates only; |sources| output rows."""
+    from ..operators.text_analysis import (
+        classifier_calibration,
+        classifier_weights,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return classifier_calibration(docs, classifier_weights(spark))
+
+
+def _x130_sql() -> str:
+    from ..operators.text_analysis import classifier_calibration_sql
+
+    return classifier_calibration_sql()
+
+
 def q_x111_label_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the gold labels and nearest-centroid
     predicted labels (the x6 quantizer as a 1-NN classifier) — the
@@ -3092,6 +3134,8 @@ EXTENSION_QUERIES = {
     "x126_variant_bucket_stats": q_x126_variant_bucket_stats,
     "x127_kmv_proof_audit": q_x127_kmv_proof_audit,
     "x128_vocab_normalize": q_x128_vocab_normalize,
+    "x129_classifier_scores": q_x129_classifier_scores,
+    "x130_classifier_calibration": q_x130_classifier_calibration,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -3711,6 +3755,8 @@ GROUP BY 1, 2""",
     "x126_variant_bucket_stats": _x126_sql(),
     "x127_kmv_proof_audit": _x127_sql(),
     "x128_vocab_normalize": _x128_sql(),
+    "x129_classifier_scores": _x129_sql(),
+    "x130_classifier_calibration": _x130_sql(),
     "x48_chunk_windows": chunk_windows_sql(),
     "x49_curriculum_order": curriculum_order_sql(
         "documents",

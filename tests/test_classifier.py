@@ -1,0 +1,123 @@
+"""x129/x130 hashed linear quality classifier: semantics goldens
+(hand-recomputed md5 hashing + integer milli-weight dot product),
+the every-doc-survives guarantee, DuckDB twin agreement on real
+testdata, and the plan shape that makes it 100-TB-safe (the model
+relation broadcasts; the exploded corpus stream never does)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+from pyspark.sql import functions as F
+
+from pagerank_using_mapreduce_spark.operators.text_analysis import (
+    CLASSIFIER_BUCKETS,
+    classifier_calibration,
+    classifier_calibration_sql,
+    classifier_score,
+    classifier_score_sql,
+    classifier_weights,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _h40(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:10], 16)
+
+
+def _weight(bucket: int) -> int:
+    return _h40(f"w#{bucket}") % 2001 - 1000
+
+
+def _expected(text: str) -> tuple[int, int, int]:
+    toks = [
+        t
+        for t in "".join(c if c.isalpha() else " " for c in text)
+        .lower()
+        .strip()
+        .split()
+        if t
+    ]
+    if not toks:
+        return (0, 0, 0)
+    sw = sum(_weight(_h40(t) % CLASSIFIER_BUCKETS) for t in toks)
+    score = math.floor(sw / (len(toks) * 1000.0) * 1e6 + 0.5000001)
+    return (len(toks), sw, score)
+
+
+def test_classifier_score_semantics(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "spark spark spark"),
+        (3, "1234 ... !!"),  # no alpha tokens -> survives with score 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.sum_w, r.score_e6)
+        for r in classifier_score(docs, classifier_weights(spark)).collect()
+    }
+    assert got == {d: _expected(t) for d, t in rows}
+
+
+def test_classifier_score_sql_twin_agrees(spark):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = {
+        (int(r.doc_id), int(r.n_tokens), int(r.sum_w), int(r.score_e6))
+        for _, r in con.execute(classifier_score_sql()).df().iterrows()
+    }
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = {
+        tuple(r)
+        for r in classifier_score(docs, classifier_weights(spark)).collect()
+    }
+    assert got == want
+    assert len(got) == docs.count()  # every doc survives
+
+
+def test_classifier_calibration_sql_twin_agrees(spark):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = {
+        tuple(int(v) if not isinstance(v, str) else v for v in r)
+        for r in con.execute(classifier_calibration_sql()).fetchall()
+    }
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = {
+        tuple(r)
+        for r in classifier_calibration(
+            docs, classifier_weights(spark)
+        ).collect()
+    }
+    assert got == want
+    # threshold 0 must actually discriminate on this corpus (a keep
+    # fraction of 0 or 1 everywhere would make x130 a vacuous gate)
+    fracs = {r[-1] for r in got}
+    assert any(0 < f < 1_000_000 for f in fracs)
+
+
+def test_classifier_plan_broadcasts_model_not_corpus(spark):
+    """The 4096-row model is the build side of a broadcast hash join;
+    the exploded token stream must never sit under a
+    BroadcastExchange (at 100 TB that's an OOM, not a plan choice)."""
+    from tests.test_plans import _broadcast_subtrees, _plan, _scan_ids
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = _plan(classifier_score(docs, classifier_weights(spark)))
+    assert "BroadcastHashJoin" in plan
+    subs = _broadcast_subtrees(plan)
+    assert subs, "expected a BroadcastExchange (the model build side)"
+    doc_ids = _scan_ids(plan, "documents")
+    assert doc_ids, "expected a documents scan"
+    for sub in subs:
+        assert "Generate" not in sub, "exploded stream inside a broadcast"
+        for did in doc_ids:
+            assert f"({did})" not in sub, "corpus scan inside a broadcast"
