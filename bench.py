@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -376,6 +377,51 @@ def _sf1_dir() -> str | None:
     return _scaled_dir("sf1", "replica", 10, env_var="SPARK_GRAFT_SF1_DIR")
 
 
+def _decade_section(
+    sf_dir: str, names: list[str], reps: int
+) -> tuple[dict[str, float], dict[str, str]]:
+    """Run a decade query list via tools/decade_bench.py in a FRESH
+    subprocess JVM — the dedicated-session decade convention, and a
+    correctness requirement: driver.memory is a JVM-launch option, so
+    an in-process session restart CANNOT raise the heap, and the r10
+    full run proved the shared 8g bench session OOMs on
+    x58@sf1_vg's 83.7M-pair fan-out (killing the 100+ good rows
+    already measured).  Heap default 12g (`SPARK_GRAFT_SF1_MEM`);
+    one query's failure is recorded per-name, never fatal."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env["SPARK_GRAFT_DRIVER_MEM"] = os.environ.get(
+        "SPARK_GRAFT_SF1_MEM", "12g"
+    )
+    try:
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(repo, "tools", "decade_bench.py"),
+                sf_dir,
+                str(reps),
+                ",".join(names),
+            ],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=3600,
+        )
+        payload = [
+            ln for ln in out.stdout.splitlines() if ln.startswith("{")
+        ]
+        if not payload:
+            return {}, {"__section__": (out.stderr or "no output")[-300:]}
+        data = json.loads(payload[-1])
+    except Exception as e:  # noqa: BLE001 — the section must never
+        # sink the sf0.1 record already in hand
+        return {}, {"__section__": str(e)[:300]}
+    timings = {
+        n: round(min(s), 3) for n, s in data.get("runs", {}).items() if s
+    }
+    return timings, data.get("errors", {})
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -485,29 +531,36 @@ def main() -> None:
     timings_norm = {n: round(v / drift, 3) for n, v in timings.items()}
     total_norm = round(sum(timings_norm.values()), 3)
 
-    sf1_timings: dict[str, float] = {}
-    sf1_dir = _sf1_dir() if sf1_reps else None
-    if sf1_dir:
-        for name in SF1_QUERIES:
-            if name not in QUERIES:
-                continue
-            samples = _run(spark, name, sf1_dir, sf1_reps)
-            sf1_timings[name] = round(min(samples), 3)
-
-    sf1_vg_timings: dict[str, float] = {}
-    sf1_vg_dir = _scaled_dir("sf1_vg", "growing", 10) if sf1_reps else None
-    if sf1_vg_dir:
-        for name in SF1_VG_QUERIES:
-            if name not in QUERIES:
-                continue
-            samples = _run(spark, name, sf1_vg_dir, sf1_reps)
-            sf1_vg_timings[name] = round(min(samples), 3)
-
+    # BPE evidence rides the main session, BEFORE the decade
+    # subprocesses so the sf0.1-scale record is complete first
     env = _env_fingerprint()
     try:
         bpe_ev = _bpe_batched_evidence(spark) if not only else {}
     except Exception as e:  # evidence row must never sink the bench
         bpe_ev = {"error": str(e)[:200]}
+
+    # free the main session's heap/threads before the decade JVMs
+    # spin up (idempotent; the final stop() below stays a no-op)
+    spark.stop()
+
+    decade_errors: dict[str, str] = {}
+    sf1_timings: dict[str, float] = {}
+    sf1_dir = _sf1_dir() if sf1_reps else None
+    if sf1_dir:
+        sf1_timings, errs = _decade_section(
+            sf1_dir, [n for n in SF1_QUERIES if n in QUERIES], sf1_reps
+        )
+        decade_errors.update({f"sf1:{k}": v for k, v in errs.items()})
+
+    sf1_vg_timings: dict[str, float] = {}
+    sf1_vg_dir = _scaled_dir("sf1_vg", "growing", 10) if sf1_reps else None
+    if sf1_vg_dir:
+        sf1_vg_timings, errs = _decade_section(
+            sf1_vg_dir,
+            [n for n in SF1_VG_QUERIES if n in QUERIES],
+            sf1_reps,
+        )
+        decade_errors.update({f"sf1_vg:{k}": v for k, v in errs.items()})
 
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -530,6 +583,7 @@ def main() -> None:
                 "bpe_batched": bpe_ev,
                 "sf1_queries": sf1_timings,
                 "sf1_vg_queries": sf1_vg_timings,
+                "decade_errors": decade_errors,
                 "sf1_vg_note": (
                     "vocab='growing' 10x decade (make_scaled_sf v4):"
                     " mutation spellings carry a doc_id%251 component, so"
@@ -545,7 +599,12 @@ def main() -> None:
                     " tools/make_scaled_sf.py v3: 32 part files, so the"
                     " scan parallelizes; pre-v3 decade numbers measured a"
                     " single-task scan artifact); min of"
-                    f" {sf1_reps} rep(s)"
+                    f" {sf1_reps} rep(s).  r10: decade sections run in a"
+                    " FRESH 12g subprocess JVM per dir"
+                    " (tools/decade_bench.py — the shared 8g bench"
+                    " session OOMed on x58@sf1_vg, and driver.memory"
+                    " cannot change without a new JVM); sf1 numbers are"
+                    " re-based vs the pre-r10 shared-session convention"
                 ),
             },
             f,
@@ -571,6 +630,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "sf1_queries": sf1_timings,
                 "sf1_vg_queries": sf1_vg_timings,
+                "decade_errors": decade_errors,
                 "env": env,
                 "bpe_batched": bpe_ev,
             }

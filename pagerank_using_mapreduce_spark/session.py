@@ -19,6 +19,7 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     warehouse_dir: str | None = None,
+    driver_memory: str | None = None,
 ) -> SparkSession:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -43,7 +44,11 @@ def get_spark(
         # events.parquet stores TIMESTAMP(NANOS), which the vectorized
         # reader rejects; read as long and convert in sources.tables.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config(
+            "spark.driver.memory",
+            driver_memory
+            or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .config("spark.sql.warehouse.dir", warehouse_dir)
     )
     spark = builder.getOrCreate()

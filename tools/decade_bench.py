@@ -43,14 +43,22 @@ def main() -> int:
     spark = get_spark(app_name="decade-bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
     runs: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
     for name in names:
         samples = []
-        for _ in range(reps):
-            t0 = time.time()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            samples.append(round(time.time() - t0, 2))
+        try:
+            for _ in range(reps):
+                t0 = time.time()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(round(time.time() - t0, 2))
+        except Exception as e:  # noqa: BLE001 — one OOM query must not
+            # sink the whole section's record (r10: x58@sf1_vg OOMed
+            # the shared bench session and took 100+ good rows with it)
+            errors[name] = str(e).split("\n")[0][:300]
+            print(f"  {name}: ERROR {errors[name]}", file=sys.stderr)
+            continue
         runs[name] = samples
         print(f"  {name}: {samples}", file=sys.stderr)
     print(
@@ -62,6 +70,7 @@ def main() -> int:
                 "warm": {
                     n: (s[1] if len(s) > 1 else s[0]) for n, s in runs.items()
                 },
+                "errors": errors,
                 "env": _env_fingerprint(),
             }
         )
