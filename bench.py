@@ -147,9 +147,11 @@ BENCH_QUERIES = [
     "x126_variant_bucket_stats",
     "x58_fuzzy_word_pairs",
     # round-10b additions: the classifier-filter stage (broadcast-join
-    # scoring pass) and its per-source calibration
+    # scoring pass), its per-source calibration, and the integer-exact
+    # perceptron trainer that distills the x8 signal into the model
     "x129_classifier_scores",
     "x130_classifier_calibration",
+    "x131_perceptron_train",
 ]
 
 # Canary pair (VERDICT r06 #7): one trivial scan-bound query and one

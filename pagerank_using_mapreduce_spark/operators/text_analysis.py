@@ -2236,6 +2236,11 @@ def classifier_score(
     under the hashed bag-of-words model; score = mean token weight in
     [-1, 1], e6-quantized.  Every doc survives (docs with no tokens
     score 0), so the relation composes with filters downstream.
+    With a SPARSE model (e.g. x131's learned weights), tokens hashing
+    to absent buckets are ignored: n_tokens counts matched tokens and
+    the score is the mean over known features — implicit-zero
+    semantics; the x129 registry entry uses the dense 4096-row model
+    where every bucket exists.
 
     Plan: explode -> broadcast join against the D-row model (no
     shuffle on the corpus side) -> groupBy(doc_id) with map-side
@@ -2384,3 +2389,160 @@ SELECT source, n_docs,
        CAST(FLOOR(CAST(n_keep AS DOUBLE) / CAST(n_docs AS DOUBLE) * 1e6
                   + 0.5000001) AS BIGINT) AS keep_frac_e6
 FROM agg"""
+
+
+# --------------------------------------------------------------------------
+# Distributed perceptron training (x131): the TRAIN side of the x129
+# classifier — distill an expensive quality signal (here the x8
+# heuristic composite; in production an LLM judge or human labels)
+# into the cheap hashed linear model that x129 can then score at any
+# corpus size.  Batch margin-0 perceptron over binary hashed-bucket
+# presence features: every update is INTEGER arithmetic (y ∈ {+1,-1},
+# x_b ∈ {0,1}, w ← w + Σ_errors y·x), so T rounds replay EXACTLY in
+# SQL — no learning-rate floats, no sigmoid, no cross-engine ulp risk.
+# Scale shape (the x51-BPE driver-loop discipline): the corpus is
+# featurized ONCE (persisted doc→bucket presence relation); each round
+# is one broadcast join of the ≤D-row weight relation + one doc-keyed
+# margin aggregate + one bucket-keyed gradient aggregate (≤D rows
+# out); only the ≤D-row gradient crosses the driver per round (the S5
+# scalar channel, generalized).  At 100 TB: featurize = one scan, each
+# round touches the persisted feature relation only.
+# --------------------------------------------------------------------------
+
+PERCEPTRON_ROUNDS = 3
+PERCEPTRON_LABEL_CUTOFF_E6 = 355000  # ~median x8 quality on testdata
+
+
+def perceptron_train(
+    documents: DataFrame,
+    n_buckets: int = CLASSIFIER_BUCKETS,
+    rounds: int = PERCEPTRON_ROUNDS,
+    cutoff_e6: int = PERCEPTRON_LABEL_CUTOFF_E6,
+    labels: DataFrame | None = None,
+) -> DataFrame:
+    """(bucket, w): nonzero integer weights after `rounds` batch
+    perceptron rounds.  Labels default to the distillation target
+    y = +1 iff x8 quality_e6 >= cutoff_e6; pass `labels` (doc_id, y
+    in {+1,-1}) to train on real supervision.  Round 1 from w = 0 is
+    the degenerate all-errors round (margin 0 counts as an error —
+    the classic convention), so w after round 1 is the class-signed
+    bucket document-frequency; later rounds correct only misclassified
+    docs."""
+    spark = documents.sparkSession
+    toks = documents.select("doc_id", F.explode(_toks()).alias("tok"))
+    feats = (
+        toks.select(
+            "doc_id", (_cls_hash(F.col("tok")) % n_buckets).alias("bucket")
+        )
+        .distinct()
+        .persist()
+    )
+    if labels is None:
+        labels = quality_score(documents).select(
+            "doc_id",
+            F.when(F.col("quality_e6") >= cutoff_e6, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("y"),
+        )
+    labels = labels.persist()
+    w: dict[int, int] = {}
+    try:
+        for _ in range(rounds):
+            if w:
+                wdf = spark.createDataFrame(
+                    list(w.items()), "bucket long, w long"
+                )
+                doc_margin = (
+                    feats.join(F.broadcast(wdf), "bucket")
+                    .groupBy("doc_id")
+                    .agg(F.sum("w").alias("margin"))
+                )
+                margins = labels.join(doc_margin, "doc_id", "left").select(
+                    "doc_id",
+                    "y",
+                    F.coalesce("margin", F.lit(0)).alias("margin"),
+                )
+            else:  # w = 0 -> every margin is 0
+                margins = labels.select(
+                    "doc_id", "y", F.lit(0).cast("long").alias("margin")
+                )
+            errs = margins.where(F.col("y") * F.col("margin") <= 0).select(
+                "doc_id", "y"
+            )
+            grad = (
+                feats.join(errs, "doc_id")
+                .groupBy("bucket")
+                .agg(F.sum("y").alias("g"))
+                .collect()  # <= n_buckets rows: the per-round driver
+                # channel, same budget class as a BPE merge head
+            )
+            if not grad:
+                break
+            for r in grad:
+                w[r.bucket] = w.get(r.bucket, 0) + r.g
+    finally:
+        feats.unpersist()
+        labels.unpersist()
+    final = [(b, v) for b, v in w.items() if v != 0]
+    return spark.createDataFrame(final or [], "bucket long, w long")
+
+
+def perceptron_train_sql(
+    docs_sql: str = "SELECT * FROM documents",
+    n_buckets: int = CLASSIFIER_BUCKETS,
+    rounds: int = PERCEPTRON_ROUNDS,
+    cutoff_e6: int = PERCEPTRON_LABEL_CUTOFF_E6,
+) -> str:
+    """DuckDB twin of :func:`perceptron_train` (default labels): the
+    recurrence unrolled into MATERIALIZED CTEs — exact integer replay
+    of every round."""
+    ctes = [
+        f"""docs AS MATERIALIZED ({docs_sql}),
+feats AS MATERIALIZED (
+  SELECT DISTINCT doc_id, {_cls_hash_sql("tok")} % {n_buckets} AS bucket
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split_regex(
+             lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+             t -> t != '')) AS tok
+    FROM docs)
+),
+labels AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN quality_e6 >= {cutoff_e6} THEN 1 ELSE -1 END AS y
+  FROM ({quality_sql("SELECT * FROM docs")})
+),
+w1 AS MATERIALIZED (
+  SELECT bucket, CAST(SUM(y) AS BIGINT) AS w
+  FROM feats JOIN labels USING (doc_id)
+  GROUP BY bucket
+)"""
+    ]
+    prev = "w1"
+    for t in range(2, rounds + 1):
+        ctes.append(
+            f"""m{t} AS MATERIALIZED (
+  SELECT l.doc_id, l.y, COALESCE(s.margin, 0) AS margin
+  FROM labels l LEFT JOIN (
+    SELECT f.doc_id, CAST(SUM(w.w) AS BIGINT) AS margin
+    FROM feats f JOIN {prev} w USING (bucket)
+    GROUP BY f.doc_id
+  ) s USING (doc_id)
+),
+g{t} AS MATERIALIZED (
+  SELECT f.bucket, CAST(SUM(e.y) AS BIGINT) AS g
+  FROM feats f JOIN (
+    SELECT doc_id, y FROM m{t} WHERE y * margin <= 0
+  ) e USING (doc_id)
+  GROUP BY f.bucket
+),
+w{t} AS MATERIALIZED (
+  SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+         COALESCE(a.w, 0) + COALESCE(b.g, 0) AS w
+  FROM {prev} a FULL JOIN g{t} b ON a.bucket = b.bucket
+)"""
+        )
+        prev = f"w{t}"
+    body = ",\n".join(ctes)
+    return f"WITH {body}\nSELECT bucket, w FROM {prev} WHERE w != 0"

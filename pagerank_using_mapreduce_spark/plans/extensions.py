@@ -2931,6 +2931,26 @@ def _x130_sql() -> str:
     return classifier_calibration_sql()
 
 
+def q_x131_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN side of the x129 classifier: distill the x8 quality
+    composite into the hashed linear model via a batch margin-0
+    perceptron — integer-exact updates (y in {+1,-1}, binary bucket
+    presence), so 3 rounds replay exactly in SQL.  The corpus is
+    featurized ONCE (persisted); per round: one broadcast join of the
+    <=4096-row weight relation + one doc margin agg + one bucket
+    gradient agg; only the gradient crosses the driver (the BPE
+    driver-loop budget).  Output = nonzero (bucket, w)."""
+    from ..operators.text_analysis import perceptron_train
+
+    return perceptron_train(_docs(spark, sf_dir))
+
+
+def _x131_sql() -> str:
+    from ..operators.text_analysis import perceptron_train_sql
+
+    return perceptron_train_sql()
+
+
 def q_x111_label_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the gold labels and nearest-centroid
     predicted labels (the x6 quantizer as a 1-NN classifier) — the
@@ -3136,6 +3156,7 @@ EXTENSION_QUERIES = {
     "x128_vocab_normalize": q_x128_vocab_normalize,
     "x129_classifier_scores": q_x129_classifier_scores,
     "x130_classifier_calibration": q_x130_classifier_calibration,
+    "x131_perceptron_train": q_x131_perceptron_train,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -3757,6 +3778,7 @@ GROUP BY 1, 2""",
     "x128_vocab_normalize": _x128_sql(),
     "x129_classifier_scores": _x129_sql(),
     "x130_classifier_calibration": _x130_sql(),
+    "x131_perceptron_train": _x131_sql(),
     "x48_chunk_windows": chunk_windows_sql(),
     "x49_curriculum_order": curriculum_order_sql(
         "documents",

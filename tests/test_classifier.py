@@ -121,3 +121,66 @@ def test_classifier_plan_broadcasts_model_not_corpus(spark):
         assert "Generate" not in sub, "exploded stream inside a broadcast"
         for did in doc_ids:
             assert f"({did})" not in sub, "corpus scan inside a broadcast"
+
+
+# ---------------------------------------------------------------------------
+# x131 perceptron training
+# ---------------------------------------------------------------------------
+
+
+def test_perceptron_separable_golden(spark):
+    """On a linearly separable toy (positive docs say 'good', negative
+    docs say 'bad'; no shared tokens), round 1's all-errors update
+    already separates: w[bucket(good)] > 0 > w[bucket(bad)], and the
+    learned model scores every doc on the correct side."""
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        classifier_score,
+        perceptron_train,
+    )
+
+    rows = [
+        (1, "good clean prose", 1),
+        (2, "good solid text", 1),
+        (3, "bad noisy junk", -1),
+        (4, "bad broken spam", -1),
+    ]
+    docs = spark.createDataFrame(
+        [(d, t) for d, t, _ in rows], "doc_id long, text string"
+    )
+    labels = spark.createDataFrame(
+        [(d, y) for d, _, y in rows], "doc_id long, y long"
+    )
+    w = perceptron_train(docs, rounds=3, labels=labels)
+    wmap = {r.bucket: r.w for r in w.collect()}
+    gb = _h40("good") % CLASSIFIER_BUCKETS
+    bb = _h40("bad") % CLASSIFIER_BUCKETS
+    assert wmap[gb] > 0 > wmap[bb]
+    # the learned model separates perfectly through the x129 scorer
+    scored = {
+        r.doc_id: r.score_e6 for r in classifier_score(docs, w).collect()
+    }
+    for d, _, y in rows:
+        assert (scored[d] > 0) == (y > 0)
+
+
+def test_perceptron_sql_twin_agrees(spark):
+    """Exact integer replay: 3 unrolled rounds in DuckDB == the Spark
+    driver loop, bucket for bucket, on real testdata."""
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        perceptron_train,
+        perceptron_train_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = {
+        (int(b), int(w))
+        for b, w in con.execute(perceptron_train_sql()).fetchall()
+    }
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    got = {tuple(r) for r in perceptron_train(docs).collect()}
+    assert got == want
+    assert got  # the distillation target is learnable enough to move weights
