@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "x129_classifier_scores",
     "x130_classifier_calibration",
     "x131_perceptron_train",
+    "x132_quality_mix",
 ]
 
 # Canary pair (VERDICT r06 #7): one trivial scan-bound query and one

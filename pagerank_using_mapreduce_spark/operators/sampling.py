@@ -677,3 +677,137 @@ SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk FROM (
            PARTITION BY source ORDER BY aes_key DESC, doc_id) AS rk
   FROM keyed)
 WHERE rk <= {k}"""
+
+
+# --------------------------------------------------------------------------
+# Budgeted quality mix (x132): x61's temperature allocation, but the
+# kept rows are the BEST-scoring per group instead of a hash-random
+# subset — the "quality-filtered temperature sampling" a production
+# mix actually ships (score with x129, allocate per source, keep the
+# top of each source's score distribution).  Selection is
+# HISTOGRAM-FIRST (the d6/w10 discipline): the per-source cutoff is
+# found on the bounded (group, score) grid — one aggregate + a window
+# over grid rows, never a row_number over a whole source's documents
+# (a 30-TB source would otherwise become one task).  Only boundary
+# ties (rows AT the cutoff score) pay a per-(group, score) window,
+# bounded by the tie count; the deterministic min-doc_id tiebreak
+# makes the kept set exactly replayable in SQL.
+# --------------------------------------------------------------------------
+
+
+def quality_budget_mix(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Rows of ``df`` kept by α = 0.5 temperature allocation over
+    ``group_col``, best ``score_col`` first: group g with n_g rows
+    keeps n_keep(g) = floor(sqrt(min_n / n_g) · n_g) rows — the
+    smallest group survives whole, large groups are downsampled to
+    their temperature share, and within every group the KEPT rows are
+    the top scorers (ties at the cutoff broken by min ``id_col``).
+    Output = the kept rows of ``df`` (all columns)."""
+    g, s, i = F.col(group_col), F.col(score_col), F.col(id_col)
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__qm_n"))
+    min_n = counts.agg(F.min("__qm_n").alias("__qm_min"))
+    alloc = counts.crossJoin(F.broadcast(min_n)).select(
+        g.alias("__qm_grp"),
+        F.floor(
+            F.sqrt(F.col("__qm_min").cast("double") / F.col("__qm_n"))
+            * F.col("__qm_n")
+        )
+        .cast("long")
+        .alias("__qm_keep"),
+    )
+    hist = df.groupBy(group_col, score_col).agg(F.count("*").alias("__qm_c"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(s.desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = hist.select(
+        g.alias("__qm_grp2"),
+        s.alias("__qm_score"),
+        "__qm_c",
+        F.coalesce(F.sum("__qm_c").over(w), F.lit(0)).alias("__qm_above"),
+    )
+    cut = (
+        grid.join(
+            F.broadcast(alloc),
+            F.col("__qm_grp2") == F.col("__qm_grp"),
+        )
+        # the grid row containing the cutoff: rows strictly above it
+        # fit the budget, rows through it overflow (or exactly fill)
+        .where(
+            (F.col("__qm_above") < F.col("__qm_keep"))
+            & (F.col("__qm_above") + F.col("__qm_c") >= F.col("__qm_keep"))
+        )
+        .select(
+            "__qm_grp",
+            F.col("__qm_score").alias("__qm_cut"),
+            (F.col("__qm_keep") - F.col("__qm_above")).alias("__qm_slots"),
+        )
+    )
+    joined = df.join(F.broadcast(cut), g == F.col("__qm_grp"))
+    # two branches so the corpus never shuffles for the tiebreak: rows
+    # strictly above the cutoff keep with NO wide op (broadcast filter
+    # only); only rows AT the cutoff score — bounded by the tie count —
+    # pay a per-group window.  Two scans of the input; callers with an
+    # expensive scored subtree should persist it first.
+    above = joined.where(s > F.col("__qm_cut")).drop(
+        "__qm_grp", "__qm_cut", "__qm_slots"
+    )
+    tie_w = Window.partitionBy(group_col).orderBy(i.asc())
+    at_cut = (
+        joined.where(s == F.col("__qm_cut"))
+        .withColumn("__qm_rk", F.row_number().over(tie_w))
+        .where(F.col("__qm_rk") <= F.col("__qm_slots"))
+        .drop("__qm_grp", "__qm_cut", "__qm_slots", "__qm_rk")
+    )
+    return above.unionByName(at_cut)
+
+
+def quality_budget_mix_sql(
+    table_sql: str,
+    group_expr: str,
+    score_expr: str,
+    id_expr: str,
+    out_cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`quality_budget_mix` — identical
+    allocation arithmetic (BIGINT counts → DOUBLE sqrt → floor) and
+    the same histogram-first cutoff + min-id boundary tiebreak."""
+    return f"""
+WITH __t AS MATERIALIZED ({table_sql}),
+__c AS (SELECT {group_expr} AS grp, COUNT(*) AS n FROM __t GROUP BY 1),
+__m AS (SELECT MIN(n) AS min_n FROM __c),
+__alloc AS (
+  SELECT grp,
+         CAST(FLOOR(SQRT(CAST(min_n AS DOUBLE) / n) * n) AS BIGINT) AS keep_n
+  FROM __c CROSS JOIN __m
+),
+__hist AS (
+  SELECT {group_expr} AS grp, {score_expr} AS score, COUNT(*) AS c
+  FROM __t GROUP BY 1, 2
+),
+__grid AS (
+  SELECT grp, score, c,
+         COALESCE(SUM(c) OVER (PARTITION BY grp ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+  FROM __hist
+),
+__cut AS (
+  SELECT g.grp AS __cut_grp, g.score AS __cut, a.keep_n - g.above AS __slots
+  FROM __grid g JOIN __alloc a USING (grp)
+  WHERE g.above < a.keep_n AND g.above + g.c >= a.keep_n
+),
+__rk AS (
+  SELECT {out_cols}, {group_expr} AS __grp, {score_expr} AS __score,
+         ROW_NUMBER() OVER (PARTITION BY {group_expr}, {score_expr}
+                            ORDER BY {id_expr} ASC) AS __rk
+  FROM __t
+)
+SELECT {out_cols} FROM __rk r JOIN __cut k ON r.__grp = k.__cut_grp
+WHERE r.__score > k.__cut
+   OR (r.__score = k.__cut AND r.__rk <= k.__slots)"""

@@ -2951,6 +2951,45 @@ def _x131_sql() -> str:
     return perceptron_train_sql()
 
 
+def q_x132_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted quality mix: x61's α=0.5 temperature allocation per
+    source, but keeping each source's TOP x129-classifier scorers
+    instead of a hash-random subset — the quality-filtered sampling a
+    production mix ships.  Histogram-first cutoff (the d6/w10
+    discipline): the per-source threshold is found on the bounded
+    (source, score) grid, never a row_number over a whole source's
+    documents; only cutoff-score ties pay a bounded window, min-doc_id
+    tiebreak.  Output = kept (doc_id, source, score_e6)."""
+    from ..operators.sampling import quality_budget_mix
+    from ..operators.text_analysis import classifier_score, classifier_weights
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select("doc_id", "source").join(
+        classifier_score(docs, classifier_weights(spark)).select(
+            "doc_id", "score_e6"
+        ),
+        "doc_id",
+    )
+    return quality_budget_mix(scored, "source", "score_e6", "doc_id")
+
+
+def _x132_sql() -> str:
+    from ..operators.sampling import quality_budget_mix_sql
+    from ..operators.text_analysis import classifier_score_sql
+
+    scored = (
+        f"SELECT d.doc_id, d.source, s.score_e6 FROM documents d JOIN "
+        f"({classifier_score_sql()}) s USING (doc_id)"
+    )
+    return quality_budget_mix_sql(
+        scored,
+        "source",
+        "score_e6",
+        "doc_id",
+        out_cols="doc_id, source, score_e6",
+    )
+
+
 def q_x111_label_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the gold labels and nearest-centroid
     predicted labels (the x6 quantizer as a 1-NN classifier) — the
@@ -3157,6 +3196,7 @@ EXTENSION_QUERIES = {
     "x129_classifier_scores": q_x129_classifier_scores,
     "x130_classifier_calibration": q_x130_classifier_calibration,
     "x131_perceptron_train": q_x131_perceptron_train,
+    "x132_quality_mix": q_x132_quality_mix,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -3779,6 +3819,7 @@ GROUP BY 1, 2""",
     "x129_classifier_scores": _x129_sql(),
     "x130_classifier_calibration": _x130_sql(),
     "x131_perceptron_train": _x131_sql(),
+    "x132_quality_mix": _x132_sql(),
     "x48_chunk_windows": chunk_windows_sql(),
     "x49_curriculum_order": curriculum_order_sql(
         "documents",

@@ -184,3 +184,73 @@ def test_perceptron_sql_twin_agrees(spark):
     got = {tuple(r) for r in perceptron_train(docs).collect()}
     assert got == want
     assert got  # the distillation target is learnable enough to move weights
+
+
+# ---------------------------------------------------------------------------
+# x132 budgeted quality mix
+# ---------------------------------------------------------------------------
+
+
+def test_quality_mix_golden_with_cutoff_ties(spark):
+    """Source A (n=4, scores 9/5/5/1) at min_n=1 keeps
+    floor(sqrt(1/4)*4) = 2: the 9 plus the MIN-ID 5 (deterministic
+    boundary tiebreak); source B (the smallest) survives whole."""
+    from pagerank_using_mapreduce_spark.operators.sampling import (
+        quality_budget_mix,
+    )
+
+    rows = [
+        (1, "A", 9),
+        (2, "A", 5),
+        (3, "A", 5),
+        (4, "A", 1),
+        (5, "B", 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, score long")
+    kept = {
+        r.doc_id for r in quality_budget_mix(df, "src", "score", "doc_id").collect()
+    }
+    assert kept == {1, 2, 5}
+
+
+def test_quality_mix_sql_twin_agrees(spark):
+    """Twin parity on real testdata with n_chars as the score (the
+    allocation/cutoff/tiebreak machinery is score-agnostic)."""
+    from pagerank_using_mapreduce_spark.operators.sampling import (
+        quality_budget_mix,
+        quality_budget_mix_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    # sources are equal-sized on testdata (temperature keeps all), so
+    # derive a SKEWED grouping: 'small' (125 docs) vs 'big' (375) ->
+    # big keeps floor(sqrt(125/375)*375) = 216
+    grp = "CASE WHEN doc_id % 4 = 0 THEN 'small' ELSE 'big' END"
+    sql = quality_budget_mix_sql(
+        f"SELECT doc_id, {grp} AS grp, n_chars FROM documents",
+        "grp",
+        "n_chars",
+        "doc_id",
+        out_cols="doc_id, grp, n_chars",
+    )
+    want = {
+        (int(d), s, int(n)) for d, s, n in con.execute(sql).fetchall()
+    }
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").selectExpr(
+        "doc_id", f"{grp} AS grp", "n_chars"
+    )
+    got = {
+        tuple(r)
+        for r in quality_budget_mix(docs, "grp", "n_chars", "doc_id").collect()
+    }
+    assert got == want
+    # the skewed group is downsampled to its temperature share; the
+    # small group survives whole
+    by_grp = {}
+    for _, s, _ in got:
+        by_grp[s] = by_grp.get(s, 0) + 1
+    assert by_grp == {"small": 125, "big": 216}
