@@ -1163,21 +1163,22 @@ def dedup_keep_best(
     corpus-sized).
 
     ``scores`` need not cover every doc_id: the join is LEFT, and a
-    doc absent from ``scores`` gets the sentinel quality -1 (below any
-    real ``quality_e6``, which is >= 0), so it stays in the output and
-    can only win its cluster if NO member is scored (then min doc_id
-    decides, matching :func:`dedup_clusters`).  Unlike an inner join,
-    missing scores can never silently drop docs or flip an argmax."""
+    doc absent from ``scores`` keeps a NULL quality ordered NULLS
+    LAST, so it stays in the output and can only win its cluster if
+    NO member is scored (then min doc_id decides, matching
+    :func:`dedup_clusters`).  NULL — not a numeric sentinel — because
+    scores may be signed (x129's classifier scores span [-1e6, 1e6]):
+    a -1 sentinel would beat any negatively-scored member and
+    silently flip the argmax.  Unlike an inner join, missing scores
+    can never drop docs or crown by forfeit."""
     from pyspark.sql import Window
 
     cl = cluster_pairs(docs, near_dup_pipeline(docs, sha), max_rounds)
     scored = cl.join(
         scores.select("doc_id", "quality_e6"), "doc_id", "left"
-    ).withColumn(
-        "quality_e6", F.coalesce(F.col("quality_e6"), F.lit(-1).cast("long"))
     )
     w = Window.partitionBy("canonical_id").orderBy(
-        F.desc("quality_e6"), F.asc("doc_id")
+        F.desc_nulls_last("quality_e6"), F.asc("doc_id")
     )
     best = (
         scored.withColumn("_rk", F.row_number().over(w))
@@ -1196,21 +1197,22 @@ def dedup_keep_best_sql(
     docs_sql: str, quality_sql: str, rounds: int = CLUSTER_ROUNDS
 ) -> str:
     """DuckDB twin of :func:`dedup_keep_best`: the unrolled cluster
-    fixpoint LEFT-joined to the quality relation (unscored docs get
-    the -1 sentinel, same as the Spark side), argmax via ROW_NUMBER."""
+    fixpoint LEFT-joined to the quality relation (unscored docs keep
+    NULL, ordered NULLS LAST — same sign-safe rule as the Spark
+    side), argmax via ROW_NUMBER."""
     return f"""
 WITH cl AS ({dedup_clusters_sql(docs_sql, rounds)}),
 q AS ({quality_sql}),
 scored AS (
-  SELECT cl.doc_id, cl.canonical_id,
-         COALESCE(q.quality_e6, CAST(-1 AS BIGINT)) AS quality_e6
+  SELECT cl.doc_id, cl.canonical_id, q.quality_e6
   FROM cl LEFT JOIN q USING (doc_id)
 ),
 best AS (
   SELECT canonical_id, doc_id AS keep_id FROM (
     SELECT canonical_id, doc_id,
            ROW_NUMBER() OVER (PARTITION BY canonical_id
-                              ORDER BY quality_e6 DESC, doc_id ASC) AS rk
+                              ORDER BY quality_e6 DESC NULLS LAST,
+                                       doc_id ASC) AS rk
     FROM scored) WHERE rk = 1
 )
 SELECT s.doc_id, b.keep_id, s.doc_id = b.keep_id AS is_kept, s.quality_e6
@@ -2077,25 +2079,36 @@ FRONTIER_MAX_BUCKET = 1024  # see lsh_band_frontier docstring
 
 # deterministic doc-sample rule shared by the Spark frontier and its
 # DuckDB twin: keep a doc iff the first 4 hex digits of
-# md5(seed|doc_id) fall below round(65536/sample_den).
+# md5(seed|doc_id) fall below round(65536/sample_den).  The bucket is
+# zero-padded to 5 chars before the compare (the stratified_sample
+# boundary fix, sampling.py): sample_den=1's threshold is '10000',
+# which a raw 4-char prefix would compare against LEXICOGRAPHICALLY
+# and silently keep only ~1/16 of the corpus.
 FRONTIER_SAMPLE_SEED = "frontier-truth"
 _FRONTIER_HEX = 4
 
 
 def _frontier_sample_hex(sample_den: int) -> str:
-    return format(round(16**_FRONTIER_HEX / sample_den), f"0{_FRONTIER_HEX}x")
+    return format(
+        round(16**_FRONTIER_HEX / sample_den), f"0{_FRONTIER_HEX + 1}x"
+    )
 
 
 def _frontier_sample_pred(sample_den: int, sample_seed: str) -> F.Column:
     return (
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|", F.lit(sample_seed), F.col("doc_id").cast("string")
-                )
+        F.concat(
+            F.lit("0"),
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(sample_seed),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                _FRONTIER_HEX,
             ),
-            1,
-            _FRONTIER_HEX,
         )
         < F.lit(_frontier_sample_hex(sample_den))
     )
@@ -2285,9 +2298,11 @@ def lsh_band_frontier_sql(
     algorithm-independent full-index form), same bucket cap, same
     deterministic md5 document sample when ``sample_den`` is set."""
     if sample_den is not None:
+        from ..functions.sqltext import sql_quote
+
         docs_sql = (
             f"SELECT * FROM ({docs_sql}) WHERE "
-            f"substr(md5('{sample_seed}' || '|' || "
+            f"'0' || substr(md5({sql_quote(sample_seed)} || '|' || "
             f"CAST(doc_id AS VARCHAR)), 1, {_FRONTIER_HEX}) "
             f"< '{_frontier_sample_hex(sample_den)}'"
         )

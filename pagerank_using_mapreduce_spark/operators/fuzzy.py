@@ -46,6 +46,7 @@ def fuzzy_word_pairs(
     documents: DataFrame,
     max_dist: int = FUZZY_MAX_DIST,
     max_bucket: int | None = None,
+    wf: DataFrame | None = None,
 ) -> DataFrame:
     """(word_a, word_b, dist): distinct corpus-vocabulary word pairs
     within Levenshtein distance ``max_dist`` (<= 2 — the blocking
@@ -76,11 +77,16 @@ def fuzzy_word_pairs(
     first to see whether/where it would bite.  When armed, the keys
     relation is localCheckpoint-ed: the fuse's size-count pass and the
     join would otherwise evaluate the lambda-bearing variant explode
-    twice (stage reuse never fires across lambda subtrees)."""
+    twice (stage reuse never fires across lambda subtrees).
+
+    ``wf`` optionally supplies a precomputed :func:`word_freqs`
+    relation (callers like :func:`vocab_normalize` that also need the
+    frequencies materialize it ONCE instead of re-tokenizing the
+    corpus per reference)."""
     if not 1 <= max_dist <= 2:
         raise ValueError("blocking depth supports max_dist in {1, 2}")
     keys = (
-        word_freqs(documents)
+        (wf if wf is not None else word_freqs(documents))
         .select("word", F.explode(_variant_keys()).alias("k"))
         .distinct()
     )
@@ -185,9 +191,16 @@ def vocab_normalize(
     edit-neighborhood degree, so the argmax window partitions on
     uniform word keys — never a global sort; the freq join is
     vocab-keyed, map-side combinable upstream.  Output is exactly
-    vocab-sized."""
-    wf = word_freqs(documents)
-    pairs = fuzzy_word_pairs(documents, max_dist=max_dist)
+    vocab-sized.
+
+    The vocab relation is eagerly localCheckpoint-ed and shared by all
+    four of its references (blocking keys, both self-union arms, the
+    freq join) — without that, each reference re-tokenizes and
+    re-aggregates the corpus (stage reuse never fires across the
+    tokenize lambda subtrees; the same armor as fuzzy_word_pairs'
+    fuse path)."""
+    wf = word_freqs(documents).localCheckpoint(eager=True)
+    pairs = fuzzy_word_pairs(documents, max_dist=max_dist, wf=wf)
     # both directions + self so every word has at least one candidate
     neigh = (
         pairs.select(F.col("word_a").alias("word"), F.col("word_b").alias("cand"))

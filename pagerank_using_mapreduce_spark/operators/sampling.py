@@ -773,11 +773,14 @@ def quality_budget_mix_sql(
     group_expr: str,
     score_expr: str,
     id_expr: str,
-    out_cols: str = "*",
+    out_cols: str,
 ) -> str:
     """DuckDB twin of :func:`quality_budget_mix` — identical
     allocation arithmetic (BIGINT counts → DOUBLE sqrt → floor) and
-    the same histogram-first cutoff + min-id boundary tiebreak."""
+    the same histogram-first cutoff + min-id boundary tiebreak.
+    ``out_cols`` must list the output columns EXPLICITLY (a '*' here
+    would leak the __grp/__score/__rk/__cut helper columns and
+    diverge from the Spark twin's schema)."""
     return f"""
 WITH __t AS MATERIALIZED ({table_sql}),
 __c AS (SELECT {group_expr} AS grp, COUNT(*) AS n FROM __t GROUP BY 1),

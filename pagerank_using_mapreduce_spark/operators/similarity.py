@@ -549,7 +549,11 @@ def embedding_near_dups(
     bit — is missed; mitigate with multi-probe assignment, not by
     widening the join.
     """
-    e = augment_embeddings(embeddings)
+    # NULL-label rows must emit NO pairs: the pre-Arrow form was an
+    # a.label == b.label equi-join (never NULL-matching, like the SQL
+    # twin's JOIN), but groupBy would collect all NULL labels into one
+    # scoring cell — filter them out to keep the blocking contract.
+    e = augment_embeddings(embeddings).where(F.col("label").isNotNull())
     # Per-label cell sizes: one tiny aggregate, also used to decide the
     # fast path (max over it is one scalar action on ncells rows).
     counts = e.groupBy("label").agg(F.count("*").alias("cnt"))

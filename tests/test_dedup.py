@@ -563,8 +563,10 @@ def test_keep_best_prefers_quality_over_min_id(spark):
 
 def test_keep_best_unscored_docs_survive(spark):
     """Score coverage is OPTIONAL (ADVICE r09): a doc absent from
-    ``scores`` must stay in the output with sentinel quality -1 and
-    lose the argmax to any scored cluster-mate; a cluster with NO
+    ``scores`` must stay in the output with NULL quality (ordered
+    NULLS LAST) and lose the argmax to any scored cluster-mate — even
+    a NEGATIVELY scored one, since scores may be signed (x129) and a
+    numeric sentinel like -1 would beat them; a cluster with NO
     scored member falls back to min-id.  An inner join would have
     silently dropped doc 11 and crowned 12 by forfeit."""
     from pagerank_using_mapreduce_spark.operators.dedup import dedup_keep_best
@@ -581,17 +583,18 @@ def test_keep_best_unscored_docs_survive(spark):
         ],
         "doc_id long, text string",
     )
-    # only the HIGHER id of the near-dup pair is scored; singleton 40
+    # only the HIGHER id of the near-dup pair is scored — and scored
+    # NEGATIVE, so a -1 sentinel would have beaten it; singleton 40
     # is unscored too (its cluster falls back to min-id = itself).
     scores = spark.createDataFrame(
-        [(12, 500_000)], "doc_id long, quality_e6 long"
+        [(12, -500_000)], "doc_id long, quality_e6 long"
     )
     got = {r["doc_id"]: r for r in dedup_keep_best(docs, scores).collect()}
     assert set(got) == {11, 12, 40}  # nobody dropped
-    assert got[11]["keep_id"] == 12 and got[11]["quality_e6"] == -1
+    assert got[11]["keep_id"] == 12 and got[11]["quality_e6"] is None
     assert got[12]["keep_id"] == 12 and got[12]["is_kept"]
     assert got[40]["keep_id"] == 40 and got[40]["is_kept"]
-    assert got[40]["quality_e6"] == -1
+    assert got[40]["quality_e6"] is None
 
 
 def test_frontier_sampled_truth_mode(spark):
@@ -622,6 +625,10 @@ def test_frontier_sampled_truth_mode(spark):
     # the sample must be a PROPER subset at this size (rule is live)
     n_s = frontier_sample(docs, 3).count()
     assert 0 < n_s < 68
+    # sample_den=1 means NO sampling: its 5-hex threshold '10000'
+    # exceeds every zero-padded 4-hex bucket, so every doc survives
+    # (the unpadded compare silently kept ~1/16 — r10 review find)
+    assert frontier_sample(docs, 1).count() == 68
 
 
 def test_lsh_bucket_stats_and_max_bucket_fuse(spark):

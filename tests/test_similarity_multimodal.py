@@ -548,3 +548,24 @@ def test_global_position_releases_internal_cache(spark):
     # The internal `ranged` persist must NOT linger (it used to).
     after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     assert after - before <= 1, (before, after)
+
+
+def test_embedding_near_dups_null_labels_emit_no_pairs(spark):
+    """NULL-label rows must produce ZERO pairs — the blocking contract
+    is an a.label == b.label equi-join (SQL twin: JOIN ON), which
+    never matches NULL; the Arrow-cell groupBy would otherwise collect
+    all NULL labels into one scoring cell (r10 review find)."""
+    from pagerank_using_mapreduce_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    vec = [1.0] + [0.0] * 63
+    rows = [(1, None, vec), (2, None, vec), (3, "a", vec), (4, "a", vec)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    pairs = {
+        (r.vec_a, r.vec_b) for r in embedding_near_dups(emb).collect()
+    }
+    assert all(a not in (1, 2) and b not in (1, 2) for a, b in pairs)
+    assert (3, 4) in pairs  # identical same-label vectors still pair
