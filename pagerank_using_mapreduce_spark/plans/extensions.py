@@ -2990,6 +2990,49 @@ def _x132_sql() -> str:
     )
 
 
+def q_z20_stream_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming classifier scoring: the document ingest stream scored
+    per micro-batch against the STATIC broadcast model via
+    ``foreachBatch`` (the z16 production-sink pattern — at ingest you
+    score with the model you have, a slowly-changing dimension like
+    z5's enrich side).  Per-doc scores are independent, so the drained
+    union across batches hash-matches the batch x129 relation at ANY
+    micro-batch partitioning — which is why this streaming op carries
+    x129's FULL value-hash SQL oracle, not a rows-only check.  No
+    streaming state at all: each batch is one broadcast join + one
+    batch-local doc aggregate."""
+    import os
+    import shutil
+
+    from ..operators.text_analysis import classifier_score, classifier_weights
+    from ..streaming.events import (
+        read_document_stream,
+        run_foreach_batch,
+        stage_table_dir,
+    )
+
+    weights = classifier_weights(spark)
+    stream = read_document_stream(
+        spark, stage_table_dir(sf_dir, "documents")
+    )
+    out_dir = os.path.join(_roundtrip_dir("z20out"), "scores")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def score(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        classifier_score(batch_df, weights).write.mode("append").parquet(
+            out_dir
+        )
+
+    run_foreach_batch(stream, score)
+    if not os.path.exists(out_dir):
+        return spark.createDataFrame(
+            [], "doc_id long, n_tokens long, sum_w long, score_e6 long"
+        )
+    return spark.read.parquet(out_dir)
+
+
 def q_x111_label_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the gold labels and nearest-centroid
     predicted labels (the x6 quantizer as a 1-NN classifier) — the
@@ -3197,6 +3240,7 @@ EXTENSION_QUERIES = {
     "x130_classifier_calibration": q_x130_classifier_calibration,
     "x131_perceptron_train": q_x131_perceptron_train,
     "x132_quality_mix": q_x132_quality_mix,
+    "z20_stream_classifier": q_z20_stream_classifier,
     "x47_groupwise_sample": q_x47_groupwise_sample,
     "x48_chunk_windows": q_x48_chunk_windows,
     "x49_curriculum_order": q_x49_curriculum_order,
@@ -3820,6 +3864,7 @@ GROUP BY 1, 2""",
     "x130_classifier_calibration": _x130_sql(),
     "x131_perceptron_train": _x131_sql(),
     "x132_quality_mix": _x132_sql(),
+    "z20_stream_classifier": _x129_sql(),
     "x48_chunk_windows": chunk_windows_sql(),
     "x49_curriculum_order": curriculum_order_sql(
         "documents",

@@ -1189,13 +1189,14 @@ _DRIVER_ROTATION: list[str] = [
     "x126_variant_bucket_stats", "x127_kmv_proof_audit",
     "x128_vocab_normalize", "x129_classifier_scores",
     "x130_classifier_calibration", "x131_perceptron_train",
-    "x132_quality_mix",
+    "x132_quality_mix", "z20_stream_classifier",
     # --- staleness refresh: r09 overflow (g8/g9), the r07-note
     # --- overflows (a9/i3/g10), then the r05 tier in registry order
     # --- (COVERAGE.md "Computed r10 head"); names past slot 50
-    # --- (x67_orc_roundtrip / x68_dataset_profile / x69_pixel_decode /
-    # --- x70_pixel_resize — displaced by the in-round
-    # --- x129/x130/x131/x132 additions — then x71_wav_decode /
+    # --- (z12_stream_moments / x67_orc_roundtrip / x68_dataset_profile
+    # --- / x69_pixel_decode / x70_pixel_resize — displaced by the
+    # --- in-round x129/x130/x131/x132/z20 additions — then
+    # --- x71_wav_decode /
     # --- x72_dedup_method_audit / c3_model_gate — displaced by
     # --- x126/x127/x128 — then x73_hll_shard_merge, first r06-tier
     # --- name) overflow to r11
@@ -1215,7 +1216,6 @@ _DRIVER_ROTATION: list[str] = [
     "x60_paragraph_dedup", "x61_temperature_mix",
     "x62_bpe_encode", "x63_containment", "x64_minhash_audit",
     "x65_lang_consistency", "x66_source_keywords",
-    "z12_stream_moments",
 ]
 
 

@@ -254,3 +254,25 @@ def test_quality_mix_sql_twin_agrees(spark):
     for _, s, _ in got:
         by_grp[s] = by_grp.get(s, 0) + 1
     assert by_grp == {"small": 125, "big": 216}
+
+
+# ---------------------------------------------------------------------------
+# z20 streaming classifier scoring
+# ---------------------------------------------------------------------------
+
+
+def test_stream_classifier_drains_to_batch(spark):
+    """The foreachBatch-scored document stream must drain to EXACTLY
+    the batch x129 relation: per-doc scores are independent, so
+    micro-batch partitioning cannot change a single row."""
+    from pagerank_using_mapreduce_spark.plans.registry import QUERIES
+
+    drained = {
+        tuple(r)
+        for r in QUERIES["z20_stream_classifier"](spark, SF_SMOKE).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in QUERIES["x129_classifier_scores"](spark, SF_SMOKE).collect()
+    }
+    assert drained == batch and drained

@@ -267,7 +267,7 @@ def test_driver_rotation_head_is_intact():
         "x126_variant_bucket_stats", "x127_kmv_proof_audit",
         "x128_vocab_normalize", "x129_classifier_scores",
         "x130_classifier_calibration", "x131_perceptron_train",
-        "x132_quality_mix",
+        "x132_quality_mix", "z20_stream_classifier",
     ]
     assert names[: len(additions)] == additions
     # the head must fill all 50 driver slots (anything less wastes
@@ -279,7 +279,7 @@ def test_driver_rotation_head_is_intact():
         "g8_sssp_dists", "g9_weighted_pagerank", "a9_reciprocity",
         "i3_warm_start", "g10_bfs_frontier",
     ]
-    assert names[9:14] == overflow
+    assert names[10:15] == overflow
 
 
 def test_x94_vocab_join_shape(spark):
