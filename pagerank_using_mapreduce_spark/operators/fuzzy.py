@@ -47,6 +47,7 @@ def fuzzy_word_pairs(
     max_dist: int = FUZZY_MAX_DIST,
     max_bucket: int | None = None,
     wf: DataFrame | None = None,
+    pair_shards: int | None = None,
 ) -> DataFrame:
     """(word_a, word_b, dist): distinct corpus-vocabulary word pairs
     within Levenshtein distance ``max_dist`` (<= 2 — the blocking
@@ -66,6 +67,23 @@ def fuzzy_word_pairs(
       dedup exchange carries only verified pairs (the candidate
       superset is pairs within delete-distance <= 2·depth, i.e. up to
       lev 4 — the false 2/3 never shuffles).
+    - The verified-pair stream is explicitly ``repartition(pair_shards,
+      word_a, word_b)``-ed BEFORE the ``distinct`` (r11; VERDICT r10
+      #1).  Without it the dedup's map-side partial HashAggregate runs
+      INSIDE the candidate fan-out stage, so each join task's hash
+      state scales with the distinct pairs its variant-key partition
+      fans out to — task memory proportional to OUTPUT volume (~840M
+      pairs at sf10_vg needed a 24g heap; at 100x that is an OOM, not
+      a knob).  With the explicit pair-keyed exchange, the fan-out
+      stage streams straight into shuffle writes (no agg state), the
+      aggregate's required distribution is already satisfied (pair
+      keys are a subset of the grouping keys), so BOTH halves of the
+      dedup run post-exchange with state bounded by pairs/shard.
+      ``pair_shards`` defaults to 8x shuffle.partitions: reduce tasks
+      are cheap, and 8x keeps per-task state ~an order below the
+      per-core heap share at the decade scale while AQE (user-
+      specified exchange) never undoes it.  Measured (BENCH_LOCAL_r11):
+      sf10_vg green in a 12g heap, half the 24g the r10 shape needed.
 
     ``max_bucket`` (default None = exact) is the skew fuse, same
     discipline as ``lsh_candidates``: variant keys shared by more than
@@ -109,9 +127,12 @@ def fuzzy_word_pairs(
         (F.col("a.k") == F.col("b.k")) & (F.col("a.word") < F.col("b.word")),
     ).select(F.col("a.word").alias("word_a"), F.col("b.word").alias("word_b"))
     dist = F.levenshtein("word_a", "word_b")
+    if pair_shards is None:
+        pair_shards = 8 * n_part
     return (
         cand.select("word_a", "word_b", dist.cast("long").alias("dist"))
         .where(F.col("dist") <= max_dist)
+        .repartition(pair_shards, "word_a", "word_b")
         .distinct()
     )
 

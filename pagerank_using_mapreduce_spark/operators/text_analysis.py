@@ -2427,7 +2427,12 @@ def perceptron_train(
     the degenerate all-errors round (margin 0 counts as an error —
     the classic convention), so w after round 1 is the class-signed
     bucket document-frequency; later rounds correct only misclassified
-    docs."""
+    docs.  ``rounds`` must be >= 1: the SQL twin's round-1 CTE is
+    unconditional (the recurrence unrolls from w1), so rounds=0 would
+    silently diverge between the engines (ADVICE r10) — both sides
+    reject it instead."""
+    if rounds < 1:
+        raise ValueError("perceptron_train requires rounds >= 1")
     spark = documents.sparkSession
     toks = documents.select("doc_id", F.explode(_toks()).alias("tok"))
     feats = (
@@ -2496,7 +2501,10 @@ def perceptron_train_sql(
 ) -> str:
     """DuckDB twin of :func:`perceptron_train` (default labels): the
     recurrence unrolled into MATERIALIZED CTEs — exact integer replay
-    of every round."""
+    of every round.  Same ``rounds >= 1`` contract as the Spark side
+    (the w1 CTE is unconditional)."""
+    if rounds < 1:
+        raise ValueError("perceptron_train_sql requires rounds >= 1")
     ctes = [
         f"""docs AS MATERIALIZED ({docs_sql}),
 feats AS MATERIALIZED (

@@ -2964,11 +2964,18 @@ def q_x132_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text_analysis import classifier_score, classifier_weights
 
     docs = _docs(spark, sf_dir)
-    scored = docs.select("doc_id", "source").join(
-        classifier_score(docs, classifier_weights(spark)).select(
-            "doc_id", "score_e6"
-        ),
-        "doc_id",
+    scored = (
+        docs.select("doc_id", "source")
+        .join(
+            classifier_score(docs, classifier_weights(spark)).select(
+                "doc_id", "score_e6"
+            ),
+            "doc_id",
+        )
+        # quality_budget_mix scans its input 4x (counts, histogram,
+        # above-cut, at-cut); eager localCheckpoint materializes the
+        # scoring pass ONCE (its own docstring's guidance — ADVICE r10)
+        .localCheckpoint(eager=True)
     )
     return quality_budget_mix(scored, "source", "score_e6", "doc_id")
 
@@ -3021,8 +3028,14 @@ def q_z20_stream_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     def score(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        classifier_score(batch_df, weights).write.mode("append").parquet(
-            out_dir
+        # idempotent per batch (ADVICE r10): each micro-batch OWNS the
+        # hive-partition dir batch_id=N and overwrites it, so a retried
+        # batch replaces rather than double-appends — keeping the
+        # drained-set == batch-x129 invariant the full value-hash
+        # oracle relies on, exactly the (checkpoint, batch_id) contract
+        # run_foreach_batch's docstring advertises.
+        classifier_score(batch_df, weights).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
         )
 
     run_foreach_batch(stream, score)
@@ -3030,7 +3043,9 @@ def q_z20_stream_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(
             [], "doc_id long, n_tokens long, sum_w long, score_e6 long"
         )
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "n_tokens", "sum_w", "score_e6"
+    )
 
 
 def q_x111_label_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
