@@ -137,7 +137,19 @@ def fuzzy_word_pairs(
     )
 
 
-def variant_bucket_stats(documents: DataFrame) -> DataFrame:
+# deterministic WORD-sample rule for the sampled pre-flight, the
+# frontier_sample discipline (dedup.py) applied to the vocabulary:
+# keep a word iff the zero-padded first-4-hex prefix of
+# md5(seed|word) falls below round(65536/sample_den).  Pure md5 —
+# both engines and every retry draw the identical sample.
+VOCAB_SAMPLE_SEED = "variant-stats"
+
+
+def variant_bucket_stats(
+    documents: DataFrame,
+    sample_den: int | None = None,
+    sample_seed: str = VOCAB_SAMPLE_SEED,
+) -> DataFrame:
     """One-row delete-variant-index occupancy audit: (n_entries, n_keys,
     max_bucket, n_multi, sum_pairs) — the pre-flight check for
     :func:`fuzzy_word_pairs`, mirroring :func:`..dedup.lsh_bucket_stats`
@@ -146,23 +158,78 @@ def variant_bucket_stats(documents: DataFrame) -> DataFrame:
     ``max_bucket`` in the tens-of-thousands means a degenerate key (mass
     short words, a pathological spelling cluster) that the ``max_bucket``
     fuse should exclude.  Pure two-level aggregate — no join, no pair
-    enumeration, safe at any skew."""
+    enumeration, safe at any skew.
+
+    ``sample_den`` (r11; VERDICT r10 #4) switches to the SAMPLED
+    estimate — the x125 frontier-sample pattern applied to the variant
+    index, so the pre-flight itself stays 100x-runnable: the exact
+    audit enumerates the FULL variant index (O(vocab · len²) explode
+    rows — 64 s at sf10_vg), which at a 100-TB vocabulary is a real
+    job of its own.  The sampled form keeps a deterministic
+    1/sample_den md5 word sample, builds the variant index of the
+    SAMPLE only, and scales: a key of true size s retains
+    Binomial(s, 1/den) sampled words, so E[Σ C(kept, 2)] =
+    Σ C(s, 2)/den² — ``est_sum_pairs = sum_pairs_sample · den²`` is an
+    unbiased estimate of the exact candidate bill, and
+    ``est_entries = n_entries_sample · den`` of the index size.
+    ``est_max_bucket`` (sampled max · den) is an indicator, not
+    unbiased: small true buckets vanish from the sample, so it reads
+    on the degenerate-key REGIME (the only decision it feeds — whether
+    to arm the ``max_bucket`` fuse), not an exact maximum.  Output row:
+    (sample_den, n_words, n_entries_sample, sum_pairs_sample,
+    est_entries, est_max_bucket, est_sum_pairs)."""
+    wf = word_freqs(documents).select("word")
+    if sample_den is not None:
+        from .dedup import _FRONTIER_HEX, _frontier_sample_hex
+
+        wf = wf.where(
+            F.concat(
+                F.lit("0"),
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(sample_seed), F.col("word"))),
+                    1,
+                    _FRONTIER_HEX,
+                ),
+            )
+            < F.lit(_frontier_sample_hex(sample_den))
+        )
     per = (
-        word_freqs(documents)
-        .select("word", F.explode(_variant_keys()).alias("k"))
+        wf.select("word", F.explode(_variant_keys()).alias("k"))
         .distinct()
         .groupBy("k")
         .agg(F.count("*").alias("sz"))
     )
-    return per.agg(
-        F.sum("sz").cast("long").alias("n_entries"),
-        F.count("*").cast("long").alias("n_keys"),
-        F.max("sz").cast("long").alias("max_bucket"),
-        F.sum(F.when(F.col("sz") >= 2, 1).otherwise(0))
+    if sample_den is None:
+        return per.agg(
+            F.sum("sz").cast("long").alias("n_entries"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.max("sz").cast("long").alias("max_bucket"),
+            F.sum(F.when(F.col("sz") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_multi"),
+            F.sum(F.expr("sz * (sz - 1) div 2"))
+            .cast("long")
+            .alias("sum_pairs"),
+        ).select("n_entries", "n_keys", "max_bucket", "n_multi", "sum_pairs")
+    den = int(sample_den)
+    agg = per.agg(
+        F.coalesce(F.sum("sz"), F.lit(0)).cast("long").alias("_entries"),
+        F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias("_max"),
+        F.coalesce(F.sum(F.expr("sz * (sz - 1) div 2")), F.lit(0))
         .cast("long")
-        .alias("n_multi"),
-        F.sum(F.expr("sz * (sz - 1) div 2")).cast("long").alias("sum_pairs"),
-    ).select("n_entries", "n_keys", "max_bucket", "n_multi", "sum_pairs")
+        .alias("_pairs"),
+    )
+    n_words = wf.agg(F.count("*").cast("long").alias("n_words"))
+    # both sides are one-row scalars — the broadcast crossJoin spine
+    return agg.crossJoin(F.broadcast(n_words)).select(
+        F.lit(den).cast("long").alias("sample_den"),
+        F.col("n_words"),
+        F.col("_entries").alias("n_entries_sample"),
+        F.col("_pairs").alias("sum_pairs_sample"),
+        (F.col("_entries") * den).alias("est_entries"),
+        (F.col("_max") * den).alias("est_max_bucket"),
+        (F.col("_pairs") * den * den).alias("est_sum_pairs"),
+    )
 
 
 def fuzzy_word_pairs_sql(max_dist: int = FUZZY_MAX_DIST) -> str:
@@ -279,20 +346,31 @@ SELECT word, cand AS canonical, CAST(cand_freq AS BIGINT) AS canonical_freq
 FROM ranked WHERE rn = 1"""
 
 
-def variant_bucket_stats_sql() -> str:
+def variant_bucket_stats_sql(
+    sample_den: int | None = None, sample_seed: str = VOCAB_SAMPLE_SEED
+) -> str:
     del1 = (
         "list_transform(range(1, length({w}) + 1), i -> "
         "substr({w}, 1, CAST(i - 1 AS INT)) || substr({w}, CAST(i + 1 AS INT), length({w})))"
     )
     d1 = del1.format(w="word")
     d2 = f"flatten(list_transform({d1}, v -> {del1.format(w='v')}))"
-    return f"""
+    samp = ""
+    if sample_den is not None:
+        from .dedup import _FRONTIER_HEX, _frontier_sample_hex
+
+        samp = (
+            f"  WHERE '0' || substr(md5('{sample_seed}|' || word), 1, "
+            f"{_FRONTIER_HEX}) < '{_frontier_sample_hex(sample_den)}'\n"
+        )
+    head = f"""
 WITH wf AS (
-  SELECT DISTINCT unnest(list_filter(
-           string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
-           t -> t != '')) AS word
-  FROM documents
-),
+  SELECT word FROM (
+    SELECT DISTINCT unnest(list_filter(
+             string_split_regex(lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+             t -> t != '')) AS word
+    FROM documents)
+{samp}),
 keys AS (
   SELECT DISTINCT word, unnest(list_distinct(
            list_concat(list_concat([word], {d1}), {d2}))) AS k
@@ -300,10 +378,35 @@ keys AS (
 ),
 per AS (
   SELECT k, COUNT(*) AS sz FROM keys GROUP BY k
-)
+)"""
+    if sample_den is None:
+        return (
+            head
+            + """
 SELECT CAST(SUM(sz) AS BIGINT) AS n_entries,
        CAST(COUNT(*) AS BIGINT) AS n_keys,
        CAST(MAX(sz) AS BIGINT) AS max_bucket,
        CAST(SUM(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
        CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS sum_pairs
 FROM per"""
+        )
+    den = int(sample_den)
+    return (
+        head
+        + f""",
+agg AS (
+  SELECT COALESCE(CAST(SUM(sz) AS BIGINT), 0) AS _entries,
+         COALESCE(CAST(MAX(sz) AS BIGINT), 0) AS _max,
+         COALESCE(CAST(SUM(sz * (sz - 1) // 2) AS BIGINT), 0) AS _pairs
+  FROM per
+),
+nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words FROM wf)
+SELECT CAST({den} AS BIGINT) AS sample_den,
+       n_words,
+       _entries AS n_entries_sample,
+       _pairs AS sum_pairs_sample,
+       _entries * {den} AS est_entries,
+       _max * {den} AS est_max_bucket,
+       _pairs * {den} * {den} AS est_sum_pairs
+FROM agg CROSS JOIN nw"""
+    )

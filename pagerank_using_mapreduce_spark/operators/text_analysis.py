@@ -2281,8 +2281,13 @@ def classifier_score(
 def classifier_score_sql(
     docs_sql: str = "SELECT * FROM documents",
     n_buckets: int = CLASSIFIER_BUCKETS,
+    weights_sql: str | None = None,
 ) -> str:
-    """DuckDB twin of :func:`classifier_score`."""
+    """DuckDB twin of :func:`classifier_score`.  ``weights_sql``
+    overrides the fixed md5-derived model relation (default) with any
+    (bucket, w) query — the c6 capstone passes the x131-trained model;
+    sparse models keep the same implicit-zero semantics as the Spark
+    side (the feats⨝wt inner join drops unknown buckets)."""
     return f"""
 WITH docs AS ({docs_sql}),
 toks AS (
@@ -2292,7 +2297,7 @@ toks AS (
            t -> t != '')) AS tok
   FROM docs
 ),
-wt AS ({_weights_sql(n_buckets)}),
+wt AS ({weights_sql if weights_sql is not None else _weights_sql(n_buckets)}),
 feats AS (SELECT doc_id, {_cls_hash_sql("tok")} % {n_buckets} AS bucket
           FROM toks),
 per AS (

@@ -1985,6 +1985,100 @@ JOIN (SELECT doc_id FROM ({kb})
     )
 
 
+def q_c6_trained_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full "train the filter, then filter the corpus" loop a real
+    curation run executes (VERDICT r10 #7), composing the round-10
+    classifier family end to end: x131 perceptron TRAINING (distill
+    the x8 composite into the hashed linear model — integer-exact,
+    ≤4096 gradient rows/round to the driver) → x129 scoring of the
+    whole corpus under the TRAINED model → the x130 calibration
+    relation as a broadcast dimension (per-source n_docs / Σscore),
+    gating each doc at its source's MEAN score via the integer-exact
+    cross-multiplied inequality score·n ≥ Σscore (no division, no ulp
+    risk) → x132's α=0.5 budgeted top-score mix over the survivors →
+    c4's concatenate-and-cut packing → serpentine token-balanced shard
+    manifest.  Output: (shard, n_seqs, total_tokens).
+
+    Scale shape: training featurizes the corpus once (persisted);
+    scoring is explode → broadcast model join (the corpus never
+    shuffles); the scored relation is eagerly localCheckpoint-ed
+    because calibration, the gate, and the mix's four passes all scan
+    it; everything downstream runs on the curated subset."""
+    from ..operators.packing import pack_sequences, serpentine_shards
+    from ..operators.sampling import quality_budget_mix
+    from ..operators.text_analysis import classifier_score, perceptron_train
+
+    docs = _docs(spark, sf_dir)
+    model = perceptron_train(docs)
+    scored = (
+        docs.select("doc_id", "source")
+        .join(
+            classifier_score(docs, model).select("doc_id", "score_e6"),
+            "doc_id",
+        )
+        .localCheckpoint(eager=True)
+    )
+    calib = scored.groupBy("source").agg(
+        F.count("*").alias("__c6_n"),
+        F.sum("score_e6").alias("__c6_sum"),
+    )
+    gated = (
+        scored.join(F.broadcast(calib), "source")
+        .where(F.col("score_e6") * F.col("__c6_n") >= F.col("__c6_sum"))
+        .select("doc_id", "source", "score_e6")
+    )
+    kept = quality_budget_mix(gated, "source", "score_e6", "doc_id")
+    curated = docs.join(kept.select("doc_id"), "doc_id").select(
+        "doc_id", "text"
+    )
+    packed = pack_sequences(curated, budget=C4_PACK_BUDGET)
+    return serpentine_shards(packed, "seq_id", "n_tokens", C4_SHARDS).select(
+        "shard",
+        F.col("n_items").alias("n_seqs"),
+        F.col("total_size").alias("total_tokens"),
+    )
+
+
+def _c6_sql() -> str:
+    from ..operators.packing import pack_sequences_sql, serpentine_shards_sql
+    from ..operators.sampling import quality_budget_mix_sql
+    from ..operators.text_analysis import (
+        classifier_score_sql,
+        perceptron_train_sql,
+    )
+
+    score = classifier_score_sql(
+        weights_sql=f"SELECT * FROM ({perceptron_train_sql()})"
+    )
+    gated = f"""
+WITH __scored AS MATERIALIZED (
+  SELECT d.doc_id, d.source, s.score_e6
+  FROM documents d JOIN ({score}) s USING (doc_id)
+)
+SELECT t.doc_id, t.source, t.score_e6
+FROM __scored t JOIN (
+  SELECT source, COUNT(*) AS n, CAST(SUM(score_e6) AS BIGINT) AS sm
+  FROM __scored GROUP BY source
+) c USING (source)
+WHERE t.score_e6 * c.n >= c.sm"""
+    kept = quality_budget_mix_sql(
+        gated,
+        "source",
+        "score_e6",
+        "doc_id",
+        out_cols="doc_id, source, score_e6",
+    )
+    curated = f"""
+SELECT d.doc_id, d.text FROM documents d
+JOIN ({kept}) k ON k.doc_id = d.doc_id"""
+    packed = pack_sequences_sql(C4_PACK_BUDGET, curated)
+    inner = serpentine_shards_sql(packed, "seq_id", "n_tokens", C4_SHARDS)
+    return (
+        f"SELECT shard, n_items AS n_seqs, total_size AS total_tokens"
+        f" FROM ({inner})"
+    )
+
+
 def _c1_sql() -> str:
     from ..operators.text_analysis import FINGERPRINT_SQL, QUALITY_SQL
 
@@ -2828,6 +2922,35 @@ def _x126_sql() -> str:
     return variant_bucket_stats_sql()
 
 
+_X133_SAMPLE_DEN = 8
+
+
+def q_x133_variant_stats_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sampled delete-variant pre-flight (VERDICT r10 #4): x126's
+    sum_pairs audit run on a deterministic 1/8 md5 word sample, with
+    est_sum_pairs = sampled Σ C(sz,2) · den² the unbiased estimate of
+    the exact candidate bill — the x125 sampled-frontier pattern
+    applied to the variant index, so the pre-flight itself stays
+    100x-runnable (the exact x126 audit enumerates the full variant
+    index: 64 s at sf10_vg and growing with the vocabulary; the
+    sampled form's explode is den× smaller end to end).  Estimator
+    tolerance is pinned by test against the exact audit at sf0.01 and
+    sf0.1."""
+    from ..operators.fuzzy import variant_bucket_stats
+
+    return variant_bucket_stats(
+        _docs(spark, sf_dir), sample_den=_X133_SAMPLE_DEN
+    )
+
+
+def _x133_sql() -> str:
+    from ..operators.fuzzy import variant_bucket_stats_sql
+
+    return variant_bucket_stats_sql(sample_den=_X133_SAMPLE_DEN)
+
+
 def q_x127_kmv_proof_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KMV two-phase proof audit: how many distinct words
     survive the 1/16 hash-space prefilter, and whether that proves the
@@ -3248,7 +3371,9 @@ EXTENSION_QUERIES = {
     "x124_lsh_bucket_stats": q_x124_lsh_bucket_stats,
     "x125_frontier_sampled": q_x125_frontier_sampled,
     "c5_quality_manifest": q_c5_quality_manifest,
+    "c6_trained_curation": q_c6_trained_curation,
     "x126_variant_bucket_stats": q_x126_variant_bucket_stats,
+    "x133_variant_stats_sampled": q_x133_variant_stats_sampled,
     "x127_kmv_proof_audit": q_x127_kmv_proof_audit,
     "x128_vocab_normalize": q_x128_vocab_normalize,
     "x129_classifier_scores": q_x129_classifier_scores,
@@ -3872,7 +3997,9 @@ GROUP BY 1, 2""",
     "x124_lsh_bucket_stats": _lsh_bucket_stats_oracle(),
     "x125_frontier_sampled": _frontier_sampled_oracle(),
     "c5_quality_manifest": _c5_sql(),
+    "c6_trained_curation": _c6_sql(),
     "x126_variant_bucket_stats": _x126_sql(),
+    "x133_variant_stats_sampled": _x133_sql(),
     "x127_kmv_proof_audit": _x127_sql(),
     "x128_vocab_normalize": _x128_sql(),
     "x129_classifier_scores": _x129_sql(),

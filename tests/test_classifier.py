@@ -276,3 +276,79 @@ def test_stream_classifier_drains_to_batch(spark):
         for r in QUERIES["x129_classifier_scores"](spark, SF_SMOKE).collect()
     }
     assert drained == batch and drained
+
+
+# ---------------------------------------------------------------------------
+# c6 trained-filter curation capstone
+# ---------------------------------------------------------------------------
+
+
+def test_c6_trained_gate_differs_from_x8_golden(spark):
+    """The c6 loop's POINT is that the trained filter generalizes
+    beyond its own teacher: on this fixture the x131-trained model +
+    per-source mean-score gate keeps doc 2 — a clean-prose doc whose
+    x8 composite (348088) falls just below the distillation cutoff
+    (355000) but whose VOCABULARY matches the high-quality docs the
+    perceptron learned from — while the x8-composite gate drops it.
+    Golden: trained keep {1,2,5,6} vs x8 keep {1,5,6}, difference
+    exactly {2}."""
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        PERCEPTRON_LABEL_CUTOFF_E6,
+        perceptron_train,
+        quality_score,
+    )
+
+    rows = [
+        (1, "alpha", "the gentle river flows through the quiet valley carrying stories of distant mountains and patient stones"),
+        (2, "alpha", "morning light settles over the orchard while workers gather baskets of ripe apples under a clear sky"),
+        (3, "alpha", "river valley mountains!!!"),
+        (4, "alpha", "zz qq xx !!"),
+        (5, "beta", "scholars of the old library preserved careful records of harvests voyages and the slow growth of cities"),
+        (6, "beta", "the careful records of the library describe the growth of the river valley and the orchard harvests in detail"),
+        (7, "beta", "qq zz !!"),
+        (8, "beta", "library records growth"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    x8_keep = {
+        r.doc_id
+        for r in quality_score(docs)
+        .where(F.col("quality_e6") >= PERCEPTRON_LABEL_CUTOFF_E6)
+        .collect()
+    }
+    model = perceptron_train(docs)
+    scored = docs.select("doc_id", "source").join(
+        classifier_score(docs, model).select("doc_id", "score_e6"), "doc_id"
+    )
+    calib = scored.groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("score_e6").alias("sm")
+    )
+    trained_keep = {
+        r.doc_id
+        for r in scored.join(F.broadcast(calib), "source")
+        .where(F.col("score_e6") * F.col("n") >= F.col("sm"))
+        .collect()
+    }
+    assert x8_keep == {1, 5, 6}
+    assert trained_keep == {1, 2, 5, 6}
+    assert trained_keep ^ x8_keep == {2}
+
+
+def test_c6_manifest_shape_and_oracle(spark):
+    """c6 end-to-end on real testdata: the composed manifest has
+    C4_SHARDS rows, positive token totals, and hash-matches its DuckDB
+    twin (the same check the driver runs)."""
+    import duckdb as _dd
+    import pandas as pd
+
+    from pagerank_using_mapreduce_spark.plans.registry import ORACLE_SQL, QUERIES
+
+    got = QUERIES["c6_trained_curation"](spark, SF_SMOKE).toPandas()
+    con = _dd.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMOKE}/documents.parquet'"
+    )
+    want = con.execute(ORACLE_SQL["c6_trained_curation"]).df()
+    got = got[sorted(got.columns)].sort_values(by=sorted(got.columns), ignore_index=True)
+    want = want[sorted(want.columns)].sort_values(by=sorted(want.columns), ignore_index=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+    assert (got["total_tokens"] > 0).all()

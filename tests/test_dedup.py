@@ -261,6 +261,41 @@ def test_variant_bucket_stats_matches_manual(spark):
     assert got == want
 
 
+def test_variant_stats_sampled_estimator(spark):
+    """x133 (VERDICT r10 #4): the sampled pre-flight's est_sum_pairs
+    must (a) equal the exact audit EXACTLY at sample_den=1 (the
+    zero-padded threshold regression pin — the den=1 frontier bug
+    class), (b) land within binomial tolerance of exact on a synthetic
+    few-thousand-word vocabulary at den=8, and (c) be deterministic
+    (pure md5 — identical on re-evaluation)."""
+    import itertools
+
+    from pagerank_using_mapreduce_spark.operators.fuzzy import (
+        variant_bucket_stats,
+    )
+
+    syll = [c + v for c in "bcdfglmnprst" for v in "aeiou"]
+    words = ["".join(t) for t in itertools.product(syll, repeat=2)][:3000]
+    rows = [
+        (i, " ".join(words[i * 100 : (i + 1) * 100])) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = variant_bucket_stats(df).collect()[0].asDict()
+
+    one = variant_bucket_stats(df, sample_den=1).collect()[0].asDict()
+    assert one["n_words"] == 3000
+    assert one["est_sum_pairs"] == exact["sum_pairs"]
+    assert one["est_entries"] == exact["n_entries"]
+
+    est = variant_bucket_stats(df, sample_den=8).collect()[0].asDict()
+    assert 3000 // 16 < est["n_words"] < 3000 * 3 // 16  # ~3000/8
+    rel = est["est_sum_pairs"] / exact["sum_pairs"] - 1
+    assert abs(rel) < 0.35, (rel, est, exact["sum_pairs"])
+    rel_e = est["est_entries"] / exact["n_entries"] - 1
+    assert abs(rel_e) < 0.2, (rel_e, est, exact["n_entries"])
+    assert variant_bucket_stats(df, sample_den=8).collect()[0].asDict() == est
+
+
 def test_fuzzy_max_bucket_fuse_excludes_detectably(spark):
     """Arming the skew fuse drops only pairs whose every shared variant
     key is oversized: a generous cap reproduces the exact output, a
