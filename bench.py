@@ -222,6 +222,17 @@ SF1_VG_QUERIES = [
     "x57_vocab_coverage",
     "x58_fuzzy_word_pairs",    # delete-variant keys ~ O(len²) x vocab
     "x105_zipf_slope",
+    # r11 (VERDICT r10 #3): the SHINGLE-keyed dedup family — vocabulary
+    # growth changes the shingle domain too (minhash/LSH bucket
+    # occupancy, x108 prefix-filter selectivity), so these need vg
+    # decade rows, not just corpus-growth ones
+    "x2_minhash_signatures",
+    "x3_lsh_candidates",
+    "x4_near_dups",
+    "x33_dedup_clusters",
+    "x108_setsim_join",
+    "x124_lsh_bucket_stats",
+    "x133_variant_stats_sampled",  # the sampled pre-flight's own decade
 ]
 
 

@@ -1228,3 +1228,31 @@ def _rotate(table: dict) -> dict:
 QUERIES = _rotate(QUERIES)
 # keep the oracle table in exactly queries() order
 ORACLE_SQL = {n: ORACLE_SQL[n] for n in QUERIES if n in ORACLE_SQL}
+
+# ---------------------------------------------------------------------------
+# Sweep tiers (registry growth discipline, VERDICT r10 #5)
+# ---------------------------------------------------------------------------
+# CORE_TIER is the always-swept floor: every SURVEY.md §2 reference
+# query (the 31-row inventory's registry names) plus the composed
+# capstones — the queries whose breakage means the ENGINE is wrong,
+# not an extension.  `tools/check_oracle.py --tier=core` sweeps just
+# these (+ --changed-only for the current diff) as the mid-round
+# iteration gate; the ROUND-CLOSE gate stays the FULL registry, kept
+# inside the wall-clock budget by sharding the sweep across parallel
+# processes (tools/run_gates.py --sweep-shards) instead of dropping
+# coverage — max-shard wall-clock scales ~1/K with the shard count as
+# the registry grows.
+CORE_TIER: tuple[str, ...] = (
+    # §2 inventory rows (S/P/F/J/A/O/I/X families)
+    "s1_corpus_scan", "p9_codec_roundtrip", "p1_titles", "p3_doc_ids",
+    "p45_links", "p678_token_counts", "a1_count_n", "a23_linkgraph",
+    "j2_contributions", "i1_pagerank2", "i1_pagerank10", "o1_ranking",
+    "o1_topk", "a6_inverted_index", "a6_inverted_index_wiki",
+    # iterative variants the reference's loop quirks are pinned by
+    "i2_personalized_pagerank", "i3_warm_start",
+    # composed capstones (end-to-end pipelines)
+    "c1_curation_pipeline", "c2_ingest_curation", "c3_model_gate",
+    "c4_training_manifest", "c5_quality_manifest", "c6_trained_curation",
+    # the flagship non-reference relational headline
+    "tfidf",
+)

@@ -569,3 +569,136 @@ def test_embedding_near_dups_null_labels_emit_no_pairs(spark):
     }
     assert all(a not in (1, 2) and b not in (1, 2) for a, b in pairs)
     assert (3, 4) in pairs  # identical same-label vectors still pair
+
+
+def test_png_idat_decode_matches_bmp_path(spark):
+    """x134: the PNG builder emits byte-valid compressed PNGs (stdlib
+    zlib round-trips them; every chunk CRC verifies), the decoder's
+    channel sums equal the BMP byte-walk path's EXACTLY (same
+    generative raster through two independent codecs), and the
+    Sub/Up filters are genuinely exercised (some image has >= 3
+    scanlines, so filters 0, 1 AND 2 all appear)."""
+    import zlib
+
+    from pagerank_using_mapreduce_spark.operators.multimodal import (
+        PNG_SIG,
+        binarize_png,
+        binarize_raster,
+        decode_pixels,
+        decode_png_pixels,
+    )
+
+    rows = [(i, "x" * (3 + i * 5)) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    png = {
+        r["doc_id"]: tuple(r)
+        for r in decode_png_pixels(binarize_png(docs)).collect()
+    }
+    bmp = {
+        r["doc_id"]: tuple(r)
+        for r in decode_pixels(binarize_raster(docs)).collect()
+    }
+    assert png == bmp and len(png) == 12
+    heights = {d: t[2] for d, t in png.items()}
+    assert max(heights.values()) >= 3  # Sub AND Up filters exercised
+
+    # the payload is a real PNG: signature + inflatable IDAT
+    b = bytes(
+        binarize_png(docs).where("doc_id = 3").collect()[0]["payload"]
+    )
+    assert b[:8] == PNG_SIG
+    # IDAT begins after the 33-byte IHDR block: len(4)+type(4)
+    import struct
+
+    (idat_len,) = struct.unpack(">I", b[33:37])
+    assert b[37:41] == b"IDAT"
+    raw = zlib.decompress(b[41 : 41 + idat_len])
+    w, h = png[3][1], png[3][2]
+    assert len(raw) == h * (3 * w + 1)
+
+
+def test_png_decode_rejects_corrupt_crc(spark):
+    """Flipping one raster byte inside IDAT must be DETECTED (the
+    decoder verifies every chunk CRC against the actual bytes), not
+    silently decoded into wrong sums."""
+    import pytest
+
+    from pagerank_using_mapreduce_spark.operators.multimodal import (
+        binarize_png,
+        decode_png_pixels,
+    )
+
+    docs = spark.createDataFrame([(7, "hello png")], "doc_id long, text string")
+    b = bytearray(bytes(binarize_png(docs).collect()[0]["payload"]))
+    b[45] ^= 0xFF  # a byte inside the IDAT payload
+    bad = spark.createDataFrame([(7, bytes(b))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="bad CRC|PythonException"):
+        decode_png_pixels(bad).collect()
+
+
+def test_png_average_paeth_reference_path():
+    """The decoder's filter-3/4 reconstruction is correct even though
+    the corpus generator never emits them: hand-encode a known raster
+    with Average and Paeth rows and check the recon round-trips."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pagerank_using_mapreduce_spark.operators.multimodal import (
+        PNG_SIG,
+    )
+
+    w, h = 4, 2
+    rng = np.arange(w * 3 * h, dtype=np.int64).reshape(h, w * 3) * 37 % 256
+    # encode row 0 with Average (f=3, prev row = zeros), row 1 with Paeth
+    enc_rows = []
+    prev = np.zeros(w * 3, dtype=np.int64)
+    for r, f in ((0, 3), (1, 4)):
+        cur = rng[r]
+        out = np.zeros(w * 3, dtype=np.int64)
+        for i in range(w * 3):
+            a = cur[i - 3] if i >= 3 else 0
+            b_ = prev[i]
+            if f == 3:
+                pred = (a + b_) // 2
+            else:
+                c = prev[i - 3] if i >= 3 else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
+            out[i] = (cur[i] - pred) % 256
+        enc_rows.append(bytes([f]) + out.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(enc_rows)))
+        + chunk(b"IEND", b"")
+    )
+    # decode through the same mapInPandas body, exercised directly on
+    # a pandas frame (no Spark needed for the reference-path check)
+    import pandas as pd
+
+    from pagerank_using_mapreduce_spark.operators import multimodal as mm
+
+    class _Fake:
+        def mapInPandas(self, fn, schema):
+            self.fn = fn
+            return self
+
+    fake = _Fake()
+    mm.decode_png_pixels(fake)
+    got = next(fake.fn(iter([pd.DataFrame({"doc_id": [1], "payload": [payload]})])))
+    assert int(got["sum_r"][0]) == int(rng.reshape(h, w, 3)[:, :, 0].sum())
+    assert int(got["sum_g"][0]) == int(rng.reshape(h, w, 3)[:, :, 1].sum())
+    assert int(got["sum_b"][0]) == int(rng.reshape(h, w, 3)[:, :, 2].sum())

@@ -156,15 +156,67 @@ def _changed_query_names(base: str) -> set[str]:
     return sel
 
 
+def _shard_names(i: int, k: int) -> set[str]:
+    """Deterministic complete partition of the registry into k
+    cost-balanced shards (greedy LPT over the last recorded per-query
+    sweep seconds; unknown queries get the median weight) — the
+    round-close full sweep runs as k parallel processes whose union is
+    exactly the registry (tools/run_gates.py --sweep-shards)."""
+    import glob
+
+    names = sorted(entrymod.queries())
+    weights: dict[str, float] = {}
+    recs = sorted(glob.glob("/root/repo/ORACLE_SWEEP_r*.json"))
+    if recs:
+        try:
+            with open(recs[-1]) as f:
+                data = json.load(f)
+            for n, row in data.items():
+                if isinstance(row, dict):
+                    weights[n] = float(row.get("spark_sec", 0) or 0) + float(
+                        row.get("duck_sec", 0) or 0
+                    )
+        except (OSError, ValueError):
+            pass
+    med = sorted(weights.values())[len(weights) // 2] if weights else 1.0
+    buckets: list[tuple[float, int]] = [(0.0, j) for j in range(k)]
+    out: dict[int, set[str]] = {j: set() for j in range(k)}
+    for n in sorted(names, key=lambda n: -weights.get(n, med)):
+        buckets.sort()
+        w, j = buckets[0]
+        out[j].add(n)
+        buckets[0] = (w + weights.get(n, med), j)
+    return out[i]
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     changed_base = None
+    shard = None
+    tier = None
     for a in list(args):
         if a.startswith("--changed-only"):
             changed_base = a.split("=", 1)[1] if "=" in a else "HEAD~1"
             args.remove(a)
+        elif a.startswith("--shard="):
+            i, k = a.split("=", 1)[1].split("/")
+            shard = (int(i), int(k))
+            args.remove(a)
+        elif a.startswith("--tier="):
+            tier = a.split("=", 1)[1]
+            args.remove(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
+    if tier == "core":
+        from pagerank_using_mapreduce_spark.plans.registry import CORE_TIER
+
+        sel = set(CORE_TIER)
+        print(f"--tier=core: {len(sel)} queries selected")
+        only = sel if not only else (only & sel)
+    if shard is not None:
+        sel = _shard_names(*shard)
+        print(f"--shard={shard[0]}/{shard[1]}: {len(sel)} queries selected")
+        only = sel if not only else (only & sel)
     if changed_base is not None:
         sel = _changed_query_names(changed_base)
         print(
