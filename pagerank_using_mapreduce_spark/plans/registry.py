@@ -1184,38 +1184,34 @@ ORACLE_SQL: dict[str, str] = {
 # The two names past slot 50 (x14/x15) overflow to r09.  Every query
 # keeps its oracle either way; this permutes presentation order only.
 _DRIVER_ROTATION: list[str] = [
-    # --- round-10 additions (no driver row possible before r10) ---
-    "x125_frontier_sampled", "c5_quality_manifest",
-    "x126_variant_bucket_stats", "x127_kmv_proof_audit",
-    "x128_vocab_normalize", "x129_classifier_scores",
-    "x130_classifier_calibration", "x131_perceptron_train",
-    "x132_quality_mix", "z20_stream_classifier",
-    # --- staleness refresh: r09 overflow (g8/g9), the r07-note
-    # --- overflows (a9/i3/g10), then the r05 tier in registry order
-    # --- (COVERAGE.md "Computed r10 head"); names past slot 50
-    # --- (z12_stream_moments / x67_orc_roundtrip / x68_dataset_profile
-    # --- / x69_pixel_decode / x70_pixel_resize — displaced by the
-    # --- in-round x129/x130/x131/x132/z20 additions — then
-    # --- x71_wav_decode /
-    # --- x72_dedup_method_audit / c3_model_gate — displaced by
-    # --- x126/x127/x128 — then x73_hll_shard_merge, first r06-tier
-    # --- name) overflow to r11
-    "g8_sssp_dists", "g9_weighted_pagerank", "a9_reciprocity",
-    "i3_warm_start", "g10_bfs_frontier",
-    "g11_kcore_converged", "e6_funnel_steps", "e7_retention_cohorts",
-    "w4_ewma", "e8_purchase_outliers",
-    "e9_attribution", "w5_running_actives", "d3_merge_upsert",
-    "w6_hourly_ohlc", "e10_debounce",
-    "q2_min_cost_supplier", "q11_important_stock", "q16_supplier_cnt",
-    "q20_promotion_candidates", "q21_waiting_supplier",
-    "x48_chunk_windows", "x49_curriculum_order", "x50_value_histogram",
-    "x51_bpe_merges", "x52_char_lm_scores",
-    "x53_histogram_by_type", "x54_ngram_contamination",
-    "x55_semantic_clusters", "x56_incremental_dedup", "x57_vocab_coverage",
-    "x58_fuzzy_word_pairs", "c2_ingest_curation", "x59_bigram_lift",
-    "x60_paragraph_dedup", "x61_temperature_mix",
-    "x62_bpe_encode", "x63_containment", "x64_minhash_audit",
-    "x65_lang_consistency", "x66_source_keywords",
+    # --- round-11 additions (no driver row possible before r11) ---
+    "x133_variant_stats_sampled", "c6_trained_curation",
+    "x134_png_decode",
+    # --- staleness refresh (COVERAGE.md "Computed r11 rotation
+    # --- head"): the r05 remnants displaced past slot 50 by the
+    # --- in-round r10 additions (z12/x67/x68/x69/x70/x71/x72/c3/x73),
+    # --- then the r06 tier in registry order.  One name past slot 50
+    # --- (x76_kmv_distinct, displaced by the three r11 additions)
+    # --- overflows to r12.
+    "z12_stream_moments", "x67_orc_roundtrip", "x68_dataset_profile",
+    "x69_pixel_decode", "x70_pixel_resize", "x71_wav_decode",
+    "x72_dedup_method_audit", "c3_model_gate", "x73_hll_shard_merge",
+    "x97_anchor_text_index", "g12_landmark_closeness", "g13_truss_edges",
+    "g14_adamic_adar",
+    "d4_forget_users", "w8_gap_histogram", "d5_drift_psi",
+    "w7_concurrency", "w9_session_splice",
+    "w10_mad_outliers", "rj2_interval_overlap", "st2_bag_ops",
+    "c4_training_manifest", "x83_filter_calibration",
+    "x84_corrupt_ingest", "x85_audio_features", "z15_stream_forget",
+    "x86_schema_evolution", "x87_tokenizer_fertility",
+    "x88_dedup_savings", "x89_persisted_index", "x91_index_compaction",
+    "x104_weighted_sample", "x105_zipf_slope",
+    "x90_batched_bpe", "x92_stratified_iceberg", "x94_rare_token_docs",
+    "x95_window_dedup_rate", "x99_cooccurrence_pmi",
+    "x98_scene_cuts", "x100_quantize_embeddings", "x101_ngram_novelty",
+    "x102_gopher_repetition", "x103_bigram_perplexity",
+    "x96_length_percentiles", "x93_doc_entropy", "x74_composition_matrix",
+    "x75_vocab_growth",
 ]
 
 

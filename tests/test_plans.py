@@ -260,26 +260,23 @@ def test_driver_rotation_head_is_intact():
     assert names[: len(implemented)] == implemented
     assert list(ORACLE_SQL) == names  # oracle table mirrors query order
     assert set(implemented) <= set(ORACLE_SQL)
-    # r10 additions are a hard requirement in the first slots — they
-    # have no driver row before r10 (VERDICT r08 #3's rule).
+    # r11 additions are a hard requirement in the first slots — they
+    # have no driver row before r11 (VERDICT r08 #3's rule).
     additions = [
-        "x125_frontier_sampled", "c5_quality_manifest",
-        "x126_variant_bucket_stats", "x127_kmv_proof_audit",
-        "x128_vocab_normalize", "x129_classifier_scores",
-        "x130_classifier_calibration", "x131_perceptron_train",
-        "x132_quality_mix", "z20_stream_classifier",
+        "x133_variant_stats_sampled", "c6_trained_curation",
+        "x134_png_decode",
     ]
     assert names[: len(additions)] == additions
     # the head must fill all 50 driver slots (anything less wastes
     # hash-gate coverage; anything more silently drops the tail)
     assert len(implemented) == 50, len(implemented)
-    # The r09-overflow (g8/g9) and r07-note overflow (a9/i3/g10) tiers
-    # must lead the staleness refresh this round (COVERAGE.md r10 head).
+    # The r10-overflow r05 remnants must lead the staleness refresh
+    # this round (COVERAGE.md "Computed r11 rotation head").
     overflow = [
-        "g8_sssp_dists", "g9_weighted_pagerank", "a9_reciprocity",
-        "i3_warm_start", "g10_bfs_frontier",
+        "z12_stream_moments", "x67_orc_roundtrip", "x68_dataset_profile",
+        "x69_pixel_decode", "x70_pixel_resize",
     ]
-    assert names[10:15] == overflow
+    assert names[3:8] == overflow
 
 
 def test_x94_vocab_join_shape(spark):
