@@ -619,3 +619,31 @@ def test_x124_bucket_stats_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "collect_list" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_oracle_sweep_shards_partition_registry():
+    """The sharded round-close sweep (tools/check_oracle.py --shard=i/K)
+    must be a COMPLETE DISJOINT partition of the registry for any K —
+    a dropped name would silently lose sweep coverage, an overlap
+    wastes the wall-clock the sharding exists to bound."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "check_oracle.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from pagerank_using_mapreduce_spark.plans.registry import QUERIES
+
+    for k in (1, 3, 5):
+        shards = [mod._shard_names(i, k) for i in range(k)]
+        union = set().union(*shards)
+        assert union == set(QUERIES)
+        assert sum(len(s) for s in shards) == len(QUERIES)  # disjoint
+        # cost balance: LPT can't leave a shard grossly overloaded by
+        # COUNT (cost weights differ, so allow 2x the even share)
+        if k > 1:
+            assert max(len(s) for s in shards) <= 2 * len(QUERIES) // k

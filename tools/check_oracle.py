@@ -171,14 +171,16 @@ def _shard_names(i: int, k: int) -> set[str]:
         try:
             with open(recs[-1]) as f:
                 data = json.load(f)
-            for n, row in data.items():
-                if isinstance(row, dict):
+            for n, row in data.get("queries", data).items():
+                if isinstance(row, dict) and "spark_sec" in row:
                     weights[n] = float(row.get("spark_sec", 0) or 0) + float(
                         row.get("duck_sec", 0) or 0
                     )
         except (OSError, ValueError):
             pass
-    med = sorted(weights.values())[len(weights) // 2] if weights else 1.0
+    med = (
+        sorted(weights.values())[len(weights) // 2] if weights else 1.0
+    ) or 1.0
     buckets: list[tuple[float, int]] = [(0.0, j) for j in range(k)]
     out: dict[int, set[str]] = {j: set() for j in range(k)}
     for n in sorted(names, key=lambda n: -weights.get(n, med)):
