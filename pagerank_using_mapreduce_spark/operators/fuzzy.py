@@ -410,3 +410,99 @@ SELECT CAST({den} AS BIGINT) AS sample_den,
        _pairs * {den} * {den} AS est_sum_pairs
 FROM agg CROSS JOIN nw"""
     )
+
+
+def normalized_fingerprint_dedup(
+    documents: DataFrame, max_dist: int = FUZZY_MAX_DIST
+) -> DataFrame:
+    """(doc_id, norm_fp, is_kept): exact-duplicate election over the
+    TYPO-NORMALIZED token stream — the end-to-end use of the whole
+    fuzzy family (r11): every token is first mapped to its
+    :func:`vocab_normalize` canonical (highest-frequency lev-2
+    neighbor), so documents that differ only by spelling noise
+    fingerprint IDENTICALLY and dedup together, where raw
+    fingerprinting (x10/x1) sees distinct hashes.  Min-doc_id election
+    per fingerprint, every doc emitted with its verdict.
+
+    The fingerprint is a POSITION-KEYED additive hash: norm_fp =
+    Σ_pos h40(pos || '|' || canonical) over the doc's tokens (h40 =
+    the 40-bit md5-prefix idiom of simhash/x129).  Order-sensitive
+    (pos is inside the hash) yet a plain SUM — so the per-doc
+    reduction is a map-side-combinable aggregate, never a
+    collect_list + array reassembly; at 100 TB the doc-keyed shuffle
+    moves one long per token, and no executor ever materializes a
+    document's token array.  Tokenless docs fingerprint 0.
+
+    Scale shape: vocab_normalize is vocab-sized (its own blocked
+    SymSpell join); the token→canonical join is word-keyed like the
+    x103 model join — uniform keys, map-side combine downstream."""
+    from ..functions.textops import strip_non_alpha, tokens
+
+    norm = vocab_normalize(documents, max_dist=max_dist)
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(tokens(strip_non_alpha(F.col("text")))).alias(
+            "pos", "word"
+        ),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("pos").cast("string"), F.col("canonical")
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+    per = (
+        toks.join(norm.select("word", "canonical"), "word")
+        .groupBy("doc_id")
+        .agg(F.sum(h).alias("norm_fp"))
+    )
+    fps = (
+        documents.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("norm_fp", F.lit(0)).cast("long").alias("norm_fp"),
+        )
+    )
+    keep = fps.groupBy("norm_fp").agg(F.min("doc_id").alias("__nfd_keep"))
+    return fps.join(keep, "norm_fp").select(
+        "doc_id",
+        "norm_fp",
+        (F.col("doc_id") == F.col("__nfd_keep")).alias("is_kept"),
+    )
+
+
+def normalized_fingerprint_dedup_sql(max_dist: int = FUZZY_MAX_DIST) -> str:
+    from .text_analysis import _cls_hash_sql
+
+    h = _cls_hash_sql("CAST(t.pos AS VARCHAR) || '|' || vn.canonical")
+    return f"""
+WITH vn AS MATERIALIZED ({vocab_normalize_sql(max_dist)}),
+toks AS (
+  SELECT doc_id, u.p AS pos, u.t AS word FROM (
+    SELECT doc_id, unnest(list_transform(
+      list_filter(string_split_regex(
+        lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+        x -> x != ''),
+      (x, i) -> {{'p': i - 1, 't': x}})) AS u
+    FROM documents)
+),
+per AS (
+  SELECT t.doc_id, CAST(SUM({h}) AS BIGINT) AS norm_fp
+  FROM toks t JOIN vn ON t.word = vn.word
+  GROUP BY t.doc_id
+),
+fps AS (
+  SELECT d.doc_id, COALESCE(per.norm_fp, 0) AS norm_fp
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+),
+keep AS (SELECT norm_fp, MIN(doc_id) AS keep_id FROM fps GROUP BY norm_fp)
+SELECT f.doc_id, f.norm_fp, f.doc_id = k.keep_id AS is_kept
+FROM fps f JOIN keep k USING (norm_fp)"""

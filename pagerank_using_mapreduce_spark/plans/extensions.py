@@ -2966,6 +2966,26 @@ def _x133_sql() -> str:
     return variant_bucket_stats_sql(sample_den=_X133_SAMPLE_DEN)
 
 
+def q_x135_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-normalized fingerprint dedup (r11): exact-duplicate
+    election over the vocab_normalize-mapped token stream — docs that
+    differ only by spelling noise dedup together where raw
+    fingerprinting sees distinct hashes.  The fingerprint is a
+    position-keyed additive 40-bit-md5 sum, so the per-doc reduction
+    is a map-side-combinable aggregate (no collect_list, no token
+    arrays on any executor) — the whole fuzzy family's end use in one
+    composed plan."""
+    from ..operators.fuzzy import normalized_fingerprint_dedup
+
+    return normalized_fingerprint_dedup(_docs(spark, sf_dir))
+
+
+def _x135_sql() -> str:
+    from ..operators.fuzzy import normalized_fingerprint_dedup_sql
+
+    return normalized_fingerprint_dedup_sql()
+
+
 def q_x127_kmv_proof_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KMV two-phase proof audit: how many distinct words
     survive the 1/16 hash-space prefilter, and whether that proves the
@@ -3389,6 +3409,7 @@ EXTENSION_QUERIES = {
     "c6_trained_curation": q_c6_trained_curation,
     "x126_variant_bucket_stats": q_x126_variant_bucket_stats,
     "x133_variant_stats_sampled": q_x133_variant_stats_sampled,
+    "x135_normalized_dedup": q_x135_normalized_dedup,
     "x127_kmv_proof_audit": q_x127_kmv_proof_audit,
     "x128_vocab_normalize": q_x128_vocab_normalize,
     "x129_classifier_scores": q_x129_classifier_scores,
@@ -4016,6 +4037,7 @@ GROUP BY 1, 2""",
     "c6_trained_curation": _c6_sql(),
     "x126_variant_bucket_stats": _x126_sql(),
     "x133_variant_stats_sampled": _x133_sql(),
+    "x135_normalized_dedup": _x135_sql(),
     "x127_kmv_proof_audit": _x127_sql(),
     "x128_vocab_normalize": _x128_sql(),
     "x129_classifier_scores": _x129_sql(),

@@ -778,3 +778,40 @@ def test_band_frontier_max_bucket_cap_visible(spark):
         assert r["n_candidates"] == 0, r
         assert free[nb]["n_oversized"] == 0
         assert free[nb]["n_candidates"] == 28  # C(8,2)
+
+
+def test_normalized_dedup_merges_typo_variants(spark):
+    """x135 golden: a doc differing from another ONLY by lev-2 typos
+    of dominant words normalizes to the identical fingerprint and
+    dedups (min-id election), while raw fingerprinting keeps both;
+    docs with genuinely different content never merge; position
+    sensitivity: same multiset, different order -> different
+    fingerprints."""
+    from pagerank_using_mapreduce_spark.operators.fuzzy import (
+        normalized_fingerprint_dedup,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        # 'brwn' is lev-1 from 'brown', 'quik' lev-1 from 'quick' —
+        # both canonicalize to the (more frequent) clean spellings
+        (2, "the quik brwn fox jumps"),
+        (3, "the quick brown fox jumps"),  # raw exact dup of 1
+        (4, "a completely different document"),
+        (5, "fox brown quick the jumps"),  # same words, other order
+        (6, ""),  # tokenless -> fp 0
+    ]
+    # repeat the clean words so they dominate the typo spellings
+    rows += [(10 + i, "the quick brown fox jumps") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["norm_fp"], r["is_kept"])
+        for r in normalized_fingerprint_dedup(df).collect()
+    }
+    clean_fp = got[1][0]
+    assert got[2][0] == clean_fp and got[3][0] == clean_fp
+    assert got[1][1] is True  # min-id keeps doc 1
+    assert got[2][1] is False and got[3][1] is False
+    assert got[4][0] != clean_fp and got[4][1] is True
+    assert got[5][0] != clean_fp and got[5][1] is True  # order matters
+    assert got[6][0] == 0 and got[6][1] is True

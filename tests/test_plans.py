@@ -264,7 +264,7 @@ def test_driver_rotation_head_is_intact():
     # have no driver row before r11 (VERDICT r08 #3's rule).
     additions = [
         "x133_variant_stats_sampled", "c6_trained_curation",
-        "x134_png_decode",
+        "x134_png_decode", "x135_normalized_dedup",
     ]
     assert names[: len(additions)] == additions
     # the head must fill all 50 driver slots (anything less wastes
@@ -276,7 +276,7 @@ def test_driver_rotation_head_is_intact():
         "z12_stream_moments", "x67_orc_roundtrip", "x68_dataset_profile",
         "x69_pixel_decode", "x70_pixel_resize",
     ]
-    assert names[3:8] == overflow
+    assert names[4:9] == overflow
 
 
 def test_x94_vocab_join_shape(spark):
