@@ -42,6 +42,7 @@ PYTHON_OK = {
     "x98_scene_cuts",  # real luma-plane byte-walk (SAD shot detection)
     "x112_image_ahash",  # real raster byte-walk (perceptual hash bits)
     "x115_audio_contour",  # real PCM byte-walk (energy-contour bits)
+    "x134_png_decode",  # real zlib IDAT inflate + unfilter byte-walk
     "z1_stream_rollup",
     "z2_stream_sessions",
     "z11_stream_funnel",  # applyInPandasWithState state machine
