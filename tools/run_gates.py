@@ -143,19 +143,38 @@ def main() -> int:
         if code:
             rc = 1
     if sweep_parts and rc == 0:
-        merged: dict = {}
+        queries: dict = {}
+        failed: list = []
+        sf_dir = args.sweep_sf
         for part in sweep_parts:
             try:
                 with open(part) as f:
-                    merged.update(json.load(f))
+                    d = json.load(f)
+                queries.update(d.get("queries", {}))
+                failed.extend(d.get("failed", []))
+                sf_dir = d.get("sf_dir", sf_dir)
             except (OSError, ValueError) as exc:
                 print(f"[gates] merge skipped {part}: {exc}")
+        merged = {
+            "sf_dir": sf_dir,
+            "n_queries": len(queries),
+            "n_pass": sum(
+                1
+                for v in queries.values()
+                if v.get("status") in ("OK", "rows-only")
+            ),
+            "failed": failed,
+            "shards": len(sweep_parts),
+            "queries": queries,
+        }
         out = os.environ.get(
             "ORACLE_SWEEP_JSON", "/tmp/gates_sweep_merged.json"
         )
         with open(out, "w") as f:
             json.dump(merged, f, indent=1, sort_keys=True)
-        print(f"[gates] merged sweep artifact ({len(merged)} queries) -> {out}")
+        print(
+            f"[gates] merged sweep artifact ({len(queries)} queries) -> {out}"
+        )
     print(json.dumps({"ok": rc == 0, "components": summary}))
     return rc
 
