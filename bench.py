@@ -153,6 +153,13 @@ BENCH_QUERIES = [
     "x130_classifier_calibration",
     "x131_perceptron_train",
     "x132_quality_mix",
+    # round-11 additions: the sampled variant pre-flight (vs x126's
+    # exact row), the trained-filter capstone, the PNG IDAT decode,
+    # and the typo-normalized dedup (the fuzzy family's end use)
+    "x133_variant_stats_sampled",
+    "c6_trained_curation",
+    "x134_png_decode",
+    "x135_normalized_dedup",
 ]
 
 # Canary pair (VERDICT r06 #7): one trivial scan-bound query and one
