@@ -3206,6 +3206,51 @@ def q_z20_stream_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_z21_stream_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multimodal ingest (r11): the document stream is
+    rendered to REAL compressed PNGs and pixel-decoded per micro-batch
+    via ``foreachBatch`` — the decode-at-ingest pattern (a production
+    pipeline decodes/validates media as it lands, not in a later
+    corpus-wide pass).  Per-doc independence means the drained union
+    hash-matches batch x134 at ANY micro-batch partitioning, so this
+    streaming op carries x134's FULL generative value-hash oracle.
+    Zero streaming state; the z20 idempotency discipline (each batch
+    owns and overwrites its batch_id=N dir)."""
+    import os
+    import shutil
+
+    from ..operators.multimodal import binarize_png, decode_png_pixels
+    from ..streaming.events import (
+        read_document_stream,
+        run_foreach_batch,
+        stage_table_dir,
+    )
+
+    stream = read_document_stream(
+        spark, stage_table_dir(sf_dir, "documents")
+    )
+    out_dir = os.path.join(_roundtrip_dir("z21out"), "pixels")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def decode(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        decode_png_pixels(binarize_png(batch_df)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+
+    run_foreach_batch(stream, decode)
+    if not os.path.exists(out_dir):
+        return spark.createDataFrame(
+            [],
+            "doc_id long, width long, height long, n_px long,"
+            " sum_r long, sum_g long, sum_b long",
+        )
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "width", "height", "n_px", "sum_r", "sum_g", "sum_b"
+    )
+
+
 def q_x111_label_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's kappa between the gold labels and nearest-centroid
     predicted labels (the x6 quantizer as a 1-NN classifier) — the
@@ -3455,6 +3500,7 @@ EXTENSION_QUERIES = {
     "x68_dataset_profile": q_x68_dataset_profile,
     "x69_pixel_decode": q_x69_pixel_decode,
     "x134_png_decode": q_x134_png_decode,
+    "z21_stream_png_decode": q_z21_stream_png_decode,
     "x70_pixel_resize": q_x70_pixel_resize,
     "x71_wav_decode": q_x71_wav_decode,
     "x72_dedup_method_audit": q_x72_dedup_method_audit,
@@ -4087,6 +4133,10 @@ GROUP BY 1, 2""",
     # the identical (x, row) channel formulas, so the SQL re-derives
     # the sums the zlib/unfilter path must reproduce byte-exactly
     "x134_png_decode": _x69_sql(),
+    # z21 drains to exactly the batch x134 relation (per-doc
+    # independence), so the streaming entry carries the same FULL
+    # generative value-hash oracle, not a rows-only check
+    "z21_stream_png_decode": _x69_sql(),
     "x70_pixel_resize": _x70_sql(),
     "x71_wav_decode": _x71_sql(),
     "x72_dedup_method_audit": _x72_sql(),

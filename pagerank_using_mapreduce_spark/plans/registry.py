@@ -1187,12 +1187,14 @@ _DRIVER_ROTATION: list[str] = [
     # --- round-11 additions (no driver row possible before r11) ---
     "x133_variant_stats_sampled", "c6_trained_curation",
     "x134_png_decode", "x135_normalized_dedup",
+    "z21_stream_png_decode",
     # --- staleness refresh (COVERAGE.md "Computed r11 rotation
     # --- head"): the r05 remnants displaced past slot 50 by the
     # --- in-round r10 additions (z12/x67/x68/x69/x70/x71/x72/c3/x73),
-    # --- then the r06 tier in registry order.  Two names past slot 50
-    # --- (x75_vocab_growth / x76_kmv_distinct, displaced by the four
-    # --- r11 additions) overflow to r12.
+    # --- then the r06 tier in registry order.  Three names past slot
+    # --- 50 (x74_composition_matrix / x75_vocab_growth /
+    # --- x76_kmv_distinct, displaced by the five r11 additions)
+    # --- overflow to r12.
     "z12_stream_moments", "x67_orc_roundtrip", "x68_dataset_profile",
     "x69_pixel_decode", "x70_pixel_resize", "x71_wav_decode",
     "x72_dedup_method_audit", "c3_model_gate", "x73_hll_shard_merge",
@@ -1210,7 +1212,7 @@ _DRIVER_ROTATION: list[str] = [
     "x95_window_dedup_rate", "x99_cooccurrence_pmi",
     "x98_scene_cuts", "x100_quantize_embeddings", "x101_ngram_novelty",
     "x102_gopher_repetition", "x103_bigram_perplexity",
-    "x96_length_percentiles", "x93_doc_entropy", "x74_composition_matrix",
+    "x96_length_percentiles", "x93_doc_entropy",
 ]
 
 

@@ -702,3 +702,19 @@ def test_png_average_paeth_reference_path():
     assert int(got["sum_r"][0]) == int(rng.reshape(h, w, 3)[:, :, 0].sum())
     assert int(got["sum_g"][0]) == int(rng.reshape(h, w, 3)[:, :, 1].sum())
     assert int(got["sum_b"][0]) == int(rng.reshape(h, w, 3)[:, :, 2].sum())
+
+
+def test_stream_png_decode_drains_to_batch(spark):
+    """z21: the foreachBatch-decoded PNG ingest stream must drain to
+    EXACTLY the batch x134 relation — per-doc independence means
+    micro-batch partitioning cannot change a single channel sum."""
+    from pagerank_using_mapreduce_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    drained = {
+        tuple(r) for r in QUERIES["z21_stream_png_decode"](spark, sf).collect()
+    }
+    batch = {
+        tuple(r) for r in QUERIES["x134_png_decode"](spark, sf).collect()
+    }
+    assert drained == batch and drained
