@@ -2951,8 +2951,13 @@ def q_x133_variant_stats_sampled(
     100x-runnable (the exact x126 audit enumerates the full variant
     index: 64 s at sf10_vg and growing with the vocabulary; the
     sampled form's explode is den× smaller end to end).  Estimator
-    tolerance is pinned by test against the exact audit at sf0.01 and
-    sf0.1."""
+    tolerance is pinned by test on a synthetic few-thousand-word
+    vocabulary (plus den=1 EXACT equality); note the shipped
+    replica-mode testdata has only ~31 distinct words, so this
+    registered row is a degenerate-sample demonstration — the n_words
+    column makes that observable — while the operator's target regime
+    is measured on the vocab-growth decades (est within 0.08 % of the
+    exact bill at sf1_vg, 0.002 % at sf10_vg; SCALING.md)."""
     from ..operators.fuzzy import variant_bucket_stats
 
     return variant_bucket_stats(
