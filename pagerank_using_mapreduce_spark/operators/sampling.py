@@ -814,3 +814,228 @@ __rk AS (
 SELECT {out_cols} FROM __rk r JOIN __cut k ON r.__grp = k.__cut_grp
 WHERE r.__score > k.__cut
    OR (r.__score = k.__cut AND r.__rk <= k.__slots)"""
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling (x136): Data Selection with Importance
+# Resampling (Xie et al. 2023, arXiv:2302.03169) — pick raw-pool
+# documents whose hashed-n-gram distribution looks like a TARGET
+# domain.  Features are word bigrams hashed into DSIR_BUCKETS buckets
+# (the classifier-family md5 idiom, text_analysis._cls_hash); the
+# importance log-weight of a document is
+#     sum_b cnt_b * ln( p_tgt(b) / p_raw(b) )
+# with add-one smoothing on both bucket distributions, and selection
+# is Gumbel-top-k over (log-weight + Gumbel(u)) with u a pure md5
+# function of doc_id — i.e. sampling WITHOUT replacement proportional
+# to the importance weight, deterministic across retries/layouts
+# (the A-ES/x104 discipline; seeded rand() is layout-dependent).
+#
+# Determinism: per-bucket log-ratios are quantized to e6 integers
+# FIRST (one ln over an exact-integer rational per bucket — the
+# x103/PMI convention), so every per-document total is an EXACT
+# integer sum and both engines agree bit-for-bit regardless of
+# summation order.  The Gumbel key -ln(-ln(u)) is likewise quantized
+# to e6 per document before the exact integer add.
+#
+# Scale shape (100 TB): the feature pass is one explode + one
+# (doc_id, bucket) partial-agg'd groupBy; the model is a FIXED
+# DSIR_BUCKETS-row relation (broadcast at scoring time — never a
+# corpus-side shuffle); scoring is one broadcast join + one doc_id
+# aggregate; selection is TakeOrderedAndProject (per-partition top-k
+# + driver merge), never a global single-partition window.  The two
+# bucket totals (T, R) fit the smoothing terms of the paper: at
+# corpus scales where (cnt+1)*(total+B) would exceed 2^53, split the
+# ln into ln(cnt+1)-ln(total+B) per side and re-pin the op order.
+# --------------------------------------------------------------------------
+
+DSIR_TARGET = ("src0", "src1", "src2", "src3")
+DSIR_BUCKETS = 4096
+DSIR_KEEP_DEN = 10  # keep floor(|raw| / 10) documents
+DSIR_GUMBEL_SEED = "dsir-g0"
+_DSIR_HEX = 13  # 52-bit md5 uniform, exact in BIGINT and DOUBLE
+
+
+def _dsir_feats(documents: DataFrame) -> DataFrame:
+    """(doc_id, source, bucket, cnt): hashed word-bigram bag per doc."""
+    from .text_analysis import _cls_hash, _toks
+
+    toked = documents.select("doc_id", "source", _toks().alias("t")).where(
+        F.size("t") >= 2
+    )
+    bg = F.zip_with(
+        F.expr("slice(t, 1, size(t) - 1)"),
+        F.expr("slice(t, 2, size(t) - 1)"),
+        lambda a, b: F.concat_ws("#", a, b),
+    )
+    return (
+        toked.select("doc_id", "source", F.explode(bg).alias("g"))
+        .select(
+            "doc_id",
+            "source",
+            (_cls_hash(F.col("g")) % DSIR_BUCKETS).alias("bucket"),
+        )
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_resample(
+    documents: DataFrame,
+    target_sources: tuple[str, ...] = DSIR_TARGET,
+    keep_den: int = DSIR_KEEP_DEN,
+    seed: str = DSIR_GUMBEL_SEED,
+) -> DataFrame:
+    """(doc_id, source, n_feats, total_lr_e6, sel_e6): the
+    floor(|raw| / keep_den) raw-pool docs (source NOT in
+    ``target_sources``) electing the largest sel_e6 = total_lr_e6 +
+    gumbel_e6 — Gumbel-top-k importance resampling toward the target
+    domain.  Docs with < 2 tokens have no features and carry
+    log-weight 0 (the empty product), so they stay samplable."""
+    spark = documents.sparkSession
+    is_tgt = F.col("source").isin(*target_sources)
+    feats = _dsir_feats(documents).localCheckpoint(eager=True)
+    dist = feats.groupBy("bucket").agg(
+        F.sum(F.when(is_tgt, F.col("cnt")).otherwise(F.lit(0))).alias("tc"),
+        F.sum(F.when(~is_tgt, F.col("cnt")).otherwise(F.lit(0))).alias("rc"),
+    )
+    totals = dist.agg(
+        F.sum("tc").alias("tt"), F.sum("rc").alias("rt")
+    )  # 1-row scalar, S4 pattern
+    b = DSIR_BUCKETS
+    model = (
+        spark.range(b)
+        .select(F.col("id").cast("long").alias("bucket"))
+        .join(dist, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce("tc", F.lit(0)) + 1).cast("double")
+                        * (F.col("rt") + b).cast("double")
+                    )
+                    / (
+                        (F.coalesce("rc", F.lit(0)) + 1).cast("double")
+                        * (F.col("tt") + b).cast("double")
+                    )
+                )
+                * 1e6
+                + F.lit(0.5000001)
+            )
+            .cast("long")
+            .alias("lr_e6"),
+        )
+    )
+    per = (
+        feats.where(~is_tgt)
+        .join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("lr_e6")).alias("total_lr_e6"),
+        )
+    )
+    raw_docs = documents.where(~is_tgt).select("doc_id", "source")
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col("doc_id").cast("string")))
+    v = F.conv(F.substring(h, 1, _DSIR_HEX), 16, 10).cast("long")
+    # u in (0, 1) STRICTLY (the +1 denominator bump): u = 1 would send
+    # -ln(-ln(u)) to +inf and overflow the e6 cast
+    u = (v + 1).cast("double") / F.lit(float(2 ** (4 * _DSIR_HEX) + 1))
+    g_e6 = (
+        F.floor(-F.log(-F.log(u)) * 1e6 + F.lit(0.5000001)).cast("long")
+    )
+    scored = raw_docs.join(per, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+        F.coalesce("total_lr_e6", F.lit(0)).alias("total_lr_e6"),
+        (F.coalesce("total_lr_e6", F.lit(0)) + g_e6).alias("sel_e6"),
+    )
+    # bounded driver scalar (S5 pattern): the keep budget
+    k = int(raw_docs.count()) // keep_den
+    return scored.orderBy(F.desc("sel_e6"), "doc_id").limit(k)
+
+
+def dsir_resample_sql(
+    target_sources: tuple[str, ...] = DSIR_TARGET,
+    keep_den: int = DSIR_KEEP_DEN,
+    seed: str = DSIR_GUMBEL_SEED,
+) -> str:
+    """DuckDB twin of :func:`dsir_resample` (identical hash family,
+    quantization points, and tiebreak)."""
+    from .text_analysis import _cls_hash_sql
+
+    b = DSIR_BUCKETS
+    tgt = ", ".join(sql_quote(s) for s in target_sources)
+    digits = "0123456789abcdef"
+    v = " + ".join(
+        f"(strpos('{digits}', substr(h, {i + 1}, 1)) - 1)"
+        f" * {16 ** (_DSIR_HEX - 1 - i)}"
+        for i in range(_DSIR_HEX)
+    )
+    return f"""
+WITH toked AS (
+  SELECT doc_id, source, t FROM (
+    SELECT doc_id, source, list_filter(string_split_regex(
+             lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+             t -> t != '') AS t
+    FROM documents)
+  WHERE len(t) >= 2
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, source, bucket, COUNT(*) AS cnt FROM (
+    SELECT doc_id, source,
+           {_cls_hash_sql("g")} % {b} AS bucket
+    FROM (
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || '#' || t[i+1])) AS g
+      FROM toked))
+  GROUP BY doc_id, source, bucket
+),
+dist AS (
+  SELECT bucket,
+         SUM(CASE WHEN source IN ({tgt}) THEN cnt ELSE 0 END) AS tc,
+         SUM(CASE WHEN source NOT IN ({tgt}) THEN cnt ELSE 0 END) AS rc
+  FROM feats GROUP BY bucket
+),
+totals AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM dist),
+model AS (
+  SELECT s.bucket,
+         CAST(FLOOR(LN(
+             (CAST(COALESCE(tc, 0) + 1 AS DOUBLE)
+              * CAST(rt + {b} AS DOUBLE))
+             / (CAST(COALESCE(rc, 0) + 1 AS DOUBLE)
+                * CAST(tt + {b} AS DOUBLE))
+           ) * 1e6 + 0.5000001) AS BIGINT) AS lr_e6
+  FROM (SELECT unnest(generate_series(0, {b - 1})) AS bucket) s
+  LEFT JOIN dist USING (bucket) CROSS JOIN totals
+),
+per AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
+         CAST(SUM(cnt * lr_e6) AS BIGINT) AS total_lr_e6
+  FROM feats JOIN model USING (bucket)
+  WHERE source NOT IN ({tgt})
+  GROUP BY doc_id
+),
+raw_docs AS (
+  SELECT doc_id, source,
+         md5({sql_quote(seed)} || '|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE source NOT IN ({tgt})
+),
+scored AS (
+  SELECT r.doc_id, r.source,
+         COALESCE(n_feats, 0) AS n_feats,
+         COALESCE(total_lr_e6, 0) AS total_lr_e6,
+         COALESCE(total_lr_e6, 0)
+           + CAST(FLOOR(-LN(-LN(
+                 CAST(({v}) + 1 AS DOUBLE)
+                 / {float(2 ** (4 * _DSIR_HEX) + 1)}))
+               * 1e6 + 0.5000001) AS BIGINT) AS sel_e6
+  FROM raw_docs r LEFT JOIN per USING (doc_id)
+)
+SELECT doc_id, source, n_feats, total_lr_e6, sel_e6
+FROM scored
+QUALIFY row_number() OVER (ORDER BY sel_e6 DESC, doc_id)
+        <= (SELECT COUNT(*) // {keep_den} FROM raw_docs)"""

@@ -2991,6 +2991,24 @@ def _x135_sql() -> str:
     return normalized_fingerprint_dedup_sql()
 
 
+def q_x136_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): select the raw-
+    pool docs whose hashed-bigram distribution best matches the
+    src0-src3 target domain, via Gumbel-top-k over e6-quantized
+    importance log-weights.  Model = fixed 4096-row broadcast;
+    selection = TakeOrderedAndProject — the corpus side pays one
+    feature pass and one doc_id aggregate, never a global window."""
+    from ..operators.sampling import dsir_resample
+
+    return dsir_resample(_docs(spark, sf_dir))
+
+
+def _x136_sql() -> str:
+    from ..operators.sampling import dsir_resample_sql
+
+    return dsir_resample_sql()
+
+
 def q_x127_kmv_proof_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KMV two-phase proof audit: how many distinct words
     survive the 1/16 hash-space prefilter, and whether that proves the
@@ -3460,6 +3478,7 @@ EXTENSION_QUERIES = {
     "x126_variant_bucket_stats": q_x126_variant_bucket_stats,
     "x133_variant_stats_sampled": q_x133_variant_stats_sampled,
     "x135_normalized_dedup": q_x135_normalized_dedup,
+    "x136_dsir_resample": q_x136_dsir_resample,
     "x127_kmv_proof_audit": q_x127_kmv_proof_audit,
     "x128_vocab_normalize": q_x128_vocab_normalize,
     "x129_classifier_scores": q_x129_classifier_scores,
@@ -4089,6 +4108,7 @@ GROUP BY 1, 2""",
     "x126_variant_bucket_stats": _x126_sql(),
     "x133_variant_stats_sampled": _x133_sql(),
     "x135_normalized_dedup": _x135_sql(),
+    "x136_dsir_resample": _x136_sql(),
     "x127_kmv_proof_audit": _x127_sql(),
     "x128_vocab_normalize": _x128_sql(),
     "x129_classifier_scores": _x129_sql(),

@@ -611,3 +611,110 @@ def test_epoch_shuffle_epochs_differ_and_rerun_stable(spark):
     e1 = [v for (e, s, p), v in sorted(order.items()) if e == 1]
     e2 = [v for (e, s, p), v in sorted(order.items()) if e == 2]
     assert e1 != e2, "epochs must present different orders"
+
+
+def test_x136_dsir_replay_and_partition_invariance(spark):
+    """The DSIR election is an exact Python replay (hashed-bigram
+    importance log-weights + md5 Gumbel keys) and invariant under
+    repartitioning — selection is a pure function of row content."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from pagerank_using_mapreduce_spark.operators.sampling import (
+        DSIR_BUCKETS,
+        DSIR_GUMBEL_SEED,
+        DSIR_KEEP_DEN,
+        DSIR_TARGET,
+        _DSIR_HEX,
+        dsir_resample,
+    )
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    got = sorted(
+        (r["doc_id"], r["source"], r["n_feats"], r["total_lr_e6"], r["sel_e6"])
+        for r in dsir_resample(docs).collect()
+    )
+    got_shuffled = sorted(
+        (r["doc_id"], r["source"], r["n_feats"], r["total_lr_e6"], r["sel_e6"])
+        for r in dsir_resample(docs.repartition(17)).collect()
+    )
+    assert got == got_shuffled and got
+
+    def toks(text):
+        return [
+            t
+            for t in re.sub(r"[^a-zA-Z]+", " ", text).strip().lower().split(" ")
+            if t
+        ]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:10], 16) % DSIR_BUCKETS
+
+    pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    feats = {}  # doc_id -> Counter(bucket)
+    src = {}
+    for _, r in pdf.iterrows():
+        src[r["doc_id"]] = r["source"]
+        t = toks(r["text"])
+        if len(t) >= 2:
+            feats[r["doc_id"]] = Counter(
+                bucket(a + "#" + b) for a, b in zip(t, t[1:])
+            )
+    tc, rc = Counter(), Counter()
+    for did, c in feats.items():
+        (tc if src[did] in DSIR_TARGET else rc).update(c)
+    T, R = sum(tc.values()), sum(rc.values())
+    b = DSIR_BUCKETS
+    lr = {
+        i: math.floor(
+            math.log(
+                (float(tc[i] + 1) * float(R + b))
+                / (float(rc[i] + 1) * float(T + b))
+            )
+            * 1e6
+            + 0.5000001
+        )
+        for i in range(b)
+    }
+    rows = []
+    for did, s in src.items():
+        if s in DSIR_TARGET:
+            continue
+        c = feats.get(did, Counter())
+        n_feats = sum(c.values())
+        total = sum(cnt * lr[i] for i, cnt in c.items())
+        h = hashlib.md5(f"{DSIR_GUMBEL_SEED}|{did}".encode()).hexdigest()
+        v = int(h[:_DSIR_HEX], 16)
+        u = (v + 1) / float(2 ** (4 * _DSIR_HEX) + 1)
+        g = math.floor(-math.log(-math.log(u)) * 1e6 + 0.5000001)
+        rows.append((did, s, n_feats, total, total + g))
+    k = len(rows) // DSIR_KEEP_DEN
+    want = sorted(sorted(rows, key=lambda r: (-r[4], r[0]))[:k])
+    assert got == want
+
+
+def test_x136_dsir_prefers_target_like_docs(spark):
+    """With a strong vocabulary split, the kept raw docs are exactly
+    the ones sharing the target domain's bigrams (the Gumbel noise is
+    O(1e6·small) — far below the log-ratio separation here)."""
+    from pagerank_using_mapreduce_spark.operators.sampling import (
+        dsir_resample,
+    )
+
+    tgt_text = "alpha beta " * 30
+    bad_text = "gamma delta " * 30
+    rows = [(i, tgt_text, "en", "tgt", len(tgt_text)) for i in range(10)]
+    # raw pool: ids 100-119 target-like, 200-279 off-domain -> k = 10
+    rows += [(100 + i, tgt_text, "en", "raw", len(tgt_text)) for i in range(10)]
+    rows += [(200 + i, bad_text, "en", "raw", len(bad_text)) for i in range(80)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    kept = dsir_resample(docs, target_sources=("tgt",), keep_den=9)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [100 + i for i in range(10)]
