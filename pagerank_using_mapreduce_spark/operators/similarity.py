@@ -1594,3 +1594,121 @@ SELECT query_id, rank, vec_id, CAST(adc_e6 AS BIGINT) AS adc_e6 FROM (
            PARTITION BY query_id ORDER BY adc_e6 DESC, vec_id ASC) AS rank
   FROM scored
 ) WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-level decontamination (x137): flag training vectors whose
+# nearest EVAL-SET neighbor exceeds a cosine threshold — the semantic
+# complement of the token-level contamination audits (x54/x113/x118
+# catch verbatim and near-verbatim text overlap; an embedding screen
+# catches PARAPHRASED benchmark leakage that shares no n-grams).
+# The eval slice here is the augmented perturbed copies
+# (vec_id >= EMB_DUP_OFFSET): a stand-in for "the benchmark contains
+# paraphrases of training documents" — their sources (vec_id % 20 == 0)
+# are exactly the contaminated rows.
+#
+# Scale shape (100 TB): the eval set is BENCHMARK-sized — a fixed
+# budget independent of corpus volume — so it is collected once to the
+# driver (the bounded-scalar discipline of the k-means centroids) and
+# shipped to every task as a constant; the training side pays ONE scan
+# with zero shuffles (mapInPandas — no grouping key at all), and each
+# Arrow batch scores against the eval matrix with the same
+# dim-sequential numpy fold as x15, so values are bit-identical to the
+# DuckDB twin's list_dot_product.  Past ~10^6 eval rows, shard the
+# eval matrix and take a per-shard argmax union — same plan, bounded
+# task memory.
+# ---------------------------------------------------------------------------
+
+CONTAM_COSINE_E6 = 950_000
+
+
+def embedding_contamination(
+    embeddings: DataFrame, threshold_e6: int = CONTAM_COSINE_E6
+) -> DataFrame:
+    """(vec_id, best_eval_id, best_cos_e6, contaminated): for every
+    training vector (the non-augmented rows), its argmax-cosine eval
+    vector (ties → min eval id), the e6-quantized cosine, and the
+    threshold flag.  One output row per training vector, so the
+    relation composes with joins (filter on ``contaminated`` to get
+    the quarantine list)."""
+    aug = augment_embeddings(embeddings)
+    # bounded driver scalar (benchmark-sized by definition)
+    eval_rows = sorted(
+        aug.where(F.col("vec_id") >= EMB_DUP_OFFSET)
+        .select("vec_id", "emb")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    import numpy as np
+
+    eval_ids = np.array([r["vec_id"] for r in eval_rows], dtype=np.int64)
+    E = np.array([r["emb"] for r in eval_rows], dtype=np.float64)
+    ke, d = E.shape
+    ensq = np.zeros(ke)
+    for i in range(d):
+        ensq += E[:, i] * E[:, i]
+    enrm = np.sqrt(ensq)
+    thr = int(threshold_e6)
+    train = aug.where(F.col("vec_id") < EMB_DUP_OFFSET).select(
+        "vec_id", "emb"
+    )
+
+    def _score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            G = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            m = G.shape[0]
+            nsq = np.zeros(m)
+            for i in range(d):
+                nsq += G[:, i] * G[:, i]
+            nrm = np.sqrt(nsq)
+            block = 1024
+            for s in range(0, m, block):
+                blk = slice(s, min(s + block, m))
+                acc = np.zeros((blk.stop - blk.start, ke))
+                for i in range(d):
+                    acc += np.outer(G[blk, i], E[:, i])
+                cos = np.floor(
+                    acc / np.outer(nrm[blk], enrm) * 1e6 + 0.5000001
+                ).astype(np.int64)
+                best = cos.argmax(axis=1)  # first max = min eval id
+                bc = cos[np.arange(cos.shape[0]), best]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids[blk],
+                        "best_eval_id": eval_ids[best],
+                        "best_cos_e6": bc,
+                        "contaminated": (bc >= thr).astype(np.int64),
+                    }
+                )
+
+    return train.mapInPandas(
+        _score,
+        "vec_id long, best_eval_id long, best_cos_e6 long, contaminated long",
+    )
+
+
+EMBEDDING_CONTAMINATION_SQL = f"""
+WITH aug AS ({AUGMENT_EMB_SQL}),
+ev AS (SELECT vec_id, emb FROM aug WHERE vec_id >= {EMB_DUP_OFFSET}),
+train AS (SELECT vec_id, emb FROM aug WHERE vec_id < {EMB_DUP_OFFSET}),
+scored AS (
+  SELECT t.vec_id, e.vec_id AS best_eval_id,
+         CAST(FLOOR(
+           list_dot_product(t.emb, e.emb)
+           / (sqrt(list_dot_product(t.emb, t.emb))
+              * sqrt(list_dot_product(e.emb, e.emb)))
+           * 1e6 + 0.5000001) AS BIGINT) AS best_cos_e6
+  FROM train t CROSS JOIN ev e
+)
+SELECT vec_id, best_eval_id, best_cos_e6,
+       CAST(CASE WHEN best_cos_e6 >= {CONTAM_COSINE_E6} THEN 1 ELSE 0 END
+            AS BIGINT) AS contaminated
+FROM scored
+QUALIFY row_number() OVER (
+  PARTITION BY vec_id ORDER BY best_cos_e6 DESC, best_eval_id) = 1"""

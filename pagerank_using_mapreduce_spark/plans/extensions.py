@@ -22,6 +22,7 @@ from ..operators.multimodal import (
 )
 from ..operators.similarity import (
     COSINE_TOPK_SQL,
+    EMBEDDING_CONTAMINATION_SQL,
     EMBEDDING_NEAR_DUP_SQL,
     IVF_KMEANS_SQL,
     IVF_TOPK_SQL,
@@ -3009,6 +3010,20 @@ def _x136_sql() -> str:
     return dsir_resample_sql()
 
 
+def q_x137_embedding_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-level decontamination: every training vector's
+    argmax-cosine eval-set neighbor + threshold flag — catches
+    PARAPHRASED benchmark leakage the token-level audits (x54/x113/
+    x118) cannot see.  Eval matrix is a driver-collected constant
+    (benchmark-sized); the corpus side is ONE mapInPandas scan with
+    zero shuffles, numpy fold bit-identical to the SQL twin."""
+    from ..operators.similarity import embedding_contamination
+
+    return embedding_contamination(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_x127_kmv_proof_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KMV two-phase proof audit: how many distinct words
     survive the 1/16 hash-space prefilter, and whether that proves the
@@ -3479,6 +3494,7 @@ EXTENSION_QUERIES = {
     "x133_variant_stats_sampled": q_x133_variant_stats_sampled,
     "x135_normalized_dedup": q_x135_normalized_dedup,
     "x136_dsir_resample": q_x136_dsir_resample,
+    "x137_embedding_contamination": q_x137_embedding_contamination,
     "x127_kmv_proof_audit": q_x127_kmv_proof_audit,
     "x128_vocab_normalize": q_x128_vocab_normalize,
     "x129_classifier_scores": q_x129_classifier_scores,
@@ -4109,6 +4125,7 @@ GROUP BY 1, 2""",
     "x133_variant_stats_sampled": _x133_sql(),
     "x135_normalized_dedup": _x135_sql(),
     "x136_dsir_resample": _x136_sql(),
+    "x137_embedding_contamination": EMBEDDING_CONTAMINATION_SQL,
     "x127_kmv_proof_audit": _x127_sql(),
     "x128_vocab_normalize": _x128_sql(),
     "x129_classifier_scores": _x129_sql(),

@@ -141,3 +141,53 @@ def test_embeddings_rotated_orthogonally(src, tmp_path):
     assert np.max(np.abs(cross)) < 0.95
     # and the rotations differ between replicas
     assert np.max(np.abs(rep1 - rep2)) > 0.1
+
+
+def test_boiler_mode_plants_shared_paragraph(tmp_path):
+    """vocab="boiler": every k >= 1 replica doc carries the FIXED
+    boilerplate run over tokens [10, 20) — exactly one x60 paragraph
+    window — while replica 0 stays byte-identical.  This is the
+    key-skew decade regime: one para_hash covers (factor-1)/factor of
+    the corpus and each boilerplate shingle has df ~ corpus size."""
+    from make_scaled_sf import BOILERPLATE, BOILER_TOKENS, make_scaled
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(30),
+            "text": [
+                " ".join(f"w{chr(ord('a') + (i + j) % 7)}" for j in range(24))
+                for i in range(30)
+            ],
+            "lang": ["en"] * 30,
+            "source": ["s0"] * 30,
+            "n_chars": [72] * 30,
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        os.path.join(src, "documents.parquet"),
+    )
+    d = str(tmp_path / "b4")
+    make_scaled(src, d, 4, vocab="boiler")
+    scaled = (
+        pq.read_table(os.path.join(d, "documents.parquet"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert os.path.exists(os.path.join(d, marker_name("boiler")))
+    rep0 = scaled.iloc[:30].reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        rep0["text"], docs["text"], check_names=False
+    )
+    reps = scaled.iloc[30:]
+    for t in reps["text"]:
+        toks = t.split(" ")
+        assert toks[BOILER_TOKENS : 2 * BOILER_TOKENS] == BOILERPLATE
+    # the mutation pass still runs (replica texts differ pairwise
+    # outside the boilerplate window)
+    t1 = reps.iloc[0]["text"].split(" ")[:BOILER_TOKENS]
+    t2 = reps.iloc[30]["text"].split(" ")[:BOILER_TOKENS]
+    assert t1 != t2

@@ -43,6 +43,8 @@ PYTHON_OK = {
     "x112_image_ahash",  # real raster byte-walk (perceptual hash bits)
     "x115_audio_contour",  # real PCM byte-walk (energy-contour bits)
     "x134_png_decode",  # real zlib IDAT inflate + unfilter byte-walk
+    "x137_embedding_contamination",  # Arrow-batched eval-matrix scorer
+    # (x15-style pinned numpy fold; broadcast-constant eval side)
     "z1_stream_rollup",
     "z2_stream_sessions",
     "z11_stream_funnel",  # applyInPandasWithState state machine
@@ -267,6 +269,7 @@ def test_driver_rotation_head_is_intact():
         "x133_variant_stats_sampled", "c6_trained_curation",
         "x134_png_decode", "x135_normalized_dedup",
         "z21_stream_png_decode", "x136_dsir_resample",
+        "x137_embedding_contamination",
     ]
     assert names[: len(additions)] == additions
     # the head must fill all 50 driver slots (anything less wastes
@@ -278,7 +281,7 @@ def test_driver_rotation_head_is_intact():
         "z12_stream_moments", "x67_orc_roundtrip", "x68_dataset_profile",
         "x69_pixel_decode", "x70_pixel_resize",
     ]
-    assert names[6:11] == overflow
+    assert names[7:12] == overflow
 
 
 def test_x94_vocab_join_shape(spark):

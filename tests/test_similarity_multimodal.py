@@ -718,3 +718,40 @@ def test_stream_png_decode_drains_to_batch(spark):
         tuple(r) for r in QUERIES["x134_png_decode"](spark, sf).collect()
     }
     assert drained == batch and drained
+
+
+def test_x137_embedding_contamination_planted_pairs(spark):
+    """The flagged set is exactly the planted-paraphrase sources
+    (vec_id % 20 == 0 — their perturbed copies form the eval slice,
+    cosine ~ 0.968 > the 0.95 threshold), each matched to its own
+    copy; every other training vector scores far below threshold
+    (max same-label cosine ~ 0.47 on the shipped table)."""
+    from pagerank_using_mapreduce_spark.operators.similarity import (
+        EMB_DUP_OFFSET,
+        embedding_contamination,
+    )
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = {r["vec_id"]: r for r in embedding_contamination(emb).collect()}
+    n = emb.count()
+    assert len(out) == n  # one row per training vector
+    flagged = {v for v, r in out.items() if r["contaminated"] == 1}
+    assert flagged == {v for v in out if v % 20 == 0} and flagged
+    for v in flagged:
+        assert out[v]["best_eval_id"] == v + EMB_DUP_OFFSET
+        assert out[v]["best_cos_e6"] >= 950_000
+
+
+def test_x137_embedding_contamination_partition_invariance(spark):
+    from pagerank_using_mapreduce_spark.operators.similarity import (
+        embedding_contamination,
+    )
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = sorted(map(tuple, embedding_contamination(emb).collect()))
+    b = sorted(
+        map(tuple, embedding_contamination(emb.repartition(7)).collect())
+    )
+    assert a == b and a

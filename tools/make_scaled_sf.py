@@ -65,6 +65,18 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 MUTATE_RATE = 4  # replace every 4th token in replicas k >= 1
+# vocab="boiler" (skew regime, round 11): replica-mode mutation PLUS a
+# fixed 10-token boilerplate run spliced into every k >= 1 replica,
+# aligned to the x60 paragraph grain.  Models web boilerplate ("all
+# rights reserved...") — the adversarial key-skew regime for
+# paragraph-grain dedup (one para_hash covers ~90% of the corpus),
+# shingle DF filters (ubiquitous shingles must generate NO candidate
+# pairs), and LSH bucket audits.
+BOILER_TOKENS = 10  # == operators.dedup.PARA_WORDS
+BOILERPLATE = [
+    "clickx", "herex", "tox", "subscribex", "andx",
+    "sharex", "thisx", "postx", "nowx", "todayx",
+]
 N_FILES = 32  # splittable input: one task per file floor (see below)
 VOCAB_RESIDUES = 251  # prime; "growing" vocab ~ replicas x positions x 251
 
@@ -104,6 +116,14 @@ def _mutate(text: str, k: int, doc_id: int, rate: int, vocab: str) -> str:
     else:
         for i in range(phase, len(toks), rate):
             toks[i] = f"zz{_alpha(k)}q{_alpha(i)}"
+    if vocab == "boiler" and len(toks) >= 2 * BOILER_TOKENS:
+        # splice the FIXED boilerplate run over tokens [10, 20) — one
+        # full x60 paragraph window (PARA_WORDS = 10), so ~(factor-1)/
+        # factor of the corpus shares ONE para_hash and every
+        # boilerplate shingle has df ~ corpus size.  Replica 0 stays
+        # byte-identical (goldens), so the splice rides the k >= 1
+        # mutation pass only.
+        toks[BOILER_TOKENS : 2 * BOILER_TOKENS] = BOILERPLATE
     return " ".join(toks)
 
 
@@ -157,7 +177,7 @@ def make_scaled(
     mutate_rate: int = MUTATE_RATE,
     vocab: str = "replica",
 ) -> str:
-    if vocab not in ("replica", "growing"):
+    if vocab not in ("replica", "growing", "boiler"):
         raise ValueError(f"unknown vocab mode {vocab!r}")
     os.makedirs(out_dir, exist_ok=True)
     out_path = os.path.join(out_dir, "documents.parquet")
