@@ -879,21 +879,12 @@ def _dsir_feats(documents: DataFrame) -> DataFrame:
     )
 
 
-def dsir_resample(
-    documents: DataFrame,
-    target_sources: tuple[str, ...] = DSIR_TARGET,
-    keep_den: int = DSIR_KEEP_DEN,
-    seed: str = DSIR_GUMBEL_SEED,
+def _dsir_model_from_feats(
+    feats: DataFrame, target_sources: tuple[str, ...]
 ) -> DataFrame:
-    """(doc_id, source, n_feats, total_lr_e6, sel_e6): the
-    floor(|raw| / keep_den) raw-pool docs (source NOT in
-    ``target_sources``) electing the largest sel_e6 = total_lr_e6 +
-    gumbel_e6 — Gumbel-top-k importance resampling toward the target
-    domain.  Docs with < 2 tokens have no features and carry
-    log-weight 0 (the empty product), so they stay samplable."""
-    spark = documents.sparkSession
+    """(bucket, lr_e6) from a precomputed feature relation."""
+    spark = feats.sparkSession
     is_tgt = F.col("source").isin(*target_sources)
-    feats = _dsir_feats(documents).localCheckpoint(eager=True)
     dist = feats.groupBy("bucket").agg(
         F.sum(F.when(is_tgt, F.col("cnt")).otherwise(F.lit(0))).alias("tc"),
         F.sum(F.when(~is_tgt, F.col("cnt")).otherwise(F.lit(0))).alias("rc"),
@@ -902,7 +893,7 @@ def dsir_resample(
         F.sum("tc").alias("tt"), F.sum("rc").alias("rt")
     )  # 1-row scalar, S4 pattern
     b = DSIR_BUCKETS
-    model = (
+    return (
         spark.range(b)
         .select(F.col("id").cast("long").alias("bucket"))
         .join(dist, "bucket", "left")
@@ -927,6 +918,65 @@ def dsir_resample(
             .alias("lr_e6"),
         )
     )
+
+
+def dsir_model(
+    documents: DataFrame, target_sources: tuple[str, ...] = DSIR_TARGET
+) -> DataFrame:
+    """(bucket, lr_e6): the DSIR importance model fit on a STATIC
+    corpus snapshot — e6-quantized ln(p_tgt/p_raw) per hashed-bigram
+    bucket with add-one smoothing.  A fixed DSIR_BUCKETS-row relation:
+    fit once, broadcast everywhere (the slowly-changing-dimension
+    discipline — at ingest you score with the model you have).
+    Eagerly materialized so a caller scoring many batches (z22) pays
+    the distribution fit exactly once."""
+    feats = _dsir_feats(documents).localCheckpoint(eager=True)
+    return _dsir_model_from_feats(feats, target_sources).localCheckpoint(
+        eager=True
+    )
+
+
+def dsir_score(documents: DataFrame, model: DataFrame) -> DataFrame:
+    """(doc_id, source, n_feats, total_lr_e6): every document of
+    ``documents`` scored under a fitted (bucket, lr_e6) model —
+    feature explode → broadcast model join → one doc_id aggregate;
+    docs with < 2 tokens carry log-weight 0 (the empty product)."""
+    per = (
+        _dsir_feats(documents)
+        .join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("lr_e6")).alias("total_lr_e6"),
+        )
+    )
+    return (
+        documents.select("doc_id", "source")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.coalesce("total_lr_e6", F.lit(0)).alias("total_lr_e6"),
+        )
+    )
+
+
+def dsir_resample(
+    documents: DataFrame,
+    target_sources: tuple[str, ...] = DSIR_TARGET,
+    keep_den: int = DSIR_KEEP_DEN,
+    seed: str = DSIR_GUMBEL_SEED,
+) -> DataFrame:
+    """(doc_id, source, n_feats, total_lr_e6, sel_e6): the
+    floor(|raw| / keep_den) raw-pool docs (source NOT in
+    ``target_sources``) electing the largest sel_e6 = total_lr_e6 +
+    gumbel_e6 — Gumbel-top-k importance resampling toward the target
+    domain.  Docs with < 2 tokens have no features and carry
+    log-weight 0 (the empty product), so they stay samplable."""
+    is_tgt = F.col("source").isin(*target_sources)
+    feats = _dsir_feats(documents).localCheckpoint(eager=True)
+    model = _dsir_model_from_feats(feats, target_sources)
     per = (
         feats.where(~is_tgt)
         .join(F.broadcast(model), "bucket")
@@ -1039,3 +1089,64 @@ SELECT doc_id, source, n_feats, total_lr_e6, sel_e6
 FROM scored
 QUALIFY row_number() OVER (ORDER BY sel_e6 DESC, doc_id)
         <= (SELECT COUNT(*) // {keep_den} FROM raw_docs)"""
+
+
+def dsir_score_sql(
+    target_sources: tuple[str, ...] = DSIR_TARGET,
+) -> str:
+    """DuckDB twin of :func:`dsir_score` with the model fit on the
+    full static ``documents`` table (the z22 at-ingest contract: the
+    model trained on the snapshot scores every arriving document)."""
+    from .text_analysis import _cls_hash_sql
+
+    b = DSIR_BUCKETS
+    tgt = ", ".join(sql_quote(s) for s in target_sources)
+    return f"""
+WITH toked AS (
+  SELECT doc_id, source, t FROM (
+    SELECT doc_id, source, list_filter(string_split_regex(
+             lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+             t -> t != '') AS t
+    FROM documents)
+  WHERE len(t) >= 2
+),
+feats AS MATERIALIZED (
+  SELECT doc_id, source, bucket, COUNT(*) AS cnt FROM (
+    SELECT doc_id, source,
+           {_cls_hash_sql("g")} % {b} AS bucket
+    FROM (
+      SELECT doc_id, source,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || '#' || t[i+1])) AS g
+      FROM toked))
+  GROUP BY doc_id, source, bucket
+),
+dist AS (
+  SELECT bucket,
+         SUM(CASE WHEN source IN ({tgt}) THEN cnt ELSE 0 END) AS tc,
+         SUM(CASE WHEN source NOT IN ({tgt}) THEN cnt ELSE 0 END) AS rc
+  FROM feats GROUP BY bucket
+),
+totals AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM dist),
+model AS (
+  SELECT s.bucket,
+         CAST(FLOOR(LN(
+             (CAST(COALESCE(tc, 0) + 1 AS DOUBLE)
+              * CAST(rt + {b} AS DOUBLE))
+             / (CAST(COALESCE(rc, 0) + 1 AS DOUBLE)
+                * CAST(tt + {b} AS DOUBLE))
+           ) * 1e6 + 0.5000001) AS BIGINT) AS lr_e6
+  FROM (SELECT unnest(generate_series(0, {b - 1})) AS bucket) s
+  LEFT JOIN dist USING (bucket) CROSS JOIN totals
+),
+per AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
+         CAST(SUM(cnt * lr_e6) AS BIGINT) AS total_lr_e6
+  FROM feats JOIN model USING (bucket)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.source,
+       COALESCE(n_feats, 0) AS n_feats,
+       COALESCE(total_lr_e6, 0) AS total_lr_e6
+FROM (SELECT doc_id, source FROM documents) d
+LEFT JOIN per USING (doc_id)"""

@@ -3024,6 +3024,56 @@ def q_x137_embedding_contamination(
     return embedding_contamination(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_z22_stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR scoring at ingest (r11): the document stream is
+    scored per micro-batch against the importance model FIT ONCE on
+    the static snapshot (the z20/z5 slowly-changing-dimension
+    discipline) via ``foreachBatch``.  Per-doc scores are independent,
+    so the drained union hash-matches batch dsir_score at ANY
+    micro-batch partitioning — this streaming op carries the FULL
+    value-hash SQL oracle, not a rows-only check.  Zero streaming
+    state; each batch OWNS and OVERWRITES its batch_id=N hive dir
+    (the z20 idempotency contract)."""
+    import os
+    import shutil
+
+    from ..operators.sampling import dsir_model, dsir_score
+    from ..streaming.events import (
+        read_document_stream,
+        run_foreach_batch,
+        stage_table_dir,
+    )
+
+    model = dsir_model(_docs(spark, sf_dir))
+    stream = read_document_stream(
+        spark, stage_table_dir(sf_dir, "documents")
+    )
+    out_dir = os.path.join(_roundtrip_dir("z22out"), "dsir")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def score(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        dsir_score(batch_df, model).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    run_foreach_batch(stream, score)
+    if not os.path.exists(out_dir):
+        return spark.createDataFrame(
+            [], "doc_id long, source string, n_feats long, total_lr_e6 long"
+        )
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "source", "n_feats", "total_lr_e6"
+    )
+
+
+def _z22_sql() -> str:
+    from ..operators.sampling import dsir_score_sql
+
+    return dsir_score_sql()
+
+
 def q_x127_kmv_proof_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KMV two-phase proof audit: how many distinct words
     survive the 1/16 hash-space prefilter, and whether that proves the
@@ -3495,6 +3545,7 @@ EXTENSION_QUERIES = {
     "x135_normalized_dedup": q_x135_normalized_dedup,
     "x136_dsir_resample": q_x136_dsir_resample,
     "x137_embedding_contamination": q_x137_embedding_contamination,
+    "z22_stream_dsir_score": q_z22_stream_dsir_score,
     "x127_kmv_proof_audit": q_x127_kmv_proof_audit,
     "x128_vocab_normalize": q_x128_vocab_normalize,
     "x129_classifier_scores": q_x129_classifier_scores,
@@ -4126,6 +4177,7 @@ GROUP BY 1, 2""",
     "x135_normalized_dedup": _x135_sql(),
     "x136_dsir_resample": _x136_sql(),
     "x137_embedding_contamination": EMBEDDING_CONTAMINATION_SQL,
+    "z22_stream_dsir_score": _z22_sql(),
     "x127_kmv_proof_audit": _x127_sql(),
     "x128_vocab_normalize": _x128_sql(),
     "x129_classifier_scores": _x129_sql(),

@@ -718,3 +718,26 @@ def test_x136_dsir_prefers_target_like_docs(spark):
     kept = dsir_resample(docs, target_sources=("tgt",), keep_den=9)
     ids = sorted(r["doc_id"] for r in kept.collect())
     assert ids == [100 + i for i in range(10)]
+
+
+def test_z22_stream_dsir_drains_to_batch(spark):
+    """The foreachBatch-scored document stream must drain to EXACTLY
+    the batch dsir_score relation under the snapshot-fit model: per-doc
+    scores are independent, so micro-batch partitioning cannot change
+    a single row."""
+    from pagerank_using_mapreduce_spark.operators.sampling import (
+        dsir_model,
+        dsir_score,
+    )
+    from pagerank_using_mapreduce_spark.plans.registry import QUERIES
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    drained = {
+        tuple(r)
+        for r in QUERIES["z22_stream_dsir_score"](spark, SF).collect()
+    }
+    docs = load_table(spark, SF, "documents")
+    batch = {
+        tuple(r) for r in dsir_score(docs, dsir_model(docs)).collect()
+    }
+    assert drained == batch and drained
