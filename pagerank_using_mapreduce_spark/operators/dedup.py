@@ -1337,34 +1337,57 @@ def containment_pairs(
     """(doc_a, doc_b, containment_e6): exact containment of the
     SMALLER shingle set within the pair's intersection, candidates
     only — same candidate-bounded cost envelope as
-    :func:`verified_near_dups` (never all-pairs)."""
+    :func:`verified_near_dups` (never all-pairs).
+
+    The n_inter fan-out rides the pair's SMALLER shingle set (r11:
+    the skew-decade run measured this join's |candidates| × shingles-
+    per-doc intermediate as the whole pipeline's cost constant — the
+    intersection is symmetric, so probing the big side's set with the
+    small side's rows buys ~E[min]/E[|A|] of the volume for free;
+    ties keep doc_a as the probe side, and the result is
+    bit-identical to the SQL twin's s1-side fan-out)."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    s1 = sh.alias("s1")
-    s2 = sh.alias("s2")
-    inter = (
+    na0 = sizes.alias("na0")
+    nb0 = sizes.alias("nb0")
+    small_first = F.col("na0.n_sh") <= F.col("nb0.n_sh")
+    # n_min (the containment denominator) is carried through the
+    # fan-out in-stage, so NO size join runs after the intersection —
+    # the sizes subtree is computed exactly twice, same as before the
+    # r11 rework, and the pair relation never re-shuffles for it.
+    cand2 = (
         candidates.alias("c")
-        .join(s1, F.col("s1.doc_id") == F.col("c.doc_a"))
-        .join(
-            s2,
-            (F.col("s2.doc_id") == F.col("c.doc_b"))
-            & (F.col("s2.shingle") == F.col("s1.shingle")),
+        .join(na0, F.col("na0.doc_id") == F.col("c.doc_a"))
+        .join(nb0, F.col("nb0.doc_id") == F.col("c.doc_b"))
+        .select(
+            "c.doc_a",
+            "c.doc_b",
+            F.when(small_first, F.col("c.doc_a"))
+            .otherwise(F.col("c.doc_b"))
+            .alias("small_doc"),
+            F.when(small_first, F.col("c.doc_b"))
+            .otherwise(F.col("c.doc_a"))
+            .alias("big_doc"),
+            F.least(F.col("na0.n_sh"), F.col("nb0.n_sh")).alias("n_min"),
         )
-        .groupBy("c.doc_a", "c.doc_b")
+    )
+    ss = sh.alias("ss")
+    sb = sh.alias("sb")
+    inter = (
+        cand2.join(ss, F.col("ss.doc_id") == F.col("small_doc"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("big_doc"))
+            & (F.col("sb.shingle") == F.col("ss.shingle")),
+        )
+        .groupBy("doc_a", "doc_b", "n_min")
         .agg(F.count("*").alias("n_inter"))
     )
-    na = sizes.alias("na")
-    nb = sizes.alias("nb")
-    cont = (
-        inter.join(na, F.col("na.doc_id") == F.col("doc_a"))
-        .join(nb, F.col("nb.doc_id") == F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_inter").cast("double")
-                / F.least(F.col("na.n_sh"), F.col("nb.n_sh"))
-            ).alias("containment"),
-        )
+    cont = inter.select(
+        "doc_a",
+        "doc_b",
+        (F.col("n_inter").cast("double") / F.col("n_min")).alias(
+            "containment"
+        ),
     )
     return cont.where(F.col("containment") >= threshold).select(
         "doc_a",
