@@ -160,6 +160,13 @@ BENCH_QUERIES = [
     "c6_trained_curation",
     "x134_png_decode",
     "x135_normalized_dedup",
+    # round-11 extension: DSIR importance resampling (bigram-hash model
+    # fit + Gumbel-top-k), the embedding-level decontamination screen
+    # (broadcast eval matrix, mapInPandas scorer), and the streaming
+    # DSIR-at-ingest twin
+    "x136_dsir_resample",
+    "x137_embedding_contamination",
+    "z22_stream_dsir_score",
 ]
 
 # Canary pair (VERDICT r06 #7): one trivial scan-bound query and one

@@ -929,11 +929,18 @@ def dsir_model(
     fit once, broadcast everywhere (the slowly-changing-dimension
     discipline — at ingest you score with the model you have).
     Eagerly materialized so a caller scoring many batches (z22) pays
-    the distribution fit exactly once."""
-    feats = _dsir_feats(documents).localCheckpoint(eager=True)
-    return _dsir_model_from_feats(feats, target_sources).localCheckpoint(
+    the distribution fit exactly once.  The feature relation is
+    corpus-exploded-scale, so it is persist()-ed (spillable) only for
+    the duration of the fit and released once the 4096-row model is
+    pinned — the x103 materialize policy (an eager localCheckpoint of
+    feats would leave unreleasable corpus-scale blocks behind; two
+    back-to-back runs OOMed an 8g session at sf10)."""
+    feats = _dsir_feats(documents).persist()
+    model = _dsir_model_from_feats(feats, target_sources).localCheckpoint(
         eager=True
     )
+    feats.unpersist()
+    return model
 
 
 def dsir_score(documents: DataFrame, model: DataFrame) -> DataFrame:
@@ -973,9 +980,14 @@ def dsir_resample(
     ``target_sources``) electing the largest sel_e6 = total_lr_e6 +
     gumbel_e6 — Gumbel-top-k importance resampling toward the target
     domain.  Docs with < 2 tokens have no features and carry
-    log-weight 0 (the empty product), so they stay samplable."""
+    log-weight 0 (the empty product), so they stay samplable.
+
+    The corpus-scale feature relation is persist()-ed (spillable) for
+    its two uses — the distribution fit and the per-doc scoring — and
+    RELEASED before returning, with the k-row result eagerly pinned
+    instead (the x103 materialize policy; see dsir_model)."""
     is_tgt = F.col("source").isin(*target_sources)
-    feats = _dsir_feats(documents).localCheckpoint(eager=True)
+    feats = _dsir_feats(documents).persist()
     model = _dsir_model_from_feats(feats, target_sources)
     per = (
         feats.where(~is_tgt)
@@ -1004,7 +1016,13 @@ def dsir_resample(
     )
     # bounded driver scalar (S5 pattern): the keep budget
     k = int(raw_docs.count()) // keep_den
-    return scored.orderBy(F.desc("sel_e6"), "doc_id").limit(k)
+    out = (
+        scored.orderBy(F.desc("sel_e6"), "doc_id")
+        .limit(k)
+        .localCheckpoint(eager=True)  # k rows — pin, then free feats
+    )
+    feats.unpersist()
+    return out
 
 
 def dsir_resample_sql(

@@ -1667,7 +1667,10 @@ def embedding_contamination(
             for i in range(d):
                 nsq += G[:, i] * G[:, i]
             nrm = np.sqrt(nsq)
-            block = 1024
+            # bound the scoring tile at ~4M doubles (32 MB) per array:
+            # at a 25k-row eval slice a fixed 1024-row block would
+            # allocate ~200 MB per intermediate per worker
+            block = min(1024, max(16, 4_000_000 // ke))
             for s in range(0, m, block):
                 blk = slice(s, min(s + block, m))
                 acc = np.zeros((blk.stop - blk.start, ke))
