@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "x136_dsir_resample",
     "x137_embedding_contamination",
     "z22_stream_dsir_score",
+    "z23_stream_contamination",
 ]
 
 # Canary pair (VERDICT r06 #7): one trivial scan-bound query and one

@@ -53,47 +53,48 @@ def top_principal_component(
 ) -> DataFrame:
     """(i, loading_e6): the dominant eigenvector of the embedding
     covariance after ``iterations`` max-abs-normalized power steps,
-    scaled to max |loading| = 1 and sign-fixed."""
+    scaled to max |loading| = 1 and sign-fixed.
+
+    The power iteration runs DRIVER-SIDE on the collected cov relation
+    (d² = 4096 rows — a bounded driver scalar like the k-means
+    centroids; it is corpus-size-INDEPENDENT by construction).  The
+    r11 profile showed the previous in-plan loop spent its whole
+    budget on ~20 driver round-trips over tiny one-partition jobs
+    (x39 was 7.1 s at sf0.1 with the covariance aggregate costing
+    under 2 s); the matvec accumulates in ascending-j order — a
+    deterministic reduction inside the same ~1-ulp envelope the e6
+    nudge already absorbs across engines."""
     spark = emb.sparkSession
-    # the cov relation is d² rows (4096 at d=64) — single-partition it
-    # so each power round is one tiny task instead of a 32-partition
-    # shuffle; v is broadcast into the join (no exchange per round).
-    cov = covariance_matrix(emb).coalesce(1).persist()
-    cov.count()
     d = emb.select(F.size("embedding")).first()[0]
-    v = spark.range(d).select(
-        F.col("id").cast("long").alias("i"),
-        F.lit(1.0 / float(d) ** 0.5).alias("val"),
-    )
-    persisted = []
+    # the only data-sized work: one distributed covariance aggregate
+    rows = covariance_matrix(emb).collect()
+    cov = {}
+    for r in rows:
+        cov[(r["i"], r["j"])] = r["c"]
+    v = [1.0 / float(d) ** 0.5] * d
     for _ in range(iterations):
-        w_un = (
-            cov.alias("c")
-            .join(F.broadcast(v.alias("v")), F.col("c.j") == F.col("v.i"))
-            .groupBy(F.col("c.i").alias("i"))
-            .agg(F.sum(F.col("c.c") * F.col("v.val")).alias("val"))
-            .persist()
-        )
-        persisted.append(w_un)
-        mx = w_un.agg(F.max(F.abs(F.col("val")))).first()[0]
+        w = []
+        for i in range(d):
+            acc = 0.0
+            for j in range(d):
+                c = cov.get((i, j))
+                if c is not None:
+                    acc += c * v[j]
+            w.append(acc)
+        mx = max(abs(x) for x in w)
         if not mx or mx <= 0.0:
-            v = w_un  # degenerate (zero matrix): stop normalizing
+            v = w  # degenerate (zero matrix): stop normalizing
             continue
-        v = w_un.select("i", (F.col("val") / F.lit(mx)).alias("val"))
+        v = [x / mx for x in w]
     # sign fix: the max-|val| component (min i on ties) must be positive
-    top = (
-        v.orderBy(F.abs(F.col("val")).desc(), F.col("i").asc()).limit(1).first()
+    top_i = max(range(d), key=lambda i: (abs(v[i]), -i))
+    sign = 1.0 if v[top_i] >= 0 else -1.0
+    import math
+
+    return spark.createDataFrame(
+        [(i, int(math.floor(v[i] * sign * 1e6 + 0.5000001))) for i in range(d)],
+        "i long, loading_e6 long",
     )
-    sign = 1.0 if top["val"] >= 0 else -1.0
-    out = v.select(
-        F.col("i").cast("long").alias("i"),
-        F.floor(F.col("val") * F.lit(sign) * 1e6 + F.lit(0.5000001))
-        .cast("long")
-        .alias("loading_e6"),
-    )
-    for p in persisted:
-        p.unpersist()
-    return out
 
 
 def top_pc_sql(iterations: int = POWER_ITERATIONS) -> str:

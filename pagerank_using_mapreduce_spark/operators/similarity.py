@@ -1622,23 +1622,28 @@ SELECT query_id, rank, vec_id, CAST(adc_e6 AS BIGINT) AS adc_e6 FROM (
 CONTAM_COSINE_E6 = 950_000
 
 
-def embedding_contamination(
-    embeddings: DataFrame, threshold_e6: int = CONTAM_COSINE_E6
-) -> DataFrame:
-    """(vec_id, best_eval_id, best_cos_e6, contaminated): for every
-    training vector (the non-augmented rows), its argmax-cosine eval
-    vector (ties → min eval id), the e6-quantized cosine, and the
-    threshold flag.  One output row per training vector, so the
-    relation composes with joins (filter on ``contaminated`` to get
-    the quarantine list)."""
-    aug = augment_embeddings(embeddings)
-    # bounded driver scalar (benchmark-sized by definition)
-    eval_rows = sorted(
-        aug.where(F.col("vec_id") >= EMB_DUP_OFFSET)
+def contamination_eval_rows(embeddings: DataFrame) -> list:
+    """The eval slice (the augmented perturbed copies), collected and
+    vec_id-sorted — a bounded driver scalar (benchmark-sized by
+    definition).  Collected ONCE and reused across micro-batches by
+    the z23 streaming twin."""
+    return sorted(
+        augment_embeddings(embeddings)
+        .where(F.col("vec_id") >= EMB_DUP_OFFSET)
         .select("vec_id", "emb")
         .collect(),
         key=lambda r: r["vec_id"],
     )
+
+
+def score_against_eval(
+    train: DataFrame,
+    eval_rows: list,
+    threshold_e6: int = CONTAM_COSINE_E6,
+) -> DataFrame:
+    """Score a (vec_id, emb double[]) relation against a collected
+    eval slice — the mapInPandas argmax-cosine scorer shared by x137
+    and its streaming twin z23."""
     import numpy as np
 
     eval_ids = np.array([r["vec_id"] for r in eval_rows], dtype=np.int64)
@@ -1649,9 +1654,6 @@ def embedding_contamination(
         ensq += E[:, i] * E[:, i]
     enrm = np.sqrt(ensq)
     thr = int(threshold_e6)
-    train = aug.where(F.col("vec_id") < EMB_DUP_OFFSET).select(
-        "vec_id", "emb"
-    )
 
     def _score(batches):
         import numpy as np
@@ -1693,6 +1695,25 @@ def embedding_contamination(
     return train.mapInPandas(
         _score,
         "vec_id long, best_eval_id long, best_cos_e6 long, contaminated long",
+    )
+
+
+def embedding_contamination(
+    embeddings: DataFrame, threshold_e6: int = CONTAM_COSINE_E6
+) -> DataFrame:
+    """(vec_id, best_eval_id, best_cos_e6, contaminated): for every
+    training vector (the non-augmented rows), its argmax-cosine eval
+    vector (ties → min eval id), the e6-quantized cosine, and the
+    threshold flag.  One output row per training vector, so the
+    relation composes with joins (filter on ``contaminated`` to get
+    the quarantine list)."""
+    train = (
+        augment_embeddings(embeddings)
+        .where(F.col("vec_id") < EMB_DUP_OFFSET)
+        .select("vec_id", "emb")
+    )
+    return score_against_eval(
+        train, contamination_eval_rows(embeddings), threshold_e6
     )
 
 

@@ -3074,6 +3074,61 @@ def _z22_sql() -> str:
     return dsir_score_sql()
 
 
+def q_z23_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding decontamination at ingest (r11 ext): each
+    micro-batch of arriving vectors is screened against the eval
+    matrix COLLECTED ONCE from the static snapshot (quarantine media
+    as it lands, not in a later corpus-wide pass — the z20/z22
+    discipline).  Per-vector independence → the drained union
+    hash-matches batch x137 at any micro-batch partitioning, so this
+    op carries x137's FULL value-hash oracle.  Zero streaming state;
+    per-batch idempotent batch_id=N sink."""
+    import os
+    import shutil
+
+    from ..operators.similarity import (
+        contamination_eval_rows,
+        score_against_eval,
+    )
+    from ..streaming.events import (
+        read_embedding_stream,
+        run_foreach_batch,
+        stage_table_dir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eval_rows = contamination_eval_rows(emb)
+    stream = read_embedding_stream(
+        spark, stage_table_dir(sf_dir, "embeddings")
+    )
+    out_dir = os.path.join(_roundtrip_dir("z23out"), "contam")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def screen(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        train = batch_df.select(
+            "vec_id",
+            F.transform(
+                F.col("embedding"), lambda x: x.cast("double")
+            ).alias("emb"),
+        )
+        score_against_eval(train, eval_rows).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"batch_id={batch_id}"))
+
+    run_foreach_batch(stream, screen)
+    if not os.path.exists(out_dir):
+        return spark.createDataFrame(
+            [],
+            "vec_id long, best_eval_id long, best_cos_e6 long,"
+            " contaminated long",
+        )
+    return spark.read.parquet(out_dir).select(
+        "vec_id", "best_eval_id", "best_cos_e6", "contaminated"
+    )
+
+
 def q_x127_kmv_proof_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KMV two-phase proof audit: how many distinct words
     survive the 1/16 hash-space prefilter, and whether that proves the
@@ -3546,6 +3601,7 @@ EXTENSION_QUERIES = {
     "x136_dsir_resample": q_x136_dsir_resample,
     "x137_embedding_contamination": q_x137_embedding_contamination,
     "z22_stream_dsir_score": q_z22_stream_dsir_score,
+    "z23_stream_contamination": q_z23_stream_contamination,
     "x127_kmv_proof_audit": q_x127_kmv_proof_audit,
     "x128_vocab_normalize": q_x128_vocab_normalize,
     "x129_classifier_scores": q_x129_classifier_scores,
@@ -4178,6 +4234,7 @@ GROUP BY 1, 2""",
     "x136_dsir_resample": _x136_sql(),
     "x137_embedding_contamination": EMBEDDING_CONTAMINATION_SQL,
     "z22_stream_dsir_score": _z22_sql(),
+    "z23_stream_contamination": EMBEDDING_CONTAMINATION_SQL,
     "x127_kmv_proof_audit": _x127_sql(),
     "x128_vocab_normalize": _x128_sql(),
     "x129_classifier_scores": _x129_sql(),

@@ -764,3 +764,15 @@ def hourweek_counts_stream(events: DataFrame) -> DataFrame:
     from ..plans.relational import hourweek_grid
 
     return hourweek_grid(events)
+
+
+def read_embedding_stream(spark: SparkSession, emb_dir: str) -> DataFrame:
+    """File-source stream over a directory of embeddings parquet files
+    (the ingest feed for the z23 decontamination-at-ingest screen)."""
+    return (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        )
+        .format("parquet")
+        .load(emb_dir)
+    )

@@ -755,3 +755,23 @@ def test_x137_embedding_contamination_partition_invariance(spark):
         map(tuple, embedding_contamination(emb.repartition(7)).collect())
     )
     assert a == b and a
+
+
+def test_z23_stream_contamination_drains_to_batch(spark):
+    """The foreachBatch-screened embedding stream must drain to
+    EXACTLY the batch x137 relation: per-vector screening is
+    independent, so micro-batch partitioning cannot change a row."""
+    from pagerank_using_mapreduce_spark.operators.similarity import (
+        embedding_contamination,
+    )
+    from pagerank_using_mapreduce_spark.plans.registry import QUERIES
+
+    drained = {
+        tuple(r)
+        for r in QUERIES["z23_stream_contamination"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    batch = {tuple(r) for r in embedding_contamination(emb).collect()}
+    assert drained == batch and drained
