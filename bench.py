@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "x137_embedding_contamination",
     "z22_stream_dsir_score",
     "z23_stream_contamination",
+    "c7_dsir_curation",
 ]
 
 # Canary pair (VERDICT r06 #7): one trivial scan-bound query and one

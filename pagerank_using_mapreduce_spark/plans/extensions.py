@@ -3129,6 +3129,58 @@ def q_z23_stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c7_dsir_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern selection-first curation capstone (r11 ext): DSIR
+    importance resampling toward the target domain → exact dedup of
+    the kept set (canonical = min doc_id) → n-gram decontamination
+    against the held-out eval split → per-source manifest.  Every
+    stage is an existing oracle-checked operator; this proves the
+    x136 → x1 → x54 chain COMPOSES into one plan.  At 100 TB the
+    stages keep their own shapes: a fixed broadcast model + TakeOrdered
+    for selection, a digest groupBy for dedup, a broadcast eval-gram
+    semi-join for decontamination."""
+    from ..operators.dedup import exact_dedup
+    from ..operators.sampling import dsir_resample
+    from ..operators.text_analysis import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    kept = docs.join(dsir_resample(docs).select("doc_id"), "doc_id")
+    canon = (
+        exact_dedup(kept).where(F.col("is_canonical")).select("doc_id")
+    )
+    contam = ngram_contamination(docs).select("doc_id")
+    clean = canon.join(contam, "doc_id", "left_anti")
+    return (
+        clean.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def _c7_sql() -> str:
+    from ..operators.sampling import dsir_resample_sql
+    from ..operators.text_analysis import ngram_contamination_sql
+
+    return f"""
+WITH sel AS MATERIALIZED ({dsir_resample_sql()}),
+kept AS (SELECT d.doc_id, d.text, d.source, d.n_chars
+         FROM documents d JOIN sel USING (doc_id)),
+hashed AS (SELECT doc_id, md5(text) AS h FROM kept),
+canon AS (SELECT h, MIN(doc_id) AS doc_id FROM hashed GROUP BY h),
+contam AS MATERIALIZED ({ngram_contamination_sql()}),
+clean AS (
+  SELECT c.doc_id FROM canon c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM contam)
+)
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+FROM clean JOIN documents d USING (doc_id)
+GROUP BY d.source"""
+
+
 def q_x127_kmv_proof_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source KMV two-phase proof audit: how many distinct words
     survive the 1/16 hash-space prefilter, and whether that proves the
@@ -3602,6 +3654,7 @@ EXTENSION_QUERIES = {
     "x137_embedding_contamination": q_x137_embedding_contamination,
     "z22_stream_dsir_score": q_z22_stream_dsir_score,
     "z23_stream_contamination": q_z23_stream_contamination,
+    "c7_dsir_curation": q_c7_dsir_curation,
     "x127_kmv_proof_audit": q_x127_kmv_proof_audit,
     "x128_vocab_normalize": q_x128_vocab_normalize,
     "x129_classifier_scores": q_x129_classifier_scores,
@@ -4235,6 +4288,7 @@ GROUP BY 1, 2""",
     "x137_embedding_contamination": EMBEDDING_CONTAMINATION_SQL,
     "z22_stream_dsir_score": _z22_sql(),
     "z23_stream_contamination": EMBEDDING_CONTAMINATION_SQL,
+    "c7_dsir_curation": _c7_sql(),
     "x127_kmv_proof_audit": _x127_sql(),
     "x128_vocab_normalize": _x128_sql(),
     "x129_classifier_scores": _x129_sql(),

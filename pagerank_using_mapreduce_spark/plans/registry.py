@@ -1189,7 +1189,7 @@ _DRIVER_ROTATION: list[str] = [
     "x134_png_decode", "x135_normalized_dedup",
     "z21_stream_png_decode", "x136_dsir_resample",
     "x137_embedding_contamination", "z22_stream_dsir_score",
-    "z23_stream_contamination",
+    "z23_stream_contamination", "c7_dsir_curation",
     # --- staleness refresh (COVERAGE.md "Computed r11 rotation
     # --- head"): the r05 remnants displaced past slot 50 by the
     # --- in-round r10 additions (z12/x67/x68/x69/x70/x71/x72/c3/x73),
@@ -1212,7 +1212,7 @@ _DRIVER_ROTATION: list[str] = [
     "x104_weighted_sample", "x105_zipf_slope",
     "x90_batched_bpe", "x92_stratified_iceberg", "x94_rare_token_docs",
     "x95_window_dedup_rate", "x99_cooccurrence_pmi",
-    "x98_scene_cuts", "x100_quantize_embeddings", "x101_ngram_novelty",
+    "x98_scene_cuts", "x100_quantize_embeddings",
 ]
 
 

@@ -270,7 +270,7 @@ def test_driver_rotation_head_is_intact():
         "x134_png_decode", "x135_normalized_dedup",
         "z21_stream_png_decode", "x136_dsir_resample",
         "x137_embedding_contamination", "z22_stream_dsir_score",
-        "z23_stream_contamination",
+        "z23_stream_contamination", "c7_dsir_curation",
     ]
     assert names[: len(additions)] == additions
     # the head must fill all 50 driver slots (anything less wastes
@@ -282,7 +282,7 @@ def test_driver_rotation_head_is_intact():
         "z12_stream_moments", "x67_orc_roundtrip", "x68_dataset_profile",
         "x69_pixel_decode", "x70_pixel_resize",
     ]
-    assert names[9:14] == overflow
+    assert names[10:15] == overflow
 
 
 def test_x94_vocab_join_shape(spark):

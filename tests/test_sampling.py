@@ -741,3 +741,41 @@ def test_z22_stream_dsir_drains_to_batch(spark):
         tuple(r) for r in dsir_score(docs, dsir_model(docs)).collect()
     }
     assert drained == batch and drained
+
+
+def test_c7_dsir_curation_composes_its_stages(spark):
+    """The c7 manifest must equal the hand-composed chain of its three
+    component operators (DSIR selection -> exact dedup canonical ->
+    n-gram decontamination) — the composition pin; each component's
+    own correctness is pinned by its registry oracle."""
+    from pagerank_using_mapreduce_spark.operators.dedup import exact_dedup
+    from pagerank_using_mapreduce_spark.operators.sampling import (
+        dsir_resample,
+    )
+    from pagerank_using_mapreduce_spark.operators.text_analysis import (
+        ngram_contamination,
+    )
+    from pagerank_using_mapreduce_spark.plans.registry import QUERIES
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    got = {
+        r["source"]: (r["n_docs"], r["total_chars"])
+        for r in QUERIES["c7_dsir_curation"](spark, SF).collect()
+    }
+    docs = load_table(spark, SF, "documents")
+    sel = {r["doc_id"] for r in dsir_resample(docs).collect()}
+    kept = docs.where(docs.doc_id.isin(*sel))
+    canon = {
+        r["doc_id"]
+        for r in exact_dedup(kept).where("is_canonical").collect()
+    }
+    contam = {
+        r["doc_id"] for r in ngram_contamination(docs).collect()
+    }
+    clean = canon - contam
+    want = {}
+    for r in docs.where(docs.doc_id.isin(*clean)).collect():
+        n, c = want.get(r["source"], (0, 0))
+        want[r["source"]] = (n + 1, c + r["n_chars"])
+    assert got == want and got
+    assert clean != sel, "dedup/decontamination must actually bite"
