@@ -943,20 +943,27 @@ def dsir_model(
     return model
 
 
-def dsir_score(documents: DataFrame, model: DataFrame) -> DataFrame:
-    """(doc_id, source, n_feats, total_lr_e6): every document of
-    ``documents`` scored under a fitted (bucket, lr_e6) model —
-    feature explode → broadcast model join → one doc_id aggregate;
-    docs with < 2 tokens carry log-weight 0 (the empty product)."""
-    per = (
-        _dsir_feats(documents)
-        .join(F.broadcast(model), "bucket")
+def _score_feats(feats: DataFrame, model: DataFrame) -> DataFrame:
+    """(doc_id, n_feats, total_lr_e6): the shared scoring aggregate —
+    broadcast model join + one doc_id aggregate (exact integer sums).
+    The ONE place the scoring math lives (review finding, r11 ext:
+    dsir_score and dsir_resample previously each inlined it)."""
+    return (
+        feats.join(F.broadcast(model), "bucket")
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").alias("n_feats"),
             F.sum(F.col("cnt") * F.col("lr_e6")).alias("total_lr_e6"),
         )
     )
+
+
+def dsir_score(documents: DataFrame, model: DataFrame) -> DataFrame:
+    """(doc_id, source, n_feats, total_lr_e6): every document of
+    ``documents`` scored under a fitted (bucket, lr_e6) model —
+    feature explode → broadcast model join → one doc_id aggregate;
+    docs with < 2 tokens carry log-weight 0 (the empty product)."""
+    per = _score_feats(_dsir_feats(documents), model)
     return (
         documents.select("doc_id", "source")
         .join(per, "doc_id", "left")
@@ -989,15 +996,7 @@ def dsir_resample(
     is_tgt = F.col("source").isin(*target_sources)
     feats = _dsir_feats(documents).persist()
     model = _dsir_model_from_feats(feats, target_sources)
-    per = (
-        feats.where(~is_tgt)
-        .join(F.broadcast(model), "bucket")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_feats"),
-            F.sum(F.col("cnt") * F.col("lr_e6")).alias("total_lr_e6"),
-        )
-    )
+    per = _score_feats(feats.where(~is_tgt), model)
     raw_docs = documents.where(~is_tgt).select("doc_id", "source")
     h = F.md5(F.concat_ws("|", F.lit(seed), F.col("doc_id").cast("string")))
     v = F.conv(F.substring(h, 1, _DSIR_HEX), 16, 10).cast("long")
@@ -1025,25 +1024,21 @@ def dsir_resample(
     return out
 
 
-def dsir_resample_sql(
-    target_sources: tuple[str, ...] = DSIR_TARGET,
-    keep_den: int = DSIR_KEEP_DEN,
-    seed: str = DSIR_GUMBEL_SEED,
+def _dsir_model_ctes(
+    target_sources: tuple[str, ...], per_where: str = ""
 ) -> str:
-    """DuckDB twin of :func:`dsir_resample` (identical hash family,
-    quantization points, and tiebreak)."""
+    """The shared DuckDB CTE chain (toked → feats → dist → totals →
+    model → per) used by BOTH dsir_resample_sql and dsir_score_sql —
+    the ONE place the SQL-side feature/model/scoring math lives
+    (review finding, r11 ext: the two builders previously duplicated
+    ~35 lines each, so a tokenization or smoothing change could
+    silently desync the twins).  ``per_where`` optionally restricts
+    the scored side (the resampler scores the raw pool only)."""
     from .text_analysis import _cls_hash_sql
 
     b = DSIR_BUCKETS
     tgt = ", ".join(sql_quote(s) for s in target_sources)
-    digits = "0123456789abcdef"
-    v = " + ".join(
-        f"(strpos('{digits}', substr(h, {i + 1}, 1)) - 1)"
-        f" * {16 ** (_DSIR_HEX - 1 - i)}"
-        for i in range(_DSIR_HEX)
-    )
-    return f"""
-WITH toked AS (
+    return f"""toked AS (
   SELECT doc_id, source, t FROM (
     SELECT doc_id, source, list_filter(string_split_regex(
              lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
@@ -1084,9 +1079,30 @@ per AS (
   SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
          CAST(SUM(cnt * lr_e6) AS BIGINT) AS total_lr_e6
   FROM feats JOIN model USING (bucket)
-  WHERE source NOT IN ({tgt})
+  {per_where}
   GROUP BY doc_id
-),
+)"""
+
+
+def dsir_resample_sql(
+    target_sources: tuple[str, ...] = DSIR_TARGET,
+    keep_den: int = DSIR_KEEP_DEN,
+    seed: str = DSIR_GUMBEL_SEED,
+) -> str:
+    """DuckDB twin of :func:`dsir_resample` (identical hash family,
+    quantization points, and tiebreak)."""
+    tgt = ", ".join(sql_quote(s) for s in target_sources)
+    digits = "0123456789abcdef"
+    v = " + ".join(
+        f"(strpos('{digits}', substr(h, {i + 1}, 1)) - 1)"
+        f" * {16 ** (_DSIR_HEX - 1 - i)}"
+        for i in range(_DSIR_HEX)
+    )
+    ctes = _dsir_model_ctes(
+        target_sources, per_where=f"WHERE source NOT IN ({tgt})"
+    )
+    return f"""
+WITH {ctes},
 raw_docs AS (
   SELECT doc_id, source,
          md5({sql_quote(seed)} || '|' || CAST(doc_id AS VARCHAR)) AS h
@@ -1115,54 +1131,8 @@ def dsir_score_sql(
     """DuckDB twin of :func:`dsir_score` with the model fit on the
     full static ``documents`` table (the z22 at-ingest contract: the
     model trained on the snapshot scores every arriving document)."""
-    from .text_analysis import _cls_hash_sql
-
-    b = DSIR_BUCKETS
-    tgt = ", ".join(sql_quote(s) for s in target_sources)
     return f"""
-WITH toked AS (
-  SELECT doc_id, source, t FROM (
-    SELECT doc_id, source, list_filter(string_split_regex(
-             lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
-             t -> t != '') AS t
-    FROM documents)
-  WHERE len(t) >= 2
-),
-feats AS MATERIALIZED (
-  SELECT doc_id, source, bucket, COUNT(*) AS cnt FROM (
-    SELECT doc_id, source,
-           {_cls_hash_sql("g")} % {b} AS bucket
-    FROM (
-      SELECT doc_id, source,
-             unnest(list_transform(generate_series(1, len(t) - 1),
-                                   i -> t[i] || '#' || t[i+1])) AS g
-      FROM toked))
-  GROUP BY doc_id, source, bucket
-),
-dist AS (
-  SELECT bucket,
-         SUM(CASE WHEN source IN ({tgt}) THEN cnt ELSE 0 END) AS tc,
-         SUM(CASE WHEN source NOT IN ({tgt}) THEN cnt ELSE 0 END) AS rc
-  FROM feats GROUP BY bucket
-),
-totals AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM dist),
-model AS (
-  SELECT s.bucket,
-         CAST(FLOOR(LN(
-             (CAST(COALESCE(tc, 0) + 1 AS DOUBLE)
-              * CAST(rt + {b} AS DOUBLE))
-             / (CAST(COALESCE(rc, 0) + 1 AS DOUBLE)
-                * CAST(tt + {b} AS DOUBLE))
-           ) * 1e6 + 0.5000001) AS BIGINT) AS lr_e6
-  FROM (SELECT unnest(generate_series(0, {b - 1})) AS bucket) s
-  LEFT JOIN dist USING (bucket) CROSS JOIN totals
-),
-per AS (
-  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
-         CAST(SUM(cnt * lr_e6) AS BIGINT) AS total_lr_e6
-  FROM feats JOIN model USING (bucket)
-  GROUP BY doc_id
-)
+WITH {_dsir_model_ctes(target_sources)}
 SELECT d.doc_id, d.source,
        COALESCE(n_feats, 0) AS n_feats,
        COALESCE(total_lr_e6, 0) AS total_lr_e6

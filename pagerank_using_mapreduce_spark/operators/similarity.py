@@ -1608,7 +1608,9 @@ SELECT query_id, rank, vec_id, CAST(adc_e6 AS BIGINT) AS adc_e6 FROM (
 # are exactly the contaminated rows.
 #
 # Scale shape (100 TB): the eval set is BENCHMARK-sized — a fixed
-# budget independent of corpus volume — so it is collected once to the
+# budget independent of corpus volume (the SYNTHETIC slice below is 5%
+# of the table only so planted pairs exist at every sf; see
+# contamination_eval_rows) — so it is collected once to the
 # driver (the bounded-scalar discipline of the k-means centroids) and
 # shipped to every task as a constant; the training side pays ONE scan
 # with zero shuffles (mapInPandas — no grouping key at all), and each
@@ -1624,9 +1626,13 @@ CONTAM_COSINE_E6 = 950_000
 
 def contamination_eval_rows(embeddings: DataFrame) -> list:
     """The eval slice (the augmented perturbed copies), collected and
-    vec_id-sorted — a bounded driver scalar (benchmark-sized by
-    definition).  Collected ONCE and reused across micro-batches by
-    the z23 streaming twin."""
+    vec_id-sorted.  In PRODUCTION the eval set is a fixed benchmark —
+    size independent of the corpus — which is what makes the collect a
+    bounded driver scalar; the SYNTHETIC slice here is 5% of the table
+    (it must scale with the testdata so the planted pairs exist at
+    every sf), so the decade rows overstate the production slope
+    (DECADE_r11_ext_newops.json documents this).  Collected ONCE and
+    reused across micro-batches by the z23 streaming twin."""
     return sorted(
         augment_embeddings(embeddings)
         .where(F.col("vec_id") >= EMB_DUP_OFFSET)
@@ -1643,7 +1649,11 @@ def score_against_eval(
 ) -> DataFrame:
     """Score a (vec_id, emb double[]) relation against a collected
     eval slice — the mapInPandas argmax-cosine scorer shared by x137
-    and its streaming twin z23."""
+    and its streaming twin z23.  Zero-norm vectors are rejected LOUDLY
+    on both sides (cosine is undefined; silently they would produce a
+    NaN that floors to INT64_MIN in numpy while the DuckDB twin does
+    something else — a cross-engine divergence far harder to diagnose
+    than this ValueError)."""
     import numpy as np
 
     eval_ids = np.array([r["vec_id"] for r in eval_rows], dtype=np.int64)
@@ -1652,6 +1662,8 @@ def score_against_eval(
     ensq = np.zeros(ke)
     for i in range(d):
         ensq += E[:, i] * E[:, i]
+    if not ensq.all():
+        raise ValueError("zero-norm eval vector: cosine undefined")
     enrm = np.sqrt(ensq)
     thr = int(threshold_e6)
 
@@ -1668,6 +1680,11 @@ def score_against_eval(
             nsq = np.zeros(m)
             for i in range(d):
                 nsq += G[:, i] * G[:, i]
+            if not nsq.all():
+                bad = ids[nsq == 0.0][:3].tolist()
+                raise ValueError(
+                    f"zero-norm training vector(s) {bad}: cosine undefined"
+                )
             nrm = np.sqrt(nsq)
             # bound the scoring tile at ~4M doubles (32 MB) per array:
             # at a 25k-row eval slice a fixed 1024-row block would

@@ -108,14 +108,15 @@ def _alpha(n: int) -> str:
 
 def _mutate(text: str, k: int, doc_id: int, rate: int, vocab: str) -> str:
     toks = text.split(" ")
-    phase = (5 * k + doc_id) % rate
-    if vocab == "growing":
-        d = _alpha(doc_id % VOCAB_RESIDUES)
-        for i in range(phase, len(toks), rate):
-            toks[i] = f"zz{_alpha(k)}q{_alpha(i)}d{d}"
-    else:
-        for i in range(phase, len(toks), rate):
-            toks[i] = f"zz{_alpha(k)}q{_alpha(i)}"
+    if rate:
+        phase = (5 * k + doc_id) % rate
+        if vocab == "growing":
+            d = _alpha(doc_id % VOCAB_RESIDUES)
+            for i in range(phase, len(toks), rate):
+                toks[i] = f"zz{_alpha(k)}q{_alpha(i)}d{d}"
+        else:
+            for i in range(phase, len(toks), rate):
+                toks[i] = f"zz{_alpha(k)}q{_alpha(i)}"
     if vocab == "boiler" and len(toks) >= 2 * BOILER_TOKENS:
         # splice the FIXED boilerplate run over tokens [10, 20) — one
         # full x60 paragraph window (PARA_WORDS = 10), so ~(factor-1)/
@@ -195,7 +196,10 @@ def make_scaled(
     for k in range(factor):
         c = df.copy()
         c["doc_id"] = c["doc_id"] + k * n
-        if k and mutate_rate:
+        # the boiler splice is part of the vocab MODE, not the mutation
+        # rate — a marker claiming the skew regime must never sit on a
+        # boilerplate-free corpus (review finding, r11 ext)
+        if k and (mutate_rate or vocab == "boiler"):
             c["text"] = [
                 _mutate(t, k, int(d), mutate_rate, vocab)
                 for t, d in zip(c["text"], c["doc_id"])
