@@ -169,6 +169,13 @@ BENCH_QUERIES = [
     "z22_stream_dsir_score",
     "z23_stream_contamination",
     "c7_dsir_curation",
+    # round-11 extension 2: the CCNet/RefinedWeb boilerplate scrub
+    # (narrow doc-local rewrite, digest-only wide pass), the fuzzy
+    # eval-decontamination screen (broadcast eval band table), and the
+    # streaming scrub-at-ingest twin
+    "x138_boilerplate_removal",
+    "x139_lsh_contamination",
+    "z24_stream_boilerplate",
 ]
 
 # Canary pair (VERDICT r06 #7): one trivial scan-bound query and one

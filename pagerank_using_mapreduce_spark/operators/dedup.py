@@ -924,6 +924,104 @@ def update_band_index(index: DataFrame, new: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy eval decontamination (the GPT-3 / PaLM near-duplicate screen):
+# flag TRAIN documents that MinHash-LSH-collide with an EVAL document
+# and verify with exact Jaccard.  Completes the decontamination
+# matrix: x118 catches exact spans, x54 exact n-grams, x113 winnowed
+# spans, x137 embedding paraphrases — this catches lexically-rewritten
+# near-copies of benchmark documents, the case the exact-token screens
+# miss and the embedding screen only sees if an encoder exists.
+#
+# Scale shape (100 TB): the eval split is BENCHMARK-sized, so its band
+# table broadcasts and the train side's band relation never enters a
+# shuffle for candidate generation (the x137 eval-constant
+# discipline applied to the lexical domain).  Verification is
+# candidate-bounded (train docs colliding with an eval bucket), and
+# the best-neighbor election is a pair-keyed aggregate over that
+# bounded relation — never corpus-wide.
+# ---------------------------------------------------------------------------
+
+
+def lsh_contamination(
+    documents: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    seed: str = "split-0",
+    train_split: str = "train",
+    eval_split: str = "test",
+) -> DataFrame:
+    """(doc_id, best_eval_id, jaccard_e6): train-split documents whose
+    shingle set near-duplicates some eval-split document (splits via
+    the standard md5 ``hash_split`` convention, as x54), with the
+    highest-Jaccard eval neighbor (ties → smallest eval doc_id).
+    Clean documents are absent — this is the quarantine list.
+
+    The eval band table sits under an explicit ``broadcast()``: at
+    production scale the eval split is a fixed benchmark, so candidate
+    generation is a map-side hash join against a constant and the
+    corpus-scale band relation never shuffles for it."""
+    from .sampling import hash_split
+
+    sp = hash_split(documents, "doc_id", seed=seed)
+    train = sp.where(F.col("split") == train_split)
+    ev = sp.where(F.col("split") == eval_split)
+    be = band_table(minhash_signatures(shingles(ev)))
+    bn = band_table(minhash_signatures(shingles(train)))
+    cand = (
+        bn.alias("n")
+        .join(
+            F.broadcast(be).alias("e"),
+            (F.col("n.band") == F.col("e.band"))
+            & (F.col("n.bucket") == F.col("e.bucket")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_a"), F.col("e.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sha = shingle_arrays(train).unionAll(shingle_arrays(ev))
+    pairs = verified_near_dups_arr(sha, cand, threshold)
+    # best-neighbor election: max (jaccard_e6, -eval_id) == highest
+    # Jaccard, ties to the smallest eval doc_id — one aggregate, no
+    # window over the corpus
+    best = pairs.groupBy("doc_a").agg(
+        F.max(
+            F.struct(
+                F.col("jaccard_e6"), (-F.col("doc_b")).alias("neg_b")
+            )
+        ).alias("w")
+    )
+    return best.select(
+        F.col("doc_a").alias("doc_id"),
+        (-F.col("w.neg_b")).alias("best_eval_id"),
+        F.col("w.jaccard_e6").alias("jaccard_e6"),
+    )
+
+
+def lsh_contamination_sql(
+    threshold: float = JACCARD_THRESHOLD,
+    seed: str = "split-0",
+    train_split: str = "train",
+    eval_split: str = "test",
+) -> str:
+    """DuckDB twin: the incremental near-dup pair query over the
+    hash-split train/eval slices, then the identical best-neighbor
+    election as a QUALIFY row_number."""
+    from ..functions.sqltext import sql_quote
+    from .sampling import hash_split_sql
+
+    split_case = hash_split_sql("doc_id", seed=seed)
+    base = f"SELECT doc_id, text, {split_case} AS split FROM documents"
+    ev = f"SELECT doc_id, text FROM ({base}) WHERE split = {sql_quote(eval_split)}"
+    tr = f"SELECT doc_id, text FROM ({base}) WHERE split = {sql_quote(train_split)}"
+    return f"""
+WITH pairs AS ({incremental_near_dups_sql(ev, tr, threshold)})
+SELECT new_doc AS doc_id, existing_doc AS best_eval_id, jaccard_e6
+FROM pairs
+QUALIFY row_number() OVER (
+    PARTITION BY new_doc ORDER BY jaccard_e6 DESC, existing_doc) = 1"""
+
+
+# ---------------------------------------------------------------------------
 # Near-dup clustering: pairs → connected components → canonical doc.
 # The step a real curation pipeline runs after pair finding: transitive
 # closure so that a chain a~b~c keeps ONE representative, not two.
@@ -1316,6 +1414,178 @@ SELECT doc_id,
        CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped
 FROM flagged
 GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate paragraph REMOVAL (the CCNet / RefinedWeb line-dedup
+# step): a paragraph whose document frequency exceeds ``max_df`` is
+# template boilerplate (cookie banners, navigation chrome, license
+# headers) and is scrubbed from EVERY document, with the cleaned text
+# reassembled from the surviving windows.  x60 (paragraph_dedup) only
+# REPORTS the duplication; this op rewrites the corpus — the form a
+# production pipeline actually ships downstream.
+#
+# Scale shape (100 TB): the wide work is ONE (para_hash, doc_id)
+# distinct + ONE count per hash — both over 32-byte digests with
+# map-side partial agg, both skew-proof (the distinct shuffles on the
+# uniform composite key, and a boilerplate hash that covers the whole
+# corpus contributes per-partition PARTIAL counts, never its row set,
+# to the count exchange).  The hot-hash set itself is bounded by
+# construction — |hot| ≤ distinct (hash, doc) pairs / max_df — so it
+# collects to the driver as a bounded scalar (S4 channel, ``max_hot``
+# fuse) and the removal pass is a fully NARROW doc-local rewrite:
+# document text never enters any exchange.  If a corpus ever blows the
+# fuse, the fallback is a window-grain broadcast anti-join + one
+# doc_id-keyed reassembly shuffle (linear, but it moves text); the
+# fuse makes the choice explicit instead of silent.
+# ---------------------------------------------------------------------------
+
+BOILER_MAX_DF = 3  # remove windows present in MORE THAN this many docs
+BOILER_MAX_HOT = 5_000  # driver-literal fuse for the hot-hash set
+
+
+def boilerplate_hot_hashes(
+    docs: DataFrame,
+    win: int = PARA_WORDS,
+    max_df: int = BOILER_MAX_DF,
+    max_hot: int = BOILER_MAX_HOT,
+) -> list[str]:
+    """The boilerplate set: para_hashes appearing in more than
+    ``max_df`` DISTINCT documents, as a sorted driver-side list.
+
+    Two-phase on purpose: the (para_hash, doc_id) ``distinct`` shuffles
+    on the uniform composite key and the per-hash count aggregates
+    map-side partials — so a hash occurring in every document (the
+    boiler-skew regime, DECADE_r11_skew) never concentrates its row
+    set in one task.  A single groupBy(para_hash).countDistinct would
+    instead ship every (hash, doc) pair of the hot key to one
+    partition for the dedup phase.
+
+    ``max_hot`` is the S4-channel fuse: the collect is limit-bounded
+    to max_hot + 1 rows and raises rather than silently building an
+    unbounded literal (|hot| ≤ window count / max_df by pigeonhole, so
+    a production caller sizes the fuse from the x60 audit)."""
+    p = paragraphs(docs, win)
+    hot = (
+        p.select("para_hash", "doc_id")
+        .distinct()
+        .groupBy("para_hash")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("para_hash")
+    )
+    rows = hot.limit(max_hot + 1).collect()
+    if len(rows) > max_hot:
+        raise ValueError(
+            f"boilerplate set exceeds max_hot={max_hot}; raise the fuse "
+            "or scrub with the window-grain broadcast anti-join fallback"
+        )
+    return sorted(r["para_hash"] for r in rows)
+
+
+def remove_boilerplate(
+    docs: DataFrame, hot: list[str], win: int = PARA_WORDS
+) -> DataFrame:
+    """(doc_id, n_paras, n_removed, clean_text): every document with
+    its hot windows scrubbed and the survivors rejoined in order.
+    Fully narrow given the hot list — tokenize, window, filter, and
+    reassemble are one doc-local projection, so this pass is
+    shuffle-free at any corpus size (the z24 at-ingest property).
+    ``clean_text`` is over NORMALIZED tokens (the corpus is an
+    unpunctuated word stream; on real corpora the grain is the raw
+    newline split and reassembly is byte-preserving)."""
+    hot_lit = (
+        F.array(*[F.lit(h) for h in hot])
+        if hot
+        else F.expr("CAST(array() AS array<string>)")
+    )
+    toked = docs.select(
+        "doc_id", tokens(strip_non_alpha("text")).alias("toks")
+    )
+    wins = F.when(
+        F.size("toks") > 0,
+        F.expr(
+            f"transform(sequence(0, (size(toks) - 1) div {win}), "
+            f"i -> concat_ws(' ', slice(toks, i * {win} + 1, {win})))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    w = toked.select("doc_id", wins.alias("wins")).select(
+        "doc_id",
+        "wins",
+        F.filter(
+            F.col("wins"), lambda t: ~F.array_contains(hot_lit, F.md5(t))
+        ).alias("kept"),
+    )
+    return w.select(
+        "doc_id",
+        F.size("wins").cast("long").alias("n_paras"),
+        (F.size("wins") - F.size("kept")).cast("long").alias("n_removed"),
+        F.concat_ws(" ", F.col("kept")).alias("clean_text"),
+    )
+
+
+def boilerplate_removal(
+    docs: DataFrame,
+    win: int = PARA_WORDS,
+    max_df: int = BOILER_MAX_DF,
+    max_hot: int = BOILER_MAX_HOT,
+) -> DataFrame:
+    """Fit the boilerplate set on ``docs`` and scrub ``docs`` with it —
+    the batch composition of :func:`boilerplate_hot_hashes` (the one
+    wide pass, digests only) and :func:`remove_boilerplate` (narrow)."""
+    return remove_boilerplate(
+        docs, boilerplate_hot_hashes(docs, win, max_df, max_hot), win
+    )
+
+
+def boilerplate_removal_sql(
+    docs_sql: str, win: int = PARA_WORDS, max_df: int = BOILER_MAX_DF
+) -> str:
+    """DuckDB twin: identical windows and df rule; reassembly via
+    string_agg ORDER BY para_idx (aggregate NULL-skip drops the hot
+    windows); zero-token docs kept via the LEFT JOIN from toked."""
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+           lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
+           t -> t != '') AS toks
+  FROM ({docs_sql})
+),
+w AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) > 0
+    THEN list_transform(range(0, (len(toks) - 1) // {win} + 1),
+           i -> struct_pack(
+             para_idx := CAST(i AS BIGINT),
+             txt := array_to_string(
+               toks[(i * {win} + 1):(i * {win} + {win})], ' ')))
+    ELSE [] END, recursive := true)
+  FROM toked
+),
+hot AS (
+  SELECT para_hash
+  FROM (SELECT DISTINCT md5(txt) AS para_hash, doc_id FROM w)
+  GROUP BY para_hash HAVING COUNT(*) > {max_df}
+),
+flagged AS (
+  SELECT doc_id, para_idx, txt,
+         CASE WHEN md5(txt) IN (SELECT para_hash FROM hot)
+           THEN 1 ELSE 0 END AS hot
+  FROM w
+),
+agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_paras,
+         CAST(SUM(hot) AS BIGINT) AS n_removed,
+         string_agg(CASE WHEN hot = 0 THEN txt END, ' '
+                    ORDER BY para_idx) AS ct
+  FROM flagged GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(n_paras, 0) AS n_paras,
+       COALESCE(n_removed, 0) AS n_removed,
+       COALESCE(ct, '') AS clean_text
+FROM toked t LEFT JOIN agg USING (doc_id)"""
 
 
 # ---------------------------------------------------------------------------

@@ -3242,6 +3242,92 @@ def _x128_sql() -> str:
     return vocab_normalize_sql()
 
 
+def q_x138_boilerplate_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate scrub (r11 ext2): paragraphs
+    whose document frequency exceeds BOILER_MAX_DF are template
+    chrome; remove them from every document and reassemble the
+    cleaned text.  x60 reports sub-document duplication — this op
+    REWRITES the corpus, the artifact a pipeline actually ships.
+    One digest-keyed wide pass fits the hot set (bounded driver
+    scalar, fused); the scrub itself is a narrow doc-local projection
+    — document text never enters an exchange at any corpus size."""
+    from ..operators.dedup import boilerplate_removal
+
+    return boilerplate_removal(_docs(spark, sf_dir))
+
+
+def _x138_sql() -> str:
+    from ..operators.dedup import boilerplate_removal_sql
+
+    return boilerplate_removal_sql("SELECT doc_id, text FROM documents")
+
+
+def q_x139_lsh_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy eval decontamination (r11 ext2, the GPT-3/PaLM screen):
+    train-split docs that MinHash-LSH-collide with an eval-split doc,
+    verified by exact Jaccard, with the best eval neighbor.  Completes
+    the decontamination matrix (x118 exact spans / x54 exact n-grams /
+    x113 winnowed spans / x137 embedding paraphrases) with the
+    lexically-rewritten near-copy case.  The benchmark-sized eval band
+    table broadcasts; the corpus band relation never shuffles for
+    candidates."""
+    from ..operators.dedup import lsh_contamination
+
+    return lsh_contamination(_docs(spark, sf_dir))
+
+
+def _x139_sql() -> str:
+    from ..operators.dedup import lsh_contamination_sql
+
+    return lsh_contamination_sql()
+
+
+def q_z24_stream_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming boilerplate scrub at ingest (r11 ext2): the hot-hash
+    set is fitted ONCE on the static snapshot (bounded driver list —
+    the z20/z22 slowly-changing-dimension discipline), then every
+    arriving micro-batch is scrubbed doc-locally via ``foreachBatch``.
+    The scrub is a narrow per-doc rewrite, so the drained union
+    hash-matches batch x138 at ANY micro-batch partitioning — this
+    streaming op carries the FULL value-hash SQL oracle.  Zero
+    streaming state; each batch OWNS and OVERWRITES its batch_id=N
+    hive dir (the z20 idempotency contract)."""
+    import os
+    import shutil
+
+    from ..operators.dedup import boilerplate_hot_hashes, remove_boilerplate
+    from ..streaming.events import (
+        read_document_stream,
+        run_foreach_batch,
+        stage_table_dir,
+    )
+
+    hot = boilerplate_hot_hashes(_docs(spark, sf_dir))
+    stream = read_document_stream(
+        spark, stage_table_dir(sf_dir, "documents")
+    )
+    out_dir = os.path.join(_roundtrip_dir("z24out"), "boiler")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def scrub(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        remove_boilerplate(batch_df, hot).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
+
+    run_foreach_batch(stream, scrub)
+    if not os.path.exists(out_dir):
+        return spark.createDataFrame(
+            [], "doc_id long, n_paras long, n_removed long, clean_text string"
+        )
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "n_paras", "n_removed", "clean_text"
+    )
+
+
 def q_x129_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed linear quality classifier: every doc
     scored as the mean model weight of its hashed tokens — the
@@ -3655,6 +3741,9 @@ EXTENSION_QUERIES = {
     "z22_stream_dsir_score": q_z22_stream_dsir_score,
     "z23_stream_contamination": q_z23_stream_contamination,
     "c7_dsir_curation": q_c7_dsir_curation,
+    "x138_boilerplate_removal": q_x138_boilerplate_removal,
+    "x139_lsh_contamination": q_x139_lsh_contamination,
+    "z24_stream_boilerplate": q_z24_stream_boilerplate,
     "x127_kmv_proof_audit": q_x127_kmv_proof_audit,
     "x128_vocab_normalize": q_x128_vocab_normalize,
     "x129_classifier_scores": q_x129_classifier_scores,
@@ -4289,6 +4378,9 @@ GROUP BY 1, 2""",
     "z22_stream_dsir_score": _z22_sql(),
     "z23_stream_contamination": EMBEDDING_CONTAMINATION_SQL,
     "c7_dsir_curation": _c7_sql(),
+    "x138_boilerplate_removal": _x138_sql(),
+    "x139_lsh_contamination": _x139_sql(),
+    "z24_stream_boilerplate": _x138_sql(),
     "x127_kmv_proof_audit": _x127_sql(),
     "x128_vocab_normalize": _x128_sql(),
     "x129_classifier_scores": _x129_sql(),

@@ -1190,6 +1190,8 @@ _DRIVER_ROTATION: list[str] = [
     "z21_stream_png_decode", "x136_dsir_resample",
     "x137_embedding_contamination", "z22_stream_dsir_score",
     "z23_stream_contamination", "c7_dsir_curation",
+    "x138_boilerplate_removal", "x139_lsh_contamination",
+    "z24_stream_boilerplate",
     # --- staleness refresh (COVERAGE.md "Computed r11 rotation
     # --- head"): the r05 remnants displaced past slot 50 by the
     # --- in-round r10 additions (z12/x67/x68/x69/x70/x71/x72/c3/x73),
@@ -1211,8 +1213,11 @@ _DRIVER_ROTATION: list[str] = [
     "x88_dedup_savings", "x89_persisted_index", "x91_index_compaction",
     "x104_weighted_sample", "x105_zipf_slope",
     "x90_batched_bpe", "x92_stratified_iceberg", "x94_rare_token_docs",
-    "x95_window_dedup_rate", "x99_cooccurrence_pmi",
-    "x98_scene_cuts", "x100_quantize_embeddings",
+    "x95_window_dedup_rate",
+    # x99_cooccurrence_pmi / x98_scene_cuts / x100_quantize_embeddings
+    # displaced past slot 50 by the three ext2 additions — they lead
+    # the computed r12 head with the five ext1-displaced names
+    # (COVERAGE.md).
 ]
 
 

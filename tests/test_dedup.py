@@ -815,3 +815,107 @@ def test_normalized_dedup_merges_typo_variants(spark):
     assert got[4][0] != clean_fp and got[4][1] is True
     assert got[5][0] != clean_fp and got[5][1] is True  # order matters
     assert got[6][0] == 0 and got[6][1] is True
+
+
+def test_boilerplate_removal_scrubs_hot_windows(spark):
+    """x138 golden: a window-aligned boilerplate run present in > max_df
+    docs is scrubbed from every doc (including the tail-partial and the
+    all-boilerplate doc), while a window repeated in exactly max_df
+    docs survives, reassembly preserves order, and tokenless docs stay
+    with n_paras 0."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        boilerplate_removal,
+    )
+
+    boiler = "cookie banner text"
+    rows = [
+        (1, f"{boiler} a b c d e f"),
+        (2, f"{boiler} g h i"),
+        (3, f"{boiler} j k l"),
+        (4, f"{boiler} m n o"),
+        (5, f"{boiler} p q r s t"),  # tail window 's t' is partial
+        (6, "u v w x y"),  # untouched
+        (7, boiler),  # scrubbed to empty
+        (8, "shared tri gram one two three"),
+        (9, "shared tri gram four five six"),
+        (10, "shared tri gram seven eight nine"),  # df == max_df: kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_removal(df, win=3, max_df=3).collect()
+    }
+    assert len(got) == 10
+    assert got[1]["clean_text"] == "a b c d e f"
+    assert (got[1]["n_paras"], got[1]["n_removed"]) == (3, 1)
+    assert got[5]["clean_text"] == "p q r s t"  # order + partial tail
+    assert got[6]["clean_text"] == "u v w x y"
+    assert got[6]["n_removed"] == 0
+    assert got[7]["clean_text"] == "" and got[7]["n_removed"] == 1
+    # df == max_df is NOT boilerplate (rule is strictly greater-than)
+    assert got[8]["clean_text"] == "shared tri gram one two three"
+
+
+def test_boilerplate_zero_token_doc_kept(spark):
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        boilerplate_removal,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "some real words here"), (2, "12345 !!!")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in boilerplate_removal(df, win=3).collect()}
+    assert got[2]["n_paras"] == 0 and got[2]["clean_text"] == ""
+    assert got[1]["clean_text"] == "some real words here"
+
+
+def test_boilerplate_max_hot_fuse(spark):
+    """The S4-channel fuse raises instead of silently building an
+    unbounded driver literal."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        boilerplate_hot_hashes,
+    )
+
+    rows = [(i, "cookie banner text") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="max_hot"):
+        boilerplate_hot_hashes(df, win=3, max_df=3, max_hot=0)
+
+
+def test_lsh_contamination_flags_cross_split_near_dups(spark):
+    """x139 golden: train docs that near-duplicate an eval doc are
+    flagged with the best eval neighbor (ties -> smallest eval id);
+    clean train docs are absent.  Split membership is derived from the
+    operator's own hash_split convention so the test is robust to the
+    md5 layout."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        lsh_contamination,
+    )
+    from pagerank_using_mapreduce_spark.operators.sampling import hash_split
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(1, 300)], "doc_id long"
+    )
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(ids, "doc_id").collect()
+    }
+    test_ids = [i for i in sorted(splits) if splits[i] == "test"]
+    train_ids = [i for i in sorted(splits) if splits[i] == "train"]
+    e1, e2 = test_ids[0], test_ids[1]
+    t1, t2, clean = train_ids[0], train_ids[1], train_ids[2]
+    leaked = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (e1, leaked),
+        (e2, leaked),  # second identical eval doc: tie on jaccard
+        (t1, leaked),  # contaminated train doc (jaccard 1.0 vs both)
+        (t2, leaked + " lambda"),  # near-dup of the eval doc
+        (clean, "totally different unrelated words in this document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lsh_contamination(df).collect()}
+    assert set(got) == {t1, t2}
+    assert got[t1]["jaccard_e6"] == 1_000_000
+    assert got[t1]["best_eval_id"] == min(e1, e2)  # tie -> smallest
+    assert got[t2]["jaccard_e6"] >= 500_000

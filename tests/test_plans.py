@@ -271,6 +271,8 @@ def test_driver_rotation_head_is_intact():
         "z21_stream_png_decode", "x136_dsir_resample",
         "x137_embedding_contamination", "z22_stream_dsir_score",
         "z23_stream_contamination", "c7_dsir_curation",
+        "x138_boilerplate_removal", "x139_lsh_contamination",
+        "z24_stream_boilerplate",
     ]
     assert names[: len(additions)] == additions
     # the head must fill all 50 driver slots (anything less wastes
@@ -282,7 +284,7 @@ def test_driver_rotation_head_is_intact():
         "z12_stream_moments", "x67_orc_roundtrip", "x68_dataset_profile",
         "x69_pixel_decode", "x70_pixel_resize",
     ]
-    assert names[10:15] == overflow
+    assert names[13:18] == overflow
 
 
 def test_x94_vocab_join_shape(spark):
@@ -653,3 +655,27 @@ def test_oracle_sweep_shards_partition_registry():
         # COUNT (cost weights differ, so allow 2x the even share)
         if k > 1:
             assert max(len(s) for s in shards) <= 2 * len(QUERIES) // k
+
+
+def test_x138_scrub_is_exchange_free(spark):
+    """Pins x138's headline scale property: given the fitted hot list,
+    the scrub pass is a fully NARROW doc-local rewrite — zero
+    exchanges, so document text never shuffles at any corpus size.
+    (The hot-set fit is the separate digest-only wide pass.)"""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        remove_boilerplate,
+    )
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(remove_boilerplate(docs, ["deadbeef"]))
+    assert "Exchange" not in plan
+
+
+def test_x139_eval_band_side_broadcasts(spark):
+    """Pins x139's candidate-generation shape: the eval-split band
+    table is the BROADCAST side of the candidate join (the
+    benchmark-constant discipline), so the corpus-scale train band
+    relation never shuffles for candidates."""
+    plan = _plan(QUERIES["x139_lsh_contamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan
