@@ -1440,18 +1440,29 @@ GROUP BY doc_id"""
 # fuse makes the choice explicit instead of silent.
 # ---------------------------------------------------------------------------
 
-BOILER_MAX_DF = 3  # remove windows present in MORE THAN this many docs
+BOILER_MAX_DF = 3  # df floor: remove windows in MORE THAN this many docs
+BOILER_DF_DEN = 500  # relative rule: hot when df > max(floor, n_docs/den)
 BOILER_MAX_HOT = 5_000  # driver-literal fuse for the hot-hash set
 
 
 def boilerplate_hot_hashes(
     docs: DataFrame,
     win: int = PARA_WORDS,
-    max_df: int = BOILER_MAX_DF,
+    max_df: int | None = None,
     max_hot: int = BOILER_MAX_HOT,
+    df_den: int = BOILER_DF_DEN,
 ) -> list[str]:
     """The boilerplate set: para_hashes appearing in more than
     ``max_df`` DISTINCT documents, as a sorted driver-side list.
+
+    ``max_df=None`` (the default) applies the RELATIVE rule
+    max(BOILER_MAX_DF, n_docs // df_den): boilerplate is template
+    chrome that covers a fixed FRACTION of the corpus, not a fixed
+    count — a window shared by 100 of 500k documents is a duplicated
+    passage (exact/near dedup's job, x1/x4), not boilerplate, and a
+    fixed absolute threshold would misclassify every window of a
+    replica-heavy corpus as hot.  The relative rule also bounds the
+    hot set by construction: |hot| ≤ df_den · windows-per-doc.
 
     Two-phase on purpose: the (para_hash, doc_id) ``distinct`` shuffles
     on the uniform composite key and the per-hash count aggregates
@@ -1465,6 +1476,9 @@ def boilerplate_hot_hashes(
     to max_hot + 1 rows and raises rather than silently building an
     unbounded literal (|hot| ≤ window count / max_df by pigeonhole, so
     a production caller sizes the fuse from the x60 audit)."""
+    if max_df is None:
+        # S5 count scalar: the same integer both engines derive
+        max_df = max(BOILER_MAX_DF, docs.count() // df_den)
     p = paragraphs(docs, win)
     hot = (
         p.select("para_hash", "doc_id")
@@ -1527,7 +1541,7 @@ def remove_boilerplate(
 def boilerplate_removal(
     docs: DataFrame,
     win: int = PARA_WORDS,
-    max_df: int = BOILER_MAX_DF,
+    max_df: int | None = None,
     max_hot: int = BOILER_MAX_HOT,
 ) -> DataFrame:
     """Fit the boilerplate set on ``docs`` and scrub ``docs`` with it —
@@ -1539,11 +1553,21 @@ def boilerplate_removal(
 
 
 def boilerplate_removal_sql(
-    docs_sql: str, win: int = PARA_WORDS, max_df: int = BOILER_MAX_DF
+    docs_sql: str, win: int = PARA_WORDS, max_df: int | None = None
 ) -> str:
-    """DuckDB twin: identical windows and df rule; reassembly via
-    string_agg ORDER BY para_idx (aggregate NULL-skip drops the hot
-    windows); zero-token docs kept via the LEFT JOIN from toked."""
+    """DuckDB twin: identical windows and df rule (``None`` replays
+    the relative threshold as GREATEST(floor, COUNT(*)//den) over the
+    same toked relation); reassembly via string_agg ORDER BY para_idx
+    (aggregate NULL-skip drops the hot windows); zero-token docs kept
+    via the LEFT JOIN from toked."""
+    thr = (
+        str(max_df)
+        if max_df is not None
+        else (
+            f"GREATEST({BOILER_MAX_DF}, "
+            f"(SELECT COUNT(*) FROM toked) // {BOILER_DF_DEN})"
+        )
+    )
     return f"""
 WITH toked AS (
   SELECT doc_id,
@@ -1565,7 +1589,7 @@ w AS (
 hot AS (
   SELECT para_hash
   FROM (SELECT DISTINCT md5(txt) AS para_hash, doc_id FROM w)
-  GROUP BY para_hash HAVING COUNT(*) > {max_df}
+  GROUP BY para_hash HAVING COUNT(*) > {thr}
 ),
 flagged AS (
   SELECT doc_id, para_idx, txt,

@@ -3246,10 +3246,13 @@ def q_x138_boilerplate_removal(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """CCNet/RefinedWeb-style boilerplate scrub (r11 ext2): paragraphs
-    whose document frequency exceeds BOILER_MAX_DF are template
-    chrome; remove them from every document and reassemble the
-    cleaned text.  x60 reports sub-document duplication — this op
-    REWRITES the corpus, the artifact a pipeline actually ships.
+    whose document frequency exceeds max(BOILER_MAX_DF, n_docs //
+    BOILER_DF_DEN) — a RELATIVE rule, so boilerplate means "covers a
+    fixed fraction of the corpus", never "any duplicated passage" —
+    are template chrome; remove them from every document and
+    reassemble the cleaned text.  x60 reports sub-document
+    duplication — this op REWRITES the corpus, the artifact a
+    pipeline actually ships.
     One digest-keyed wide pass fits the hot set (bounded driver
     scalar, fused); the scrub itself is a narrow doc-local projection
     — document text never enters an exchange at any corpus size."""

@@ -919,3 +919,26 @@ def test_lsh_contamination_flags_cross_split_near_dups(spark):
     assert got[t1]["jaccard_e6"] == 1_000_000
     assert got[t1]["best_eval_id"] == min(e1, e2)  # tie -> smallest
     assert got[t2]["jaccard_e6"] >= 500_000
+
+
+def test_boilerplate_relative_threshold(spark):
+    """The default rule is RELATIVE — df > max(floor, n_docs // den) —
+    so a window shared by a small fixed number of docs in a large
+    corpus is duplicated content (x1/x4's job), not boilerplate."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        boilerplate_hot_hashes,
+    )
+
+    # 20 docs, den=4 -> threshold max(3, 5) = 5
+    rows = [(i, f"cookie banner text unique{i} word{i} tok{i}")
+            for i in range(6)]  # boiler window in 6 docs: 6 > 5 -> hot
+    rows += [(100 + i, f"shared five doc run uniq{i} tail{i}")
+             for i in range(5)]  # in 5 docs: 5 <= 5 -> NOT hot
+    rows += [(200 + i, f"filler{i} words{i} only{i}") for i in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hot = boilerplate_hot_hashes(df, win=3, df_den=4)
+    import hashlib
+
+    boiler_h = hashlib.md5(b"cookie banner text").hexdigest()
+    shared_h = hashlib.md5(b"shared five doc").hexdigest()
+    assert boiler_h in hot and shared_h not in hot
