@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "x138_boilerplate_removal",
     "x139_lsh_contamination",
     "z24_stream_boilerplate",
+    "c8_scrub_curation",
 ]
 
 # Canary pair (VERDICT r06 #7): one trivial scan-bound query and one

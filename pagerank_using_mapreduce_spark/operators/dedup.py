@@ -1002,6 +1002,7 @@ def lsh_contamination_sql(
     seed: str = "split-0",
     train_split: str = "train",
     eval_split: str = "test",
+    docs_sql: str = "SELECT doc_id, text FROM documents",
 ) -> str:
     """DuckDB twin: the incremental near-dup pair query over the
     hash-split train/eval slices, then the identical best-neighbor
@@ -1010,7 +1011,9 @@ def lsh_contamination_sql(
     from .sampling import hash_split_sql
 
     split_case = hash_split_sql("doc_id", seed=seed)
-    base = f"SELECT doc_id, text, {split_case} AS split FROM documents"
+    base = (
+        f"SELECT doc_id, text, {split_case} AS split FROM ({docs_sql})"
+    )
     ev = f"SELECT doc_id, text FROM ({base}) WHERE split = {sql_quote(eval_split)}"
     tr = f"SELECT doc_id, text FROM ({base}) WHERE split = {sql_quote(train_split)}"
     return f"""

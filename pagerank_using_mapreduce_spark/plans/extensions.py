@@ -3331,6 +3331,75 @@ def q_z24_stream_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c8_scrub_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RefinedWeb-order curation capstone (r11 ext2): boilerplate
+    scrub FIRST (x138), then exact dedup of the CLEANED text, then
+    fuzzy eval decontamination (x139) of the CLEANED corpus, then the
+    per-source manifest — proving the ext2 operators COMPOSE, with the
+    downstream stages consuming the scrubbed text (scrub-then-dedup is
+    the production order: chrome removal changes which docs are
+    duplicates).  Fully-boilerplate docs drop out; the scrubbed
+    relation is eagerly localCheckpointed (three consumers scan it —
+    the x132 discipline).  At 100 TB each stage keeps its own shape:
+    narrow scrub, digest groupBy dedup, broadcast eval band join."""
+    from ..operators.dedup import (
+        boilerplate_removal,
+        exact_dedup,
+        lsh_contamination,
+    )
+
+    docs = _docs(spark, sf_dir)
+    scrub = boilerplate_removal(docs).localCheckpoint(eager=True)
+    cleaned = (
+        scrub.where(F.col("clean_text") != "")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", F.col("clean_text").alias("text"), "source")
+    )
+    canon = (
+        exact_dedup(cleaned).where(F.col("is_canonical")).select("doc_id")
+    )
+    contam = lsh_contamination(cleaned.select("doc_id", "text")).select(
+        "doc_id"
+    )
+    keep = canon.join(contam, "doc_id", "left_anti")
+    return (
+        keep.join(cleaned, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+    )
+
+
+def _c8_sql() -> str:
+    from ..operators.dedup import (
+        boilerplate_removal_sql,
+        lsh_contamination_sql,
+    )
+
+    scrub = boilerplate_removal_sql("SELECT doc_id, text FROM documents")
+    contam = lsh_contamination_sql(
+        docs_sql="SELECT doc_id, text FROM cleaned"
+    )
+    return f"""
+WITH scrub AS MATERIALIZED ({scrub}),
+cleaned AS MATERIALIZED (
+  SELECT s.doc_id, s.clean_text AS text, d.source
+  FROM scrub s JOIN documents d USING (doc_id)
+  WHERE s.clean_text != ''),
+hashed AS (SELECT doc_id, md5(text) AS h FROM cleaned),
+canon AS (SELECT h, MIN(doc_id) AS doc_id FROM hashed GROUP BY h),
+contam AS MATERIALIZED ({contam}),
+keepers AS (
+  SELECT c.doc_id FROM canon c
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM contam))
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(length(d.text)) AS BIGINT) AS total_chars
+FROM keepers JOIN cleaned d USING (doc_id)
+GROUP BY d.source"""
+
+
 def q_x129_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashed linear quality classifier: every doc
     scored as the mean model weight of its hashed tokens — the
@@ -3747,6 +3816,7 @@ EXTENSION_QUERIES = {
     "x138_boilerplate_removal": q_x138_boilerplate_removal,
     "x139_lsh_contamination": q_x139_lsh_contamination,
     "z24_stream_boilerplate": q_z24_stream_boilerplate,
+    "c8_scrub_curation": q_c8_scrub_curation,
     "x127_kmv_proof_audit": q_x127_kmv_proof_audit,
     "x128_vocab_normalize": q_x128_vocab_normalize,
     "x129_classifier_scores": q_x129_classifier_scores,
@@ -4384,6 +4454,7 @@ GROUP BY 1, 2""",
     "x138_boilerplate_removal": _x138_sql(),
     "x139_lsh_contamination": _x139_sql(),
     "z24_stream_boilerplate": _x138_sql(),
+    "c8_scrub_curation": _c8_sql(),
     "x127_kmv_proof_audit": _x127_sql(),
     "x128_vocab_normalize": _x128_sql(),
     "x129_classifier_scores": _x129_sql(),

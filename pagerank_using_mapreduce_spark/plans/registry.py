@@ -1191,7 +1191,7 @@ _DRIVER_ROTATION: list[str] = [
     "x137_embedding_contamination", "z22_stream_dsir_score",
     "z23_stream_contamination", "c7_dsir_curation",
     "x138_boilerplate_removal", "x139_lsh_contamination",
-    "z24_stream_boilerplate",
+    "z24_stream_boilerplate", "c8_scrub_curation",
     # --- staleness refresh (COVERAGE.md "Computed r11 rotation
     # --- head"): the r05 remnants displaced past slot 50 by the
     # --- in-round r10 additions (z12/x67/x68/x69/x70/x71/x72/c3/x73),
@@ -1213,11 +1213,10 @@ _DRIVER_ROTATION: list[str] = [
     "x88_dedup_savings", "x89_persisted_index", "x91_index_compaction",
     "x104_weighted_sample", "x105_zipf_slope",
     "x90_batched_bpe", "x92_stratified_iceberg", "x94_rare_token_docs",
-    "x95_window_dedup_rate",
-    # x99_cooccurrence_pmi / x98_scene_cuts / x100_quantize_embeddings
-    # displaced past slot 50 by the three ext2 additions — they lead
-    # the computed r12 head with the five ext1-displaced names
-    # (COVERAGE.md).
+    # x95_window_dedup_rate / x99_cooccurrence_pmi / x98_scene_cuts /
+    # x100_quantize_embeddings displaced past slot 50 by the four ext2
+    # additions — they lead the computed r12 head with the five
+    # ext1-displaced names (COVERAGE.md).
 ]
 
 
@@ -1255,6 +1254,7 @@ CORE_TIER: tuple[str, ...] = (
     # composed capstones (end-to-end pipelines)
     "c1_curation_pipeline", "c2_ingest_curation", "c3_model_gate",
     "c4_training_manifest", "c5_quality_manifest", "c6_trained_curation",
+    "c7_dsir_curation", "c8_scrub_curation",
     # the flagship non-reference relational headline
     "tfidf",
 )

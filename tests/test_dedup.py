@@ -942,3 +942,65 @@ def test_boilerplate_relative_threshold(spark):
     boiler_h = hashlib.md5(b"cookie banner text").hexdigest()
     shared_h = hashlib.md5(b"shared five doc").hexdigest()
     assert boiler_h in hot and shared_h not in hot
+
+
+def test_c8_scrub_then_dedup_ordering(spark):
+    """c8 golden: the scrub-first order is load-bearing — two docs that
+    differ ONLY by boilerplate become exact duplicates after the scrub
+    (raw dedup keeps both), a train doc equal to an eval doc is
+    decontaminated away, and fully-boilerplate docs drop out."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        boilerplate_removal,
+        exact_dedup,
+        lsh_contamination,
+    )
+    from pagerank_using_mapreduce_spark.operators.sampling import hash_split
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 400)], "doc_id long")
+    splits = {
+        r["doc_id"]: r["split"] for r in hash_split(ids, "doc_id").collect()
+    }
+    test_ids = [i for i in sorted(splits) if splits[i] == "test"]
+    train_ids = [i for i in sorted(splits) if splits[i] == "train"]
+    e1 = test_ids[0]
+    t1, t2, t3, t4, t5 = train_ids[:5]
+    boiler = "cookie banner text"
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    leaked = "shared benchmark answer string nobody should train on today"
+    rows = [
+        (t1, f"{boiler} {body}"),   # == t2 after scrub, differs before
+        (t2, body),
+        (t3, f"{boiler}"),          # fully boilerplate -> drops out
+        (t4, leaked),               # == eval doc -> decontaminated
+        (e1, leaked),
+        (t5, f"{boiler} totally different unrelated words right here"),
+    ]
+    # make the boiler window hot: splice it into several filler docs
+    rows += [
+        (i, f"{boiler} filler{i} words{i} only{i} here{i}")
+        for i in train_ids[5:10]
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # raw exact dedup does NOT merge t1/t2
+    raw = {r["doc_id"]: r for r in exact_dedup(docs).collect()}
+    assert raw[t1]["is_canonical"] and raw[t2]["is_canonical"]
+
+    scrub = boilerplate_removal(docs, win=3, max_df=3)
+    cleaned = scrub.where(F.col("clean_text") != "").select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    assert t3 not in {r["doc_id"] for r in cleaned.collect()}
+    canon = {
+        r["doc_id"]
+        for r in exact_dedup(cleaned)
+        .where(F.col("is_canonical"))
+        .collect()
+    }
+    # after the scrub t1 and t2 are the same doc: one canonical
+    assert (t1 in canon) != (t2 in canon) or min(t1, t2) in canon
+    assert len({t1, t2} & canon) == 1
+    contam = {r["doc_id"] for r in lsh_contamination(cleaned).collect()}
+    assert t4 in contam
+    keep = canon - contam
+    assert t4 not in keep and t5 in keep

@@ -272,7 +272,7 @@ def test_driver_rotation_head_is_intact():
         "x137_embedding_contamination", "z22_stream_dsir_score",
         "z23_stream_contamination", "c7_dsir_curation",
         "x138_boilerplate_removal", "x139_lsh_contamination",
-        "z24_stream_boilerplate",
+        "z24_stream_boilerplate", "c8_scrub_curation",
     ]
     assert names[: len(additions)] == additions
     # the head must fill all 50 driver slots (anything less wastes
@@ -284,7 +284,7 @@ def test_driver_rotation_head_is_intact():
         "z12_stream_moments", "x67_orc_roundtrip", "x68_dataset_profile",
         "x69_pixel_decode", "x70_pixel_resize",
     ]
-    assert names[13:18] == overflow
+    assert names[14:19] == overflow
 
 
 def test_x94_vocab_join_shape(spark):
