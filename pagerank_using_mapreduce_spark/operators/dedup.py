@@ -964,34 +964,28 @@ def lsh_contamination(
     sp = hash_split(documents, "doc_id", seed=seed)
     train = sp.where(F.col("split") == train_split)
     ev = sp.where(F.col("split") == eval_split)
-    be = band_table(minhash_signatures(shingles(ev)))
-    bn = band_table(minhash_signatures(shingles(train)))
-    cand = (
-        bn.alias("n")
-        .join(
-            F.broadcast(be).alias("e"),
-            (F.col("n.band") == F.col("e.band"))
-            & (F.col("n.bucket") == F.col("e.bucket")),
-        )
-        .select(
-            F.col("n.doc_id").alias("doc_a"), F.col("e.doc_id").alias("doc_b")
-        )
-        .distinct()
+    # pure reuse of the incremental screen (new=train vs
+    # existing=eval); the index= parameter carries the broadcast hint,
+    # so one candidate/verify pipeline serves both ops — exactly as
+    # the SQL twin reuses incremental_near_dups_sql
+    pairs = incremental_near_dups(
+        ev,
+        train,
+        threshold,
+        index=F.broadcast(band_table(minhash_signatures(shingles(ev)))),
     )
-    sha = shingle_arrays(train).unionAll(shingle_arrays(ev))
-    pairs = verified_near_dups_arr(sha, cand, threshold)
     # best-neighbor election: max (jaccard_e6, -eval_id) == highest
     # Jaccard, ties to the smallest eval doc_id — one aggregate, no
     # window over the corpus
-    best = pairs.groupBy("doc_a").agg(
+    best = pairs.groupBy("new_doc").agg(
         F.max(
             F.struct(
-                F.col("jaccard_e6"), (-F.col("doc_b")).alias("neg_b")
+                F.col("jaccard_e6"), (-F.col("existing_doc")).alias("neg_b")
             )
         ).alias("w")
     )
     return best.select(
-        F.col("doc_a").alias("doc_id"),
+        F.col("new_doc").alias("doc_id"),
         (-F.col("w.neg_b")).alias("best_eval_id"),
         F.col("w.jaccard_e6").alias("jaccard_e6"),
     )
@@ -1333,6 +1327,23 @@ FROM scored s JOIN best b USING (canonical_id)"""
 PARA_WORDS = 10
 
 
+def _para_window_texts(win: int = PARA_WORDS) -> F.Column:
+    """array<string>: the document's non-overlapping ``win``-token
+    windows (text form, final partial window included), from a `toks`
+    column.  The ONE definition of the paragraph grain — the hot-set
+    FIT (:func:`paragraphs` → md5) and the SCRUB
+    (:func:`remove_boilerplate` → filter + reassemble) both build on
+    it, so the fit and the rewrite can never drift onto different
+    window rules (they would silently stop matching)."""
+    return F.when(
+        F.size("toks") > 0,
+        F.expr(
+            f"transform(sequence(0, (size(toks) - 1) div {win}), "
+            f"i -> concat_ws(' ', slice(toks, i * {win} + 1, {win})))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
 def paragraphs(docs: DataFrame, win: int = PARA_WORDS) -> DataFrame:
     """(doc_id, para_idx, para_hash): md5 of each non-overlapping
     ``win``-token window, in document order.  Hashing BEFORE the
@@ -1341,16 +1352,13 @@ def paragraphs(docs: DataFrame, win: int = PARA_WORDS) -> DataFrame:
     toked = docs.select(
         "doc_id", tokens(strip_non_alpha("text")).alias("toks")
     )
-    paras = F.when(
-        F.size("toks") > 0,
-        F.expr(
-            f"transform(sequence(0, (size(toks) - 1) div {win}), "
-            f"i -> struct(CAST(i AS BIGINT) AS para_idx, "
-            f"md5(concat_ws(' ', slice(toks, i * {win} + 1, {win}))) AS para_hash))"
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<struct<para_idx: bigint, para_hash: string>>)"))
-    return toked.select("doc_id", F.explode(paras).alias("p")).select(
-        "doc_id", "p.para_idx", "p.para_hash"
+    return toked.select(
+        "doc_id",
+        F.posexplode(_para_window_texts(win)).alias("para_idx", "wtxt"),
+    ).select(
+        "doc_id",
+        F.col("para_idx").cast("long").alias("para_idx"),
+        F.md5("wtxt").alias("para_hash"),
     )
 
 
@@ -1382,26 +1390,48 @@ def paragraph_dedup(docs: DataFrame, win: int = PARA_WORDS) -> DataFrame:
     )
 
 
-def paragraph_dedup_sql(docs_sql: str, win: int = PARA_WORDS) -> str:
-    """DuckDB twin: identical windows (1-based inclusive list slice ==
-    Spark's ``slice(toks, start, len)``), first-occurrence via a
-    ROW_NUMBER window (equivalent to the min-struct group)."""
+def _para_toked_sql(docs_sql: str) -> str:
+    """The shared DuckDB tokenization CTE body for the paragraph
+    grain (one definition for fit, report, and scrub twins)."""
     return f"""
-WITH toked AS (
   SELECT doc_id,
          list_filter(string_split_regex(
            lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
            t -> t != '') AS toks
-  FROM ({docs_sql})
+  FROM ({docs_sql})"""
+
+
+def _para_windows_sql(win: int, payload: str) -> str:
+    """The shared DuckDB window builder — the SQL twin of
+    :func:`_para_window_texts`: ``payload`` is an expression template
+    over the window text ``{wtxt}`` and index ``i``, so every twin
+    derives its per-window columns from the SAME grain definition
+    (1-based inclusive list slice == Spark's slice(toks, start, len),
+    final partial window included)."""
+    wtxt = (
+        f"array_to_string(toks[(i * {win} + 1):(i * {win} + {win})], ' ')"
+    )
+    return (
+        f"CASE WHEN len(toks) > 0 THEN list_transform("
+        f"range(0, (len(toks) - 1) // {win} + 1), "
+        f"i -> {payload.format(wtxt=wtxt)}) ELSE [] END"
+    )
+
+
+def paragraph_dedup_sql(docs_sql: str, win: int = PARA_WORDS) -> str:
+    """DuckDB twin: identical windows (the shared
+    :func:`_para_windows_sql` grain), first-occurrence via a
+    ROW_NUMBER window (equivalent to the min-struct group)."""
+    wins = _para_windows_sql(
+        win,
+        "struct_pack(para_idx := CAST(i AS BIGINT), "
+        "para_hash := md5({wtxt}))",
+    )
+    return f"""
+WITH toked AS ({_para_toked_sql(docs_sql)}
 ),
 p AS (
-  SELECT doc_id, unnest(CASE WHEN len(toks) > 0
-    THEN list_transform(range(0, (len(toks) - 1) // {win} + 1),
-           i -> struct_pack(
-             para_idx := CAST(i AS BIGINT),
-             para_hash := md5(array_to_string(
-               toks[(i * {win} + 1):(i * {win} + {win})], ' '))))
-    ELSE [] END, recursive := true)
+  SELECT doc_id, unnest({wins}, recursive := true)
   FROM toked
 ),
 flagged AS (
@@ -1519,14 +1549,9 @@ def remove_boilerplate(
     toked = docs.select(
         "doc_id", tokens(strip_non_alpha("text")).alias("toks")
     )
-    wins = F.when(
-        F.size("toks") > 0,
-        F.expr(
-            f"transform(sequence(0, (size(toks) - 1) div {win}), "
-            f"i -> concat_ws(' ', slice(toks, i * {win} + 1, {win})))"
-        ),
-    ).otherwise(F.expr("CAST(array() AS array<string>)"))
-    w = toked.select("doc_id", wins.alias("wins")).select(
+    w = toked.select(
+        "doc_id", _para_window_texts(win).alias("wins")
+    ).select(
         "doc_id",
         "wins",
         F.filter(
@@ -1571,22 +1596,15 @@ def boilerplate_removal_sql(
             f"(SELECT COUNT(*) FROM toked) // {BOILER_DF_DEN})"
         )
     )
+    wins = _para_windows_sql(
+        win,
+        "struct_pack(para_idx := CAST(i AS BIGINT), txt := {wtxt})",
+    )
     return f"""
-WITH toked AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(
-           lower(trim(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g'))), ' +'),
-           t -> t != '') AS toks
-  FROM ({docs_sql})
+WITH toked AS ({_para_toked_sql(docs_sql)}
 ),
 w AS (
-  SELECT doc_id, unnest(CASE WHEN len(toks) > 0
-    THEN list_transform(range(0, (len(toks) - 1) // {win} + 1),
-           i -> struct_pack(
-             para_idx := CAST(i AS BIGINT),
-             txt := array_to_string(
-               toks[(i * {win} + 1):(i * {win} + {win})], ' ')))
-    ELSE [] END, recursive := true)
+  SELECT doc_id, unnest({wins}, recursive := true)
   FROM toked
 ),
 hot AS (

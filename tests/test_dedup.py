@@ -997,8 +997,7 @@ def test_c8_scrub_then_dedup_ordering(spark):
         .where(F.col("is_canonical"))
         .collect()
     }
-    # after the scrub t1 and t2 are the same doc: one canonical
-    assert (t1 in canon) != (t2 in canon) or min(t1, t2) in canon
+    # after the scrub t1 and t2 are the same doc: exactly one survives
     assert len({t1, t2} & canon) == 1
     contam = {r["doc_id"] for r in lsh_contamination(cleaned).collect()}
     assert t4 in contam

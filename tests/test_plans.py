@@ -673,9 +673,50 @@ def test_x138_scrub_is_exchange_free(spark):
 
 
 def test_x139_eval_band_side_broadcasts(spark):
-    """Pins x139's candidate-generation shape: the eval-split band
-    table is the BROADCAST side of the candidate join (the
-    benchmark-constant discipline), so the corpus-scale train band
-    relation never shuffles for candidates."""
-    plan = _plan(QUERIES["x139_lsh_contamination"](spark, SF))
-    assert "BroadcastHashJoin" in plan
+    """Pins x139's candidate-generation shape: with auto-broadcast
+    DISABLED, the band-keyed candidate join is still a broadcast join
+    — only the explicit hint can do that — and the build side's
+    subtree carries the EVAL-split filter (its train arm folds to
+    false), so the corpus-scale train band relation never shuffles or
+    broadcasts for candidates.  (A bare 'BroadcastHashJoin in plan'
+    check would stay green via AQE auto-broadcast at test scale even
+    with the hint removed.)"""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(QUERIES["x139_lsh_contamination"](spark, SF))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    blocks = {}
+    for b in plan.split("\n\n"):
+        m = re.match(r"\((\d+)\) (\w+)", b.strip())
+        if m:
+            blocks[m.group(1)] = b.strip()
+    # the candidate join is hint-broadcast on the band keys
+    bhj = [b for b in blocks.values()
+           if b.startswith("(") and "BroadcastHashJoin" in b.splitlines()[0]
+           and "band#" in b]
+    assert bhj, "no broadcast band-keyed candidate join under hint-only"
+    # exactly one band-table broadcast build, and it is the EVAL side
+    exch = [i for i, b in blocks.items()
+            if "BroadcastExchange" in b.splitlines()[0]
+            and "band#" in b and "bucket#" in b]
+    assert len(exch) == 1, exch
+    tree = plan.split("\n\n")[0].splitlines()
+
+    def indent(line):
+        m = re.search(r"[^\s:+\-]", line)
+        return m.start() if m else 0
+
+    sub = []
+    for i, line in enumerate(tree):
+        if f"BroadcastExchange ({exch[0]})" in line:
+            d = indent(line)
+            for nxt in tree[i + 1:]:
+                if indent(nxt) <= d:
+                    break
+                sub.append(nxt)
+    filt_ids = [m.group(1) for line in sub
+                for m in [re.search(r"Filter \((\d+)\)", line)] if m]
+    assert any("THEN false" in blocks[i] for i in filt_ids), (
+        "band broadcast build side is not the eval-split slice"
+    )
