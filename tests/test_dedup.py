@@ -1003,3 +1003,28 @@ def test_c8_scrub_then_dedup_ordering(spark):
     assert t4 in contam
     keep = canon - contam
     assert t4 not in keep and t5 in keep
+
+
+def test_boilerplate_removal_partition_invariant(spark):
+    """x138 is a pure function of the corpus content: the hot-set fit
+    aggregates and the narrow scrub must produce identical rows at any
+    input partitioning (the retry/re-layout stability every sampler
+    and fit in this repo pins)."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        boilerplate_removal,
+    )
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = sorted(
+        map(tuple, boilerplate_removal(docs, win=3, max_df=3).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            boilerplate_removal(
+                docs.repartition(7), win=3, max_df=3
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == docs.count()
