@@ -24,17 +24,49 @@ from .pagerank import edges
 CC_ITERATIONS = 8
 
 
-def undirected_edges(pages: DataFrame) -> DataFrame:
+def undirected_edges(
+    pages: DataFrame,
+    key: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """Distinct undirected (a, b) pairs between VALID pages (phantom
     targets carry no label and cannot merge components — same validity
-    gate as the rank join, F3)."""
+    gate as the rank join, F3).
+
+    ``key``/``num_partitions``: callers that persist this relation
+    hash-partitioned for an iterative loop pass their loop key here so
+    the dedup itself establishes that partitioning — the explicit
+    repartition runs BEFORE the distinct, whose ClusteredDistribution
+    on (src, dst) is satisfied by HashPartitioning on the single key
+    (a subset), so the old shape's two full exchanges of the symmetric
+    relation (distinct's own hash(src, dst) + the caller's
+    repartition) collapse into one (guide §2.4: two operations keyed
+    compatibly share one exchange).  Same output set either way."""
     e = edges(pages).select("src", "dst")
     valid = pages.select(F.col("title").alias("dst"))
     e = e.join(valid, "dst")  # drop phantom endpoints
     sym = e.select("src", "dst").unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    return sym.where(F.col("src") != F.col("dst")).distinct()
+    sym = sym.where(F.col("src") != F.col("dst"))
+    if key is not None:
+        sym = sym.repartition(num_partitions, key)
+    return sym.distinct()
+
+
+def _canonical_undirected(pages: DataFrame) -> DataFrame:
+    """Distinct canonical (u < v) undirected pairs between valid pages
+    — :func:`undirected_edges` restricted to one direction, deduped on
+    the least/greatest canonical form so the distinct processes |E'|
+    rows instead of the symmetric 2|E'| (same validity gate and
+    self-loop exclusion)."""
+    e = edges(pages).select("src", "dst")
+    valid = pages.select(F.col("title").alias("dst"))
+    ev = e.join(valid, "dst").where(F.col("src") != F.col("dst"))
+    return ev.select(
+        F.least("src", "dst").alias("u"),
+        F.greatest("src", "dst").alias("v"),
+    ).distinct()
 
 
 def connected_components(
@@ -49,13 +81,16 @@ def connected_components(
     PageRank iteration shape with sum→min.  Isolated pages keep their
     own title as component.
     """
-    spark = pages.sparkSession
-    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    from .scale import adaptive_partitions
 
-    # stage the parse once for both derived relations (see pagerank())
+    spark = pages.sparkSession
+
+    # stage the parse once for both derived relations (see pagerank());
+    # static caches sized from the measured page count (guide §2)
     pages_c = pages.persist()
-    titles = pages_c.select("title").repartition(shuffle, "title").persist()
-    sym = undirected_edges(pages_c).repartition(shuffle, "src").persist()
+    parts = adaptive_partitions(spark, pages_c.count())
+    titles = pages_c.select("title").repartition(parts, "title").persist()
+    sym = undirected_edges(pages_c, key="src", num_partitions=parts).persist()
     titles.count()
     sym.count()
     pages_c.unpersist()
@@ -107,12 +142,14 @@ def connected_components_until(
     keeps the per-round plan identical to the oracle-checked fixed-k
     operator.
     """
+    from .scale import adaptive_partitions
+
     spark = pages.sparkSession
-    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     pages_c = pages.persist()
-    titles = pages_c.select("title").repartition(shuffle, "title").persist()
-    sym = undirected_edges(pages_c).repartition(shuffle, "src").persist()
+    parts = adaptive_partitions(spark, pages_c.count())
+    titles = pages_c.select("title").repartition(parts, "title").persist()
+    sym = undirected_edges(pages_c, key="src", num_partitions=parts).persist()
     titles.count()
     sym.count()
     pages_c.unpersist()
@@ -200,13 +237,13 @@ def connected_components_star(
     round (the edge set is the whole state, so the checkpoint doubles
     as the stability snapshot; swap for ``checkpoint()`` on a cluster).
     """
-    sym = undirected_edges(pages)
-    # canonical undirected pairs (u < v), both directions derivable
-    edges = (
-        sym.where(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .localCheckpoint(eager=True)
-    )
+    # canonical undirected pairs (u < v) deduped DIRECTLY via
+    # least/greatest — the old undirected_edges(...).where(src < dst)
+    # shape deduped the full symmetric (2|E|) relation and then threw
+    # half of it away; canonicalizing before the distinct halves the
+    # dedup's shuffle input for the identical output set (guide §2.3:
+    # shuffle fewer bytes).
+    edges = _canonical_undirected(pages).localCheckpoint(eager=True)
     n_edges = edges.count()
     for _ in range(max_rounds):
         if n_edges == 0:
@@ -401,26 +438,38 @@ def hits(
     relative, which the e6 quantization nudge absorbs — an L2 sqrt on
     an order-dependent sum-of-squares would be harder to pin down.
     """
+    from .scale import adaptive_partitions
+
     spark = pages.sparkSession
-    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     pages_c = pages.persist()
-    titles = pages_c.select("title").repartition(shuffle, "title").persist()
-    # hub step groups by src, authority step by dst: partition on src
-    # (the hub-side key); the dst-side agg re-shuffles only the small
-    # score relation.
-    e = valid_edges(pages_c).repartition(shuffle, "src").persist()
+    n = pages_c.count()
+    parts = adaptive_partitions(spark, n)  # measured-size static caches
+    titles = pages_c.select("title").repartition(parts, "title").persist()
+    # The hub pull joins scores on e.dst, the authority pull on e.src.
+    # One cached copy keyed on src (the pre-r11 shape) forced the hub
+    # pull to re-shuffle the FULL edge relation by dst every iteration
+    # — the adjacency (the scale-dominating relation) through the
+    # network ``iterations`` times.  Keep TWO persisted copies, one per
+    # join key (guide §2.4: remove shuffles outright): 2× cache
+    # footprint buys zero adjacency movement inside the loop; only the
+    # small (title, score) relation moves per pull.
+    e_src = valid_edges(pages_c).repartition(parts, "src").persist()
+    e_dst = e_src.repartition(parts, "dst").persist()
     titles.count()
-    e.count()
+    e_src.count()
+    e_dst.count()
     pages_c.unpersist()
 
-    n = titles.count()
     auth = titles.select("title", F.lit(1.0 / n).alias("score"))
     hub_un = auth
     persisted: list[DataFrame] = []
 
     def _pull(scores: DataFrame, src_col: str, dst_col: str) -> DataFrame:
         """Pull ``scores`` across edges from ``dst_col`` to ``src_col``
-        (sparse: only nodes with at least one scored neighbor appear)."""
+        (sparse: only nodes with at least one scored neighbor appear).
+        Reads the edge cache partitioned on the JOIN key, so the
+        adjacency never re-shuffles."""
+        e = e_dst if dst_col == "dst" else e_src
         return (
             e.alias("e")
             .join(scores.alias("s"), F.col(f"e.{dst_col}") == F.col("s.title"))
@@ -499,10 +548,12 @@ def bfs_depths(
     """
     if not sources:
         raise ValueError("bfs_depths needs a non-empty source set")
+    from .scale import adaptive_partitions
+
     spark = pages.sparkSession
-    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     pages_c = pages.persist()
-    e = valid_edges(pages_c).repartition(shuffle, "src").persist()
+    parts = adaptive_partitions(spark, pages_c.count())
+    e = valid_edges(pages_c).repartition(parts, "src").persist()
     seeds = (
         pages_c.select("title")
         .where(F.col("title").isin(*sources))
@@ -560,10 +611,12 @@ def bfs_depths_frontier(
     """
     if not sources:
         raise ValueError("bfs_depths_frontier needs a non-empty source set")
+    from .scale import adaptive_partitions
+
     spark = pages.sparkSession
-    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     pages_c = pages.persist()
-    e = valid_edges(pages_c).repartition(shuffle, "src").persist()
+    parts = adaptive_partitions(spark, pages_c.count())
+    e = valid_edges(pages_c).repartition(parts, "src").persist()
     e.count()
     frontier = (
         pages_c.select("title")
@@ -634,10 +687,14 @@ def kcore_survivors(
     (loop until no removal) would be the ``_until`` variant, same
     driver-loop pattern as ``connected_components_until``.
     """
+    from .scale import adaptive_partitions
+
     spark = pages.sparkSession
-    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    sym = undirected_edges(pages).repartition(shuffle, "src").persist()
+    pages_c = pages.persist()
+    parts = adaptive_partitions(spark, pages_c.count())
+    sym = undirected_edges(pages_c, key="src", num_partitions=parts).persist()
     sym.count()
+    pages_c.unpersist()
     nodes = sym.select(F.col("src").alias("title")).distinct()
     for i in range(rounds):
         alive_a = nodes.select(F.col("title").alias("src"))
@@ -679,10 +736,14 @@ def kcore_until(
     S5 scalar channel) doubles as the stop test; peeling is idempotent
     past the fixpoint, which is what lets the oracle use a fixed
     upper-bound unroll."""
+    from .scale import adaptive_partitions
+
     spark = pages.sparkSession
-    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    sym = undirected_edges(pages).repartition(shuffle, "src").persist()
+    pages_c = pages.persist()
+    parts = adaptive_partitions(spark, pages_c.count())
+    sym = undirected_edges(pages_c, key="src", num_partitions=parts).persist()
     sym.count()
+    pages_c.unpersist()
     nodes = sym.select(F.col("src").alias("title")).distinct().persist()
     n_prev = nodes.count()
     for i in range(max_rounds):
@@ -765,11 +826,13 @@ def label_propagation(pages: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     label) = MIN over struct(-count, label)) + the singleton left
     join.  The adjacency never re-shuffles; only labels move.
     """
+    from .scale import adaptive_partitions
+
     spark = pages.sparkSession
-    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     pages_c = pages.persist()
-    titles = pages_c.select("title").repartition(shuffle, "title").persist()
-    sym = undirected_edges(pages_c).repartition(shuffle, "dst").persist()
+    parts = adaptive_partitions(spark, pages_c.count())
+    titles = pages_c.select("title").repartition(parts, "title").persist()
+    sym = undirected_edges(pages_c, key="dst", num_partitions=parts).persist()
     titles.count()
     sym.count()
     pages_c.unpersist()
@@ -864,13 +927,15 @@ def sssp_dists(
     """
     if not sources:
         raise ValueError("sssp_dists needs a non-empty source set")
+    from .scale import adaptive_partitions
+
     spark = pages.sparkSession
-    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     pages_c = pages.persist()
+    parts = adaptive_partitions(spark, pages_c.count())
     e = (
         valid_edges(pages_c)
         .select("src", "dst", edge_weight(F.col("dst")).alias("w"))
-        .repartition(shuffle, "src")
+        .repartition(parts, "src")
         .persist()
     )
     seeds = (
@@ -920,10 +985,12 @@ def bfs_depths_labeled(
     depths to those k (Potamias et al.'s landmark method)."""
     if not sources:
         raise ValueError("bfs_depths_labeled needs a non-empty source set")
+    from .scale import adaptive_partitions
+
     spark = pages.sparkSession
-    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     pages_c = pages.persist()
-    e = valid_edges(pages_c).repartition(shuffle, "src").persist()
+    parts = adaptive_partitions(spark, pages_c.count())
+    e = valid_edges(pages_c).repartition(parts, "src").persist()
     e.count()
     depths = (
         pages_c.select("title")

@@ -217,6 +217,10 @@ def serpentine_shards(
         [F.desc(size_col), F.asc(id_col)],
         "pos",
         None,
+        # the rank feeds a shard groupBy immediately below — the
+        # presentation sort would be one extra whole-relation
+        # exchange+sort thrown away by the aggregate
+        ordered=False,
     )
     r = F.col("pos") - 1
     within = r % n_shards

@@ -136,19 +136,27 @@ def pagerank(
       current rank vector).  Proven through the hash gate: warm-start
       4+6 ≡ straight 10 (`i3_warm_start`).
     """
+    from .scale import adaptive_partitions
+
     spark = pages.sparkSession
-    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     # Stage the parse once: both static relations derive from `pages`,
     # and materializing their caches independently would re-run the
     # corpus parse per relation (measured ~2× parse cost at sf0.1).
     pages_c = pages.persist()
-    titles = pages_c.select("title").repartition(shuffle, "title").persist()
-    e = edges(pages_c).repartition(shuffle, "src").persist()
     if n is None:
-        n = titles.count()  # A1/S5: action replaces the Hadoop counter
-    else:
-        titles.count()
+        n = pages_c.count()  # A1/S5: action replaces the Hadoop counter
+        # (pages rows ARE the distinct titles: parse_corpus groupBys)
+    # static caches sized from the MEASURED page count, capped by the
+    # configured shuffle width (guide §2: derive partitioning from
+    # input size, not a constant tuned for one deployment) — every
+    # iteration stage inherits this width, so a 5k-page bench corpus
+    # stops paying 32 scheduling-only tasks per stage while a cluster
+    # run still saturates its configured parallelism.
+    parts = adaptive_partitions(spark, n)
+    titles = pages_c.select("title").repartition(parts, "title").persist()
+    e = edges(pages_c).repartition(parts, "src").persist()
+    titles.count()
     e.count()  # materialize the adjacency once (reference job ②)
     pages_c.unpersist()  # the staging cache served its purpose
     if n == 0:
@@ -216,23 +224,23 @@ def weighted_pagerank(
     is identical to the unweighted loop (one join + one partial-agg
     sum over the moving rank relation)."""
     from .graph import edge_weight
+    from .scale import adaptive_partitions
 
     spark = pages.sparkSession
-    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     pages_c = pages.persist()
-    titles = pages_c.select("title").repartition(shuffle, "title").persist()
+    if n is None:
+        n = pages_c.count()
+    parts = adaptive_partitions(spark, n)  # measured-size static caches
+    titles = pages_c.select("title").repartition(parts, "title").persist()
     we = (
         edges(pages_c)
         .select("src", "dst", edge_weight(F.col("dst")).alias("w"))
-        .repartition(shuffle, "src")
+        .repartition(parts, "src")
     )
     wtot = we.groupBy("src").agg(F.sum("w").alias("wout"))
     e = we.join(wtot, "src").persist()  # co-partitioned: no extra shuffle
-    if n is None:
-        n = titles.count()
-    else:
-        titles.count()
+    titles.count()
     e.count()
     pages_c.unpersist()
     if n == 0:
@@ -303,9 +311,11 @@ def personalized_pagerank(
     """
     if not sources:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
+    from .scale import adaptive_partitions
+
     spark = pages.sparkSession
-    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     pages_c = pages.persist()
+    parts = adaptive_partitions(spark, pages_c.count())
     titles = pages_c.select("title")
     if len(sources) <= seed_isin_max:
         titles = titles.select(
@@ -319,8 +329,8 @@ def personalized_pagerank(
             titles.join(F.broadcast(seeds_df), "title", "left")
             .select("title", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
         )
-    titles = titles.repartition(shuffle, "title").persist()
-    e = edges(pages_c).repartition(shuffle, "src").persist()
+    titles = titles.repartition(parts, "title").persist()
+    e = edges(pages_c).repartition(parts, "src").persist()
     titles.count()
     e.count()
     pages_c.unpersist()
@@ -378,13 +388,16 @@ def pagerank_until(
     op on the adjacency).  Returns (title, rank, iterations) with the
     iteration count that achieved convergence on every row.
     """
+    from .scale import adaptive_partitions
+
     spark = pages.sparkSession
-    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
 
     pages_c = pages.persist()
-    titles = pages_c.select("title").repartition(shuffle, "title").persist()
-    e = edges(pages_c).repartition(shuffle, "src").persist()
-    n = titles.count()
+    n = pages_c.count()
+    parts = adaptive_partitions(spark, n)  # measured-size static caches
+    titles = pages_c.select("title").repartition(parts, "title").persist()
+    e = edges(pages_c).repartition(parts, "src").persist()
+    titles.count()
     e.count()
     pages_c.unpersist()
     if n == 0:

@@ -34,6 +34,7 @@ def with_global_position(
     pos_col: str = "pos",
     num_partitions: int | None = None,
     materialize: bool = True,
+    ordered: bool = True,
 ) -> DataFrame:
     """Return ``df`` with a 1-based global position column under the
     total order ``order_cols`` (pass Column objects, e.g.
@@ -72,7 +73,14 @@ def with_global_position(
     out = ranged.join(F.broadcast(offsets_df), "_pid").select(
         (F.row_number().over(w) + F.col("_offset")).cast("long").alias(pos_col),
         *df.columns,
-    ).orderBy(pos_col)
+    )
+    if ordered:
+        # presentation order for ranking-style consumers; callers that
+        # only need the pos COLUMN (quantile binning) skip this final
+        # range sort — it is one whole extra exchange+sort of the
+        # result (guide §2.4: an orderBy used only to make output
+        # pretty is an accidental shuffle)
+        out = out.orderBy(pos_col)
     if not materialize:
         # lazy form for plan inspection / further composition; the
         # ranged cache stays pinned under the un-evaluated result —

@@ -158,8 +158,13 @@ def quantile_bins(
     count)."""
     from .ranking import with_global_position
 
-    n = df.count()
-    pos = with_global_position(df, order_cols)
+    # position first, count after: `pos` is eagerly materialized by
+    # with_global_position, so N is a cheap cache read — counting `df`
+    # directly (the pre-r11 order) re-ran the caller's whole scoring
+    # subtree once just for the row count.  `ordered=False`: bin
+    # assignment needs the pos COLUMN, not a presentation sort.
+    pos = with_global_position(df, order_cols, ordered=False)
+    n = pos.count()
     return pos.withColumn(
         out_col,
         F.expr(f"(pos - 1) * {int(n_bins)} div {int(n)} + 1").cast("long"),

@@ -26,6 +26,42 @@ from pyspark.sql import functions as F
 
 DEFAULT_SALTS = 16
 
+# Rows of a PAGE-grain relation per hash partition when an iterative
+# operator sizes its static caches from a measured row count (see
+# :func:`adaptive_partitions`).  ~16k pages ≈ ~54k edge rows per task
+# on the wiki-derived graph — meaty enough that per-task overhead
+# (launch, codegen dispatch, shuffle-block bookkeeping) stops
+# dominating, while the `spark.sql.shuffle.partitions` cap keeps the
+# cluster-scale behaviour conf-driven (the guide's "derive from input
+# size, cap by configuration" rule).
+ADAPTIVE_ROWS_PER_PARTITION = 16_384
+
+
+def adaptive_partitions(
+    spark: SparkSession,
+    n_rows: int,
+    rows_per_partition: int = ADAPTIVE_ROWS_PER_PARTITION,
+) -> int:
+    """Partition count for a static relation of ``n_rows`` rows:
+    ``ceil-ish(n_rows / rows_per_partition)`` clamped to
+    [1, spark.sql.shuffle.partitions].
+
+    The iterative operators (PageRank / components / HITS / BFS /
+    SSSP / LPA / k-core) hash-partition-and-persist their static
+    adjacency once and then iterate; pinning that partition count to
+    the CONFIGURED shuffle width (the pre-r11 shape) made every
+    iteration pay `shuffle.partitions` tasks per stage even when the
+    relation holds a few thousand rows — pure scheduling overhead at
+    bench scale, while at cluster scale the conf cap (thousands of
+    partitions on a real deployment) still rules because n_rows /
+    rows_per_partition exceeds it.  Same measured-size discipline as
+    ``dedup.cluster_pairs`` (pairs // 100k) applied to the graph
+    family.  The caller supplies a MEASURED count (these operators all
+    run a count action to materialize their caches anyway), so the
+    sizing is exact, not an estimate."""
+    shuffle = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return max(1, min(shuffle, int(n_rows) // rows_per_partition + 1))
+
 
 def _row_salt(
     df: DataFrame, n_salts: int, stable_id: str | None
