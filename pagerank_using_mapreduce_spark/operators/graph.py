@@ -116,9 +116,16 @@ def connected_components(
                     F.coalesce(F.col("n.neigh"), F.col("l.component")),
                 ).alias("component"),
             )
+            # labels is referenced TWICE per round (the neighbor join
+            # and the merge), so the analyzed logical plan DOUBLES per
+            # round — a cadence-4 checkpoint still paid 2^3 analyzer
+            # blowup on the late rounds (measured: round cost climbing
+            # 0.4 -> 3.5 s between checkpoints at sf0.1).  A LAZY
+            # localCheckpoint every round keeps the plan flat for free:
+            # the truncated frame materializes inside whichever job
+            # first reads it — no extra action, flat ~0.45 s rounds.
+            .localCheckpoint(eager=False)
         )
-        if (i + 1) % 4 == 0 and (i + 1) < iterations:
-            labels = labels.localCheckpoint(eager=True)
     return labels
 
 
@@ -160,8 +167,10 @@ def connected_components_until(
             F.sum(F.xxhash64("title", "component").cast("decimal(38,0)"))
         ).collect()[0][0]
 
-    labels = titles.select("title", F.col("title").alias("component")).persist()
-    fp = _fingerprint(labels)  # doubles as the eager materialize
+    labels = titles.select(
+        "title", F.col("title").alias("component")
+    ).localCheckpoint(eager=False)
+    fp = _fingerprint(labels)  # doubles as the materializing action
     done = 0
     for i in range(max_iterations):
         neigh_min = (
@@ -180,11 +189,17 @@ def connected_components_until(
                     F.coalesce(F.col("n.neigh"), F.col("l.component")),
                 ).alias("component"),
             )
+            # labels is referenced twice per round, so the analyzed
+            # plan doubles per round; a LAZY per-round localCheckpoint
+            # keeps it flat and the fingerprint action right below
+            # materializes the truncated frame in the same job it was
+            # already paying — measured at sf0.1: the loop fell from
+            # ~15.6 s (persist + cadence-5 eager checkpoints; rounds
+            # climbing 0.4 -> 3.5 s from analyzer blowup) to ~6.7 s of
+            # flat ~0.45 s rounds.  Old per-round caches become
+            # unreferenced checkpoint blocks, freed by ContextCleaner.
+            .localCheckpoint(eager=False)
         )
-        if (i + 1) % 5 == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        else:
-            new_labels = new_labels.persist()
         new_fp = _fingerprint(new_labels)
         converged = False
         if new_fp == fp:
@@ -197,7 +212,6 @@ def connected_components_until(
                 .count()
                 == 0
             )
-        labels.unpersist()
         labels = new_labels
         fp = new_fp
         done = i + 1
@@ -243,7 +257,9 @@ def connected_components_star(
     # half of it away; canonicalizing before the distinct halves the
     # dedup's shuffle input for the identical output set (guide §2.3:
     # shuffle fewer bytes).
-    edges = _canonical_undirected(pages).localCheckpoint(eager=True)
+    # lazy checkpoint: the count right below is the materializing
+    # action, so the eager form's dedicated job is redundant
+    edges = _canonical_undirected(pages).localCheckpoint(eager=False)
     n_edges = edges.count()
     for _ in range(max_rounds):
         if n_edges == 0:
@@ -288,7 +304,9 @@ def connected_components_star(
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        new_edges = ss.localCheckpoint(eager=True)
+        # lazy checkpoint — the stop-test count materializes it in the
+        # same job, one job per round instead of two
+        new_edges = ss.localCheckpoint(eager=False)
         # stop test, cheapest-first: a count mismatch (one scan of the
         # checkpointed relation) proves change without any join; only
         # when counts match does ONE anti-join run — equal counts plus
@@ -462,7 +480,6 @@ def hits(
 
     auth = titles.select("title", F.lit(1.0 / n).alias("score"))
     hub_un = auth
-    persisted: list[DataFrame] = []
 
     def _pull(scores: DataFrame, src_col: str, dst_col: str) -> DataFrame:
         """Pull ``scores`` across edges from ``dst_col`` to ``src_col``
@@ -479,8 +496,14 @@ def hits(
 
     for i in range(iterations):
         hub_un = _pull(auth, "src", "dst")  # hub(v) = Σ_{v→u} auth(u)
-        auth_un = _pull(hub_un, "dst", "src").persist()  # Σ_{v→u} hub(v)
-        persisted.append(auth_un)
+        # lazy per-iteration checkpoint: the norm action right below
+        # materializes it, truncating the growing auth->hub->auth
+        # lineage every round for free (the old persist + cadence-5
+        # eager checkpoints left the analyzed plan growing between
+        # checkpoints — see connected_components)
+        auth_un = _pull(hub_un, "dst", "src").localCheckpoint(
+            eager=False
+        )  # Σ_{v→u} hub(v)
         tot = auth_un.agg(F.sum("score")).first()[0]
         auth = (
             auth_un
@@ -489,12 +512,6 @@ def hits(
                 "title", (F.col("score") / F.lit(tot)).alias("score")
             )
         )
-        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
-            hub_un = hub_un.localCheckpoint(eager=True)
-            auth = auth.localCheckpoint(eager=True)
-            for p in persisted:
-                p.unpersist()
-            persisted = []
     hub_un = hub_un.persist()
     hub_tot = hub_un.agg(F.sum("score")).first()[0]
     hub = (
@@ -574,9 +591,11 @@ def bfs_depths(
             depths.unionAll(expanded)
             .groupBy("title")
             .agg(F.min("depth").alias("depth"))
+            # depths referenced twice per round (expand + union):
+            # lazy per-round checkpoint keeps the analyzed plan flat
+            # instead of doubling (see connected_components)
+            .localCheckpoint(eager=False)
         )
-        if (i + 1) % 4 == 0 and (i + 1) < iterations:
-            depths = depths.localCheckpoint(eager=True)
     # materialize before releasing the page cache: the lazy plan's
     # seed leaf scans pages (a corpus re-parse once uncached).  The
     # edge relation stays persisted DELIBERATELY: the cache manager
@@ -860,9 +879,11 @@ def label_propagation(pages: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
                     "label"
                 ),
             )
+            # labels referenced twice per round (plurality pull + the
+            # merge): lazy per-round checkpoint keeps the analyzed plan
+            # flat instead of doubling (see connected_components)
+            .localCheckpoint(eager=False)
         )
-        if (i + 1) % 4 == 0 and (i + 1) < rounds:
-            labels = labels.localCheckpoint(eager=True)
     return labels.select("title", F.col("label").alias("community"))
 
 
@@ -958,9 +979,10 @@ def sssp_dists(
             dists.unionAll(relaxed)
             .groupBy("title")
             .agg(F.min("dist").alias("dist"))
+            # dists referenced twice per round: lazy per-round
+            # checkpoint keeps the plan flat (see connected_components)
+            .localCheckpoint(eager=False)
         )
-        if (i + 1) % 4 == 0 and (i + 1) < iterations:
-            dists = dists.localCheckpoint(eager=True)
     # same as bfs_depths: materialize, release the page cache, keep
     # the (plan-deduped) adjacency cache for cross-query reuse
     dists = dists.localCheckpoint(eager=True)
@@ -1015,9 +1037,10 @@ def bfs_depths_labeled(
             depths.unionAll(expanded)
             .groupBy("seed", "title")
             .agg(F.min("depth").alias("depth"))
+            # depths referenced twice per round: lazy per-round
+            # checkpoint keeps the plan flat (see connected_components)
+            .localCheckpoint(eager=False)
         )
-        if (i + 1) % 4 == 0 and (i + 1) < iterations:
-            depths = depths.localCheckpoint(eager=True)
     # materialize BEFORE releasing the page cache: the lazy plan
     # references e once per un-checkpointed round, and an unpersisted e
     # re-parses the corpus on every reference (measured 15.5s -> 5.2s

@@ -168,7 +168,6 @@ def pagerank(
         ranks = init_ranks.select("title", "rank")
     else:
         ranks = titles.select("title", F.lit(1.0 / n).alias("rank"))
-    prev_persisted = None
     for i in range(iterations):
         contribs = (
             e.alias("e")
@@ -193,11 +192,16 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
-            ranks = _truncate_lineage(ranks, checkpoint_dir)  # S3
-            if prev_persisted is not None:
-                prev_persisted.unpersist()
-            prev_persisted = ranks
+        if checkpoint_dir is not None:
+            # reliable-checkpoint cadence: cluster restart durability (S3)
+            if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+                ranks = _truncate_lineage(ranks, checkpoint_dir)
+        else:
+            # lazy per-round localCheckpoint: plan depth stays O(1)
+            # instead of growing per round, and the cadence form's
+            # dedicated eager-materialization job disappears (S3 —
+            # the next action materializes the truncated frame)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -247,7 +251,6 @@ def weighted_pagerank(
         return titles.select("title", F.lit(0.0).alias("rank")).where(F.lit(False))
 
     ranks = titles.select("title", F.lit(1.0 / n).alias("rank"))
-    prev_persisted = None
     for i in range(iterations):
         contribs = (
             e.alias("e")
@@ -271,11 +274,18 @@ def weighted_pagerank(
                 ).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
-            ranks = _truncate_lineage(ranks, checkpoint_dir)
-            if prev_persisted is not None:
-                prev_persisted.unpersist()
-            prev_persisted = ranks
+        if checkpoint_dir is not None:
+            # reliable-checkpoint cadence: cluster restart durability
+            if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+                ranks = _truncate_lineage(ranks, checkpoint_dir)
+        else:
+            # lazy per-round localCheckpoint: plan depth stays O(1)
+            # instead of growing per round (and the cadence form's
+            # dedicated eager-materialization job disappears — the
+            # next action materializes the truncated frame).  Old
+            # rounds' blocks are freed by ContextCleaner as their
+            # frames drop out of the lineage.
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -341,7 +351,6 @@ def personalized_pagerank(
     ).otherwise(F.lit(0.0))
     init = F.when(F.col("is_seed"), F.lit(1.0 / s)).otherwise(F.lit(0.0))
     ranks = titles.select("title", init.alias("rank"))
-    prev_persisted = None
     for i in range(iterations):
         contribs = (
             e.alias("e")
@@ -363,11 +372,18 @@ def personalized_pagerank(
                 ).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
-            ranks = _truncate_lineage(ranks, checkpoint_dir)
-            if prev_persisted is not None:
-                prev_persisted.unpersist()
-            prev_persisted = ranks
+        if checkpoint_dir is not None:
+            # reliable-checkpoint cadence: cluster restart durability
+            if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+                ranks = _truncate_lineage(ranks, checkpoint_dir)
+        else:
+            # lazy per-round localCheckpoint: plan depth stays O(1)
+            # instead of growing per round (and the cadence form's
+            # dedicated eager-materialization job disappears — the
+            # next action materializes the truncated frame).  Old
+            # rounds' blocks are freed by ContextCleaner as their
+            # frames drop out of the lineage.
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -406,8 +422,9 @@ def pagerank_until(
             "title", F.lit(0.0).alias("rank"), F.lit(0).alias("iterations")
         ).where(F.lit(False))
 
-    ranks = titles.select("title", F.lit(1.0 / n).alias("rank")).persist()
-    ranks.count()
+    ranks = titles.select("title", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+        eager=False
+    )
     done = 0
     for i in range(max_iterations):
         contribs = (
@@ -430,17 +447,24 @@ def pagerank_until(
                 ).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
+        if checkpoint_dir is not None and (i + 1) % checkpoint_every == 0:
+            # reliable-checkpoint cadence for cluster runs (restart
+            # durability); locally the lazy branch below already
+            # truncates every round
             new_ranks = _truncate_lineage(new_ranks, checkpoint_dir)
         else:
-            new_ranks = new_ranks.persist()
+            # ranks is referenced twice per round (the contribution
+            # join and the delta join), so the analyzed plan doubles
+            # per round; the lazy per-round checkpoint keeps it flat
+            # and the delta action materializes it in the job it
+            # already pays (see graph.connected_components_until)
+            new_ranks = new_ranks.localCheckpoint(eager=False)
         delta = (
             new_ranks.alias("n")
             .join(ranks.alias("o"), "title")
             .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
             .first()["d"]
         )
-        ranks.unpersist()
         ranks = new_ranks
         done = i + 1
         if delta < tol:

