@@ -2251,24 +2251,50 @@ def setsim_join(
         s = sha.select("doc_id", F.explode("sh").alias("shingle"))
     else:
         s = shingles(docs, k)  # already DISTINCT (doc_id, shingle)
-    sz = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
     pref = _setsim_prefix(docs, k, num, den, s=s)
     cand = (
         _setsim_candidates(pref, num, den, df_cap)
         .select("doc_a", "doc_b")
         .distinct()
     )
-    inter = (
-        cand.join(s.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(s.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    sized = (
-        inter.join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
-    )
+    if sha is not None:
+        # doc-level array verify (the verified_near_dups_arr idiom,
+        # guide §2.3: shuffle one row per doc, not one per (doc,
+        # shingle)): the exploded form joined the full gram relation
+        # TWICE and re-aggregated it, which profiled as the bulk of
+        # the operator; arrays are distinct per doc, so
+        # size(array_intersect) == the gram-join intersection count
+        # and size(sh) == the old per-doc size aggregate — identical
+        # integers, identical jacc_e6.
+        a = sha.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+        b = sha.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        sized = (
+            cand.join(a, "doc_a")
+            .join(b, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                .cast("long")
+                .alias("inter"),
+                F.size("sh_a").cast("long").alias("sz_a"),
+                F.size("sh_b").cast("long").alias("sz_b"),
+            )
+            .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+    else:
+        sz = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        inter = (
+            cand.join(s.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .join(s.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+        sized = (
+            inter.join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+            .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+            .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
     return (
         sized.where(
             F.lit(den) * F.col("inter") >= F.lit(num) * F.col("uni")
