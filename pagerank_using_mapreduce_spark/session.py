@@ -37,6 +37,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guide §3.1: let the planner pick shuffled-hash over
+        # sort-merge when a side fits a per-partition hash map (no
+        # sort of either side), and let AQE rewrite SMJ -> SHJ at
+        # runtime when every post-shuffle partition is small; both are
+        # size-gated so huge build sides still fall back to SMJ
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "64m",
+        )
+        # guide §6: zstd beats snappy at similar read speed for
+        # anything this engine writes (roundtrip stages, index parquet)
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
