@@ -793,7 +793,9 @@ def kcore_until(
             .agg(F.count("*").alias("deg"))
             .where(F.col("deg") >= k)
             .select(F.col("src").alias("title"))
-            .localCheckpoint(eager=True)
+            # lazy: the stop-rule count right below is the
+            # materializing action — one job per round instead of two
+            .localCheckpoint(eager=False)
         )
         n_now = nxt.count()
         nodes.unpersist()
@@ -1214,9 +1216,13 @@ def truss_edges(
                 F.coalesce("support", F.lit(0)).cast("long").alias("support"),
             )
             .where(F.col("support") >= k - 2)
-            .persist()
+            # eager checkpoint instead of persist+count: same one
+            # materialization job per round, but the next round's plan
+            # starts from a flat LogicalRDD — e is referenced THREE
+            # times per round (sym's two union branches + the peel
+            # join), so an un-truncated plan triples per round
+            .localCheckpoint(eager=True)
         )
-        nxt.count()
         e.unpersist()
         oriented.unpersist()
         e = nxt
