@@ -649,6 +649,14 @@ def main() -> None:
             indent=1,
         )
     print(f"per-rep runs/spread + sf1 detail -> {detail_path}", file=sys.stderr)
+    # The headline JSON must be the GUARANTEED LAST stdout line (the
+    # r10 record's tail held decade detail instead of the parsed line
+    # — prev_bench_ok went false and the round lost its driver-side
+    # prev ratio).  Everything that could write output — the decade
+    # subprocesses, the session stop — happens ABOVE this point;
+    # stderr is flushed first so buffered interleaving can't trail the
+    # line, and the print itself flushes and terminates the program.
+    sys.stderr.flush()
     print(
         json.dumps(
             {
@@ -672,9 +680,12 @@ def main() -> None:
                 "env": env,
                 "bpe_batched": bpe_ev,
             }
-        )
+        ),
+        flush=True,
     )
-    spark.stop()
+    # NOT followed by spark.stop(): the session was already stopped
+    # before the decade sections; a trailing stop here could only add
+    # output after the headline line.
 
 
 if __name__ == "__main__":

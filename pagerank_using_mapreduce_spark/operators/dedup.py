@@ -1032,7 +1032,10 @@ MAX_CLUSTER_ROUNDS = 50  # convergence-loop safety cap
 
 
 def cluster_pairs(
-    docs: DataFrame, pairs: DataFrame, max_rounds: int = MAX_CLUSTER_ROUNDS
+    docs: DataFrame,
+    pairs: DataFrame,
+    max_rounds: int = MAX_CLUSTER_ROUNDS,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Transitive closure of an explicit near-dup pair relation to the
     FIXPOINT: min-label propagation with a zero-changes stop rule (the
@@ -1050,7 +1053,12 @@ def cluster_pairs(
     ⟺ no change; the join guards the astronomically-unlikely sum
     collision) — the cc_converged count-first discipline on an
     O(|pairs|) relation.
+
+    ``checkpoint_dir``: reliable per-round checkpoints instead of
+    executor-local blocks (operators.scale.truncate_lineage).
     """
+    from .scale import truncate_lineage
+
     pairs = pairs.select("doc_a", "doc_b").persist()
     # size the iteration's partitioning from the MEASURED pair count
     # (pairs is already persisted, so the count is one cheap action):
@@ -1075,14 +1083,14 @@ def cluster_pairs(
         .distinct()
         .withColumn("label", F.col("doc_id"))
         .repartition(parts, "doc_id")
-        # lazy checkpoint, not persist: checkpoint frames are
-        # LogicalRDD leaves, so (a) the per-round doubled references
-        # to `labels` stop doubling the analyzed plan and (b) the
-        # cache manager can never hand this round's state to a later
-        # repetition of the query (honest reps — the r07 persist
-        # leak).  Blocks are freed when the frames are GC'd.
-        .localCheckpoint(eager=False)
     )
+    # lazy truncation, not persist: checkpoint frames are flat
+    # leaves, so (a) the per-round doubled references to `labels`
+    # stop doubling the analyzed plan and (b) the cache manager can
+    # never hand this round's state to a later repetition of the
+    # query (honest reps — the r07 persist leak).  Blocks are freed
+    # when the frames are GC'd; reliable when checkpoint_dir is set.
+    labels = truncate_lineage(labels, checkpoint_dir)
     def _fingerprint(lbl: DataFrame) -> int:
         # decimal(38) sum: n·2^63 overflows a long under ANSI mode
         return lbl.agg(
@@ -1100,14 +1108,15 @@ def cluster_pairs(
             labels.unionAll(pulled)
             .groupBy("doc_id")
             .agg(F.min("label").alias("label"))
-            # labels is referenced twice per round (pull + union), so
-            # the analyzed plan doubles per round; the lazy per-round
-            # checkpoint keeps it flat and the fingerprint action
-            # below materializes it in the job it already pays (see
-            # graph.connected_components_until — measured there:
-            # rounds flat ~0.45 s instead of climbing 0.4 -> 3.5 s)
-            .localCheckpoint(eager=False)
         )
+        # labels is referenced twice per round (pull + union), so
+        # the analyzed plan doubles per round; the lazy per-round
+        # truncation keeps it flat and the fingerprint action below
+        # materializes it in the job it already pays (see
+        # graph.connected_components_until — measured there: rounds
+        # flat ~0.45 s instead of climbing 0.4 -> 3.5 s).  Reliable
+        # when checkpoint_dir is set.
+        new_labels = truncate_lineage(new_labels, checkpoint_dir)
         new_fp = _fingerprint(new_labels)
         converged = False
         if new_fp == fp:
@@ -1147,13 +1156,16 @@ def dedup_clusters(
     docs: DataFrame,
     max_rounds: int = MAX_CLUSTER_ROUNDS,
     sha: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, canonical_id, is_canonical): every document mapped to
     the min doc_id of its near-duplicate cluster (transitive closure of
     :func:`near_dup_pipeline` pairs, run to the fixpoint); docs in no
     pair map to themselves.  ``sha``: caller-materialized shingle base
     (see :func:`near_dup_pipeline`)."""
-    return cluster_pairs(docs, near_dup_pipeline(docs, sha), max_rounds)
+    return cluster_pairs(
+        docs, near_dup_pipeline(docs, sha), max_rounds, checkpoint_dir
+    )
 
 
 def dedup_clusters_sql(docs_sql: str, rounds: int = CLUSTER_ROUNDS) -> str:
@@ -2125,40 +2137,53 @@ def _setsim_prefix(
     """(doc_id, shingle, df, sz): the rarest-first prefix entries —
     shingle rank <= sz - ceil(t*sz) + 1 within each doc.
 
-    sz and rk are ONE stacked window pass (r08, from the sf10 stage
-    profile: the old per-doc size agg + join-back was a second full
-    sort-merge join of the 30M-row gram relation; partitioning by
-    doc_id is skew-free — a doc's grams are bounded by its own length
-    — so both the size count and the rank evaluate on a single
-    exchange).  df deliberately STAYS an aggregate + join-back, NOT a
-    window: the dfreq groupBy combines map-side, so a boilerplate
-    shingle appearing in 10% of a 100-TB corpus costs each partition a
+    AGGREGATE-based prefix rank (r12, guide §2.4): one doc-keyed
+    collect_list of (df, shingle) structs, sorted PER DOC with
+    sort_array and sliced to the prefix length, then exploded.  The
+    r08-r11 shape was two stacked windows over the gram relation
+    (count + row_number), which cost a full sort of the 30M-row
+    relation (at sf1) under the window machinery and planted the
+    window subtree four times in the candidate join's branches.  The
+    aggregate form shuffles the same bytes (hash by doc_id) but sorts
+    only within each doc's own array — skew-free, a doc's grams are
+    bounded by its own length — and emits ONLY the prefix rows
+    (~|prefix|/|set| of the relation) instead of filtering after
+    ranking.  Row set is identical: sort_array orders structs
+    lexicographically by (df, shingle), exactly the old window's
+    orderBy, and (df, shingle) pairs are unique within a doc, so the
+    slice keeps precisely the rows with rk <= p.
+
+    df deliberately STAYS an aggregate + join-back, NOT a window: the
+    dfreq groupBy combines map-side, so a boilerplate shingle
+    appearing in 10% of a 100-TB corpus costs each partition a
     partial count — a partitionBy(shingle) window would instead ship
     every one of its rows to one partition (the exact hot-key failure
     the salted candidate join downstream exists to prevent)."""
-    from pyspark.sql import Window
-
     if s is None:
         s = shingles(docs, k)  # already DISTINCT (doc_id, shingle)
     dfreq = s.groupBy("shingle").agg(F.count("*").alias("df"))
-    w_doc = Window.partitionBy("doc_id")
-    ranked = (
+    per_doc = (
         s.join(dfreq, "shingle")
-        .withColumn("sz", F.count("*").over(w_doc))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "shingle")
-            ),
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("df", "shingle"))
+            ).alias("arr")
         )
     )
+    sz = F.size("arr")
     # prefix length p = sz - ceil(t*sz) + 1, integer ceil
-    return ranked.where(
-        F.col("rk")
-        <= F.col("sz")
-        - F.floor((F.lit(num) * F.col("sz") + (den - 1)) / den)
-        + 1
-    ).select("doc_id", "shingle", "df", "sz")
+    plen = sz - F.floor((F.lit(num) * sz + (den - 1)) / den) + 1
+    return per_doc.select(
+        "doc_id",
+        F.explode(F.slice("arr", F.lit(1), plen.cast("int"))).alias("e"),
+        sz.cast("long").alias("sz"),
+    ).select(
+        "doc_id",
+        F.col("e.shingle").alias("shingle"),
+        F.col("e.df").alias("df"),
+        "sz",
+    )
 
 
 def _setsim_candidates(

@@ -50,6 +50,16 @@ def undirected_edges(
     )
     sym = sym.where(F.col("src") != F.col("dst"))
     if key is not None:
+        if num_partitions is None:
+            # key without an explicit width would reach
+            # repartition(None, key) — a TypeError in PySpark; default
+            # to the configured shuffle width instead of raising deep
+            # inside the plan
+            num_partitions = int(
+                pages.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions", "32"
+                )
+            )
         sym = sym.repartition(num_partitions, key)
     return sym.distinct()
 
@@ -69,8 +79,55 @@ def _canonical_undirected(pages: DataFrame) -> DataFrame:
     ).distinct()
 
 
+def _cc_stage(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared staging for the hash-min components loops: the parse is
+    staged once, and the (titles, sym) static caches are
+    hash-partitioned at the measured width (guide §2)."""
+    from .scale import adaptive_partitions
+
+    spark = pages.sparkSession
+    pages_c = pages.persist()
+    parts = adaptive_partitions(spark, pages_c.count())
+    titles = pages_c.select("title").repartition(parts, "title").persist()
+    sym = undirected_edges(pages_c, key="src", num_partitions=parts).persist()
+    titles.count()
+    sym.count()
+    pages_c.unpersist()
+    return titles, sym
+
+
+def _cc_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE hash-min round: labels pulled across the cached symmetric
+    adjacency, min-aggregated, min-merged into the current labels.
+    Extracted so tools/dump_round_plans.py can capture the true
+    PER-ROUND plan (the loop's returned frame is a truncated leaf, so
+    its explain proves nothing about round shape)."""
+    neigh_min = (
+        sym.alias("e")
+        .join(labels.alias("l"), F.col("e.src") == F.col("l.title"))
+        .groupBy(F.col("e.dst").alias("title"))
+        .agg(F.min("l.component").alias("neigh"))
+    )
+    # labels is closed over the titles set by construction (seeded
+    # from titles, left-join preserves every row), so no join back
+    # through titles is needed — one wide op fewer per round
+    return (
+        labels.alias("l")
+        .join(neigh_min.alias("n"), "title", "left")
+        .select(
+            "title",
+            F.least(
+                F.col("l.component"),
+                F.coalesce(F.col("n.neigh"), F.col("l.component")),
+            ).alias("component"),
+        )
+    )
+
+
 def connected_components(
-    pages: DataFrame, iterations: int = CC_ITERATIONS
+    pages: DataFrame,
+    iterations: int = CC_ITERATIONS,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(title, component): hash-min propagation for ``iterations``
     rounds over the undirected link graph.
@@ -80,57 +137,34 @@ def connected_components(
     aggregation + one left join back to all nodes, exactly the
     PageRank iteration shape with sum→min.  Isolated pages keep their
     own title as component.
+
+    ``checkpoint_dir``: when set, the per-round lineage truncation is a
+    RELIABLE checkpoint to that dir instead of executor-local blocks —
+    iteration state survives executor loss (scale.truncate_lineage).
     """
-    from .scale import adaptive_partitions
+    from .scale import truncate_lineage
 
-    spark = pages.sparkSession
-
-    # stage the parse once for both derived relations (see pagerank());
-    # static caches sized from the measured page count (guide §2)
-    pages_c = pages.persist()
-    parts = adaptive_partitions(spark, pages_c.count())
-    titles = pages_c.select("title").repartition(parts, "title").persist()
-    sym = undirected_edges(pages_c, key="src", num_partitions=parts).persist()
-    titles.count()
-    sym.count()
-    pages_c.unpersist()
-
+    titles, sym = _cc_stage(pages)
     labels = titles.select("title", F.col("title").alias("component"))
     for i in range(iterations):
-        neigh_min = (
-            sym.alias("e")
-            .join(labels.alias("l"), F.col("e.src") == F.col("l.title"))
-            .groupBy(F.col("e.dst").alias("title"))
-            .agg(F.min("l.component").alias("neigh"))
-        )
-        # labels is closed over the titles set by construction (seeded
-        # from titles, left-join preserves every row), so no join back
-        # through titles is needed — one wide op fewer per round
-        labels = (
-            labels.alias("l")
-            .join(neigh_min.alias("n"), "title", "left")
-            .select(
-                "title",
-                F.least(
-                    F.col("l.component"),
-                    F.coalesce(F.col("n.neigh"), F.col("l.component")),
-                ).alias("component"),
-            )
-            # labels is referenced TWICE per round (the neighbor join
-            # and the merge), so the analyzed logical plan DOUBLES per
-            # round — a cadence-4 checkpoint still paid 2^3 analyzer
-            # blowup on the late rounds (measured: round cost climbing
-            # 0.4 -> 3.5 s between checkpoints at sf0.1).  A LAZY
-            # localCheckpoint every round keeps the plan flat for free:
-            # the truncated frame materializes inside whichever job
-            # first reads it — no extra action, flat ~0.45 s rounds.
-            .localCheckpoint(eager=False)
-        )
+        labels = _cc_round(sym, labels)
+        # labels is referenced TWICE per round (the neighbor join
+        # and the merge), so the analyzed logical plan DOUBLES per
+        # round — a cadence-4 checkpoint still paid 2^3 analyzer
+        # blowup on the late rounds (measured: round cost climbing
+        # 0.4 -> 3.5 s between checkpoints at sf0.1).  A LAZY
+        # per-round truncation keeps the plan flat for free: the
+        # truncated frame materializes inside whichever job first
+        # reads it — no extra action, flat ~0.45 s rounds.  Reliable
+        # when checkpoint_dir is set (cluster restart durability).
+        labels = truncate_lineage(labels, checkpoint_dir)
     return labels
 
 
 def connected_components_until(
-    pages: DataFrame, max_iterations: int = 50
+    pages: DataFrame,
+    max_iterations: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(title, component, iterations): hash-min propagation to the
     FIXPOINT — iterate until no label changes (the true components;
@@ -148,18 +182,13 @@ def connected_components_until(
     pointer jumping (large/small-star) for O(log d) rounds; hash-min
     keeps the per-round plan identical to the oracle-checked fixed-k
     operator.
+
+    ``checkpoint_dir``: reliable per-round checkpoints instead of
+    executor-local blocks (scale.truncate_lineage).
     """
-    from .scale import adaptive_partitions
+    from .scale import truncate_lineage
 
-    spark = pages.sparkSession
-
-    pages_c = pages.persist()
-    parts = adaptive_partitions(spark, pages_c.count())
-    titles = pages_c.select("title").repartition(parts, "title").persist()
-    sym = undirected_edges(pages_c, key="src", num_partitions=parts).persist()
-    titles.count()
-    sym.count()
-    pages_c.unpersist()
+    titles, sym = _cc_stage(pages)
 
     def _fingerprint(lbl: DataFrame) -> int:
         # decimal(38) sum: n·2^63 overflows a long under ANSI mode
@@ -167,39 +196,25 @@ def connected_components_until(
             F.sum(F.xxhash64("title", "component").cast("decimal(38,0)"))
         ).collect()[0][0]
 
-    labels = titles.select(
-        "title", F.col("title").alias("component")
-    ).localCheckpoint(eager=False)
+    labels = truncate_lineage(
+        titles.select("title", F.col("title").alias("component")),
+        checkpoint_dir,
+    )
     fp = _fingerprint(labels)  # doubles as the materializing action
     done = 0
     for i in range(max_iterations):
-        neigh_min = (
-            sym.alias("e")
-            .join(labels.alias("l"), F.col("e.src") == F.col("l.title"))
-            .groupBy(F.col("e.dst").alias("title"))
-            .agg(F.min("l.component").alias("neigh"))
-        )
-        new_labels = (
-            labels.alias("l")
-            .join(neigh_min.alias("n"), "title", "left")
-            .select(
-                "title",
-                F.least(
-                    F.col("l.component"),
-                    F.coalesce(F.col("n.neigh"), F.col("l.component")),
-                ).alias("component"),
-            )
-            # labels is referenced twice per round, so the analyzed
-            # plan doubles per round; a LAZY per-round localCheckpoint
-            # keeps it flat and the fingerprint action right below
-            # materializes the truncated frame in the same job it was
-            # already paying — measured at sf0.1: the loop fell from
-            # ~15.6 s (persist + cadence-5 eager checkpoints; rounds
-            # climbing 0.4 -> 3.5 s from analyzer blowup) to ~6.7 s of
-            # flat ~0.45 s rounds.  Old per-round caches become
-            # unreferenced checkpoint blocks, freed by ContextCleaner.
-            .localCheckpoint(eager=False)
-        )
+        new_labels = _cc_round(sym, labels)
+        # labels is referenced twice per round, so the analyzed
+        # plan doubles per round; a LAZY per-round truncation
+        # keeps it flat and the fingerprint action right below
+        # materializes the truncated frame in the same job it was
+        # already paying — measured at sf0.1: the loop fell from
+        # ~15.6 s (persist + cadence-5 eager checkpoints; rounds
+        # climbing 0.4 -> 3.5 s from analyzer blowup) to ~6.7 s of
+        # flat ~0.45 s rounds.  Old per-round caches become
+        # unreferenced checkpoint blocks, freed by ContextCleaner.
+        # Reliable when checkpoint_dir is set.
+        new_labels = truncate_lineage(new_labels, checkpoint_dir)
         new_fp = _fingerprint(new_labels)
         converged = False
         if new_fp == fp:
@@ -221,7 +236,9 @@ def connected_components_until(
 
 
 def connected_components_star(
-    pages: DataFrame, max_rounds: int = 40
+    pages: DataFrame,
+    max_rounds: int = 40,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(title, component): connected components in O(log n) rounds via
     alternating large-star / small-star edge rewriting (Kiveris et al.,
@@ -257,9 +274,11 @@ def connected_components_star(
     # half of it away; canonicalizing before the distinct halves the
     # dedup's shuffle input for the identical output set (guide §2.3:
     # shuffle fewer bytes).
+    from .scale import truncate_lineage
+
     # lazy checkpoint: the count right below is the materializing
     # action, so the eager form's dedicated job is redundant
-    edges = _canonical_undirected(pages).localCheckpoint(eager=False)
+    edges = truncate_lineage(_canonical_undirected(pages), checkpoint_dir)
     n_edges = edges.count()
     for _ in range(max_rounds):
         if n_edges == 0:
@@ -305,8 +324,9 @@ def connected_components_star(
             .distinct()
         )
         # lazy checkpoint — the stop-test count materializes it in the
-        # same job, one job per round instead of two
-        new_edges = ss.localCheckpoint(eager=False)
+        # same job, one job per round instead of two; reliable when
+        # checkpoint_dir is set
+        new_edges = truncate_lineage(ss, checkpoint_dir)
         # stop test, cheapest-first: a count mismatch (one scan of the
         # checkpointed relation) proves change without any join; only
         # when counts match does ONE anti-join run — equal counts plus
@@ -423,10 +443,49 @@ def valid_edges(pages: DataFrame) -> DataFrame:
     return e.join(valid, "dst").select("src", "dst")
 
 
+def _hits_stage(
+    pages: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Shared staging for HITS: (titles, e_src, e_dst, n) — the two
+    persisted adjacency copies, one per pull join key, sized at the
+    measured width (guide §2.2/§2.4; see the hits() docstring)."""
+    from .scale import adaptive_partitions
+
+    spark = pages.sparkSession
+    pages_c = pages.persist()
+    n = pages_c.count()
+    parts = adaptive_partitions(spark, n)  # measured-size static caches
+    titles = pages_c.select("title").repartition(parts, "title").persist()
+    e_src = valid_edges(pages_c).repartition(parts, "src").persist()
+    e_dst = e_src.repartition(parts, "dst").persist()
+    titles.count()
+    e_src.count()
+    e_dst.count()
+    pages_c.unpersist()
+    return titles, e_src, e_dst, n
+
+
+def _hits_pull(
+    e: DataFrame, scores: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Pull ``scores`` across edges from ``dst_col`` to ``src_col``
+    (sparse: only nodes with at least one scored neighbor appear).
+    ``e`` must be the edge cache partitioned on the JOIN key
+    (``dst_col``) so the adjacency never re-shuffles.  Extracted so
+    tools/dump_round_plans.py can capture the true per-iteration
+    plan."""
+    return (
+        e.alias("e")
+        .join(scores.alias("s"), F.col(f"e.{dst_col}") == F.col("s.title"))
+        .groupBy(F.col(f"e.{src_col}").alias("title"))
+        .agg(F.sum("s.score").alias("score"))
+    )
+
+
 def hits(
     pages: DataFrame,
     iterations: int = HITS_ITERATIONS,
-    checkpoint_every: int = 5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(title, hub, authority): Kleinberg's HITS by mutual power
     iteration over the directed valid-edge graph, emitted L1-normalized
@@ -455,14 +514,15 @@ def hits(
     LINEAR reduction: cross-engine float summation noise stays ~1 ulp
     relative, which the e6 quantization nudge absorbs — an L2 sqrt on
     an order-dependent sum-of-squares would be harder to pin down.
-    """
-    from .scale import adaptive_partitions
 
-    spark = pages.sparkSession
-    pages_c = pages.persist()
-    n = pages_c.count()
-    parts = adaptive_partitions(spark, n)  # measured-size static caches
-    titles = pages_c.select("title").repartition(parts, "title").persist()
+    ``checkpoint_dir``: reliable per-iteration checkpoints instead of
+    executor-local blocks (scale.truncate_lineage).  (The old
+    ``checkpoint_every`` cadence knob is gone: per-iteration lazy
+    truncation replaced the cadence entirely, so the parameter had
+    become silently dead — callers tuning it got no behavior.)
+    """
+    from .scale import truncate_lineage
+
     # The hub pull joins scores on e.dst, the authority pull on e.src.
     # One cached copy keyed on src (the pre-r11 shape) forced the hub
     # pull to re-shuffle the FULL edge relation by dst every iteration
@@ -471,28 +531,14 @@ def hits(
     # join key (guide §2.4: remove shuffles outright): 2× cache
     # footprint buys zero adjacency movement inside the loop; only the
     # small (title, score) relation moves per pull.
-    e_src = valid_edges(pages_c).repartition(parts, "src").persist()
-    e_dst = e_src.repartition(parts, "dst").persist()
-    titles.count()
-    e_src.count()
-    e_dst.count()
-    pages_c.unpersist()
+    titles, e_src, e_dst, n = _hits_stage(pages)
 
     auth = titles.select("title", F.lit(1.0 / n).alias("score"))
     hub_un = auth
 
     def _pull(scores: DataFrame, src_col: str, dst_col: str) -> DataFrame:
-        """Pull ``scores`` across edges from ``dst_col`` to ``src_col``
-        (sparse: only nodes with at least one scored neighbor appear).
-        Reads the edge cache partitioned on the JOIN key, so the
-        adjacency never re-shuffles."""
         e = e_dst if dst_col == "dst" else e_src
-        return (
-            e.alias("e")
-            .join(scores.alias("s"), F.col(f"e.{dst_col}") == F.col("s.title"))
-            .groupBy(F.col(f"e.{src_col}").alias("title"))
-            .agg(F.sum("s.score").alias("score"))
-        )
+        return _hits_pull(e, scores, src_col, dst_col)
 
     for i in range(iterations):
         hub_un = _pull(auth, "src", "dst")  # hub(v) = Σ_{v→u} auth(u)
@@ -501,8 +547,8 @@ def hits(
         # lineage every round for free (the old persist + cadence-5
         # eager checkpoints left the analyzed plan growing between
         # checkpoints — see connected_components)
-        auth_un = _pull(hub_un, "dst", "src").localCheckpoint(
-            eager=False
+        auth_un = truncate_lineage(
+            _pull(hub_un, "dst", "src"), checkpoint_dir
         )  # Σ_{v→u} hub(v)
         tot = auth_un.agg(F.sum("score")).first()[0]
         auth = (
@@ -542,7 +588,10 @@ BFS_ITERATIONS = 8
 
 
 def bfs_depths(
-    pages: DataFrame, sources: list[str], iterations: int = BFS_ITERATIONS
+    pages: DataFrame,
+    sources: list[str],
+    iterations: int = BFS_ITERATIONS,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(title, depth): minimum number of directed link hops from any
     page in ``sources``, for every page reachable within ``iterations``
@@ -565,7 +614,7 @@ def bfs_depths(
     """
     if not sources:
         raise ValueError("bfs_depths needs a non-empty source set")
-    from .scale import adaptive_partitions
+    from .scale import adaptive_partitions, truncate_lineage
 
     spark = pages.sparkSession
     pages_c = pages.persist()
@@ -591,24 +640,28 @@ def bfs_depths(
             depths.unionAll(expanded)
             .groupBy("title")
             .agg(F.min("depth").alias("depth"))
-            # depths referenced twice per round (expand + union):
-            # lazy per-round checkpoint keeps the analyzed plan flat
-            # instead of doubling (see connected_components)
-            .localCheckpoint(eager=False)
         )
+        # depths referenced twice per round (expand + union):
+        # lazy per-round truncation keeps the analyzed plan flat
+        # instead of doubling (see connected_components); reliable
+        # when checkpoint_dir is set
+        depths = truncate_lineage(depths, checkpoint_dir)
     # materialize before releasing the page cache: the lazy plan's
     # seed leaf scans pages (a corpus re-parse once uncached).  The
     # edge relation stays persisted DELIBERATELY: the cache manager
     # dedups by logical plan, so repeated graph queries in one session
     # reuse one cached adjacency instead of rebuilding it per call —
     # bounded at one edge relation per corpus.
-    depths = depths.localCheckpoint(eager=True)
+    depths = truncate_lineage(depths, checkpoint_dir, eager=True)
     pages_c.unpersist()
     return depths
 
 
 def bfs_depths_frontier(
-    pages: DataFrame, sources: list[str], max_iterations: int = 64
+    pages: DataFrame,
+    sources: list[str],
+    max_iterations: int = 64,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(title, depth): the frontier-delta BFS — the diameter-scale
     alternative :func:`bfs_depths` documents.  Each round expands ONLY
@@ -630,7 +683,7 @@ def bfs_depths_frontier(
     """
     if not sources:
         raise ValueError("bfs_depths_frontier needs a non-empty source set")
-    from .scale import adaptive_partitions
+    from .scale import adaptive_partitions, truncate_lineage
 
     spark = pages.sparkSession
     pages_c = pages.persist()
@@ -655,7 +708,7 @@ def bfs_depths_frontier(
     # hazard the g11 k-core notes document).  With it, round d's plan
     # is a join against one leaf plus an anti-join against d leaves:
     # linear, bounded.
-    frontier = frontier.localCheckpoint(eager=True)
+    frontier = truncate_lineage(frontier, checkpoint_dir, eager=True)
     parts = [frontier]
     settled = frontier
     depth = 0
@@ -668,8 +721,8 @@ def bfs_depths_frontier(
             .distinct()
             .join(settled.select("title"), "title", "left_anti")
             .select("title", F.lit(depth).cast("long").alias("depth"))
-            .localCheckpoint(eager=True)
         )
+        nxt = truncate_lineage(nxt, checkpoint_dir, eager=True)
         if nxt.count() == 0:  # S5 stop rule: frontier exhausted
             break
         parts.append(nxt)
@@ -690,7 +743,10 @@ KCORE_ROUNDS = 6
 
 
 def kcore_survivors(
-    pages: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+    pages: DataFrame,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(title,): nodes surviving ``rounds`` of k-core peeling on the
     undirected link graph — each round removes every node whose degree
@@ -706,7 +762,7 @@ def kcore_survivors(
     (loop until no removal) would be the ``_until`` variant, same
     driver-loop pattern as ``connected_components_until``.
     """
-    from .scale import adaptive_partitions
+    from .scale import adaptive_partitions, truncate_lineage
 
     spark = pages.sparkSession
     pages_c = pages.persist()
@@ -724,10 +780,12 @@ def kcore_survivors(
         # rounds scan only surviving edges — on power-law graphs most
         # peeling happens up front, so this is a fraction of the
         # original relation almost immediately
-        alive_edges = (
-            sym.join(alive_a, "src", "left_semi")
-            .join(alive_b, "dst", "left_semi")
-            .localCheckpoint(eager=True)
+        alive_edges = truncate_lineage(
+            sym.join(alive_a, "src", "left_semi").join(
+                alive_b, "dst", "left_semi"
+            ),
+            checkpoint_dir,
+            eager=True,
         )
         if i == 0:
             sym.unpersist()  # later syms are checkpoint blocks
@@ -745,7 +803,10 @@ KCORE_MAX_ROUNDS = 50  # convergence-loop safety cap
 
 
 def kcore_until(
-    pages: DataFrame, k: int = KCORE_K, max_rounds: int = KCORE_MAX_ROUNDS
+    pages: DataFrame,
+    k: int = KCORE_K,
+    max_rounds: int = KCORE_MAX_ROUNDS,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(title,): the TRUE k-core — peel to the fixpoint with a
     zero-removals stop rule instead of :func:`kcore_survivors`' fixed
@@ -755,7 +816,7 @@ def kcore_until(
     S5 scalar channel) doubles as the stop test; peeling is idempotent
     past the fixpoint, which is what lets the oracle use a fixed
     upper-bound unroll."""
-    from .scale import adaptive_partitions
+    from .scale import adaptive_partitions, truncate_lineage
 
     spark = pages.sparkSession
     pages_c = pages.persist()
@@ -774,10 +835,12 @@ def kcore_until(
         # graphs most peeling happens in the first rounds, so later
         # rounds scan a fraction of the original edges instead of
         # re-filtering the full relation every time)
-        alive_edges = (
-            sym.join(alive_a, "src", "left_semi")
-            .join(alive_b, "dst", "left_semi")
-            .localCheckpoint(eager=True)
+        alive_edges = truncate_lineage(
+            sym.join(alive_a, "src", "left_semi").join(
+                alive_b, "dst", "left_semi"
+            ),
+            checkpoint_dir,
+            eager=True,
         )
         if i == 0:
             sym.unpersist()  # the original persisted relation; later
@@ -793,10 +856,11 @@ def kcore_until(
             .agg(F.count("*").alias("deg"))
             .where(F.col("deg") >= k)
             .select(F.col("src").alias("title"))
-            # lazy: the stop-rule count right below is the
-            # materializing action — one job per round instead of two
-            .localCheckpoint(eager=False)
         )
+        # lazy: the stop-rule count right below is the materializing
+        # action — one job per round instead of two; reliable when
+        # checkpoint_dir is set
+        nxt = truncate_lineage(nxt, checkpoint_dir)
         n_now = nxt.count()
         nodes.unpersist()
         nodes = nxt
@@ -829,7 +893,11 @@ SELECT title FROM n{rounds}"""
 LPA_ROUNDS = 5
 
 
-def label_propagation(pages: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+def label_propagation(
+    pages: DataFrame,
+    rounds: int = LPA_ROUNDS,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """(title, community): synchronous label propagation over the
     undirected valid-edge graph — each round every node adopts its
     neighbors' PLURALITY label (ties broken by smallest label); nodes
@@ -847,7 +915,7 @@ def label_propagation(pages: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     label) = MIN over struct(-count, label)) + the singleton left
     join.  The adjacency never re-shuffles; only labels move.
     """
-    from .scale import adaptive_partitions
+    from .scale import adaptive_partitions, truncate_lineage
 
     spark = pages.sparkSession
     pages_c = pages.persist()
@@ -881,11 +949,12 @@ def label_propagation(pages: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
                     "label"
                 ),
             )
-            # labels referenced twice per round (plurality pull + the
-            # merge): lazy per-round checkpoint keeps the analyzed plan
-            # flat instead of doubling (see connected_components)
-            .localCheckpoint(eager=False)
         )
+        # labels referenced twice per round (plurality pull + the
+        # merge): lazy per-round truncation keeps the analyzed plan
+        # flat instead of doubling (see connected_components);
+        # reliable when checkpoint_dir is set
+        labels = truncate_lineage(labels, checkpoint_dir)
     return labels.select("title", F.col("label").alias("community"))
 
 
@@ -937,7 +1006,10 @@ def edge_weight(dst) -> F.Column:
 
 
 def sssp_dists(
-    pages: DataFrame, sources: list[str], iterations: int = SSSP_ITERATIONS
+    pages: DataFrame,
+    sources: list[str],
+    iterations: int = SSSP_ITERATIONS,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(title, dist): minimum weighted distance from any source within
     ``iterations`` relaxation rounds (Bellman-Ford on the min-plus
@@ -950,7 +1022,7 @@ def sssp_dists(
     """
     if not sources:
         raise ValueError("sssp_dists needs a non-empty source set")
-    from .scale import adaptive_partitions
+    from .scale import adaptive_partitions, truncate_lineage
 
     spark = pages.sparkSession
     pages_c = pages.persist()
@@ -981,19 +1053,23 @@ def sssp_dists(
             dists.unionAll(relaxed)
             .groupBy("title")
             .agg(F.min("dist").alias("dist"))
-            # dists referenced twice per round: lazy per-round
-            # checkpoint keeps the plan flat (see connected_components)
-            .localCheckpoint(eager=False)
         )
+        # dists referenced twice per round: lazy per-round truncation
+        # keeps the plan flat (see connected_components); reliable
+        # when checkpoint_dir is set
+        dists = truncate_lineage(dists, checkpoint_dir)
     # same as bfs_depths: materialize, release the page cache, keep
     # the (plan-deduped) adjacency cache for cross-query reuse
-    dists = dists.localCheckpoint(eager=True)
+    dists = truncate_lineage(dists, checkpoint_dir, eager=True)
     pages_c.unpersist()
     return dists
 
 
 def bfs_depths_labeled(
-    pages: DataFrame, sources: list[str], iterations: int = 8
+    pages: DataFrame,
+    sources: list[str],
+    iterations: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(seed, title, depth): per-SEED minimum hop counts — k
     independent BFS traversals in ONE loop, the state keyed by
@@ -1009,7 +1085,7 @@ def bfs_depths_labeled(
     depths to those k (Potamias et al.'s landmark method)."""
     if not sources:
         raise ValueError("bfs_depths_labeled needs a non-empty source set")
-    from .scale import adaptive_partitions
+    from .scale import adaptive_partitions, truncate_lineage
 
     spark = pages.sparkSession
     pages_c = pages.persist()
@@ -1039,10 +1115,11 @@ def bfs_depths_labeled(
             depths.unionAll(expanded)
             .groupBy("seed", "title")
             .agg(F.min("depth").alias("depth"))
-            # depths referenced twice per round: lazy per-round
-            # checkpoint keeps the plan flat (see connected_components)
-            .localCheckpoint(eager=False)
         )
+        # depths referenced twice per round: lazy per-round truncation
+        # keeps the plan flat (see connected_components); reliable
+        # when checkpoint_dir is set
+        depths = truncate_lineage(depths, checkpoint_dir)
     # materialize BEFORE releasing the page cache: the lazy plan
     # references e once per un-checkpointed round, and an unpersisted e
     # re-parses the corpus on every reference (measured 15.5s -> 5.2s
@@ -1050,13 +1127,16 @@ def bfs_depths_labeled(
     # is identical to the other BFS ops' valid_edges, so the cache
     # manager shares ONE cached adjacency across every graph query in
     # the session (unpersisting here would evict it under them).
-    depths = depths.localCheckpoint(eager=True)
+    depths = truncate_lineage(depths, checkpoint_dir, eager=True)
     pages_c.unpersist()
     return depths
 
 
 def landmark_closeness(
-    pages: DataFrame, sources: list[str], iterations: int = 8
+    pages: DataFrame,
+    sources: list[str],
+    iterations: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(title, n_seen, total_depth, closeness_e6) for every node some
     landmark reaches in 1..``iterations`` hops: closeness approximated
@@ -1067,7 +1147,9 @@ def landmark_closeness(
     closeness convention — which also makes total_depth > 0 wherever a
     row exists.  The division is one small-int-over-int-sum IEEE op,
     identical cross-engine."""
-    d = bfs_depths_labeled(pages, sources, iterations)
+    d = bfs_depths_labeled(
+        pages, sources, iterations, checkpoint_dir=checkpoint_dir
+    )
     return (
         d.where(F.col("depth") > 0)
         .groupBy("title")
@@ -1104,7 +1186,9 @@ COCITE_MAX_INDEG = 32
 
 
 def cocitation_edges(
-    pages: DataFrame, max_indeg: int = COCITE_MAX_INDEG
+    pages: DataFrame,
+    max_indeg: int = COCITE_MAX_INDEG,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Canonical (a, b) co-citation edges: two pages are linked iff
     they cite a common target.  The per-target pair fan-out is
@@ -1114,11 +1198,29 @@ def cocitation_edges(
     instead of 10^12.  The raw link graph is triangle-free by
     construction on the synthetic corpus; co-citation cliques are
     where triangle structure actually lives."""
-    # stage the corpus parse ONCE: the indeg agg and both sides of the
-    # pair self-join would otherwise each re-derive the edge relation
-    # (and re-parse the corpus) per plan branch
-    e = edges(pages).select("src", "dst").persist()
+    from .scale import adaptive_partitions, truncate_lineage
+
+    # Stage the corpus parse ONCE (the indeg agg and both sides of the
+    # pair self-join would otherwise each re-parse the corpus), and
+    # hash-partition the staged edge cache on DST at the MEASURED
+    # width (guide §2.2/§2.4): every downstream wide op here is
+    # dst-keyed — the indeg aggregate, the cap join, AND the pair
+    # self-join — so one keyed exchange at staging makes all three
+    # co-partitioned (no further exchange of the edge relation), and
+    # the width is n/16k rows rather than the conf constant that made
+    # 32 cores a net loss on this family (r11 scaling block: g13/g14/
+    # g17 at sec@8/sec@32 = 0.44-0.59).
+    spark = pages.sparkSession
+    pages_c = pages.persist()
+    parts = adaptive_partitions(spark, pages_c.count())
+    e = (
+        edges(pages_c)
+        .select("src", "dst")
+        .repartition(parts, "dst")
+        .persist()
+    )
     e.count()
+    pages_c.unpersist()
     ind = e.groupBy("dst").agg(F.count("*").alias("indeg"))
     capped = e.join(
         ind.where(F.col("indeg") <= max_indeg).select("dst"), "dst"
@@ -1132,16 +1234,93 @@ def cocitation_edges(
         )
         .select(F.col("e1.src").alias("a"), F.col("e2.src").alias("b"))
         .distinct()
-        # pin the pair relation so the staging cache can be freed now;
-        # the checkpoint blocks die with the returned frame
-        .localCheckpoint(eager=True)
     )
+    # pin the pair relation so the staging cache can be freed now; the
+    # blocks die with the returned frame (reliable when checkpoint_dir
+    # is set)
+    out = truncate_lineage(out, checkpoint_dir, eager=True)
     e.unpersist()
     return out
 
 
+def _truss_round(
+    e: DataFrame, k: int, parts: int
+) -> tuple[DataFrame, DataFrame]:
+    """ONE k-truss peel round over the current survivor relation
+    ``e``: degree-ordered triangle enumeration, per-edge support
+    credit, peel below k-2.  Returns (peeled, oriented_cache) — the
+    caller truncates the peeled relation and unpersists the oriented
+    cache once it is materialized.  Extracted so
+    tools/dump_round_plans.py can capture the true per-round plan."""
+    sym = e.select("a", "b").unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+    d1 = deg.select(F.col("a").alias("u"), F.col("deg").alias("du"))
+    d2 = deg.select(F.col("a").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .join(d1, "u")
+        .join(d2, "v")
+        .where(
+            (F.col("du") < F.col("dv"))
+            | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        )
+        .select("u", "v")
+        # measured width keyed on the wedge join's own key: the
+        # self-join below reads both sides co-partitioned (guide §2.4)
+        .repartition(parts, "u")
+        .persist()
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.u") == F.col("e2.u"))
+        .where(F.col("e1.v") < F.col("e2.v"))
+        .select(
+            F.col("e1.u").alias("tu"),
+            F.col("e1.v").alias("tv"),
+            F.col("e2.v").alias("tw"),
+        )
+    )
+    tri = wedges.join(
+        sym.select(F.col("a").alias("tv"), F.col("b").alias("tw")),
+        ["tv", "tw"],
+    )
+    pair = lambda x, y: F.struct(  # noqa: E731
+        F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+    )
+    sup = (
+        tri.select(
+            F.explode(
+                F.array(
+                    pair(F.col("tu"), F.col("tv")),
+                    pair(F.col("tu"), F.col("tw")),
+                    pair(F.col("tv"), F.col("tw")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("support"))
+    )
+    peeled = (
+        e.select("a", "b")
+        .join(sup, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+        )
+        .where(F.col("support") >= k - 2)
+    )
+    return peeled, oriented
+
+
 def truss_edges(
-    edges_ab: DataFrame, k: int = TRUSS_K, rounds: int = TRUSS_ROUNDS
+    edges_ab: DataFrame,
+    k: int = TRUSS_K,
+    rounds: int = TRUSS_ROUNDS,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(a, b, support): canonical (a < b) undirected edges surviving
     ``rounds`` of k-truss peeling, with their last-evaluated triangle
@@ -1155,74 +1334,27 @@ def truss_edges(
     formulation, algorithm-independent truth), each triangle credits
     its three canonical edges, and edges below k-2 support are peeled.
     """
+    from .scale import adaptive_partitions, truncate_lineage
+
+    spark = edges_ab.sparkSession
     e = edges_ab.select("a", "b").persist()
-    e.count()
+    # measured-size width for the per-round caches (guide §2.2): the
+    # wedge self-join reads `oriented` keyed on its own join key, so
+    # partitioning the persisted copy by u at n/16k width makes the
+    # heaviest join of every round exchange-free AND stops the round
+    # stages paying conf-width scheduling on a few-thousand-row
+    # relation (r11 scaling block: g13 ran 2x FASTER on 8 cores)
+    parts = adaptive_partitions(spark, e.count())
     out = None
     for _ in range(rounds):
-        sym = e.select("a", "b").unionAll(
-            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
-        d1 = deg.select(F.col("a").alias("u"), F.col("deg").alias("du"))
-        d2 = deg.select(F.col("a").alias("v"), F.col("deg").alias("dv"))
-        oriented = (
-            sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
-            .join(d1, "u")
-            .join(d2, "v")
-            .where(
-                (F.col("du") < F.col("dv"))
-                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-            )
-            .select("u", "v")
-            .persist()
-        )
-        wedges = (
-            oriented.alias("e1")
-            .join(oriented.alias("e2"), F.col("e1.u") == F.col("e2.u"))
-            .where(F.col("e1.v") < F.col("e2.v"))
-            .select(
-                F.col("e1.u").alias("tu"),
-                F.col("e1.v").alias("tv"),
-                F.col("e2.v").alias("tw"),
-            )
-        )
-        tri = wedges.join(
-            sym.select(F.col("a").alias("tv"), F.col("b").alias("tw")),
-            ["tv", "tw"],
-        )
-        pair = lambda x, y: F.struct(  # noqa: E731
-            F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
-        )
-        sup = (
-            tri.select(
-                F.explode(
-                    F.array(
-                        pair(F.col("tu"), F.col("tv")),
-                        pair(F.col("tu"), F.col("tw")),
-                        pair(F.col("tv"), F.col("tw")),
-                    )
-                ).alias("p")
-            )
-            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-            .groupBy("a", "b")
-            .agg(F.count("*").alias("support"))
-        )
-        nxt = (
-            e.select("a", "b")
-            .join(sup, ["a", "b"], "left")
-            .select(
-                "a",
-                "b",
-                F.coalesce("support", F.lit(0)).cast("long").alias("support"),
-            )
-            .where(F.col("support") >= k - 2)
-            # eager checkpoint instead of persist+count: same one
-            # materialization job per round, but the next round's plan
-            # starts from a flat LogicalRDD — e is referenced THREE
-            # times per round (sym's two union branches + the peel
-            # join), so an un-truncated plan triples per round
-            .localCheckpoint(eager=True)
-        )
+        nxt, oriented = _truss_round(e, k, parts)
+        # eager truncation instead of persist+count: same one
+        # materialization job per round, but the next round's plan
+        # starts from a flat leaf — e is referenced THREE times per
+        # round (sym's two union branches + the peel join), so an
+        # un-truncated plan triples per round.  Reliable when
+        # checkpoint_dir is set.
+        nxt = truncate_lineage(nxt, checkpoint_dir, eager=True)
         e.unpersist()
         oriented.unpersist()
         e = nxt
@@ -1300,12 +1432,27 @@ def adamic_adar(
     pages: DataFrame,
     max_deg: int = AA_MAX_DEG,
     min_common: int = AA_MIN_COMMON,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(a, b, n_common, aa_e9) for UNLINKED undirected pairs a < b
     with >= ``min_common`` shared neighbors of degree in
     [2, ``max_deg``]; aa_e9 = Σ_z floor(1e9/ln(deg z) + 0.5000001)."""
-    und = undirected_edges(pages).persist()
+    from .scale import adaptive_partitions, truncate_lineage
+
+    # Stage the symmetric relation keyed on SRC at the measured width
+    # (guide §2.2/§2.4 — the cc/LPA C1+C2 discipline): the degree
+    # aggregate, the term attach, and the z-keyed pair self-join are
+    # all src/z-keyed, so the single keyed exchange inside
+    # undirected_edges co-partitions every wide op but the final
+    # (a, b) aggregate + anti join.  Before, this operator ran at the
+    # conf width on a few-thousand-row relation (r11 scaling block:
+    # g14 sec@8/sec@32 = 0.59 — 32 cores were a net loss).
+    spark = pages.sparkSession
+    pages_c = pages.persist()
+    parts = adaptive_partitions(spark, pages_c.count())
+    und = undirected_edges(pages_c, key="src", num_partitions=parts).persist()
     und.count()  # stage once: degrees, both join sides, the anti join
+    pages_c.unpersist()
     deg = und.groupBy("src").agg(F.count("*").alias("deg"))
     term = deg.where(
         (F.col("deg") >= 2) & (F.col("deg") <= max_deg)
@@ -1340,11 +1487,15 @@ def adamic_adar(
         )
         .where(F.col("n_common") >= min_common)
     )
-    out = pairs.join(
-        und.select(F.col("src").alias("a"), F.col("dst").alias("b")),
-        ["a", "b"],
-        "left_anti",  # predicted links only — drop existing edges
-    ).localCheckpoint(eager=True)  # pin before freeing the staging cache
+    out = truncate_lineage(
+        pairs.join(
+            und.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            ["a", "b"],
+            "left_anti",  # predicted links only — drop existing edges
+        ),
+        checkpoint_dir,
+        eager=True,  # pin before freeing the staging cache
+    )
     und.unpersist()
     return out
 
@@ -1395,11 +1546,14 @@ WHERE NOT EXISTS (SELECT 1 FROM sym WHERE sym.src = pairs.a AND sym.dst = pairs.
 
 
 def local_clustering(
-    pages: DataFrame, max_indeg: int = COCITE_MAX_INDEG
+    pages: DataFrame,
+    max_indeg: int = COCITE_MAX_INDEG,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(title, deg, n_tri, lcc_e6) for co-citation nodes with deg >= 2
     (deg < 2 has no defined coefficient)."""
-    e = cocitation_edges(pages, max_indeg)  # canonical a<b, pinned
+    # canonical a<b, pinned
+    e = cocitation_edges(pages, max_indeg, checkpoint_dir)
     both = e.select(F.col("a").alias("t")).unionAll(
         e.select(F.col("b").alias("t"))
     )
@@ -1584,13 +1738,16 @@ FROM sums"""
 
 
 def local_bridges(
-    pages: DataFrame, max_indeg: int = COCITE_MAX_INDEG
+    pages: DataFrame,
+    max_indeg: int = COCITE_MAX_INDEG,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(a, b, deg_a, deg_b): canonical (a < b) co-citation edges in no
     triangle, with endpoint degrees (a local bridge with deg 1 on
     either side is a pendant, not a community connector — callers
     filter on the degrees)."""
-    e = cocitation_edges(pages, max_indeg)  # canonical a<b, pinned
+    # canonical a<b, pinned
+    e = cocitation_edges(pages, max_indeg, checkpoint_dir)
     tri = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e2.a") == F.col("e1.b"))

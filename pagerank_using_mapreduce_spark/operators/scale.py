@@ -63,6 +63,32 @@ def adaptive_partitions(
     return max(1, min(shuffle, int(n_rows) // rows_per_partition + 1))
 
 
+def truncate_lineage(
+    df: DataFrame,
+    checkpoint_dir: str | None = None,
+    eager: bool = False,
+) -> DataFrame:
+    """Lineage truncation with a durability switch (guide §5).
+
+    Default (``checkpoint_dir=None``): ``localCheckpoint`` — blocks
+    live on executors, fast, free of distributed-FS round-trips, but
+    LOST with an executor; because the truncated frame has no lineage,
+    an executor loss mid-loop is unrecoverable.  Fine for local/bench
+    runs and for jobs whose restart cost is acceptable.
+
+    With ``checkpoint_dir`` set: a RELIABLE ``checkpoint()`` to that
+    filesystem dir (HDFS/S3 on a cluster) — iteration state survives
+    executor loss, the 1000-executor recipe SCALING.md prescribes and
+    the same one knob :func:`..pagerank.pagerank` exposes.  Lazy by
+    default so the caller's per-round action (fingerprint / stop-rule
+    count) materializes the snapshot in the job it already pays.
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)
+
+
 def _row_salt(
     df: DataFrame, n_salts: int, stable_id: str | None
 ) -> Column:

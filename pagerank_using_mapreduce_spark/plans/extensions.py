@@ -1304,15 +1304,23 @@ def q_z1_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming/batch parity on the same input."""
     from ..streaming.events import (
         hourly_rollup_stream,
+        measured_state_partitions,
         read_event_stream,
         run_available_now,
         stage_table_dir,
     )
 
-    stream = hourly_rollup_stream(
-        read_event_stream(spark, stage_table_dir(sf_dir))
+    d = stage_table_dir(sf_dir)
+    stream = hourly_rollup_stream(read_event_stream(spark, d))
+    # measured-size state-store width (guide §2.2 for streaming state:
+    # the width is pinned at query start from the shuffle conf, so a
+    # small input otherwise pays the full configured width in
+    # state-store init/commit tasks every micro-batch)
+    return run_available_now(
+        stream,
+        "drv_z1_rollup",
+        state_partitions=measured_state_partitions(spark, d),
     )
-    return run_available_now(stream, "drv_z1_rollup")
 
 
 def q_z9_stream_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1348,15 +1356,24 @@ def q_z3_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is the equivalent batch band-join SQL."""
     from ..streaming.events import (
         click_purchase_join_stream,
+        measured_state_partitions,
         read_event_stream,
         run_available_now,
         stage_table_dir,
     )
 
-    stream = click_purchase_join_stream(
-        read_event_stream(spark, stage_table_dir(sf_dir))
+    d = stage_table_dir(sf_dir)
+    stream = click_purchase_join_stream(read_event_stream(spark, d))
+    # measured-size state-store width: the stream-stream join keeps
+    # FOUR state stores per partition (left/right keyToNumValues +
+    # keyWithIndexToValue), so conf-width overhead is 4x the rollup's
+    # — z3 was the r11 scaling block's worst anti-scaler (0.41)
+    return run_available_now(
+        stream,
+        "drv_z3_ssjoin",
+        output_mode="append",
+        state_partitions=measured_state_partitions(spark, d),
     )
-    return run_available_now(stream, "drv_z3_ssjoin", output_mode="append")
 
 
 Z3_SQL = """
@@ -2224,7 +2241,11 @@ def q_x89_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = aug.where(F.col("doc_id") < dd.NEAR_DUP_OFFSET)
     bands = band_table(minhash_signatures(dd.shingles(existing)))
     d = os.path.join(_roundtrip_dir("dedupindex"), "bands")
-    bands.write.mode("overwrite").parquet(d)
+    # REBALANCE before the write (guide §6): AQE sizes the output
+    # partitions to the advisory target, so the stored index is a few
+    # well-sized files instead of one shard per shuffle partition —
+    # the read-back side then lists/opens that many files per screen
+    bands.hint("rebalance").write.mode("overwrite").parquet(d)
     stored = spark.read.parquet(d)
     return dd.incremental_near_dups(existing, new, index=stored)
 
@@ -2256,14 +2277,19 @@ def q_x91_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = _roundtrip_dir("dedupindex_compact")
     d0 = os.path.join(root, "v0")
-    band_table(minhash_signatures(dd.shingles(existing))).write.mode(
-        "overwrite"
-    ).parquet(d0)
+    # REBALANCE both persisted index versions (guide §6): output files
+    # come out advisory-sized instead of one per shuffle partition,
+    # and every later screen re-reads this artifact
+    band_table(minhash_signatures(dd.shingles(existing))).hint(
+        "rebalance"
+    ).write.mode("overwrite").parquet(d0)
     stored0 = spark.read.parquet(d0)
     # ingest batch 1: screen (result unused here — x56/x89 cover it),
     # then append its bands into the stored artifact
     d1 = os.path.join(root, "v1")
-    update_band_index(stored0, batch1).write.mode("overwrite").parquet(d1)
+    update_band_index(stored0, batch1).hint("rebalance").write.mode(
+        "overwrite"
+    ).parquet(d1)
     stored1 = spark.read.parquet(d1)
     return dd.incremental_near_dups(
         existing.unionAll(batch1), batch2, index=stored1

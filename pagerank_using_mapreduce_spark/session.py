@@ -37,12 +37,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # guide §3.1: let the planner pick shuffled-hash over
-        # sort-merge when a side fits a per-partition hash map (no
-        # sort of either side), and let AQE rewrite SMJ -> SHJ at
-        # runtime when every post-shuffle partition is small; both are
-        # size-gated so huge build sides still fall back to SMJ
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # guide §3.1: let AQE rewrite SMJ -> SHJ at runtime when every
+        # post-shuffle partition is below the threshold.  This gates
+        # on ACTUAL post-shuffle partition sizes; the r11 experiment
+        # that ALSO set preferSortMergeJoin=false session-wide was
+        # reverted in r12 — the static planner picks SHJ from catalyst
+        # size ESTIMATES, so a mis-estimated or skewed build side
+        # builds an unspillable per-partition hash map with no
+        # sort-merge fallback (executor OOM risk at cluster scale),
+        # and the r11 A/B measured no win from it (0.97x, in-noise)
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             "64m",

@@ -256,23 +256,76 @@ def click_purchase_join_stream(
     )
 
 
+def measured_state_partitions(
+    spark: SparkSession, events_dir: str
+) -> int | None:
+    """Scale-adaptive state-store width for a stream whose source is
+    ``events_dir`` (guide §2.2 applied to streaming state).
+
+    Structured Streaming pins its state-store partition count to
+    ``spark.sql.shuffle.partitions`` AT QUERY START (the checkpoint
+    then holds it for the query's lifetime), so a stateful query over
+    a small input pays the full configured width in state-store
+    init/commit tasks EVERY micro-batch — the r11 scaling block's
+    worst anti-scaler (z3 ran 2.4x faster on 8 cores than 32 purely
+    from this fixed overhead).  Measure the source once (a parquet
+    count is footer-metadata work, no column decode) and size like
+    the batch operators' adaptive_partitions: rows/16k clamped to
+    [1, configured shuffle width], so a real deployment's conf still
+    rules.  Returns None (caller keeps the conf default) when the
+    directory cannot be read."""
+    from ..operators.scale import adaptive_partitions
+
+    try:
+        n = spark.read.parquet(events_dir).count()
+    except Exception:
+        return None
+    return adaptive_partitions(spark, n)
+
+
+class _scoped_shuffle_partitions:
+    """Set spark.sql.shuffle.partitions for the duration of a stream
+    start+drain, restoring the session value after.  AvailableNow
+    drains every micro-batch inside awaitTermination, and the state
+    width is captured at query start, so the scope covers exactly the
+    query that should see it."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        if self.n is not None:
+            self.old = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.old)
+        return False
+
+
 def run_foreach_batch(
     stream: DataFrame,
     batch_fn,
     output_mode: str = "append",
+    state_partitions: int | None = None,
 ) -> None:
     """Drain the stream through ``foreachBatch`` — the production sink
     pattern: each micro-batch arrives as a BATCH DataFrame plus its
     batch id, so any batch writer (parquet/jdbc/merge-into) becomes a
     streaming sink with exactly-once semantics via the (checkpoint,
-    batch_id) pair.  ``batch_fn(df, batch_id)`` is called per batch."""
-    q = (
-        stream.writeStream.foreachBatch(batch_fn)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    batch_id) pair.  ``batch_fn(df, batch_id)`` is called per batch.
+    ``state_partitions``: measured-size state-store width (see
+    :func:`measured_state_partitions`)."""
+    spark = stream.sparkSession
+    with _scoped_shuffle_partitions(spark, state_partitions):
+        q = (
+            stream.writeStream.foreachBatch(batch_fn)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def run_available_now(
@@ -280,6 +333,7 @@ def run_available_now(
     query_name: str,
     output_mode: str = "complete",
     last_write_key: list[str] | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain all available input into an in-memory table and return it
     (test/driver harness helper).
@@ -299,7 +353,11 @@ def run_available_now(
     same-key rows in one batch the within-batch pick would be
     arbitrary.  The staged parquet is deleted before returning; the
     result is materialized (eager localCheckpoint) first, so the
-    returned frame never references the deleted directory."""
+    returned frame never references the deleted directory.
+
+    ``state_partitions``: measured-size state-store width, scoped to
+    the stream's start+drain (see :func:`measured_state_partitions`);
+    None keeps the session conf."""
     if last_write_key:
         import shutil
         import tempfile
@@ -314,14 +372,15 @@ def run_available_now(
                     "append"
                 ).parquet(out_dir)
 
-            q = (
-                stream.writeStream.foreachBatch(_sink)
-                .queryName(query_name)
-                .outputMode(output_mode)
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
+            with _scoped_shuffle_partitions(spark, state_partitions):
+                q = (
+                    stream.writeStream.foreachBatch(_sink)
+                    .queryName(query_name)
+                    .outputMode(output_mode)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
             cols = stream.columns
             drained = spark.read.parquet(out_dir)
             w = Window.partitionBy(*last_write_key).orderBy(
@@ -335,14 +394,15 @@ def run_available_now(
             )
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _scoped_shuffle_partitions(stream.sparkSession, state_partitions):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return stream.sparkSession.table(query_name)
 
 

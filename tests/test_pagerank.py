@@ -218,6 +218,21 @@ def test_personalized_pagerank_broadcast_seed_path(spark):
         F.broadcast(seeds_df), "title", "left"
     )
     assert "BroadcastHashJoin" in attach._jdf.queryExecution().toString()
+    # the rebuilt expression above proves the ATTACH SHAPE broadcasts;
+    # additionally pin that the operator itself still plants the hint
+    # (ADVICE r11: a regression dropping F.broadcast inside the
+    # operator would otherwise pass this test unnoticed)
+    import importlib
+    import inspect
+
+    # operators/__init__ re-exports the pagerank FUNCTION under the
+    # module's name, so import the module explicitly
+    _pr = importlib.import_module(
+        "pagerank_using_mapreduce_spark.operators.pagerank"
+    )
+    assert "F.broadcast(seeds_df)" in inspect.getsource(
+        _pr.personalized_pagerank
+    )
     via_isin = personalized_pagerank(
         pages, seeds, iterations=3, seed_isin_max=1000
     )
