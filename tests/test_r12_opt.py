@@ -144,9 +144,20 @@ def test_setsim_prefix_aggregate_matches_window_reference(spark):
 
     docs = load_table(spark, SF, "documents").select("doc_id", "text")
     num, den = 7, 10
+    pref = _setsim_prefix(docs, 3, num, den).collect()
     got = {
-        tuple(r) for r in _setsim_prefix(docs, 3, num, den).collect()
+        (r["doc_id"], r["shingle"], r["df"], r["sz"]) for r in pref
     }
+    # pos is the 1-based rank in the doc's (df, shingle) order: dense
+    # from 1 per doc, never beyond the prefix length
+    by_doc: dict = {}
+    for r in pref:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        poss = sorted(r["pos"] for r in rows)
+        assert poss == list(range(1, len(rows) + 1))
+        ordered = sorted(rows, key=lambda r: (r["df"], r["shingle"]))
+        assert [r["pos"] for r in ordered] == poss
 
     # reference: the old window formulation, inline
     s = shingles(docs, 3)
@@ -173,6 +184,57 @@ def test_setsim_prefix_aggregate_matches_window_reference(spark):
         .collect()
     }
     assert got == want and got
+
+
+def test_setsim_positional_filter_complete(spark):
+    """The PPJoin positional filter prunes candidate entries but the
+    final pair set must equal the filter-free truth: every unordered
+    pair with Jaccard >= t, computed here by the brute-force full
+    inverted index (the oracle's formulation), at BOTH the x108
+    threshold (7/10) and the x116 audit threshold (1/2)."""
+    from pagerank_using_mapreduce_spark.operators.dedup import (
+        setsim_join,
+        shingles,
+    )
+    from pagerank_using_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    s = shingles(docs, 3).persist()
+    sz = s.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        s.alias("a")
+        .join(s.alias("b"), "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    full = (
+        inter.join(
+            sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")),
+            "doc_a",
+        )
+        .join(
+            sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")),
+            "doc_b",
+        )
+    )
+    for num, den in [(7, 10), (1, 2)]:
+        want = {
+            (r["doc_a"], r["doc_b"])
+            for r in full.where(
+                F.lit(den) * F.col("inter")
+                >= F.lit(num) * (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).collect()
+        }
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in setsim_join(docs, num=num, den=den).collect()
+        }
+        assert got == want, f"t={num}/{den}"
+    s.unpersist()
 
 
 def test_setsim_prefix_no_window_in_plan(spark):
